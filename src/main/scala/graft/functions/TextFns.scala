@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / fingerprinting function layer (north-star ops for
+  * training-data pipelines; SURVEY.md §7.2 step 8).
+  *
+  * Everything here is built from codegen'd built-ins (split/transform/
+  * aggregate/regexp) — no UDFs — and sticks to arithmetic that is
+  * reproducible in portable SQL so the DuckDB oracle can verify it:
+  * the base hash is the first 15 hex digits of md5 (ColumnFns.hash60),
+  * and all modular math stays below 2^62 (no silent overflow on the
+  * Spark side, no BIGINT overflow errors on the oracle side).
+  */
+object TextFns {
+  /** Modulus for all rolling/minhash arithmetic (fits products in 2^60). */
+  val P: Long = 1000000007L
+
+  import ColumnFns.hash60
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** n-word shingles joined by single spaces; empty array when the
+    * document has fewer than n tokens (guards Spark's descending
+    * `sequence` when start > stop). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** MinHash permutation i over word-shingle hashes:
+    * min over shingles of (a_i * (h mod P) + b_i) mod P.
+    * Null when the document is shorter than the shingle size. */
+  def minhash(c: Column, i: Int, shingleSize: Int): Column = {
+    val a = (2654435761L * (i + 1)) % P
+    val b = (2246822519L * (i + 1)) % P
+    array_min(transform(array_distinct(wordShingles(c, shingleSize)),
+      s => (lit(a) * (hash60(s) % P) + lit(b)) % P))
+  }
+
+  /** SimHash over `bits` low bits of the token hashes: bit j of the
+    * signature is set when the sum of (+1/-1) votes at position j is
+    * positive. Default 16 bits keeps the expression tree (bits x
+    * tokens) codegen-friendly. */
+  def simhash(c: Column, bits: Int = 16): Column = {
+    val hs = transform(tokens(c), t => hash60(t))
+    (0 until bits).map { j =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2L - 1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash signatures (<= 32 bits). */
+  def hamming(a: Column, b: Column, bits: Int = 16): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until bits).map(j =>
+      shiftright(x, j).bitwiseAND(1L)).reduce(_ + _)
+  }
+
+  /** Rolling polynomial fingerprint over tokens:
+    * fold (acc*31 + h mod P) mod P — order-sensitive, so distinct
+    * word orders give distinct fingerprints (unlike set hashes). */
+  def fingerprint(c: Column): Column =
+    aggregate(transform(tokens(c), t => hash60(t) % P),
+      lit(0L), (acc, h) => (acc * 31L + h) % P)
+
+  /** All ordered pairs (x_i, x_j), i<j, from a (pre-sorted) array —
+    * used to emit candidate pairs inside an LSH bucket without a
+    * self-join. */
+  def pairs(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+      transform(slice(ids, i + 1, size(ids) - i),
+        x => struct(element_at(ids, i).as("_1"), x.as("_2")))))
+
+  // ---- quality / language heuristics --------------------------------
+
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Count of tokens found in `words` (multiset semantics). */
+  def tokenHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words.map(lit): _*)))
+
+  def wordCount(c: Column): Column = size(tokens(c))
+
+  /** Punctuation chars / total chars (0 for empty docs). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      length(regexp_replace(c, "[^.,!?;:]", "")).cast("double") / length(c))
+
+  /** Heuristic quality score in [0,1]: blends length, mean word
+    * length sanity, stopword presence and punctuation balance —
+    * the usual pretraining-filter features, all codegen'd. */
+  def qualityScore(c: Column): Column = {
+    val nw = wordCount(c).cast("double")
+    val lenScore = least(nw / 100.0, lit(1.0))
+    val stopScore = least(tokenHits(c, stopwordsEn).cast("double") /
+      greatest(nw, lit(1.0)) * 5.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    round((lenScore + stopScore + punctScore) / 3.0, 6)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * Parity ops (SURVEY.md §2.4 A4/A5): the reference's keep-first-after-
+  * sort dedups (cnv.py:372-376, mci_clinical_variant_merge.py:263-279)
+  * — pandas relies on implicit file order; here every dedup takes an
+  * EXPLICIT total order so results are deterministic under any
+  * partitioning (SURVEY.md §7.4 item 1).
+  *
+  * Scale ops (north star): exact + near-duplicate detection for
+  * training-data pipelines — hash dedup, MinHash/LSH, SimHash — all
+  * built on a portable md5-derived 60-bit hash so a SQL oracle can
+  * reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key, the first under `order`.
+    * Callers must make `order` a total order (include a unique
+    * tiebreaker) or results are nondeterministic — same caveat the
+    * reference silently ignores (cnv.py:372).
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A5b: per key keep the LONGEST interval (cnv.py:375-376). */
+  def keepLongest(df: DataFrame, keys: Seq[String],
+                  start: String, end: String, tiebreak: Seq[Column]): DataFrame =
+    keepFirst(df, keys, ((col(end) - col(start)).desc +: tiebreak))
+
+  /** A5c: megaMAF merge-dedup — prefer clinically-reported rows
+    * (mci:263-279: custom sort puts `Not Reported`/null significance
+    * last, then keep first per 7-col variant key). */
+  def preferReported(df: DataFrame, keys: Seq[String],
+                     significance: String, tiebreak: Seq[Column],
+                     lastValue: String = "Not Reported"): DataFrame = {
+    val rank = when(col(significance).isNull ||
+      col(significance) === lastValue, 1).otherwise(0)
+    keepFirst(df, keys, rank.asc +: tiebreak)
+  }
+
+  // ------------------------------------------------------------------
+  // North-star: content dedup at scale
+  // ------------------------------------------------------------------
+
+  import graft.functions.ColumnFns.hash60
+  import graft.functions.TextFns
+
+  /** Exact dedup: one representative (min of `idCol`) per distinct
+    * content hash. Single hash-partitioned aggregation; no window, no
+    * sort — the cheapest possible shape at 100 TB.
+    */
+  def exactByContent(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("content_hash", md5(col(textCol)))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures: k permutations approximated as
+    * (a_i * h + b_i) mod p over word-shingle hashes. Wholly built from
+    * codegen'd HOFs — no UDF — and portable to the SQL oracle.
+    */
+  def minhashSignature(df: DataFrame, textCol: String,
+                       numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
+    df.select(df.columns.map(col) ++ (0 until numHashes).map(i =>
+      TextFns.minhash(col(textCol), i, shingleSize).as(s"mh_$i")): _*)
+
+  /** MinHash + LSH banding: rows sharing any (band, band-hash) bucket
+    * are near-duplicate candidates. Returns candidate pairs (id_a <
+    * id_b) with the number of agreeing bands. The only shuffle is the
+    * groupBy on bucket — per-bucket self-pairing happens inside the
+    * aggregation, so skewed giant buckets are capped by `maxBucket`.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      numHashes: Int = 16, bands: Int = 4,
+                      shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("doc_id") +:
+        (0 until numHashes).map(i =>
+          TextFns.minhash(col(textCol), i, shingleSize).as(s"mh_$i")): _*)
+    val banded = withSig.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash60(concat_ws("_",
+            (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val grouped = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // pair within bucket without exploding the cross product through a join
+    grouped.select(explode(TextFns.pairs(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("band_matches"))
+  }
+
+  /** SimHash: 60-bit signature where bit j is the sign of the sum of
+    * (+1/-1) votes from each token hash's bit j. Near-dups share most
+    * bits; hamming distance is a cheap post-filter.
+    */
+  def simhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", TextFns.simhash(col(textCol)))
+
+  /** N-gram Jaccard similarity for candidate pairs: given a pairs
+    * frame (id_a, id_b) and the source docs, compute
+    * |A ∩ B| / |A ∪ B| over word n-gram sets.
+    */
+  def ngramJaccard(pairsDf: DataFrame, docs: DataFrame, textCol: String,
+                   idCol: String, n: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"),
+      array_distinct(TextFns.wordShingles(col(textCol), n)).as("__set"))
+    pairsDf
+      .join(sets.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__set", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__set", "set_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("union", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        when(col("union") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("union")))
+      .drop("set_a", "set_b")
+  }
+}

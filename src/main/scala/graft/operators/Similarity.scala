@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (north-star op).
+  *
+  * All vector math is `zip_with`/`aggregate` over `array<double>` —
+  * codegen'd, no UDF, no MLlib dependency — so it runs inside
+  * whole-stage codegen and is portable to the SQL oracle.
+  *
+  * Scale path: `lshBucketed` cuts the candidate set with sign-random-
+  * projection buckets before the exact re-rank; brute force remains
+  * the correctness baseline (and is itself a broadcast join, not a
+  * cartesian shuffle, when the query set is small).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries` is broadcast (small side); ranking is deterministic:
+    * ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** All pairs above a cosine threshold (id_a < id_b) — threshold
+    * form is robust to float rounding at the margin, unlike top-k. */
+  def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+                     minCos: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Sign-random-projection bucketing: `planes` pseudo-random
+    * hyperplanes (deterministic hash-derived coefficients); bucket =
+    * bit-packed signs. Vectors in the same bucket are ANN candidates.
+    * At 100 TB this turns the n² search into per-bucket groups.
+    */
+  def srpBucket(vec: Column, planes: Int, dim: Int): Column = {
+    (0 until planes).map { p =>
+      // deterministic pseudo-random plane: coeff_j = (((p*dim+j)*2654435761) mod 1009) - 504
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x * ((((lit(p) * dim + j) * 2654435761L) % 1009L) - 504L)),
+        lit(0.0), (s, v) => s + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN via SRP buckets + exact re-rank inside each bucket. */
+  def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
+                  minCos: Double, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("bucket", srpBucket(col("__v"), planes, dim))
+    val a = v.select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
+    val b = v.select(col("id").as("id_b"), col("__v").as("__vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+}
