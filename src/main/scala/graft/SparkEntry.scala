@@ -187,8 +187,139 @@ object SparkEntry {
     "q_g3_split_explode" -> ((s, d) =>
       t(s, d, "part")
         .select(explode(split(col("p_name"), " ")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n")))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
+
+    // ---- §2.7 extractors on constructed payloads ----
+    "q_f3_info" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        CF.infoField(
+          concat(lit("TYPE="), col("event_type"), lit(";UID="),
+            col("user_id"), lit(";END")), "UID").cast("long").as("uid"),
+        CF.infoFieldNa(lit(null).cast("string"), "UID").as("na_case"))),
+
+    "q_f5_gtf" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        CF.gtfAttr(
+          concat(lit("gene_id \"G"), col("p_partkey"),
+            lit("\"; gene_name \""), col("p_name"),
+            lit("\"; level "), col("p_size"), lit(";")),
+          "gene_name").as("gene_name"))),
+
+    // ---- §2.6 top-k per group ----
+    "q_o6_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id").asc)
+      t(s, d, "events").withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+    }),
+
+    // ---- events: JSON nav (F15), sessionization, tumbling windows ----
+    "q_e_json" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))),
+
+    "q_e_session" -> ((s, d) =>
+      // micro-precision ts so the DuckDB oracle (micros-only timestamps)
+      // sees identical values; gap = 30 min
+      Sessionize.sessionStats(
+        t(s, d, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us",
+        gapNs = 1800000000L, tiebreak = Seq(col("event_id")))),
+
+    "q_e_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))),
+
+    // ---- text analysis (documents) ----
+    "q_t_stats" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TF.wordCount(col("text")).as("n_words"),
+        round(TF.punctRatio(col("text")), 6).as("punct_ratio"))),
+
+    "q_t_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"))),
+
+    "q_t_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TF.langGuess(col("text")).as("lang_guess"))),
+
+    "q_t_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TF.fingerprint(col("text")).as("fp"))),
+
+    "q_t_bpe" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+          .as("n_tokens"))),
+
+    // ---- dedup at scale (documents) ----
+    "q_d_exact" -> ((s, d) =>
+      Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id")),
+
+    "q_d_minhash" -> ((s, d) =>
+      Dedup.minhashSignature(t(s, d, "documents").select("doc_id", "text"),
+        "text", numHashes = 4, shingleSize = 3)
+        .select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")),
+
+    "q_d_simhash" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TF.simhash(col("text"), 8).as("simhash"))),
+
+    "q_d_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "text", "doc_id", 3)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // ---- similarity search (embeddings) ----
+    "q_s_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_s_threshold" -> ((s, d) =>
+      Similarity.thresholdPairs(
+        t(s, d, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", minCos = 0.2)),
+
+    "q_s_lsh" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        Similarity.srpBucket(col("embedding").cast("array<double>"),
+          planes = 8, dim = 64).as("bucket"))),
+
+    // ---- multimodal binary plumbing ----
+    "q_m_binary" -> ((s, d) =>
+      MultiModal.decodeStub(
+        MultiModal.attachBinary(t(s, d, "documents"), "text"))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height")))
   )
+
+  // ---- shared DuckDB oracle fragments (kept in lockstep with the
+  //      TextFns/ColumnFns implementations above) ----
+  private def h60Sql(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+  private val P = "1000000007"
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+  private val punctSql =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text) END"
+  /** 3-word shingles of `tk`, distinct. */
+  private val shinglesSql =
+    "list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END)"
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform($a, (x, i) -> x * $b[i]))"
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
   def oracleSql: Map[String, String] = Map(
     "q_p1_project" ->
@@ -255,6 +386,75 @@ object SparkEntry {
       "SELECT user_id, event_id AS site1_id, event_type AS site1_type, site2_id, site2_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn, lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS site2_id, lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS site2_type FROM events) WHERE rn % 2 = 1 AND site2_id IS NOT NULL",
 
     "q_g3_split_explode" ->
-      "SELECT token, count(*) AS n FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part) GROUP BY token"
+      "SELECT token, count(*) AS n FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part) GROUP BY token",
+
+    "q_f3_info" ->
+      "SELECT event_id, regexp_extract('TYPE=' || event_type || ';UID=' || user_id || ';END', 'UID=([^;]+)', 1)::BIGINT AS uid, 'NA' AS na_case FROM events",
+
+    "q_f5_gtf" ->
+      "SELECT p_partkey, p_name AS gene_name FROM part",
+
+    "q_o6_topk" ->
+      "SELECT user_id, event_id, value, rnk FROM (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 3",
+
+    "q_e_json" ->
+      "SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1",
+
+    "q_e_session" ->
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), g AS (SELECT user_id, event_id, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) SELECT user_id, session_id, count(*) AS n_events, min(tsn) AS t_start, max(tsn) AS t_end FROM s GROUP BY 1, 2",
+
+    "q_e_hourly" ->
+      "SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1, 2",
+
+    "q_t_stats" ->
+      s"SELECT doc_id, len($toksSql) AS n_words, round($punctSql, 6) AS punct_ratio FROM documents",
+
+    "q_t_quality" ->
+      s"WITH q AS (SELECT doc_id, len($toksSql)::DOUBLE AS nw, len(list_filter($toksSql, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, $punctSql AS pr FROM documents) SELECT doc_id, round((least(nw / 100.0, 1.0) + least(hits / greatest(nw, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS quality FROM q",
+
+    "q_t_langid" ->
+      s"WITH q AS (SELECT doc_id, $toksSql AS tk FROM documents), c AS (SELECT doc_id, len(list_filter(tk, t -> t IN ('the','and','of','is'))) AS c_en, len(list_filter(tk, t -> t IN ('el','la','los','es'))) AS c_es, len(list_filter(tk, t -> t IN ('der','die','und','ist'))) AS c_de, len(list_filter(tk, t -> t IN ('le','les','est','et'))) AS c_fr FROM q) SELECT doc_id, CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en' WHEN c_es >= c_de AND c_es >= c_fr THEN 'es' WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_guess FROM c",
+
+    "q_t_fingerprint" ->
+      s"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform($toksSql, t -> ${h60Sql("t")} % $P)), (acc, h) -> (acc * 31 + h) % $P) AS fp FROM documents",
+
+    "q_t_bpe" ->
+      "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens FROM documents",
+
+    "q_d_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    "q_d_minhash" -> {
+      val mh = (0 until 4).map { i =>
+        val a = (2654435761L * (i + 1)) % 1000000007L
+        val b = (2246822519L * (i + 1)) % 1000000007L
+        s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
+      }.mkString(", ")
+      s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), d AS (SELECT doc_id, $shinglesSql AS sh FROM t) SELECT doc_id, $mh FROM d"
+    },
+
+    "q_d_simhash" -> {
+      val bits = (0 until 8).map(j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"WITH t AS (SELECT doc_id, list_transform($toksSql, x -> ${h60Sql("x")}) AS hs FROM documents) SELECT doc_id, $bits AS simhash FROM t"
+    },
+
+    "q_d_jaccard" ->
+      s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), d AS (SELECT doc_id, $shinglesSql AS sh FROM t) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard FROM d a JOIN d b ON b.doc_id = a.doc_id + 1",
+
+    "q_s_brute" ->
+      s"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",
+
+    "q_s_threshold" ->
+      s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id) SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2",
+
+    "q_s_lsh" -> {
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN list_sum(list_transform(v, (x, i) -> x * (((($p * 64 + (i - 1)) * 2654435761) % 1009) - 504))) > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"SELECT vec_id, $bucket AS bucket FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    },
+
+    "q_m_binary" ->
+      s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents"
   )
 }

@@ -89,6 +89,28 @@ object TextFns {
 
   def wordCount(c: Column): Column = size(tokens(c))
 
+  /** Marker-word lists for the n-gram/stopword language-ID heuristic.
+    * Declaration order is the tie-break precedence. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "les", "est", "et"))
+
+  /** Language-ID heuristic: argmax of marker-word hits, ties broken by
+    * `langMarkers` order. Pure Column expr — one pass over tokens. */
+  def langGuess(c: Column): Column = {
+    val counts = langMarkers.map { case (l, ws) => (l, tokenHits(c, ws)) }
+    def best(rest: List[(String, Column)]): Column = rest match {
+      case (l, _) :: Nil => lit(l)
+      case (l, cnt) :: tail =>
+        when(tail.map(cnt >= _._2).reduce(_ && _), lit(l))
+          .otherwise(best(tail))
+      case Nil => lit(null)
+    }
+    best(counts.toList)
+  }
+
   /** Punctuation chars / total chars (0 for empty docs). */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, 0.0).otherwise(

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream (north-star op; the
+  * reference is batch-only — SURVEY.md §2.10 — so this is the
+  * batch/streaming-parallel extension point for the `events` table).
+  *
+  * Batch form: two windows over (user, time) — a lag to flag gaps and
+  * a running sum to assign session ids. One shuffle on the user key;
+  * both windows share the same partitioning so Catalyst plans a single
+  * exchange. The streaming twin (mapGroupsWithState) lives in
+  * graft.streaming.
+  */
+object Sessionize {
+
+  /** Assign `session_id` per `userCol`: a new session starts when the
+    * gap to the previous event exceeds `gapNs`. `tiebreak` must make
+    * the per-user order total (e.g. the event id).
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 gapNs: Long, tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol) +: tiebreak: _*)
+    val gap = col(tsCol) - lag(col(tsCol), 1).over(w)
+    df.withColumn("__new", when(gap.isNull || gap > gapNs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Per-session stats: event count + [start, end] timestamps. */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String,
+                   gapNs: Long, tiebreak: Seq[Column]): DataFrame =
+    sessionize(df, userCol, tsCol, gapNs, tiebreak)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start"),
+        max(col(tsCol)).as("t_end"))
+}
