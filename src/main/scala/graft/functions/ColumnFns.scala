@@ -34,8 +34,9 @@ object ColumnFns {
     when(info.isNull, lit("NA")).otherwise(infoField(info, key))
 
   // ---- F4: delimiter split + positional pick (pedmatch:378-413) ----
+  /** ANSI-safe positional pick: null (not an error) past the end. */
   def splitIdx(c: Column, sep: String, i: Int): Column =
-    split(c, java.util.regex.Pattern.quote(sep)).getItem(i)
+    get(split(c, java.util.regex.Pattern.quote(sep)), lit(i))
 
   /** Last `sep`-delimited token, e.g. FT = FORMAT-packed last field. */
   def splitLast(c: Column, sep: String): Column =

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ColumnFns => CF, TextFns => TF}
+
+class ColumnFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("gisticBin boundary values (cnv.py:472-481: strict > / <)") {
+    val vals = Seq(2.1, 2.0, 0.31, 0.3, 0.0, -0.3, -0.31, -1.0, -1.01)
+    val got = vals.toDF("v").select(CF.gisticBin(col("v")).as("g"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(2, 1, 1, 0, 0, 0, -1, -1, -2))
+  }
+
+  test("log2Ratio: round(log2(cn/2), 4)") {
+    val got = Seq(2.0, 4.0, 1.0, 3.0).toDF("cn")
+      .select(CF.log2Ratio(col("cn")).as("r")).as[Double].collect().toSeq
+    assert(got == Seq(0.0, 1.0, -1.0, 0.585))
+  }
+
+  test("formatField: FORMAT-packed extracts with NA on null/missing") {
+    val df = Seq(Some("0/1:x:57:a:b:12:c:9:0.21:PASS"), None).toDF("s")
+    val got = df.select(
+      CF.formatField(col("s"), 0).as("gt"),
+      CF.formatField(col("s"), 2).as("dp"),
+      CF.formatField(col("s"), 99).as("oob"),
+      CF.splitLast(col("s"), ":").as("ft"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got(0) == ("0/1", "57", "NA", "PASS"))
+    assert(got(1) == ("NA", "NA", "NA", null))
+  }
+
+  test("gtfAttr: multi-value gene_name ;-joined, quotes stripped (cnv.py:360-368)") {
+    val attrs = """gene_id "ENSG1"; gene_type "protein_coding"; gene_name "TP53"; gene_name "ALT1";"""
+    val got = Seq(attrs).toDF("a")
+      .select(CF.gtfAttr(col("a"), "gene_name").as("g")).as[String].collect().head
+    assert(got == "TP53;ALT1")
+  }
+
+  test("chrStrip / chrPrefix / dotZeroStrip / endPosition") {
+    val r = Seq(("chr17", "17", "42.0", "AT", 100L))
+      .toDF("c", "p", "z", "ref", "pos")
+      .select(CF.chrStrip(col("c")).as("a"), CF.chrPrefix(col("p")).as("b"),
+        CF.dotZeroStrip(col("z")).as("d"),
+        CF.endPosition(col("pos"), col("ref")).as("e"))
+      .collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getLong(3)) ==
+      ("17", "chr17", "42", 101L))
+  }
+
+  test("infoField / infoFieldNa") {
+    val df = Seq(Some("SVTYPE=Fusion;GENE_NAME=EWSR1-FLI1;READ_COUNT=88"), None)
+      .toDF("i")
+    val got = df.select(CF.infoFieldNa(col("i"), "GENE_NAME").as("g"))
+      .as[String].collect().toSeq
+    assert(got == Seq("EWSR1-FLI1", "NA"))
+  }
+
+  test("wordShingles / minhash on short docs: empty -> null signature") {
+    val df = Seq("one two", "one two three four").toDF("t")
+    val got = df.select(TF.minhash(col("t"), 0, 3).as("m")).collect()
+    assert(got(0).isNullAt(0) && !got(1).isNullAt(0))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("t")
+    val fps = df.select(TF.fingerprint(col("t")).as("f")).as[Long].collect()
+    assert(fps(0) != fps(1))
+  }
+
+  test("hamming distance of simhash") {
+    val df = Seq(("spark spark spark", "spark spark spark")).toDF("a", "b")
+    val got = df.select(
+      TF.hamming(TF.simhash(col("a"), 16), TF.simhash(col("b"), 16), 16).as("h"))
+      .as[Long].collect().head
+    assert(got == 0L)
+  }
+
+  test("langGuess picks the marker-heavy language") {
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "el gato y la casa es los grande",
+      "der hund und die katze ist der").toDF("t")
+    val got = df.select(TF.langGuess(col("t")).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst: deterministic under explicit total order") {
+    val df = Seq(
+      ("k1", 5, "a"), ("k1", 9, "b"), ("k1", 9, "a"),
+      ("k2", 1, "z")).toDF("k", "v", "t")
+    val got = Dedup.keepFirst(df, Seq("k"),
+      Seq(col("v").desc, col("t").asc))
+      .as[(String, Int, String)].collect().toSet
+    assert(got == Set(("k1", 9, "a"), ("k2", 1, "z")))
+  }
+
+  test("keepLongest: longest interval wins, tiebreak applies") {
+    val df = Seq(
+      ("g1", 0L, 10L, "x"), ("g1", 0L, 100L, "y"),
+      ("g1", 100L, 200L, "z") // same length as y: tiebreak t asc -> y
+    ).toDF("g", "s", "e", "t")
+    val got = Dedup.keepLongest(df, Seq("g"), "s", "e", Seq(col("t").asc))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(got == Set(("g1", 0L, 100L, "y")))
+  }
+
+  test("preferReported: 'Not Reported' and null sort last (mci:263-279)") {
+    val df = Seq(
+      ("v1", "Not Reported", 1), ("v1", "Pathogenic", 2),
+      ("v2", null, 1), ("v2", "Benign", 9),
+      ("v3", null, 3)).toDF("key", "sig", "ord")
+    val got = Dedup.preferReported(df, Seq("key"), "sig", Seq(col("ord").asc))
+      .select("key", "sig").as[(String, String)].collect().toSet
+    assert(got == Set(("v1", "Pathogenic"), ("v2", "Benign"), ("v3", null)))
+  }
+
+  test("exactByContent groups identical text") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "text")
+    val got = Dedup.exactByContent(df, "text", "id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH: identical docs collide in every band, distinct docs don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 4L)))
+  }
+
+  test("ngramJaccard: identical=1, disjoint=0") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", 3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0), (1L, 3L, 0.0)))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Pivots (V1/V2) ----
+
+  test("continuous pivot: explicit values, nulls preserved") {
+    val df = Seq(("g1", "s1", 1.5), ("g1", "s2", -0.5), ("g2", "s1", 0.25))
+      .toDF("gene", "sample", "v")
+    val wide = Pivots.continuous(df, "gene", "sample", "v", Seq("s1", "s2"))
+    val rows = wide.orderBy("gene").collect()
+    assert(rows(0).getDouble(1) == 1.5 && rows(0).getDouble(2) == -0.5)
+    assert(rows(1).getDouble(1) == 0.25 && rows(1).isNullAt(2))
+  }
+
+  test("discrete pivot: nulls->0, int cast (cnv.py:670-679)") {
+    val df = Seq(("g1", "s1", 2), ("g2", "s2", -1)).toDF("gene", "sample", "v")
+    val wide = Pivots.discrete(df, "gene", "sample", "v", Seq("s1", "s2"))
+    val got = wide.orderBy("gene").as[(String, Int, Int)].collect().toSeq
+    assert(got == Seq(("g1", 2, 0), ("g2", 0, -1)))
+    assert(wide.schema("s1").dataType.typeName == "integer")
+  }
+
+  test("duplicatePairs catches pandas-pivot ValueError case (cnv.py:657)") {
+    val df = Seq(("g1", "s1", 1.0), ("g1", "s1", 2.0), ("g2", "s1", 3.0))
+      .toDF("gene", "sample", "v")
+    val dups = Pivots.duplicatePairs(df, "gene", "sample").collect()
+    assert(dups.length == 1 && dups(0).getString(0) == "g1")
+  }
+
+  // ---- Reconcile ----
+
+  test("countMatch: outer join + zero-fill + mismatch flag") {
+    val exp = Seq(("a"), ("a"), ("b")).toDF("k")
+    val obs = Seq(("a"), ("c")).toDF("k")
+    val got = Reconcile.countMatch(exp, obs, Seq("k"))
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(("a", 2L, 1L, true), ("b", 1L, 0L, true),
+      ("c", 0L, 1L, true)))
+  }
+
+  test("constraintViolations: nulls and dup keys reported, valid frame empty") {
+    val bad = Seq((Some("s1"), "f1"), (None, "f2"), (Some("s3"), "f2"))
+      .toDF("sample_id", "file_name")
+    val got = Reconcile.constraintViolations(bad,
+      Seq("sample_id"), Seq("file_name"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("null:sample_id", 1L), ("dup:file_name", 2L)))
+    val ok = Seq((Some("s1"), "f1")).toDF("sample_id", "file_name")
+    assert(Reconcile.constraintViolations(ok,
+      Seq("sample_id"), Seq("file_name")).count() == 0)
+  }
+
+  // ---- Sessionize ----
+
+  test("sessionize: 30-min gap starts a new session") {
+    val m = 60000000000L // one minute in ns
+    val df = Seq(
+      (1L, 0 * m, 1L), (1L, 10 * m, 2L), (1L, 50 * m, 3L), // gap 40min
+      (2L, 0 * m, 4L)).toDF("user_id", "ts", "event_id")
+    val got = Sessionize.sessionStats(df, "user_id", "ts",
+      gapNs = 30 * m, tiebreak = Seq(col("event_id")))
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  // ---- Similarity ----
+
+  test("bruteForceTopK: exact cosine ranking, self excluded") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(got == Set((2L, 1), (3L, 2)))
+  }
+
+  test("thresholdPairs symmetric set, id_a < id_b") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.thresholdPairs(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("srp bucket collides for identical vectors") {
+    val df = Seq((1L, Array.fill(4)(0.5f)), (2L, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = df.select(Similarity.srpBucket(
+      col("embedding").cast("array<double>"), planes = 4, dim = 4).as("b"))
+      .as[Long].collect()
+    assert(b(0) == b(1))
+  }
+
+  // ---- MultiModal ----
+
+  test("multimodal: attach + stub decode keeps schema and determinism") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val dec = MultiModal.decodeStub(MultiModal.attachBinary(df, "text"))
+    val r = dec.select("meta.n_bytes", "meta.width", "meta.height").collect()(0)
+    assert(r.getLong(0) == 11L)
+    assert(r.getLong(1) >= 0 && r.getLong(1) < 640)
+  }
+
+  test("multimodal: mapPartitions batch decode matches stub byte count") {
+    val df = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
+    val dec = MultiModal.decodeBatch(MultiModal.attachBinary(df, "text"))
+    val got = dec.select(col("doc_id"), col("meta.n_bytes"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L), (2L, 3L)))
+  }
+}
