@@ -33,15 +33,37 @@ object TextFns {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
-  /** MinHash permutation i over word-shingle hashes:
-    * min over shingles of (a_i * (h mod P) + b_i) mod P.
-    * Null when the document is shorter than the shingle size. */
-  def minhash(c: Column, i: Int, shingleSize: Int): Column = {
+  /** Distinct word-shingles hashed to [0, P) — the md5 work dominates
+    * minhash cost, so this is computed ONCE per doc and fed to every
+    * permutation (materialize it in its own projection; Catalyst's
+    * CollapseProject keeps non-cheap multi-referenced aliases apart). */
+  def shingleHashes(c: Column, shingleSize: Int): Column =
+    transform(array_distinct(wordShingles(c, shingleSize)),
+      s => hash60(s) % P)
+
+  /** Distinct shingles as fast 64-bit hashes (xxhash64, codegen'd) —
+    * for set-cardinality ops (Jaccard) where the hash never has to be
+    * reproduced by an external oracle: |A∩B|/|A∪B| over hashes equals
+    * the string-set value (64-bit collisions are negligible), at a
+    * fraction of the md5 cost. */
+  def shingleHashes64(c: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(c, n), s => xxhash64(s)))
+
+  /** MinHash permutation i over pre-hashed shingles:
+    * min of (a_i * h + b_i) mod P. Null for short docs. */
+  def minhashPerm(hs: Column, i: Int): Column = {
     val a = (2654435761L * (i + 1)) % P
     val b = (2246822519L * (i + 1)) % P
-    array_min(transform(array_distinct(wordShingles(c, shingleSize)),
-      s => (lit(a) * (hash60(s) % P) + lit(b)) % P))
+    array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
   }
+
+  /** MinHash permutation i over word-shingle hashes:
+    * min over shingles of (a_i * (h mod P) + b_i) mod P.
+    * Null when the document is shorter than the shingle size.
+    * (Single-permutation form; batch callers should share
+    * `shingleHashes` across permutations.) */
+  def minhash(c: Column, i: Int, shingleSize: Int): Column =
+    minhashPerm(shingleHashes(c, shingleSize), i)
 
   /** SimHash over `bits` low bits of the token hashes: bit j of the
     * signature is set when the sum of (+1/-1) votes at position j is

@@ -68,8 +68,9 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, textCol: String,
                        numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
-    df.select(df.columns.map(col) ++ (0 until numHashes).map(i =>
-      TextFns.minhash(col(textCol), i, shingleSize).as(s"mh_$i")): _*)
+    df.withColumn("__hs", TextFns.shingleHashes(col(textCol), shingleSize))
+      .select(df.columns.map(col) ++ (0 until numHashes).map(i =>
+        TextFns.minhashPerm(col("__hs"), i).as(s"mh_$i")): _*)
 
   /** MinHash + LSH banding: rows sharing any (band, band-hash) bucket
     * are near-duplicate candidates. Returns candidate pairs (id_a <
@@ -81,10 +82,12 @@ object Dedup {
                       numHashes: Int = 16, bands: Int = 4,
                       shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val withSig = df.select(
-      col(idCol).as("doc_id") +:
-        (0 until numHashes).map(i =>
-          TextFns.minhash(col(textCol), i, shingleSize).as(s"mh_$i")): _*)
+    val withSig = df
+      .withColumn("__hs", TextFns.shingleHashes(col(textCol), shingleSize))
+      .select(
+        col(idCol).as("doc_id") +:
+          (0 until numHashes).map(i =>
+            TextFns.minhashPerm(col("__hs"), i).as(s"mh_$i")): _*)
     val banded = withSig.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -115,8 +118,9 @@ object Dedup {
     */
   def ngramJaccard(pairsDf: DataFrame, docs: DataFrame, textCol: String,
                    idCol: String, n: Int = 3): DataFrame = {
+    // hashed shingle sets: same cardinalities, no giant string arrays
     val sets = docs.select(col(idCol).as("__id"),
-      array_distinct(TextFns.wordShingles(col(textCol), n)).as("__set"))
+      TextFns.shingleHashes64(col(textCol), n).as("__set"))
     pairsDf
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
