@@ -1,0 +1,206 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema'd readers for the reference's file formats (SURVEY.md §2.1
+  * S1–S10). All are schema-on-read (`spark.read.schema(...)`) — the
+  * pandas-era post-hoc casts and `.0`-repair hacks (SURVEY §1.3) are
+  * unnecessary once types are declared up front. Gzip inputs are
+  * transparent (S9): Spark's text/csv readers decompress by extension.
+  */
+object Readers {
+
+  // ---- S1/S2: TSV / CSV with header ----
+
+  def tsv(spark: SparkSession, path: String,
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("sep", "\t").option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema)
+      .csv(path)
+  }
+
+  def csv(spark: SparkSession, path: String,
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  // ---- manifests (SURVEY §1.2; cnv.py:33, pedmatch:27, vcf_anno:496) --
+
+  val cnvManifestSchema: StructType = StructType(Seq(
+    StructField("sample_id", StringType),
+    StructField("s3_url", StringType),
+    StructField("file_name", StringType),
+    StructField("md5sum", StringType),
+    StructField("file_size", LongType)))
+
+  val pedmatchManifestSchema: StructType =
+    StructType(cnvManifestSchema.fields ++ Seq(
+      StructField("participant_id", StringType),
+      StructField("sample_type", StringType)))
+
+  val vcfAnnoManifestSchema: StructType = StructType(Seq(
+    StructField("sample", StringType),
+    StructField("md5sum", StringType),
+    StructField("file_url", StringType)))
+
+  // ---- S3: VCF (comment '#' skip, injected names, trailing samples) --
+
+  val vcfFixedCols: Seq[String] =
+    Seq("CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT")
+
+  /** VCF body as a DataFrame: 9 fixed columns + one string column per
+    * genotype sample (names supplied by the caller, as the reference
+    * does at pedmatch:66). POS is typed long; everything else string
+    * (INFO/FORMAT stay packed for the extractors in ColumnFns). */
+  def vcf(spark: SparkSession, path: String,
+          sampleCols: Seq[String]): DataFrame = {
+    val fields =
+      StructField("CHROM", StringType) +: StructField("POS", LongType) +:
+        vcfFixedCols.drop(2).map(StructField(_, StringType)) ++:
+        sampleCols.map(StructField(_, StringType))
+    spark.read
+      .option("sep", "\t").option("comment", "#").option("header", "false")
+      .schema(StructType(fields.toArray))
+      .csv(path)
+  }
+
+  // ---- S4: MAF (TSV, '#' comments, header line) ----
+
+  def maf(spark: SparkSession, path: String,
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("sep", "\t").option("comment", "#").option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  // ---- S5: GTF (headerless 9 positional cols, '#' comments) ----
+
+  val gtfCols: Seq[String] = Seq("chrom", "source", "feature", "start",
+    "end", "score", "strand", "frame", "attributes")
+
+  def gtf(spark: SparkSession, path: String): DataFrame = {
+    val fields = gtfCols.map {
+      case c @ ("start" | "end") => StructField(c, LongType)
+      case c => StructField(c, StringType)
+    }
+    spark.read
+      .option("sep", "\t").option("comment", "#").option("header", "false")
+      .schema(StructType(fields)).csv(path)
+  }
+
+  // ---- BED (0-based half-open; cnv.py:380-385) ----
+
+  def bed(spark: SparkSession, path: String,
+          extraCols: Seq[String] = Seq("name")): DataFrame = {
+    val fields = Seq(StructField("chrom", StringType),
+      StructField("start", LongType), StructField("end", LongType)) ++
+      extraCols.map(StructField(_, StringType))
+    spark.read.option("sep", "\t").option("header", "false")
+      .schema(StructType(fields)).csv(path)
+  }
+
+  // ---- SEG (cBio; cnv.py:288-306) ----
+
+  val segSchema: StructType = StructType(Seq(
+    StructField("ID", StringType), StructField("chrom", StringType),
+    StructField("loc.start", LongType), StructField("loc.end", LongType),
+    StructField("num.mark", LongType), StructField("seg.mean", DoubleType)))
+
+  // ---- S6: nested CNV JSON (cnv.py:198-217) → long segment table ----
+
+  val cnvJsonSchema: StructType = StructType(Seq(
+    StructField("metadata", StructType(Seq(
+      StructField("sample_name", StringType)))),
+    StructField("segments", ArrayType(StructType(Seq(
+      StructField("position", StructType(Seq(
+        StructField("chrom", StringType), StructField("start", LongType),
+        StructField("end", LongType), StructField("length", LongType)))),
+      StructField("cnv", StructType(Seq(
+        StructField("log2_copy_ratio", DoubleType),
+        StructField("cnv_supporting_points", LongType),
+        StructField("cnv_supporting_reads", LongType),
+        StructField("log2_pval", DoubleType),
+        StructField("log2_copy_ratio_90per_ci_low", DoubleType),
+        StructField("log2_copy_ratio_90per_ci_high", DoubleType))))))))))
+
+  /** One JSON document per sample (multiLine) → exploded 12-col segment
+    * rows (G1; SEGMENT_COLUMNS_COUNT at cnv.py:16). participant/sample
+    * split follows cnv.py:204-205 (sample_name = 'PARTICIPANT-SAMPLE').
+    * chrom arrives 'chrN' and is stripped as at cnv.py:282. */
+  def cnvSegments(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(cnvJsonSchema).option("multiLine", "true").json(path)
+      .select(col("metadata.sample_name").as("sample_name"),
+        explode(col("segments")).as("seg"))
+      .select(
+        split(col("sample_name"), "-").getItem(0).as("participant"),
+        col("sample_name").as("sample_id"),
+        regexp_replace(col("seg.position.chrom"), "^chr", "").as("chrom"),
+        col("seg.position.start").as("start"),
+        col("seg.position.end").as("end"),
+        col("seg.position.length").as("length"),
+        col("seg.cnv.log2_copy_ratio").as("log2ratio"),
+        col("seg.cnv.cnv_supporting_points").as("num_points"),
+        col("seg.cnv.cnv_supporting_reads").as("num_reads"),
+        col("seg.cnv.log2_pval").as("log2_p_value"),
+        col("seg.cnv.log2_copy_ratio_90per_ci_low").as("log2_ci_low"),
+        col("seg.cnv.log2_copy_ratio_90per_ci_high").as("log2_ci_high"))
+
+  // ---- S8: whitespace-split scan (wc -l output; pedmatch:485) ----
+
+  def whitespaceSplit(spark: SparkSession, path: String,
+                      names: Seq[String]): DataFrame = {
+    val parts = split(trim(col("value")), "\\s+")
+    spark.read.text(path).select(
+      names.zipWithIndex.map { case (n, i) => parts.getItem(i).as(n) }: _*)
+  }
+
+  // ---- S10: mysqldump statistics scan (src/utils.py:326-394) ----
+
+  /** Two facts per table from a SQL dump, in one distributed pass:
+    * column counts from `CREATE TABLE` blocks, row counts from INSERT
+    * value rows. The dump's "current table" is line-position state —
+    * recovered relationally: tag each marker line with its file
+    * offset, then window `last(..., ignoreNulls)` carries the table
+    * name forward. One shuffle (the window re-sort on offset).
+    */
+  def dumpStats(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = spark.read.text(path)
+      .select(col("value"), monotonically_increasing_id().as("off"))
+    val tagged = lines.withColumn("create_tbl",
+      regexp_extract(col("value"), "^CREATE TABLE `([^`]+)`", 1))
+      .withColumn("insert_tbl",
+        regexp_extract(col("value"), "^INSERT INTO `([^`]+)`", 1))
+      .withColumn("tbl",
+        when(col("create_tbl") =!= "", col("create_tbl"))
+          .when(col("insert_tbl") =!= "", col("insert_tbl")))
+    val w = Window.orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = tagged
+      .withColumn("cur", last(col("tbl"), ignoreNulls = true).over(w))
+      .withColumn("in_create",
+        last(when(col("create_tbl") =!= "", lit(true))
+          .when(col("value").startsWith(")"), lit(false)),
+          ignoreNulls = true).over(w))
+    carried.filter(col("cur").isNotNull)
+      .groupBy(col("cur").as("table_name"))
+      .agg(
+        sum(when(col("in_create") &&
+          col("value").rlike("^\\s+`[^`]+`"), 1).otherwise(0))
+          .as("column_count"),
+        sum(when(col("value").startsWith("(") ||
+          col("value").rlike("^INSERT INTO .*VALUES\\s*\\("),
+          // count value-tuples on the line: "),(" separators + 1
+          size(split(col("value"), "\\),\\s*\\(")))
+          .otherwise(0)).as("row_count"))
+  }
+
+  // ---- S17: line-filtered copy (strip USE/CREATE DATABASE) ----
+
+  def stripDumpHeaders(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(!col("value").rlike("^USE |^CREATE DATABASE "))
+}
