@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extensions (SURVEY.md §2.10: the reference is
+  * batch-only, so these are the streaming twins of the batch ops —
+  * same semantics, incremental execution).
+  *
+  * Event times arrive as epoch-nanos longs (the testdata `events.ts`
+  * convention); converted to micros timestamps for watermarking.
+  */
+object StreamOps {
+
+  final case class Event(user_id: Long, ts: Long, event_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, session_id: Long,
+                              n_events: Long, t_start: Long, t_end: Long)
+  /** Internal session state (public: encoder codegen needs JVM-visible
+    * accessors). */
+  final case class SessState(sessionId: Long, lastTs: Long,
+                             n: Long, firstTs: Long)
+
+  /** Streaming twin of operators.Sessionize.sessionStats: per-user
+    * gap-based sessions via mapGroupsWithState. Emits the running
+    * aggregate of each user's CURRENT session every trigger (Update
+    * mode); after all input is seen the latest row per (user, session)
+    * equals the batch result. Events must arrive time-ordered per user
+    * within a batch (the iterator is sorted here defensively).
+    */
+  def sessionizeStream(events: Dataset[Event], gapNs: Long)
+  : Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessionAgg](
+        GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[SessState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var s = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            s = if (s.lastTs == Long.MinValue || e.ts - s.lastTs > gapNs)
+              SessState(s.sessionId + 1, e.ts, 1L, e.ts)
+            else s.copy(lastTs = e.ts, n = s.n + 1)
+          }
+          state.update(s)
+          SessionAgg(user, s.sessionId, s.n, s.firstTs, s.lastTs)
+      }
+  }
+
+  /** Streaming tumbling-window counts with a watermark — the
+    * incremental form of the q_e_hourly batch query. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours")
+  : DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_val"))
+}

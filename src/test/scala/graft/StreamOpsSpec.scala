@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, SessionAgg}
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 60000000000L // one minute in ns
+
+  test("sessionizeStream converges to the batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionizeStream(input.toDS(), gapNs = 30 * M)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1L, 0 * M, 1L, "click", 1.0),
+        Event(1L, 10 * M, 2L, "click", 1.0),
+        Event(2L, 0 * M, 3L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1L, 50 * M, 4L, "click", 1.0)) // 40-min gap
+      q.processAllAvailable()
+      // latest row per (user, session)
+      val latest = spark.table("sess")
+        .groupBy("user_id", "session_id")
+        .agg(max(struct("n_events", "t_start", "t_end")).as("s"))
+        .select(col("user_id"), col("session_id"),
+          col("s.n_events"), col("s.t_start"), col("s.t_end"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(latest == Set(
+        (1L, 1L, 2L, 0L, 10 * M),
+        (1L, 2L, 1L, 50 * M, 50 * M),
+        (2L, 1L, 1L, 0L, 0L)))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts: windowed streaming agg matches batch grouping") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000000000L
+    val input = MemoryStream[Event]
+    val q = StreamOps.hourlyCounts(input.toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1L, 0, 1L, "click", 2.0),
+        Event(1L, H / 2, 2L, "click", 3.0),
+        Event(1L, H + 1, 3L, "buy", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("event_type", "n", "sum_val")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == Set(("click", 2L, 5.0), ("buy", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
