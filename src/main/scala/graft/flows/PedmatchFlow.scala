@@ -1,0 +1,86 @@
+package graft.flows
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns
+import graft.operators.{Dedup, VariantOps}
+
+/** Clinical VCF → somatic SNV / CNV / fusion extraction (SURVEY.md
+  * §3.2, pedmatch-clinical-vcf-workflow.py:703).
+  *
+  * The reference fans out one thread per patient; here patients are
+  * ROWS — every per-patient step is a single DataFrame transform keyed
+  * by (participant_id, sample_type), so the same code serves 4
+  * patients or 4 million.
+  */
+object PedmatchFlow {
+
+  /** pedmatch:579-602: keep exactly one tissue + one blood sample per
+    * participant; others are skipped (reported, not failed). Returns
+    * (paired manifest, skipped participants). */
+  def pairPatients(manifest: DataFrame): (DataFrame, DataFrame) = {
+    val counts = manifest.groupBy("participant_id")
+      .agg(
+        sum(when(col("sample_type") === "tissue", 1).otherwise(0)).as("n_tissue"),
+        sum(when(col("sample_type") === "blood", 1).otherwise(0)).as("n_blood"))
+    val good = counts.filter(col("n_tissue") === 1 && col("n_blood") === 1)
+      .select("participant_id")
+    val skipped = counts.filter(!(col("n_tissue") === 1 && col("n_blood") === 1))
+    (manifest.join(good, Seq("participant_id")), skipped)
+  }
+
+  /** pedmatch:106-121,156-183: fusion rows from a (pre-filtered PASS)
+    * VCF: SVTYPE=Fusion INFO rows → field extracts → breakpoint
+    * pairing in explicit `orderCol` order → germline subtraction on
+    * the 4-col key. */
+  def fusions(tumorVcf: DataFrame, normalVcf: DataFrame,
+              orderCol: String): DataFrame = {
+    def prep(vcf: DataFrame): DataFrame =
+      vcf.filter(col("INFO").contains("SVTYPE=Fusion"))
+        .withColumn("FUSION_ID", ColumnFns.splitIdx(col("ID"), "_", 0))
+        .withColumn("gene", ColumnFns.infoField(col("INFO"), "GENE_NAME"))
+        .withColumn("exon", ColumnFns.infoField(col("INFO"), "EXON_NUM"))
+        .withColumn("annot", ColumnFns.infoField(col("INFO"), "ANNOTATION"))
+        .withColumn("reads",
+          ColumnFns.infoField(col("INFO"), "READ_COUNT").cast("long"))
+    val pairCols = Seq("gene", "exon", "CHROM", "POS")
+    val tumorPairs = VariantOps.pairBreakpoints(
+      prep(tumorVcf), "FUSION_ID", orderCol, pairCols)
+    val normalPairs = VariantOps.pairBreakpoints(
+      prep(normalVcf), "FUSION_ID", orderCol, pairCols)
+    VariantOps.subtractGermline(tumorPairs, normalPairs,
+      keys = Seq("site1_gene", "site2_gene", "site1_POS", "site2_POS"))
+  }
+
+  /** pedmatch:197-205,289-308: copy-number rows: Amplification/KI2
+    * filters, NUMTILES/END/RAW_CN extracts, log2+GISTIC calls, somatic
+    * = tumor genes absent from normal (J5). */
+  def somaticCnv(tumorVcf: DataFrame, normalVcf: DataFrame): DataFrame = {
+    def prep(vcf: DataFrame): DataFrame =
+      vcf.filter(col("INFO").contains("Amplification") &&
+          !col("CHROM").contains("KI2"))
+        .withColumn("Hugo_Symbol", ColumnFns.infoField(col("INFO"), "GENE_NAME"))
+        .withColumn("numtiles",
+          ColumnFns.infoField(col("INFO"), "NUMTILES").cast("long"))
+        .withColumn("seg_end", ColumnFns.infoField(col("INFO"), "END").cast("long"))
+        .withColumn("raw_cn",
+          ColumnFns.infoField(col("INFO"), "RAW_CN").cast("double"))
+    val calls = VariantOps.copyNumberCalls(prep(tumorVcf), "raw_cn")
+    VariantOps.subtractGermlineByGene(calls, prep(normalVcf))
+  }
+
+  /** pedmatch:312-448: somatic SNVs: FT injection, tumor/normal merge,
+    * multiallelic split, somatic filter, FORMAT extracts. */
+  def somaticSnvs(tumorVcf: DataFrame, normalVcf: DataFrame,
+                  tumorSample: String, normalSample: String): DataFrame = {
+    def prep(vcf: DataFrame, sample: String): DataFrame =
+      VariantOps.injectFt(VariantOps.splitMultiallelic(vcf), sample)
+        .withColumnRenamed(sample, "SAMPLE")
+    val merged = VariantOps.mergeTumorNormal(
+      prep(tumorVcf, tumorSample), prep(normalVcf, normalSample), "SAMPLE")
+    val somatic = VariantOps.somaticFilter(merged, "SAMPLE", "SAMPLE")
+    VariantOps.extractGenotypeFields(
+      VariantOps.extractGenotypeFields(somatic, "tumor_SAMPLE", "t_"),
+      "normal_SAMPLE", "n_")
+  }
+}

@@ -37,16 +37,14 @@ object VariantOps {
       .withColumn(sampleCol, concat_ws(":", col(sampleCol), col("FILTER")))
 
   // ---- J8: tumor/normal merge (bcftools merge -m id) ----
-  /** Full-outer join on the variant key with per-side genotype columns
-    * (tumor_/normal_ prefixes), QUAL/INFO taken from whichever side is
-    * present (tumor wins when both). */
+  /** Full-outer join on the variant key; EVERY non-key column gets a
+    * tumor_/normal_ prefix, and INFO/QUAL are re-exposed unprefixed
+    * from whichever side is present (tumor wins when both). */
   def mergeTumorNormal(tumor: DataFrame, normal: DataFrame,
                        sampleCol: String): DataFrame = {
-    val shared = Seq("ID", "QUAL", "FILTER", "INFO", "FORMAT")
-    def prefixed(df: DataFrame, p: String) = {
-      val renames = (shared :+ sampleCol).map(c => c -> s"$p$c")
-      renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
-    }
+    def prefixed(df: DataFrame, p: String) =
+      df.columns.filterNot(variantKey.contains)
+        .foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
     prefixed(tumor, "tumor_").join(prefixed(normal, "normal_"),
         variantKey, "full")
       .withColumn("INFO", coalesce(col("tumor_INFO"), col("normal_INFO")))
