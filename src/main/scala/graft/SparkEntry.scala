@@ -296,6 +296,31 @@ object SparkEntry {
         Similarity.srpBucket(col("embedding").cast("array<double>"),
           planes = 8, dim = 64).as("bucket"))),
 
+    // ---- §2.4 distincts ----
+    "q_a3_distinct" -> ((s, d) =>
+      t(s, d, "events").select("event_type").distinct()),
+
+    "q_a4_droprows" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()),
+
+    // ---- §2.7 F6/F7 filename + URL ops ----
+    "q_f7_names" -> ((s, d) => {
+      val url = concat(lit("s3://bkt-"), col("source"), lit("/data/f"),
+        col("doc_id"), lit(".vcf.gz"))
+      t(s, d, "documents").select(col("doc_id"),
+        CF.vcfToMafName(concat(lit("doc_"), col("doc_id"), lit(".vcf.gz")))
+          .as("maf_name"),
+        CF.s3Bucket(url).as("bucket"),
+        CF.basename(url).as("fname"))
+    }),
+
+    // ---- MinHash-LSH candidate pairs (full pipeline) ----
+    "q_d_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(
+        t(s, d, "documents").filter(TF.wordCount(col("text")) >= 3),
+        "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3)),
+
     // ---- multimodal binary plumbing ----
     "q_m_binary" -> ((s, d) =>
       MultiModal.decodeStub(
@@ -455,6 +480,27 @@ object SparkEntry {
     },
 
     "q_m_binary" ->
-      s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents"
+      s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents",
+
+    "q_a3_distinct" ->
+      "SELECT DISTINCT event_type FROM events",
+
+    "q_a4_droprows" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_f7_names" ->
+      "SELECT doc_id, 'doc_' || doc_id || '_annotated.maf' AS maf_name, 'bkt-' || source AS bucket, 'f' || doc_id || '.vcf.gz' AS fname FROM documents",
+
+    "q_d_lsh" -> {
+      val mh = (0 until 8).map { i =>
+        val a = (2654435761L * (i + 1)) % 1000000007L
+        val b = (2246822519L * (i + 1)) % 1000000007L
+        s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, ${h60Sql(s"mh_${2 * bnd}::VARCHAR || '_' || mh_${2 * bnd + 1}::VARCHAR")} AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE len($toksSql) >= 3), d AS (SELECT doc_id, $shinglesSql AS sh FROM t), sig AS (SELECT doc_id, $mh FROM d), bk AS ($bandSelects) SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS band_matches FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id GROUP BY 1, 2"
+    }
   )
 }
