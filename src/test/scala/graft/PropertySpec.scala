@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, IntervalJoin, Pivots, Skew}
+
+/** Seeded randomized property tests (SURVEY.md §5: reconciliation
+  * invariants, partition laws, idempotence). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(1234)
+
+  test("property: binned interval join == naive join (200 random intervals × 3 widths)") {
+    def randIntervals(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rng.nextInt(10000).toLong
+      (i.toLong, s"c${rng.nextInt(3)}", s, s + 1 + rng.nextInt(2000))
+    }.toDF(s"${tag}_id", "chrom", s"${tag}_start", s"${tag}_end")
+    val a = randIntervals(200, "a")
+    val b = randIntervals(200, "b")
+    val naive = IntervalJoin.overlap(a, b, Seq("chrom"),
+      "a_start", "a_end", "b_start", "b_end", frac = 0.5)
+      .select("a_id", "b_id", "overlap_len")
+      .as[(Long, Long, Long)].collect().toSet
+    for (w <- Seq(64L, 1000L, 1000000L)) {
+      val binned = IntervalJoin.overlapBinned(a, b, Seq("chrom"),
+        "a_start", "a_end", "b_start", "b_end", frac = 0.5, binWidth = w)
+        .select("a_id", "b_id", "overlap_len")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(binned == naive, s"binWidth=$w")
+    }
+  }
+
+  test("property: semi and anti joins partition the left side") {
+    val left = (1 to 500).map(i => (rng.nextInt(100).toLong, i)).toDF("k", "v")
+    val right = (1 to 50).map(_ => rng.nextInt(150).toLong).toDF("k")
+    val semi = left.join(right, Seq("k"), "left_semi").count()
+    val anti = left.join(right, Seq("k"), "left_anti").count()
+    assert(semi + anti == left.count())
+  }
+
+  test("property: keepFirst is idempotent and emits one row per key") {
+    val df = (1 to 400)
+      .map(i => (rng.nextInt(40), rng.nextInt(1000), i)).toDF("k", "v", "t")
+    val once = Dedup.keepFirst(df, Seq("k"), Seq(col("v").asc, col("t").asc))
+    val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("v").asc, col("t").asc))
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.count() == df.select("k").distinct().count())
+  }
+
+  test("property: pivot non-null cells == distinct (idx, col) pairs") {
+    val df = (1 to 300).map(_ =>
+      (s"g${rng.nextInt(20)}", s"s${rng.nextInt(5)}", rng.nextDouble()))
+      .toDF("gene", "sample", "v")
+      .dropDuplicates("gene", "sample")
+    val samples = (0 until 5).map(i => s"s$i")
+    val wide = Pivots.continuous(df, "gene", "sample", "v", samples)
+    val nonNull = wide.select(
+      samples.map(s => sum(when(col(s).isNotNull, 1).otherwise(0))): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).sum
+    assert(nonNull == df.count())
+  }
+
+  test("property: saltedJoin == plain join for every join type used") {
+    val skewed = (1 to 1000).map(i =>
+      (if (i % 10 == 0) 1L else rng.nextInt(50).toLong, i)).toDF("k", "v")
+    val dim = (0 until 30).map(k => (k.toLong, s"d$k")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = skewed.join(dim, Seq("k"), jt)
+        .select("k", "v", "name").collect().toSet
+      val salted = Skew.saltedJoin(skewed, dim, Seq("k"), numSalts = 8, jt)
+        .select("k", "v", "name").collect().toSet
+      assert(salted == plain, jt)
+    }
+  }
+
+  test("property: exact dedup keep counts sum to input size") {
+    val docs = (1 to 300).map(i => (i.toLong, s"text-${rng.nextInt(40)}"))
+      .toDF("id", "text")
+    val groups = Dedup.exactByContent(docs, "text", "id")
+    assert(groups.agg(sum("dup_count")).as[Long].collect().head == 300L)
+    assert(groups.count() == docs.select("text").distinct().count())
+  }
+}
