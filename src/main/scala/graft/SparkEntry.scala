@@ -321,6 +321,27 @@ object SparkEntry {
         t(s, d, "documents").filter(TF.wordCount(col("text")) >= 3),
         "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3)),
 
+    // ---- §2.2 P9: deterministic batching via ntile ----
+    "q_p9_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "orders")
+        .withColumn("batch",
+          ntile(10).over(Window.orderBy("o_orderkey")))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 4).as("batch_total"))
+    }),
+
+    // ---- IVF ANN (nProbe = k degrades to exact ⇒ oracle = brute force) ----
+    "q_s_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+      Similarity.ivfSearch(assigned, centroids,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nProbe = 8, topK = 5)
+    }),
+
     // ---- multimodal binary plumbing ----
     "q_m_binary" -> ((s, d) =>
       MultiModal.decodeStub(
@@ -481,6 +502,14 @@ object SparkEntry {
 
     "q_m_binary" ->
       s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents",
+
+    "q_p9_ntile" ->
+      "SELECT batch, count(*) AS n, round(sum(o_totalprice), 4) AS batch_total FROM (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_orderkey) AS batch FROM orders) GROUP BY batch",
+
+    // q_s_ivf with nProbe = number of centroids searches every bucket,
+    // so the exact brute-force top-k is the correct oracle
+    "q_s_ivf" ->
+      s"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",
 
     "q_a3_distinct" ->
       "SELECT DISTINCT event_type FROM events",

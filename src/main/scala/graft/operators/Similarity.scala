@@ -88,6 +88,59 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Deterministic seed centroids: the k lowest-id vectors. (A Lloyd
+    * refinement pass is a groupBy-avg over assignments; seeds alone
+    * already give the partition-the-corpus behavior IVF needs.) */
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec"))
+
+  /** Assign every corpus vector to its nearest centroid (broadcast
+    * k-way compare, keep-best; one narrow pass over the corpus). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__v"), col("cvec")))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__v"), col("centroid_id"))
+  }
+
+  /** IVF search: probe the `nProbe` nearest centroids per query, exact
+    * cosine re-rank inside the probed buckets only. nProbe = k degrades
+    * to exact brute force; smaller nProbe trades recall for a
+    * 1/nProbe-ish scan fraction — the 100 TB knob. */
+  def ivfSearch(assigned: DataFrame, centroids: DataFrame,
+                queries: DataFrame, idCol: String, vecCol: String,
+                nProbe: Int, topK: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val probes = {
+      val scored = q.join(broadcast(centroids))
+        .withColumn("__sim", cosine(col("__qv"), col("cvec")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__sim").desc, col("centroid_id").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nProbe)
+        .select(col("query_id"), col("__qv"), col("centroid_id"))
+    }
+    val cands = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cos", round(cosine(col("__qv"), col("__v")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** ANN via SRP buckets + exact re-rank inside each bucket. */
   def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
                   minCos: Double, planes: Int = 8, dim: Int = 64): DataFrame = {

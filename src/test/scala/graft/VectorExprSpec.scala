@@ -36,6 +36,28 @@ class VectorExprSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("IVF: nProbe=k equals brute force; nProbe=1 stays within probed buckets") {
+    val rng = new scala.util.Random(11)
+    val df = (1 to 200).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") <= 3)
+    val cents = Similarity.seedCentroids(df, "vec_id", "embedding", 4)
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+    assert(assigned.count() == 200) // every vector lands in exactly one bucket
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Similarity.ivfSearch(assigned, cents, queries,
+      "vec_id", "embedding", nProbe = 4, topK = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+    val narrow = Similarity.ivfSearch(assigned, cents, queries,
+      "vec_id", "embedding", nProbe = 1, topK = 5)
+    assert(narrow.groupBy("query_id").count()
+      .as[(Long, Long)].collect().forall(_._2 <= 5))
+  }
+
   test("type check rejects non-double arrays") {
     val err = intercept[Exception] {
       Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
