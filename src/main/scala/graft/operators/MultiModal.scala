@@ -45,6 +45,46 @@ object MultiModal {
       lit("stub").as("format")))
   }
 
+  /** Feature extraction stub: a fixed-length feature vector from the
+    * payload (here: byte histogram over 16 buckets, normalized —
+    * deterministic and cheap; a real embedding model slots into the
+    * same `binary → array<double>` signature via mapPartitions). */
+  def featureExtractStub(df: DataFrame, binCol: String = "content",
+                         dim: Int = 16): DataFrame =
+    df.withColumn("features", {
+      val bytes = col(binCol)
+      val n = greatest(length(bytes), lit(1)).cast("double")
+      array((0 until dim).map { b =>
+        // count of bytes whose low nibble == b, via a codegen'd scan
+        // of the hex rendering (2 chars per byte; second char = low nibble)
+        (length(regexp_replace(hex(bytes), s"[^${b.toHexString.toUpperCase}]", ""))
+          .cast("double") / n).as(s"f$b")
+      }: _*)
+    })
+
+  /** Resize plumbing: metadata-only transform (the stub has no pixels)
+    * — records the target geometry the real resizer would apply while
+    * keeping aspect bookkeeping honest. */
+  def resizeMeta(df: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("meta.width"),
+      lit(maxH.toDouble) / col("meta.height"), lit(1.0))
+    df.withColumn("resized", struct(
+      floor(col("meta.width") * scale).cast("long").as("width"),
+      floor(col("meta.height") * scale).cast("long").as("height"),
+      round(scale, 6).as("scale")))
+  }
+
+  /** Frame-sampling plumbing for video-shaped payloads: deterministic
+    * every-k offsets into the (stub) frame count; output is the
+    * exploded (doc, frame_idx) long table a real frame decoder
+    * would populate. */
+  def frameSample(df: DataFrame, frameCountCol: String,
+                  every: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)),
+        lit(every))))
+
   /** Partition-wise decode: the real-media shape. One decoder per
     * partition, rows streamed through `mapPartitions` — this is where
     * an actual image library call would live (`???` branch marked). */

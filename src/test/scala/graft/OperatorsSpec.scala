@@ -109,6 +109,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(1) >= 0 && r.getLong(1) < 640)
   }
 
+  test("multimodal: feature vector normalized, resize bounded, frames sampled") {
+    val df = MultiModal.decodeStub(MultiModal.attachBinary(
+      Seq((1L, "hello world")).toDF("doc_id", "text"), "text"))
+    val feats = MultiModal.featureExtractStub(df)
+      .select("features").collect().head.getSeq[Double](0)
+    assert(feats.length == 16 && feats.forall(f => f >= 0.0))
+    val rs = MultiModal.resizeMeta(df, 64, 64)
+      .select("resized.width", "resized.height").collect().head
+    assert(rs.getLong(0) <= 64 && rs.getLong(1) <= 64)
+    val frames = MultiModal.frameSample(
+      Seq((1L, 10L)).toDF("doc_id", "n_frames"), "n_frames", every = 3)
+      .select("frame_idx").as[Long].collect().toSeq
+    assert(frames == Seq(0L, 3L, 6L, 9L))
+  }
+
   test("multimodal: mapPartitions batch decode matches stub byte count") {
     val df = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
     val dec = MultiModal.decodeBatch(MultiModal.attachBinary(df, "text"))
