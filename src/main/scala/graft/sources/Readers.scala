@@ -162,37 +162,40 @@ object Readers {
   /** Two facts per table from a SQL dump, in one distributed pass:
     * column counts from `CREATE TABLE` blocks, row counts from INSERT
     * value rows. The dump's "current table" is line-position state —
-    * recovered relationally: tag each marker line with its file
-    * offset, then window `last(..., ignoreNulls)` carries the table
-    * name forward. One shuffle (the window re-sort on offset).
+    * recovered relationally in a way that scales: the global sort
+    * touches ONLY the marker lines (one per CREATE/INSERT statement,
+    * a ~10⁻³ fraction of the file), which become [start, end) offset
+    * ranges; every data line then finds its table via a broadcast
+    * range join. The bulk of the file is never shuffled or sorted.
+    * (`monotonically_increasing_id` is file-ordered here because a
+    * single input file's partitions are offset-ordered.)
     */
   def dumpStats(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = spark.read.text(path)
       .select(col("value"), monotonically_increasing_id().as("off"))
-    val tagged = lines.withColumn("create_tbl",
-      regexp_extract(col("value"), "^CREATE TABLE `([^`]+)`", 1))
+    val markers = lines
+      .withColumn("create_tbl",
+        regexp_extract(col("value"), "^CREATE TABLE `([^`]+)`", 1))
       .withColumn("insert_tbl",
         regexp_extract(col("value"), "^INSERT INTO `([^`]+)`", 1))
-      .withColumn("tbl",
+      .filter(col("create_tbl") =!= "" || col("insert_tbl") =!= "")
+      .select(col("off").as("start_off"),
         when(col("create_tbl") =!= "", col("create_tbl"))
-          .when(col("insert_tbl") =!= "", col("insert_tbl")))
-    val w = Window.orderBy("off")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = tagged
-      .withColumn("cur", last(col("tbl"), ignoreNulls = true).over(w))
-      .withColumn("in_create",
-        last(when(col("create_tbl") =!= "", lit(true))
-          .when(col("value").startsWith(")"), lit(false)),
-          ignoreNulls = true).over(w))
-    carried.filter(col("cur").isNotNull)
-      .groupBy(col("cur").as("table_name"))
+          .otherwise(col("insert_tbl")).as("tbl"),
+        (col("create_tbl") =!= "").as("is_create"))
+    val w = Window.orderBy("start_off") // tiny frame: markers only
+    val ranges = markers.withColumn("end_off",
+      coalesce(lead(col("start_off"), 1).over(w), lit(Long.MaxValue)))
+    lines.join(broadcast(ranges),
+        col("off") >= col("start_off") && col("off") < col("end_off"))
+      .groupBy(col("tbl").as("table_name"))
       .agg(
-        sum(when(col("in_create") &&
+        sum(when(col("is_create") &&
           col("value").rlike("^\\s+`[^`]+`"), 1).otherwise(0))
           .as("column_count"),
-        sum(when(col("value").startsWith("(") ||
-          col("value").rlike("^INSERT INTO .*VALUES\\s*\\("),
+        sum(when(!col("is_create") && (col("value").startsWith("(") ||
+          col("value").rlike("^INSERT INTO .*VALUES\\s*\\(")),
           // count value-tuples on the line: "),(" separators + 1
           size(split(col("value"), "\\),\\s*\\(")))
           .otherwise(0)).as("row_count"))
