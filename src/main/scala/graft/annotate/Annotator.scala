@@ -47,7 +47,8 @@ object Annotate {
     * partition — parallelism is bounded by partition count, so
     * repartition(n) IS the rate control. */
   def withAnnotations(df: DataFrame, annotator: Annotator,
-                      maxRetries: Int = 3, throttleMs: Long = 0L): DataFrame = {
+                      maxRetries: Int = 3, throttleMs: Long = 0L,
+                      backoffMs: Long = 1000L): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ annotationSchema.fields)
     val (iC, iP, iR, iA) = (df.schema.fieldIndex("CHROM"),
       df.schema.fieldIndex("POS"), df.schema.fieldIndex("REF"),
@@ -65,7 +66,7 @@ object Annotate {
           } catch {
             case e: Exception if attempt < maxRetries =>
               attempt += 1
-              Thread.sleep(math.min(1000L << attempt, 10000L))
+              Thread.sleep(math.min(backoffMs << attempt, backoffMs * 10))
             case _: Exception =>
               res = (null, null, "FAILED")
           }

@@ -34,6 +34,40 @@ object Writers {
       .csv(path)
   }
 
+  /** MAF sink: TSV with the standard `#version` comment line the
+    * downstream cBio tooling expects; '' for null ints (SURVEY §1.3). */
+  def maf(df: DataFrame, path: String,
+          version: String = "#version 2.4"): Unit = {
+    import org.apache.spark.sql.functions.concat_ws
+    val rendered = renderNulls(df, "")
+    val header = version + "\n" + df.columns.mkString("\t")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val body = rendered.select(
+      concat_ws("\t", rendered.columns.map(col): _*).as("value"))
+    // single ordered file: the csv reader treats the first line of
+    // EVERY file as the header, so header+body must share one file
+    Seq(header).toDF("value").union(body).coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** VCF sink: `##` meta lines + `#CHROM...` header, tab-joined body.
+    * (The reference treats VCF headers as opaque line blocks —
+    * pedmatch:329-351 — so the writer does too.) */
+  def vcf(df: DataFrame, path: String,
+          metaLines: Seq[String] = Seq("##fileformat=VCFv4.2")): Unit = {
+    import org.apache.spark.sql.functions.concat_ws
+    val spark = df.sparkSession
+    import spark.implicits._
+    val header = (metaLines :+ df.columns.mkString("#", "\t", ""))
+      .mkString("\n")
+    val rendered = renderNulls(df, ".")
+    val body = rendered.select(
+      concat_ws("\t", rendered.columns.map(col): _*).as("value"))
+    Seq(header).toDF("value").union(body).coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
   /** Continuous CNA matrix: nulls → "NA" (cnv.py:659). */
   def cnaContinuous(df: DataFrame, path: String): Unit =
     tsv(df, path, nullAs = "NA")

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.annotate.{Annotate, Annotator}
+import graft.sources.{Readers, Writers}
+
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("maf writer round-trips through the maf reader") {
+    val dir = Files.createTempDirectory("graft-maf").resolve("out").toString
+    val df = Seq(
+      ("TP53", 7157L, "17", 7574003L, "b1"),
+      ("KRAS", 3845L, "12", 25398284L, "b2"))
+      .toDF("Hugo_Symbol", "Entrez_Gene_Id", "Chromosome",
+        "Start_Position", "Tumor_Sample_Barcode")
+    Writers.maf(df, dir)
+    val back = Readers.maf(spark, dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.select("Hugo_Symbol").as[String].collect().toSet ==
+      Set("TP53", "KRAS"))
+  }
+
+  test("vcf writer emits ## meta + #header and round-trips") {
+    val dir = Files.createTempDirectory("graft-vcf").resolve("out").toString
+    val df = Seq(
+      ("chr1", 100L, "v1", "A", "T", "50", "PASS", "DP=9", "GT", "0/1"))
+      .toDF(Readers.vcfFixedCols :+ "S1": _*)
+    Writers.vcf(df, dir)
+    val lines = spark.read.text(dir).as[String].collect()
+    assert(lines.head == "##fileformat=VCFv4.2")
+    assert(lines.exists(_.startsWith("#CHROM\tPOS")))
+    val back = Readers.vcf(spark, dir, Seq("S1"))
+    assert(back.count() == 1)
+    assert(back.select("POS").as[Long].collect().head == 100L)
+  }
+
+  test("annotator retry: transient failures retried, terminal gives FAILED") {
+    // fails twice for chr1 then succeeds; always fails for chr9
+    class Flaky extends Annotator {
+      @transient private var counts = scala.collection.mutable.Map[String, Int]()
+      override def open(): Unit = { counts = scala.collection.mutable.Map() }
+      def annotate(c: String, p: Long, r: String, a: String) = {
+        if (c == "chr9") throw new RuntimeException("always down")
+        val n = counts.getOrElse(c, 0); counts(c) = n + 1
+        if (n < 2) throw new RuntimeException("transient")
+        ("GENE_OK", "Missense_Mutation", "SUCCESS")
+      }
+    }
+    val df = Seq(
+      ("chr1", 10L, "A", "T"), ("chr9", 20L, "G", "C"))
+      .toDF("CHROM", "POS", "REF", "ALT").repartition(1)
+    val got = Annotate.withAnnotations(df, new Flaky, maxRetries = 3,
+      backoffMs = 1L)
+      .select("CHROM", "Annotation_Status")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("chr1" -> "SUCCESS", "chr9" -> "FAILED"))
+  }
+}
