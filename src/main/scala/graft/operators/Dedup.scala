@@ -112,6 +112,14 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("simhash", TextFns.simhash(col(textCol)))
 
+  /** Embedding-cosine near-duplicate pairs (the semantic-dedup leg of
+    * the training-data pipeline): exact form for modest corpora, SRP-
+    * bucketed ANN (`Similarity.lshBucketed`) as the 100 TB path. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        minCos: Double, exact: Boolean = true): DataFrame =
+    if (exact) Similarity.thresholdPairs(df, idCol, vecCol, minCos)
+    else Similarity.lshBucketed(df, idCol, vecCol, minCos)
+
   /** N-gram Jaccard similarity for candidate pairs: given a pairs
     * frame (id_a, id_b) and the source docs, compute
     * |A ∩ B| / |A ∪ B| over word n-gram sets.

@@ -98,6 +98,26 @@ object Similarity {
     df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec"))
 
+  /** Lloyd refinement: element-wise mean of each centroid's assigned
+    * vectors (posexplode → groupBy (centroid, dim) → avg → re-pack).
+    * Fully distributed — no vector ever sits on the driver. */
+  def refineCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, iterations: Int = 1): DataFrame = {
+    var cents = centroids
+    for (_ <- 1 to iterations) {
+      val assigned = ivfAssign(df, idCol, vecCol, cents)
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), p => p.getField("m")).as("cvec"))
+    }
+    cents
+  }
+
   /** Assign every corpus vector to its nearest centroid (broadcast
     * k-way compare, keep-best; one narrow pass over the corpus). */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,

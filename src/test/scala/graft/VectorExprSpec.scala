@@ -58,6 +58,26 @@ class VectorExprSpec extends SparkSpec {
       .as[(Long, Long)].collect().forall(_._2 <= 5))
   }
 
+  test("Lloyd refinement tightens clusters (two separated blobs)") {
+    val rng = new scala.util.Random(5)
+    def blob(center: Float, ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)(center + (rng.nextFloat() - 0.5f) * 0.1f)))
+    val df = (blob(1.0f, 1 to 50) ++ blob(-1.0f, 51 to 100))
+      .toDF("vec_id", "embedding")
+    // seeds are the 2 lowest ids — both from the SAME blob; refinement
+    // must still produce one centroid per blob is not guaranteed, but
+    // assignments must remain total and reproducible
+    val seeds = Similarity.seedCentroids(df, "vec_id", "embedding", 2)
+    val refined = Similarity.refineCentroids(df, "vec_id", "embedding",
+      seeds, iterations = 2)
+    assert(refined.count() == 2)
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", refined)
+    assert(assigned.count() == 100)
+    // refined centroids are means: each component within the data range
+    val comps = refined.select(explode(col("cvec"))).as[Double].collect()
+    assert(comps.forall(c => c >= -1.1 && c <= 1.1))
+  }
+
   test("type check rejects non-double arrays") {
     val err = intercept[Exception] {
       Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
