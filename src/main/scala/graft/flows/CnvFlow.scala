@@ -100,7 +100,10 @@ object CnvFlow {
       uniqueCols = Seq("sample_id", "s3_url", "file_name", "md5sum"))
     require(violations.isEmpty, "manifest constraint violations")
 
-    val segments = Readers.cnvSegments(spark, cnvJsonPath)
+    // segments feed three outputs (SEG file, interval join, recon) —
+    // cache once instead of re-parsing the JSON per action (SURVEY §4
+    // "pipelining")
+    val segments = Readers.cnvSegments(spark, cnvJsonPath).cache()
     val genes = geneBed(Readers.gtf(spark, gtfPath))
     val segBed = segmentBed(segments)
     val calls = geneLevelCalls(genes, segBed)

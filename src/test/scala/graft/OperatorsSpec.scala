@@ -25,6 +25,16 @@ class OperatorsSpec extends SparkSpec {
     assert(wide.schema("s1").dataType.typeName == "integer")
   }
 
+  test("pivot scales to a 1000-column sample matrix (SURVEY §7.4 item 3)") {
+    val samples = (0 until 1000).map(i => f"S$i%04d")
+    val rng = new scala.util.Random(3)
+    val df = (for (g <- 0 until 20; s <- samples if rng.nextDouble() < 0.3)
+      yield (s"g$g", s, rng.nextDouble())).toDF("gene", "sample", "v")
+    val wide = Pivots.continuous(df, "gene", "sample", "v", samples)
+    assert(wide.columns.length == 1001)
+    assert(wide.count() == 20)
+  }
+
   test("duplicatePairs catches pandas-pivot ValueError case (cnv.py:657)") {
     val df = Seq(("g1", "s1", 1.0), ("g1", "s1", 2.0), ("g2", "s1", 3.0))
       .toDF("gene", "sample", "v")
