@@ -112,6 +112,43 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("simhash", TextFns.simhash(col(textCol)))
 
+  /** Duplicate-cluster resolution: candidate pairs → connected
+    * components via iterative min-label propagation (each round is one
+    * join + one aggregate; rounds needed = graph diameter in hops,
+    * doubling each round — LSH dup clusters are shallow, so
+    * `maxIterations` = 10 covers diameters past 1000). Returns
+    * (id, cluster_id) where cluster_id = min member id; the kept
+    * representative per cluster is id == cluster_id.
+    */
+  def dupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge list incl. self-loops
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      // each node adopts the min label in its closed neighborhood
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .withColumn("new_cluster",
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))))
+      changed = updated.filter(col("new_cluster") =!= col("cluster_id")).count()
+      labels = updated.select(col("id"), col("new_cluster").as("cluster_id"))
+        .cache()
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs (the semantic-dedup leg of
     * the training-data pipeline): exact form for modest corpora, SRP-
     * bucketed ANN (`Similarity.lshBucketed`) as the 100 TB path. */

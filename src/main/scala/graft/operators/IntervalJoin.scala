@@ -74,4 +74,26 @@ object IntervalJoin {
     if (frac <= 0.0) joined
     else joined.filter(col(overlapCol) >= lit(frac) * (ab(aEnd) - ab(aStart)))
   }
+
+  /** bedtools' other fraction modes on top of either physical form:
+    * `-F` (fraction of B), and `-e` (EITHER side satisfies its
+    * fraction) vs the default BOTH-when-two-fractions-given.
+    * `joined` must carry the original start/end columns + overlapCol.
+    */
+  def fractionFilter(joined: DataFrame,
+                     aStart: String, aEnd: String,
+                     bStart: String, bEnd: String,
+                     fracA: Double = 0.0, fracB: Double = 0.0,
+                     either: Boolean = false,
+                     overlapCol: String = "overlap_len"): DataFrame = {
+    val passA = col(overlapCol) >= lit(fracA) * (col(aEnd) - col(aStart))
+    val passB = col(overlapCol) >= lit(fracB) * (col(bEnd) - col(bStart))
+    (fracA > 0.0, fracB > 0.0) match {
+      case (false, false) => joined
+      case (true, false) => joined.filter(passA)
+      case (false, true) => joined.filter(passB)
+      case (true, true) =>
+        joined.filter(if (either) passA || passB else passA && passB)
+    }
+  }
 }

@@ -56,6 +56,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 4L)))
   }
 
+  test("dupClusters: connected components via label propagation") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
   test("ngramJaccard: identical=1, disjoint=0") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))

@@ -54,6 +54,23 @@ class IntervalJoinSpec extends SparkSpec {
       assert(run(frac, binned = true) == run(frac, binned = false))
   }
 
+  test("fractionFilter: -F (B fraction) and -e (either) modes") {
+    import graft.operators.IntervalJoin.fractionFilter
+    // A len 100, B len 1000, overlap 50: 50% of A, 5% of B
+    val joined = IntervalJoin.overlap(
+      Seq((1L, "c", 100L, 200L)).toDF("g_id", "chrom", "g_start", "g_end"),
+      Seq((2L, "c", 150L, 1150L)).toDF("s_id", "chrom", "s_start", "s_end"),
+      Seq("chrom"), "g_start", "g_end", "s_start", "s_end")
+    assert(fractionFilter(joined, "g_start", "g_end", "s_start", "s_end",
+      fracA = 0.5).count() == 1)
+    assert(fractionFilter(joined, "g_start", "g_end", "s_start", "s_end",
+      fracB = 0.5).count() == 0)
+    assert(fractionFilter(joined, "g_start", "g_end", "s_start", "s_end",
+      fracA = 0.5, fracB = 0.5, either = true).count() == 1)
+    assert(fractionFilter(joined, "g_start", "g_end", "s_start", "s_end",
+      fracA = 0.5, fracB = 0.5).count() == 0)
+  }
+
   test("binned join with intervals spanning many bins still dedups") {
     val a = Seq((1L, "c", 0L, 1000L)).toDF("g_id", "chrom", "g_start", "g_end")
     val b = Seq((2L, "c", 500L, 2000L)).toDF("s_id", "chrom", "s_start", "s_end")
