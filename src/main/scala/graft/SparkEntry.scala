@@ -342,6 +342,29 @@ object SparkEntry {
         nProbe = 8, topK = 5)
     }),
 
+    // ---- SQL surface (spark.sql over registered views) ----
+    "q_sql_agg" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS cnt
+               FROM lineitem WHERE l_discount > 0.02
+               GROUP BY l_returnflag, l_linestatus""")
+    }),
+
+    "q_sql_join3" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_mktsegment, o_orderpriority,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               FROM customer
+               JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON l_orderkey = o_orderkey
+               WHERE o_totalprice > 500.0
+               GROUP BY c_mktsegment, o_orderpriority""")
+    }),
+
     // ---- multimodal binary plumbing ----
     "q_m_binary" -> ((s, d) =>
       MultiModal.decodeStub(
@@ -510,6 +533,12 @@ object SparkEntry {
     // so the exact brute-force top-k is the correct oracle
     "q_s_ivf" ->
       s"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",
+
+    "q_sql_agg" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt FROM lineitem WHERE l_discount > 0.02 GROUP BY l_returnflag, l_linestatus",
+
+    "q_sql_join3" ->
+      "SELECT c_mktsegment, o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_totalprice > 500.0 GROUP BY c_mktsegment, o_orderpriority",
 
     "q_a3_distinct" ->
       "SELECT DISTINCT event_type FROM events",
