@@ -60,6 +60,34 @@ class ColumnFnsSpec extends SparkSpec {
     assert(got == Seq("EWSR1-FLI1", "NA"))
   }
 
+  test("hgvsMatches: exact protein, coding, and del/dup/ins truncation fallback") {
+    val df = Seq(
+      (Seq("p.V600E", "c.1799T>A"), "p.V600E", "c.1799T>A"),       // protein hit
+      (Seq("c.1799T>A"), "p.XXX", "c.1799T>A"),                    // coding hit
+      (Seq("c.123del"), "p.XXX", "c.123delAAG"),                   // truncation hit
+      (Seq("c.999G>T"), "p.XXX", "c.111A>C"))                      // miss
+      .toDF("transcripts", "hgvs_p", "hgvs_c")
+    val got = df.select(CF.hgvsMatches(col("transcripts"),
+      col("hgvs_p"), col("hgvs_c")).as("m")).as[Boolean].collect().toSeq
+    assert(got == Seq(true, true, true, false))
+  }
+
+  test("s3 URL parse: bucket and key") {
+    val r = Seq("s3://my-bucket/path/to/file.vcf.gz").toDF("u")
+      .select(CF.s3Bucket(col("u")).as("b"), CF.s3Key(col("u")).as("k"))
+      .as[(String, String)].collect().head
+    assert(r == ("my-bucket", "path/to/file.vcf.gz"))
+  }
+
+  test("typed model: segments round-trip through Dataset[Segment]") {
+    import graft.model.Segment
+    val seg = Segment("PT1", "PT1-S1", "7", 100L, 300L, 200L,
+      1.5, 12L, 40L, 0.01, 1.1, 1.9)
+    val ds = spark.createDataset(Seq(seg))
+    assert(ds.filter(_.log2ratio > 1.0).count() == 1)
+    assert(ds.toDF().columns.length == 12)
+  }
+
   test("wordShingles / minhash on short docs: empty -> null signature") {
     val df = Seq("one two", "one two three four").toDF("t")
     val got = df.select(TF.minhash(col("t"), 0, 3).as("m")).collect()
