@@ -160,12 +160,22 @@ object Dedup {
   /** N-gram Jaccard similarity for candidate pairs: given a pairs
     * frame (id_a, id_b) and the source docs, compute
     * |A ∩ B| / |A ∪ B| over word n-gram sets.
+    *
+    * Shingle sets are recomputed per join side here; at real scale
+    * materialize them ONCE (write `(id, shingleHashes64(text))` to
+    * parquet, ideally bucketed by id) and call `ngramJaccardOnSets` —
+    * shingling is the dominant cost and becomes a one-time build.
     */
   def ngramJaccard(pairsDf: DataFrame, docs: DataFrame, textCol: String,
                    idCol: String, n: Int = 3): DataFrame = {
     // hashed shingle sets: same cardinalities, no giant string arrays
     val sets = docs.select(col(idCol).as("__id"),
       TextFns.shingleHashes64(col(textCol), n).as("__set"))
+    ngramJaccardOnSets(pairsDf, sets)
+  }
+
+  /** Jaccard over precomputed hashed shingle sets `(__id, __set)`. */
+  def ngramJaccardOnSets(pairsDf: DataFrame, sets: DataFrame): DataFrame =
     pairsDf
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
@@ -177,5 +187,22 @@ object Dedup {
         when(col("union") === 0, 0.0)
           .otherwise(col("inter").cast("double") / col("union")))
       .drop("set_a", "set_b")
+
+  /** End-to-end near-dup removal: MinHash-LSH candidates → Jaccard
+    * confirmation ≥ `minJaccard` → connected components → keep the
+    * min-id representative of each cluster. Returns the deduplicated
+    * docs frame. */
+  def dedupByLsh(docs: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 shingleSize: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val candidates = minhashLshPairs(docs, textCol, idCol,
+      numHashes, bands, shingleSize)
+    val confirmed = ngramJaccard(candidates, docs, textCol, idCol, shingleSize)
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+    val clusters = dupClusters(confirmed)
+    val drop = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 }

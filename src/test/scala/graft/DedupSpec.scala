@@ -56,6 +56,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 4L)))
   }
 
+  test("dedupByLsh end-to-end: keeps one representative per dup cluster") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val docs = Seq(
+      (1L, base), (2L, base), (5L, base),                  // exact dup cluster
+      (3L, "completely different text about spark engines and scale systems"),
+      (4L, "another unrelated document with its own distinct vocabulary set"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupByLsh(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3, minJaccard = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("dupClusters: connected components via label propagation") {
     // components: {1,2,3,4} (chain), {10,11}, singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
