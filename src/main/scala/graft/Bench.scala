@@ -10,9 +10,40 @@ import org.apache.spark.sql.SparkSession
   *   plan, not the JVM cold start
   */
 object Bench {
+
+  /** A cramped heap (spark-submit's 1g default) turns the array-heavy
+    * dedup queries into GC benchmarks. If this JVM was started small,
+    * re-exec the same main with a sane heap and inherit stdio — the
+    * JSON contract on stdout is unchanged. */
+  private def ensureHeap(minBytes: Long = 3L << 30,
+                         heap: String = "-Xmx8g"): Unit = {
+    // only re-exec when the classpath is self-contained (plain java /
+    // spark-submit); under an un-forked sbt run the classpath is the
+    // sbt launcher and a child JVM could not resolve this class
+    if (Runtime.getRuntime.maxMemory >= minBytes ||
+        sys.env.contains("SPARK_GRAFT_NO_REEXEC") ||
+        !System.getProperty("java.class.path", "").contains("spark")) return
+    import scala.jdk.CollectionConverters._
+    val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports")
+        || a.startsWith("--enable-native-access"))
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = (Seq(javaBin, heap) ++ jvmOpts ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd).inheritIO()
+    pb.environment().put("SPARK_GRAFT_NO_REEXEC", "1")
+    System.err.println(
+      s"[bench] heap ${Runtime.getRuntime.maxMemory >> 20}m too small; re-exec with $heap")
+    sys.exit(pb.start().waitFor())
+  }
+
   def main(args: Array[String]): Unit = {
+    ensureHeap()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    System.err.println(s"[bench] heap=${Runtime.getRuntime.maxMemory >> 20}m " +
+      s"cores=${Runtime.getRuntime.availableProcessors} cpus=$cpus sf=$sfDir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,7 +61,10 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
 
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       names.foreach(run(warmDir, _))

@@ -428,7 +428,8 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, o_orderstatus FROM (SELECT o_custkey, o_orderkey, o_orderstatus, row_number() OVER (PARTITION BY o_custkey ORDER BY CASE WHEN o_orderstatus IS NULL OR o_orderstatus = 'O' THEN 1 ELSE 0 END ASC, o_orderdate ASC, o_orderkey ASC) AS rn FROM orders) WHERE rn = 1",
 
     "q_a7_union" ->
-      "SELECT kind, count(*) AS n, sum(id) AS id_sum FROM (SELECT c_custkey AS id, 'customer' AS kind FROM customer UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier) GROUP BY kind",
+      // sum(BIGINT) is HUGEINT in DuckDB; cast back so the hash matches Spark's LongType
+      "SELECT kind, count(*) AS n, sum(id)::BIGINT AS id_sum FROM (SELECT c_custkey AS id, 'customer' AS kind FROM customer UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier) GROUP BY kind",
 
     "q_a9_except" ->
       "SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey AS k FROM lineitem",
@@ -470,7 +471,7 @@ object SparkEntry {
       "SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1",
 
     "q_e_session" ->
-      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), g AS (SELECT user_id, event_id, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) SELECT user_id, session_id, count(*) AS n_events, min(tsn) AS t_start, max(tsn) AS t_end FROM s GROUP BY 1, 2",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), g AS (SELECT user_id, event_id, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events, min(tsn) AS t_start, max(tsn) AS t_end FROM s GROUP BY 1, 2",
 
     "q_e_hourly" ->
       "SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1, 2",

@@ -41,13 +41,33 @@ object TextFns {
     transform(array_distinct(wordShingles(c, shingleSize)),
       s => hash60(s) % P)
 
-  /** Distinct shingles as fast 64-bit hashes (xxhash64, codegen'd) —
-    * for set-cardinality ops (Jaccard) where the hash never has to be
-    * reproduced by an external oracle: |A∩B|/|A∪B| over hashes equals
-    * the string-set value (64-bit collisions are negligible), at a
-    * fraction of the md5 cost. */
+  /** Per-token xxhash64 values — the cheap building block for hashed
+    * shingles: one hash per token, no shingle STRINGS ever built. */
+  def tokenHashes64(c: Column): Column =
+    transform(tokens(c), t => xxhash64(t))
+
+  /** Distinct n-token shingle hashes from a precomputed token-hash
+    * array (`tokenHashes64`): shingle hash = xxhash64 of the n
+    * consecutive token hashes. Distinctness structure matches string
+    * shingles (tokens contain no separators; 64-bit collisions are
+    * negligible), so |A∩B|/|A∪B| over these equals the string-set
+    * Jaccard — at a fraction of the cost (no per-shingle string
+    * concat, no md5). `th` should be a plain column reference (bind it
+    * in its own projection) so the n `element_at` reads don't
+    * duplicate the tokenize work. */
+  def shinglesFromTokenHashes64(th: Column, n: Int): Column =
+    array_distinct(
+      when(size(th) < n, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), size(th) - (n - 1)),
+          i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*))))
+
+  /** Distinct shingles as fast 64-bit hashes — for set-cardinality ops
+    * (Jaccard) where the hash never has to be reproduced by an external
+    * oracle. Column-expression form; batch callers should bind
+    * `tokenHashes64` in its own projection and use
+    * `shinglesFromTokenHashes64` so tokenization runs once. */
   def shingleHashes64(c: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(c, n), s => xxhash64(s)))
+    shinglesFromTokenHashes64(tokenHashes64(c), n)
 
   /** MinHash permutation i over pre-hashed shingles:
     * min of (a_i * h + b_i) mod P. Null for short docs. */
@@ -65,11 +85,30 @@ object TextFns {
   def minhash(c: Column, i: Int, shingleSize: Int): Column =
     minhashPerm(shingleHashes(c, shingleSize), i)
 
+  /** Whole k-permutation signature as ONE native codegen'd kernel call
+    * (graft.plans.MinhashSignature) — bitwise-identical to
+    * `minhashPerm(shingleHashes(...), i)` for i < k (TextKernelSpec),
+    * ~10× cheaper: no interpreted HOFs, no shingle strings, no boxed
+    * hashes. Null for docs shorter than the shingle size. */
+  def minhashSignatureNative(c: Column, k: Int, shingleSize: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.MinhashSignature(
+      ColumnBridge.expression(c), k, shingleSize))
+  }
+
   /** SimHash over `bits` low bits of the token hashes: bit j of the
     * signature is set when the sum of (+1/-1) votes at position j is
-    * positive. Default 16 bits keeps the expression tree (bits x
-    * tokens) codegen-friendly. */
+    * positive. Native kernel (graft.plans.SimHash) — one compiled
+    * pass; `simhashHof` below is the reference implementation it is
+    * property-tested against. */
   def simhash(c: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.SimHash(ColumnBridge.expression(c), bits))
+  }
+
+  /** Interpreted HOF simhash (semantics baseline for TextKernelSpec —
+    * also the form the DuckDB oracle reproduces). */
+  def simhashHof(c: Column, bits: Int = 16): Column = {
     val hs = transform(tokens(c), t => hash60(t))
     (0 until bits).map { j =>
       val vote = aggregate(hs, lit(0L),

@@ -63,31 +63,53 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signatures: k permutations approximated as
-    * (a_i * h + b_i) mod p over word-shingle hashes. Wholly built from
-    * codegen'd HOFs — no UDF — and portable to the SQL oracle.
+    * (a_i * h + b_i) mod p over word-shingle hashes — one native
+    * kernel call per row (graft.plans.MinhashSignature; the HOF chain
+    * it replaces is kept in TextFns for oracle-parity testing). Values
+    * remain reproducible in portable SQL (md5-derived hash60).
     */
   def minhashSignature(df: DataFrame, textCol: String,
                        numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
-    df.withColumn("__hs", TextFns.shingleHashes(col(textCol), shingleSize))
+    df.withColumn("__sig",
+        TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize))
       .select(df.columns.map(col) ++ (0 until numHashes).map(i =>
-        TextFns.minhashPerm(col("__hs"), i).as(s"mh_$i")): _*)
+        col("__sig").getItem(i).as(s"mh_$i")): _*)
+
+  /** MinHash-LSH result: candidate pairs plus the oversize-bucket
+    * accounting (never a silent drop — buckets past `maxBucket` are
+    * skew pathologies the caller must see). */
+  final case class LshCandidates(pairs: DataFrame, droppedBuckets: DataFrame)
 
   /** MinHash + LSH banding: rows sharing any (band, band-hash) bucket
     * are near-duplicate candidates. Returns candidate pairs (id_a <
-    * id_b) with the number of agreeing bands. The only shuffle is the
-    * groupBy on bucket — per-bucket self-pairing happens inside the
-    * aggregation, so skewed giant buckets are capped by `maxBucket`.
+    * id_b) with the number of agreeing bands, PLUS a report of every
+    * bucket larger than `maxBucket` that was excluded from pairing
+    * (band, bucket, size) — skew in a band hash is an input pathology
+    * (boilerplate-heavy corpora), and at 100 TB an unlogged drop is a
+    * silent recall loss. Docs with no shingles (shorter than the
+    * shingle size) are filtered before banding: their signature is
+    * all-null, and a shared null bucket would make every short doc a
+    * candidate pair of every other (O(n²)).
+    *
+    * The only shuffle is the groupBy on bucket — per-bucket
+    * self-pairing happens inside the aggregation.
     */
-  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      numHashes: Int = 16, bands: Int = 4,
-                      shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame = {
+  def minhashLshCandidates(df: DataFrame, textCol: String, idCol: String,
+                           numHashes: Int = 16, bands: Int = 4,
+                           shingleSize: Int = 3,
+                           maxBucket: Int = 1000): LshCandidates = {
     val rows = numHashes / bands
+    // guard BEFORE the signature projection, on the cheap token count —
+    // a post-hoc filter on the signature alias would be pushdown-
+    // substituted into the projection and the kernel would run twice
     val withSig = df
-      .withColumn("__hs", TextFns.shingleHashes(col(textCol), shingleSize))
+      .filter(size(TextFns.tokens(col(textCol))) >= shingleSize)
+      .withColumn("__sig",
+        TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize))
       .select(
         col(idCol).as("doc_id") +:
           (0 until numHashes).map(i =>
-            TextFns.minhashPerm(col("__hs"), i).as(s"mh_$i")): _*)
+            col("__sig").getItem(i).as(s"mh_$i")): _*)
     val banded = withSig.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -98,12 +120,22 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val grouped = banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    // pair within bucket without exploding the cross product through a join
-    grouped.select(explode(TextFns.pairs(col("ids"))).as("p"))
+    val dropped = grouped.filter(size(col("ids")) > maxBucket)
+      .select(col("band"), col("bucket"), size(col("ids")).as("size"))
+    val pairs = grouped.filter(size(col("ids")).between(2, maxBucket))
+      // pair within bucket without exploding the cross product through a join
+      .select(explode(TextFns.pairs(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("band_matches"))
+    LshCandidates(pairs, dropped)
   }
+
+  /** Pairs-only view of `minhashLshCandidates` (bench/oracle surface). */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      numHashes: Int = 16, bands: Int = 4,
+                      shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame =
+    minhashLshCandidates(df, textCol, idCol, numHashes, bands,
+      shingleSize, maxBucket).pairs
 
   /** SimHash: 60-bit signature where bit j is the sign of the sum of
     * (+1/-1) votes from each token hash's bit j. Near-dups share most
@@ -113,15 +145,20 @@ object Dedup {
     df.withColumn("simhash", TextFns.simhash(col(textCol)))
 
   /** Duplicate-cluster resolution: candidate pairs → connected
-    * components via iterative min-label propagation (each round is one
-    * join + one aggregate; rounds needed = graph diameter in hops,
-    * doubling each round — LSH dup clusters are shallow, so
-    * `maxIterations` = 10 covers diameters past 1000). Returns
-    * (id, cluster_id) where cluster_id = min member id; the kept
-    * representative per cluster is id == cluster_id.
+    * components. Each round does min-label propagation over the edge
+    * list (one hop) PLUS pointer jumping (label := label-of-label), so
+    * the label tree halves in depth per round — convergence in
+    * O(log diameter) rounds, not O(diameter). The loop runs to
+    * convergence (`changed == 0`); hitting `maxIterations` without
+    * converging throws rather than silently returning split clusters.
+    * Per round: the previous labels cache is unpersisted once the new
+    * one is computed, and lineage is truncated via localCheckpoint
+    * every `checkpointEvery` rounds so plans don't grow unboundedly.
+    * Returns (id, cluster_id) where cluster_id = min member id; the
+    * kept representative per cluster is id == cluster_id.
     */
-  def dupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
+  def dupClusters(pairs: DataFrame, maxIterations: Int = 20,
+                  checkpointEvery: Int = 3): DataFrame = {
     // symmetric edge list incl. self-loops
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -129,23 +166,45 @@ object Dedup {
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+      .cache()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
-      // each node adopts the min label in its closed neighborhood
+      // hop: each node adopts the min label in its closed neighborhood
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .withColumn("new_cluster",
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))))
-      changed = updated.filter(col("new_cluster") =!= col("cluster_id")).count()
-      labels = updated.select(col("id"), col("new_cluster").as("cluster_id"))
-        .cache()
+      val hopped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"),
+          col("cluster_id").as("__old"))
+      // jump: label := label(label) — halves label-tree depth
+      val lut = hopped.select(col("id").as("cluster_id"),
+        col("cluster_id").as("__parent"))
+      val jumped = hopped.join(lut, Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__parent"), col("cluster_id")))
+            .as("cluster_id"),
+          col("__old"))
+      // localCheckpoint both materializes and truncates lineage; on
+      // non-checkpoint rounds a plain cache() suffices
+      val next =
+        if ((i + 1) % checkpointEvery == 0) jumped.localCheckpoint()
+        else jumped.cache()
+      // one action per round: convergence test (needed — the loop IS
+      // data-dependent); runs on the cached new labels
+      changed = next.filter(col("cluster_id") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next.drop("__old")
       i += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIterations rounds " +
+          "(pointer-jumped min-label propagation); raise maxIterations")
     labels
   }
 
@@ -157,22 +216,26 @@ object Dedup {
     if (exact) Similarity.thresholdPairs(df, idCol, vecCol, minCos)
     else Similarity.lshBucketed(df, idCol, vecCol, minCos)
 
+  /** Hashed shingle-set frame `(__id, __set)` — the one-time build
+    * that Jaccard scoring reuses. Two projections so tokenization runs
+    * once and the n `element_at` shingle reads hit a bound column
+    * (CollapseProject keeps non-cheap multi-referenced aliases apart).
+    * At 100 TB scale, write this frame to parquet bucketed by id
+    * (sources.Storage) and feed `ngramJaccardOnSets` from storage. */
+  def shingleSets(docs: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        TextFns.tokenHashes64(col(textCol)).as("__th"))
+      .select(col("__id"),
+        TextFns.shinglesFromTokenHashes64(col("__th"), n).as("__set"))
+
   /** N-gram Jaccard similarity for candidate pairs: given a pairs
     * frame (id_a, id_b) and the source docs, compute
-    * |A ∩ B| / |A ∪ B| over word n-gram sets.
-    *
-    * Shingle sets are recomputed per join side here; at real scale
-    * materialize them ONCE (write `(id, shingleHashes64(text))` to
-    * parquet, ideally bucketed by id) and call `ngramJaccardOnSets` —
-    * shingling is the dominant cost and becomes a one-time build.
-    */
+    * |A ∩ B| / |A ∪ B| over word n-gram sets (hashed — same
+    * cardinalities, no giant string arrays, no per-shingle md5). */
   def ngramJaccard(pairsDf: DataFrame, docs: DataFrame, textCol: String,
-                   idCol: String, n: Int = 3): DataFrame = {
-    // hashed shingle sets: same cardinalities, no giant string arrays
-    val sets = docs.select(col(idCol).as("__id"),
-      TextFns.shingleHashes64(col(textCol), n).as("__set"))
-    ngramJaccardOnSets(pairsDf, sets)
-  }
+                   idCol: String, n: Int = 3): DataFrame =
+    ngramJaccardOnSets(pairsDf, shingleSets(docs, textCol, idCol, n))
 
   /** Jaccard over precomputed hashed shingle sets `(__id, __set)`. */
   def ngramJaccardOnSets(pairsDf: DataFrame, sets: DataFrame): DataFrame =

@@ -53,12 +53,12 @@ object MultiModal {
                          dim: Int = 16): DataFrame =
     df.withColumn("features", {
       val bytes = col(binCol)
-      val n = greatest(length(bytes), lit(1)).cast("double")
+      // hex renders 2 chars per byte, so the histogram counts each
+      // nibble (high AND low) — normalize by 2n so features sum to 1
+      val nNibbles = greatest(length(bytes) * 2, lit(1)).cast("double")
       array((0 until dim).map { b =>
-        // count of bytes whose low nibble == b, via a codegen'd scan
-        // of the hex rendering (2 chars per byte; second char = low nibble)
         (length(regexp_replace(hex(bytes), s"[^${b.toHexString.toUpperCase}]", ""))
-          .cast("double") / n).as(s"f$b")
+          .cast("double") / nNibbles).as(s"f$b")
       }: _*)
     })
 

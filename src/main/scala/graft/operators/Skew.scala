@@ -27,6 +27,14 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  numSalts: Int, joinType: String = "inner"): DataFrame = {
     require(numSalts > 0)
+    // `other` is replicated numSalts×: join types that preserve
+    // unmatched rows of the replicated side would surface numSalts
+    // duplicates per unmatched row — refuse them
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would emit duplicate rows for " +
+        "unmatched rows of the replicated side; use inner/left/semi/anti")
     val salted = skewed.withColumn("__salt",
       pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(numSalts))
         .cast("int"))

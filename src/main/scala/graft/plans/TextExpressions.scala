@@ -1,0 +1,200 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing kernels for the dedup operators.
+  *
+  * The composable form (TextFns.shingleHashes + minhashPerm — split /
+  * transform / aggregate HOFs) runs interpreted and allocates a shingle
+  * STRING plus a boxed hash per element per row; at corpus scale the
+  * minhash build dominates LSH cost. The kernel below computes the
+  * whole k-permutation signature in one compiled pass with zero
+  * intermediate arrays: tokens stream through an incrementally-updated
+  * md5 (no shingle string is ever materialized) and every permutation's
+  * running minimum updates in place.
+  *
+  * Bitwise-identical to the HOF chain (property-tested in
+  * TextKernelSpec):
+  *   - tokens = lower(text) split on \s+, empties dropped
+  *   - shingle hash = first 15 md5 hex digits as long (hash60), mod P
+  *   - perm_i = min over shingles of (a_i*h + b_i) mod P
+  * `array_distinct` in the HOF chain is correctness-neutral here: a
+  * duplicate shingle can never change a minimum, so the kernel skips
+  * the dedup pass entirely.
+  */
+object TextKernels {
+  val P: Long = 1000000007L
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val SPACE = Array[Byte](' ')
+
+  /** First 60 bits of md5 as a non-negative long (= first 15 hex
+    * digits parsed base-16, exactly TextFns/ColumnFns hash60). */
+  private def digest60(md: MessageDigest): Long = {
+    val d = md.digest()
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    l >>> 4
+  }
+
+  /** Lowercased whitespace tokens as UTF-8 byte arrays (empties
+    * dropped) — exactly TextFns.tokens. */
+  private def tokenBytes(text: UTF8String): Array[Array[Byte]] = {
+    val toks0 = text.toLowerCase.toString.split("\\s+")
+    val toks = new Array[Array[Byte]](toks0.length)
+    var nt = 0
+    var i = 0
+    while (i < toks0.length) {
+      if (!toks0(i).isEmpty) {
+        toks(nt) = toks0(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        nt += 1
+      }
+      i += 1
+    }
+    if (nt == toks.length) toks else java.util.Arrays.copyOf(toks, nt)
+  }
+
+  /** SimHash over `bits` low bits of per-token hash60 values — exactly
+    * TextFns.simhashHof (0L for token-less docs). */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    if (text == null) return 0L
+    val toks = tokenBytes(text)
+    val votes = new Array[Int](bits)
+    val md = md5Local.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      md.update(toks(i))
+      val h = digest60(md)
+      var j = 0
+      while (j < bits) {
+        votes(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** k-permutation minhash signature over n-token shingles; null when
+    * the document has fewer than n tokens. */
+  def minhashSignature(text: UTF8String, k: Int, n: Int): ArrayData = {
+    if (text == null) return null
+    val toks = tokenBytes(text)
+    val nt = toks.length
+    if (nt < n) return null
+    var i = 0
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    // coefficients a_i, b_i exactly as TextFns.minhashPerm
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    i = 0
+    while (i < k) {
+      as(i) = (2654435761L * (i + 1)) % P
+      bs(i) = (2246822519L * (i + 1)) % P
+      i += 1
+    }
+    val md = md5Local.get()
+    var s = 0
+    while (s <= nt - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(SPACE)
+        md.update(toks(s + j))
+        j += 1
+      }
+      val h = digest60(md) % P
+      i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `graft_simhash(text, bits)` → long: bit j of the signature is set
+  * when the sum of (+1/-1) votes from bit j of each token's hash60 is
+  * positive. Bitwise-identical to TextFns.simhashHof; one compiled
+  * pass, no interpreted aggregate per bit. */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(text)` → array<long> of `numHashes` permutation minima
+  * (null for docs shorter than `shingleSize` tokens). Codegen emits a
+  * single static kernel call — the row stays inside whole-stage
+  * codegen, the loop runs compiled. */
+case class MinhashSignature(child: Expression, numHashes: Int,
+                            shingleSize: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignature(input.asInstanceOf[UTF8String],
+      numHashes, shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val kernel = "graft.plans.TextKernels"
+    ev.copy(code = childGen.code +
+      code"""
+        |boolean ${ev.isNull} = true;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${childGen.isNull}) {
+        |  ${ev.value} = $kernel.minhashSignature(
+        |    ${childGen.value}, $numHashes, $shingleSize);
+        |  ${ev.isNull} = (${ev.value} == null);
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

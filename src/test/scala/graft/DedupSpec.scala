@@ -79,6 +79,55 @@ class DedupSpec extends SparkSpec {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("minhash LSH: oversize buckets are reported, not silently dropped") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (1L to 6L).map(i => (i, base)).toDF("doc_id", "text")
+    // all 6 docs identical -> every band bucket has 6 members > maxBucket=4
+    val res = Dedup.minhashLshCandidates(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3, maxBucket = 4)
+    assert(res.pairs.count() == 0)
+    val dropped = res.droppedBuckets
+      .select("band", "size").as[(Int, Int)].collect()
+    assert(dropped.length == 4 && dropped.forall(_._2 == 6))
+  }
+
+  test("minhash LSH: short docs excluded instead of sharing a null bucket") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "c d"), (3L, "e"),   // < shingleSize tokens
+      (4L, "one real document with enough words to produce shingles here"))
+      .toDF("doc_id", "text")
+    val res = Dedup.minhashLshCandidates(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3)
+    // no spurious pairs among the short docs
+    assert(res.pairs.count() == 0 && res.droppedBuckets.count() == 0)
+  }
+
+  test("dupClusters: matches brute-force components on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (1 to 40).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // brute-force union-find on the driver
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => (v, find(v))).toSet
+      val got = Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("ngramJaccard: identical=1, disjoint=0") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))

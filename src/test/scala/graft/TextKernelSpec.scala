@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+import graft.functions.TextFns
+
+/** Native text kernels (graft.plans.MinhashSignature / SimHash) must
+  * be bitwise-identical to the interpreted HOF chains they replace —
+  * the HOF forms are what the DuckDB oracle reproduces, so any drift
+  * here is a silent correctness break at the oracle gate. */
+class TextKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox",
+    "a b",                       // shorter than shingle size -> null sig
+    "",                          // empty
+    "   leading and   multiple   spaces here ok ",
+    "MIXED Case TOKENS and Ünïcode tökens ärger",
+    "repeat repeat repeat repeat repeat",
+    "tab\tand\nnewline separated tokens",
+    "punct, tokens! stay? as-is; here.",
+    "42 7 42 7 42 numbers too"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("minhash signature: native kernel == HOF chain, all perms") {
+    val k = 8
+    val df = docs.toDF("id", "text")
+    val hof = df
+      .withColumn("__hs", TextFns.shingleHashes(col("text"), 3))
+      .select(col("id") +: (0 until k).map(i =>
+        TextFns.minhashPerm(col("__hs"), i).as(s"h_$i")): _*)
+    val native = df
+      .withColumn("__sig", TextFns.minhashSignatureNative(col("text"), k, 3))
+      .select(col("id") +: (0 until k).map(i =>
+        col("__sig").getItem(i).as(s"n_$i")): _*)
+    val joined = hof.join(native, "id").collect()
+    assert(joined.length == docs.length)
+    joined.foreach { r =>
+      (0 until k).foreach { i =>
+        assert(r.getAs[Any](s"h_$i") == r.getAs[Any](s"n_$i"),
+          s"perm $i mismatch for id ${r.getAs[Long]("id")}")
+      }
+    }
+  }
+
+  test("minhash signature: shingle size 1 and 5 agree with HOF") {
+    for (n <- Seq(1, 5)) {
+      val df = docs.toDF("id", "text")
+      val cmp = df.select(col("id"),
+        TextFns.minhashPerm(TextFns.shingleHashes(col("text"), n), 2).as("h"),
+        TextFns.minhashSignatureNative(col("text"), 4, n).getItem(2).as("nv"))
+        .collect()
+      cmp.foreach(r => assert(r.getAs[Any]("h") == r.getAs[Any]("nv"),
+        s"n=$n id=${r.getLong(0)}"))
+    }
+  }
+
+  test("simhash: native kernel == HOF form at 8 and 16 bits") {
+    val df = docs.toDF("id", "text")
+    for (bits <- Seq(8, 16)) {
+      val cmp = df.select(col("id"),
+        TextFns.simhashHof(col("text"), bits).as("h"),
+        TextFns.simhash(col("text"), bits).as("nv")).collect()
+      cmp.foreach(r => assert(r.getAs[Any]("h") == r.getAs[Any]("nv"),
+        s"bits=$bits id=${r.getLong(0)}"))
+    }
+  }
+
+  test("hashed shingle sets: two-stage tokenHashes64 path preserves set size") {
+    // cardinality structure (not values) is the contract: distinct
+    // shingle strings <-> distinct hash triples
+    val df = docs.toDF("id", "text")
+    val viaStrings = df.select(col("id"),
+      size(array_distinct(TextFns.wordShingles(col("text"), 3))).as("n_str"))
+    val viaHashes = df.select(col("id"),
+      size(TextFns.shingleHashes64(col("text"), 3)).as("n_hash"))
+    viaStrings.join(viaHashes, "id").collect().foreach { r =>
+      val (a, b) = (r.getAs[Int]("n_str"), r.getAs[Int]("n_hash"))
+      // empty-array vs null convention: both must agree on emptiness
+      assert(a == b, s"id=${r.getLong(0)}: $a distinct strings vs $b hashes")
+    }
+  }
+}
