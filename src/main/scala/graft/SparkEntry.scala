@@ -365,6 +365,41 @@ object SparkEntry {
                GROUP BY c_mktsegment, o_orderpriority""")
     }),
 
+    // ---- F16: HGVS extraction cascade on constructed payloads ----
+    "q_f16_hgvs" -> ((s, d) => {
+      val hp = when(col("doc_id") % 3 === 0, lit("Not Reported"))
+        .otherwise(concat(lit("p.V"), col("doc_id") % 50, lit("E")))
+      val hc = concat(lit("c."), col("doc_id") % 40,
+        when(col("doc_id") % 4 === 0, "delACGT")
+          .when(col("doc_id") % 4 === 1, "dupGG")
+          .when(col("doc_id") % 4 === 2, "insTT")
+          .otherwise(">A"))
+      val cons = array(
+        struct(
+          when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("p.V"), col("doc_id") % 7, lit("E")))
+            .as("hgvsp"),
+          concat(lit("c."), col("doc_id") % 40, lit("del")).as("hgvsc"),
+          lit("p.S1").as("hgvspShort"),
+          lit("ClassA").as("variantClassification")),
+        struct(
+          concat(lit("xx p.V"), col("doc_id") % 50, lit("E yy")).as("hgvsp"),
+          concat(lit("c."), col("doc_id") % 11, lit(">A")).as("hgvsc"),
+          lit("p.S2").as("hgvspShort"),
+          lit("ClassB").as("variantClassification")))
+      val summ = array(
+        struct(
+          concat(lit("p.V"), col("doc_id") % 50, lit("E")).as("hgvsp"),
+          concat(lit("c."), col("doc_id") % 13, lit(">A")).as("hgvsc"),
+          lit("p.SS").as("hgvspShort"),
+          lit("ClassS").as("variantClassification")))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          CF.hgvsExtract(cons, summ, hp, hc).as("__a"))
+        .select(col("doc_id"), col("__a.hgvs_short").as("hgvs_short"),
+          col("__a.variant_classification").as("variant_classification"))
+    }),
+
     // ---- multimodal binary plumbing ----
     "q_m_binary" -> ((s, d) =>
       MultiModal.decodeStub(
@@ -526,6 +561,50 @@ object SparkEntry {
 
     "q_m_binary" ->
       s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents",
+
+    "q_f16_hgvs" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Not Reported'
+        |         ELSE 'p.V' || (doc_id % 50)::VARCHAR || 'E' END AS hp,
+        |    'c.' || (doc_id % 40)::VARCHAR ||
+        |      CASE doc_id % 4 WHEN 0 THEN 'delACGT' WHEN 1 THEN 'dupGG'
+        |           WHEN 2 THEN 'insTT' ELSE '>A' END AS hc
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, hp, hc,
+        |    [struct_pack(hgvsp := CASE WHEN doc_id % 5 = 0 THEN NULL
+        |                   ELSE 'p.V' || (doc_id % 7)::VARCHAR || 'E' END,
+        |                 hgvsc := 'c.' || (doc_id % 40)::VARCHAR || 'del',
+        |                 hgvspShort := 'p.S1', variantClassification := 'ClassA'),
+        |     struct_pack(hgvsp := 'xx p.V' || (doc_id % 50)::VARCHAR || 'E yy',
+        |                 hgvsc := 'c.' || (doc_id % 11)::VARCHAR || '>A',
+        |                 hgvspShort := 'p.S2', variantClassification := 'ClassB')] AS cons,
+        |    [struct_pack(hgvsp := 'p.V' || (doc_id % 50)::VARCHAR || 'E',
+        |                 hgvsc := 'c.' || (doc_id % 13)::VARCHAR || '>A',
+        |                 hgvspShort := 'p.SS', variantClassification := 'ClassS')] AS summ
+        |  FROM v),
+        |m AS (
+        |  SELECT doc_id, cons,
+        |    list_filter(cons, c -> CASE WHEN hp <> 'Not Reported'
+        |      THEN c.hgvsp IS NOT NULL AND c.hgvsp <> '' AND contains(c.hgvsp, hp)
+        |      ELSE contains(coalesce(c.hgvsc, ''), hc) END) AS hit1,
+        |    list_filter(summ, c -> CASE WHEN hp <> 'Not Reported'
+        |      THEN c.hgvsp IS NOT NULL AND c.hgvsp <> '' AND contains(c.hgvsp, hp)
+        |      ELSE contains(coalesce(c.hgvsc, ''), hc) END) AS hit2,
+        |    CASE WHEN contains(hc, 'del') THEN split_part(hc, 'del', 1) || 'del'
+        |         WHEN contains(hc, 'dup') THEN split_part(hc, 'dup', 1) || 'dup'
+        |         WHEN contains(hc, 'ins') THEN split_part(hc, 'ins', 1) || 'ins'
+        |    END AS trunc
+        |  FROM p),
+        |h AS (
+        |  SELECT doc_id, coalesce(hit1[1], hit2[1],
+        |    list_filter(cons, c -> trunc IS NOT NULL AND
+        |      contains(coalesce(c.hgvsc, ''), trunc))[1]) AS hit
+        |  FROM m)
+        |SELECT doc_id, hit.hgvspShort AS hgvs_short,
+        |       hit.variantClassification AS variant_classification FROM h
+        |""".stripMargin,
 
     "q_p9_ntile" ->
       "SELECT batch, count(*) AS n, round(sum(o_totalprice), 4) AS batch_total FROM (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_orderkey) AS batch FROM orders) GROUP BY batch",

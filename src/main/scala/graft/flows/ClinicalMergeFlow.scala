@@ -28,6 +28,23 @@ object ClinicalMergeFlow {
   def bindAnnotations(df: DataFrame, annotation: org.apache.spark.sql.Column)
   : DataFrame = df.withColumn("annotation", annotation)
 
+  /** F16 (mci:99-142): pull (hgvs_short, variant_classification) from
+    * the annotation consequence arrays — protein/coding containment
+    * cascade with summaries fallback and del/dup/ins truncation retry.
+    * `df` must carry the two consequence array<struct> columns plus
+    * hgvs_protein / hgvs_coding; the extraction is a pure Column
+    * expression, so it fuses into the surrounding plan. */
+  def extractAnnotations(df: DataFrame,
+                         consCol: String = "transcriptConsequences",
+                         summCol: String = "transcriptConsequenceSummaries",
+                         proteinCol: String = "hgvs_protein",
+                         codingCol: String = "hgvs_coding"): DataFrame =
+    df.withColumn("__ann", ColumnFns.hgvsExtract(
+        col(consCol), col(summCol), col(proteinCol), col(codingCol)))
+      .withColumn("hgvs_short", col("__ann.hgvs_short"))
+      .withColumn("variant_classification", col("__ann.variant_classification"))
+      .drop("__ann")
+
   /** A5c (mci:263-279): merge new clinical rows into the cumulative
     * megaMAF, dedup on the variant key keeping clinical rows first
     * ('Not Reported'/null significance sorts last), then the

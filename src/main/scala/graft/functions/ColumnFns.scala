@@ -108,13 +108,64 @@ object ColumnFns {
   def jsonStr(c: Column, path: String): Column = get_json_object(c, path)
 
   // ---- F16: HGVS match cascade (mci:99-142) ----
-  /** 3-stage fallback match of an HGVS string against a transcript
-    * array: exact protein match, else coding match, else del/dup/ins
-    * truncation rewrite (drop trailing inserted bases) then match. */
+
+  /** First-marker del/dup/ins truncation (mci:131-137): text up to the
+    * FIRST marker + the marker, priority del > dup > ins (the
+    * reference's if/elif chain); null when no marker is present.
+    * e.g. `c.123delinsAA` → `c.123del` (NOT `c.123delins`). */
+  def hgvsFirstMarkerTruncate(hgvsC: Column): Column =
+    when(hgvsC.contains("del"),
+      concat(substring_index(hgvsC, "del", 1), lit("del")))
+      .when(hgvsC.contains("dup"),
+        concat(substring_index(hgvsC, "dup", 1), lit("dup")))
+      .when(hgvsC.contains("ins"),
+        concat(substring_index(hgvsC, "ins", 1), lit("ins")))
+
+  /** Boolean cascade match against a flat transcript-string array:
+    * CONTAINMENT semantics (mci:102,107 — `hgvs in transcript`), with
+    * the first-marker truncation fallback. See `hgvsExtract` for the
+    * full struct-array extraction the megaMAF merge consumes. */
   def hgvsMatches(transcripts: Column, hgvsP: Column, hgvsC: Column): Column = {
-    val truncated = regexp_extract(hgvsC, "^([^;]*(?:del|dup|ins))", 1)
-    exists(transcripts, t => t === hgvsP) ||
-      exists(transcripts, t => t === hgvsC) ||
-      exists(transcripts, t => t === truncated && truncated =!= lit(""))
+    val truncated = hgvsFirstMarkerTruncate(hgvsC)
+    exists(transcripts, t => t.contains(hgvsP)) ||
+      exists(transcripts, t => t.contains(hgvsC)) ||
+      exists(transcripts, t => truncated.isNotNull && t.contains(truncated))
+  }
+
+  /** Full F16 extraction (mci:99-142): pull (hgvs_short,
+    * variant_classification) out of the first matching consequence.
+    *
+    * `consequences` / `summaries` are `array<struct>` with fields
+    * hgvsp, hgvsc, hgvspShort, variantClassification (the shape of
+    * Genome Nexus `transcriptConsequences` /
+    * `transcriptConsequenceSummaries`). The cascade, exactly as the
+    * reference orders it:
+    *   1. first consequence matching: protein reported → hgvsp truthy
+    *      AND contains(hgvsp, protein) (mci:102; containment, not
+    *      equality); protein 'Not Reported' → contains(hgvsc, coding)
+    *      (mci:107)
+    *   2. same predicate over the summaries array (mci:113-125)
+    *   3. if coding has a del/dup/ins marker: first-marker truncation,
+    *      then contains(hgvsc, truncated) over `consequences` only
+    *      (mci:128-142) — this stage runs regardless of protein status
+    * Returns struct(hgvs_short, variant_classification), fields null
+    * when nothing matches. Pure codegen'd Column expression — runs
+    * distributed over the annotation payloads, no driver loop. */
+  def hgvsExtract(consequences: Column, summaries: Column,
+                  hgvsP: Column, hgvsC: Column): Column = {
+    def firstHit(arr: Column): Column =
+      get(filter(arr, c =>
+        when(hgvsP =!= lit("Not Reported"),
+          c.getField("hgvsp").isNotNull && c.getField("hgvsp") =!= "" &&
+            c.getField("hgvsp").contains(hgvsP))
+          .otherwise(coalesce(c.getField("hgvsc"), lit("")).contains(hgvsC))),
+        lit(0))
+    val truncated = hgvsFirstMarkerTruncate(hgvsC)
+    val truncHit = get(filter(consequences, c =>
+      coalesce(c.getField("hgvsc"), lit("")).contains(truncated)), lit(0))
+    val hit = coalesce(firstHit(consequences), firstHit(summaries), truncHit)
+    struct(
+      hit.getField("hgvspShort").as("hgvs_short"),
+      hit.getField("variantClassification").as("variant_classification"))
   }
 }

@@ -105,6 +105,56 @@ class PedmatchFlowSpec extends SparkSpec {
     assert(got == Seq("clinical", "clinical"))
   }
 
+  test("extractAnnotations: full F16 cascade (mci:99-142)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val consType = ArrayType(StructType(Seq(
+      StructField("hgvsp", StringType), StructField("hgvsc", StringType),
+      StructField("hgvspShort", StringType),
+      StructField("variantClassification", StringType))))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("hgvs_protein", StringType),
+      StructField("hgvs_coding", StringType),
+      StructField("transcriptConsequences", consType),
+      StructField("transcriptConsequenceSummaries", consType)))
+    def c(p: String, cc: String, s: String, vc: String) = Row(p, cc, s, vc)
+    val rows = Seq(
+      // 1: protein containment (not equality) hits cons #2, first wins
+      Row(1L, "p.V600E", "c.1A>C",
+        Seq(c(null, "c.x", "skip", "skip"),             // falsy hgvsp skipped
+          c("NP_x:p.V600Efs", "c.y", "p.V600Efs*", "Frame_Shift")),
+        Seq(c("p.V600E", "c.z", "sum", "Sum"))),
+      // 2: no consequence hit -> summaries fallback
+      Row(2L, "p.G12D", "c.2G>A",
+        Seq(c("p.OTHER", "c.q", "no", "no")),
+        Seq(c("x p.G12D y", "c.w", "p.G12D", "Missense"))),
+      // 3: 'Not Reported' protein -> coding containment path
+      Row(3L, "Not Reported", "c.35G>T",
+        Seq(c("p.A1B", "NM_1:c.35G>T", "p.C35", "Missense_C")),
+        Seq(c("p.A1B", "c.nope", "no", "no"))),
+      // 4: delins coding -> FIRST-marker truncation (c.52del, not
+      //    c.52delins) matched against consequences only
+      Row(4L, "p.MISS", "c.52delinsAA",
+        Seq(c("p.OTHER", "NM_2:c.52delTT", "p.T52", "Del_Class")),
+        Seq(c("p.OTHER", "c.52delinsAA", "never", "never"))),
+      // 5: nothing matches anywhere
+      Row(5L, "p.NOHIT", "c.9dupZZZ",
+        Seq(c("p.A", "c.1dup", "no", "no")), Seq()))
+    // rows 4/5: dup truncation 'c.9dup' vs 'c.1dup' -> miss
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = ClinicalMergeFlow.extractAnnotations(df)
+      .select("id", "hgvs_short", "variant_classification")
+      .as[(Long, String, String)].collect()
+      .map { case (k, v1, v2) => k -> (v1, v2) }.toMap
+    assert(got(1L) == ("p.V600Efs*", "Frame_Shift"))
+    assert(got(2L) == ("p.G12D", "Missense"))
+    assert(got(3L) == ("p.C35", "Missense_C"))
+    assert(got(4L) == ("p.T52", "Del_Class"))
+    assert(got(5L) == (null, null))
+  }
+
   test("DbCounter.reconcile flags mismatches") {
     val dump = Seq(("patient", 3L, 100L), ("sample", 2L, 50L))
       .toDF("table_name", "column_count", "row_count")
