@@ -321,16 +321,14 @@ object SparkEntry {
         t(s, d, "documents").filter(TF.wordCount(col("text")) >= 3),
         "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3)),
 
-    // ---- §2.2 P9: deterministic batching via ntile ----
-    "q_p9_ntile" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, d, "orders")
-        .withColumn("batch",
-          ntile(10).over(Window.orderBy("o_orderkey")))
+    // ---- §2.2 P9: deterministic batching — scalable range-partitioned
+    //      form (identical output to ntile(10) OVER (ORDER BY ...),
+    //      which the oracle uses; no single-task global window) ----
+    "q_p9_ntile" -> ((s, d) =>
+      Batching.ntileByRange(t(s, d, "orders"), "o_orderkey", 10)
         .groupBy("batch")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 4).as("batch_total"))
-    }),
+          round(sum(col("o_totalprice")), 4).as("batch_total"))),
 
     // ---- IVF ANN (nProbe = k degrades to exact ⇒ oracle = brute force) ----
     "q_s_ivf" -> ((s, d) => {

@@ -21,8 +21,10 @@ object DbCounter {
                tables: Seq[String]): DataFrame = {
     import spark.implicits._
     tables.map { t =>
-      val n = spark.read.jdbc(url, s"(SELECT COUNT(*) AS n FROM $t) q", props)
-        .collect()(0).getLong(0)
+      // "AS q" alias form parses in MySQL and Derby alike; COUNT(*)
+      // surfaces as INT or BIGINT depending on dialect
+      val n = spark.read.jdbc(url, s"(SELECT COUNT(*) AS n FROM $t) AS q", props)
+        .collect()(0).getAs[Number](0).longValue()
       val cols = spark.read.jdbc(url, t, props).schema.length.toLong
       (t, cols, n)
     }.toDF("table_name", "column_count", "row_count")

@@ -74,7 +74,9 @@ object PedmatchFlow {
   def somaticSnvs(tumorVcf: DataFrame, normalVcf: DataFrame,
                   tumorSample: String, normalSample: String): DataFrame = {
     def prep(vcf: DataFrame, sample: String): DataFrame =
-      VariantOps.injectFt(VariantOps.splitMultiallelic(vcf), sample)
+      VariantOps.injectFt(
+          VariantOps.splitMultiallelic(vcf, renumberSamples = Seq(sample)),
+          sample)
         .withColumnRenamed(sample, "SAMPLE")
     val merged = VariantOps.mergeTumorNormal(
       prep(tumorVcf, tumorSample), prep(normalVcf, normalSample), "SAMPLE")

@@ -21,12 +21,39 @@ object VariantOps {
     vcf.filter(col("FILTER") === "PASS")
 
   // ---- G3: multiallelic split (bcftools norm -m -any; pedmatch:367) --
-  /** ALT "A,T" → one row per allele; 0-based allele index kept so
-    * genotype renumbering stays possible. */
-  def splitMultiallelic(vcf: DataFrame): DataFrame = {
+  /** ALT "A,T" → one row per allele; 0-based allele index kept.
+    * `renumberSamples` are packed genotype columns whose GT (the FIRST
+    * `:`-field, per VCF spec) is renumbered per split record the way
+    * `bcftools norm -m -any` does: the record's own allele → 1, REF
+    * and every other alt allele → 0, missing '.' preserved, phase
+    * separators (/ or |) and ploidy preserved. Without renumbering a
+    * het-alt site 1/2 would keep GT "1/2" on BOTH split rows and a
+    * somatic filter comparing genotypes across rows misclassifies. */
+  def splitMultiallelic(vcf: DataFrame,
+                        renumberSamples: Seq[String] = Nil): DataFrame = {
     val others = vcf.columns.filterNot(_ == "ALT").map(col).toSeq
-    vcf.select(others :+
+    val split0 = vcf.select(others :+
       posexplode(split(col("ALT"), ",")).as(Seq("allele_idx", "ALT")): _*)
+    renumberSamples.foldLeft(split0)((d, s) =>
+      d.withColumn(s, renumberedSample(col(s), col("allele_idx"))))
+  }
+
+  /** Packed sample column with its GT field renumbered for the split
+    * record whose (0-based) allele index is `alleleIdx`. Multi-digit
+    * allele indices and arbitrary ploidy handled by tokenizing the GT
+    * on phase separators with lookaround split. */
+  private def renumberedSample(sample: Column, alleleIdx: Column): Column = {
+    val parts = split(sample, ":", 2)
+    val gt = get(parts, lit(0))
+    val rest = get(parts, lit(1))
+    val toks = split(gt, "(?=[/|])|(?<=[/|])")
+    val own = (alleleIdx + 1).cast("string")
+    val newGt = array_join(transform(toks, t =>
+      when(t.isin("/", "|", "."), t)
+        .when(t === own, "1")
+        .otherwise("0")), "")
+    when(sample.isNull, sample)
+      .otherwise(concat_ws(":", newGt, rest))
   }
 
   // ---- G4: FT injection (pedmatch:329-351) ----

@@ -148,6 +148,60 @@ object Readers {
         col("seg.cnv.log2_copy_ratio_90per_ci_low").as("log2_ci_low"),
         col("seg.cnv.log2_copy_ratio_90per_ci_high").as("log2_ci_high"))
 
+  // ---- S7: Excel scan (pedmatch:24; mci:24-37 sheet_name=...) ----
+
+  /** Excel manifest scan: header row = column names, every cell read
+    * as string (xlsx stores numbers as decimal text), optional `schema`
+    * casts columns by name afterwards — same shape discipline as the
+    * other schema'd readers. The parse itself (sources.XlsxParse, no
+    * external lib) runs inside `mapPartitions` over a `binaryFile`
+    * scan, so a directory of workbook files fans out across the
+    * cluster; only the header peek (one file, one sheet) runs on the
+    * driver. Empty-string cells become nulls (pandas-NaN analog). */
+  def xlsx(spark: SparkSession, path: String,
+           sheet: Option[String] = None,
+           schema: Option[StructType] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstFile =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".xlsx")).sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"xlsx: no .xlsx files under $path"))
+      else p
+    val headerBytes = {
+      val in = fs.open(firstFile)
+      try in.readAllBytes() finally in.close()
+    }
+    val header = XlsxParse.sheetRows(headerBytes, sheet).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"xlsx: empty sheet in $firstFile"))
+      .map(h => if (h == null) "" else h)
+    val n = header.length
+    val outSchema = StructType(header.map(StructField(_, StringType)))
+
+    import org.apache.spark.sql.{Encoders, Row}
+    val raw = spark.read.format("binaryFile").load(path)
+      .select("content")
+    val parsed = raw.mapPartitions { files =>
+      files.flatMap { r =>
+        XlsxParse.sheetRows(r.getAs[Array[Byte]](0), sheet)
+          .drop(1) // per-file header row
+          .map { cells =>
+            val padded = cells.padTo(n, null: String).take(n)
+              .map(c => if (c == null || c.isEmpty) null else c)
+            Row.fromSeq(padded)
+          }
+      }
+    }(Encoders.row(outSchema))
+    schema.fold(parsed) { s =>
+      parsed.select(s.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+  }
+
   // ---- S8: whitespace-split scan (wc -l output; pedmatch:485) ----
 
   def whitespaceSplit(spark: SparkSession, path: String,

@@ -68,6 +68,89 @@ object Writers {
       .write.mode("overwrite").text(path)
   }
 
+  /** S15: JDBC sink (the write half the reference delegates to a
+    * `mysql` restore pipe, src/utils.py:238-298). Partitioned batch
+    * inserts — `batchSize` rows per statement, parallelism = input
+    * partitions; cap with `numPartitions` so a 1000-task write doesn't
+    * open 1000 connections against one database. */
+  def jdbc(df: DataFrame, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties(),
+           mode: String = "overwrite", batchSize: Int = 1000,
+           numPartitions: Int = 8): Unit =
+    df.coalesce(math.min(numPartitions, df.rdd.getNumPartitions).max(1))
+      .write.mode(mode)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+
+  /** MySQL-ish type rendering for the dump snapshot's CREATE block. */
+  private def sqlType(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType | ShortType | ByteType => "INT"
+      case DoubleType | FloatType => "DOUBLE"
+      case BooleanType => "TINYINT"
+      case TimestampType => "DATETIME"
+      case DateType => "DATE"
+      case _ => "TEXT"
+    }
+
+  /** One row rendered as a SQL value tuple: strings quoted with
+    * doubled-''-escaping (ANSI; NO_BACKSLASH_ESCAPES-compatible),
+    * nulls as NULL, numerics verbatim. */
+  private def sqlTuple(df: DataFrame): Column =
+    concat_ws(",", df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | TimestampType | DateType =>
+          when(col(f.name).isNull, lit("NULL"))
+            .otherwise(concat(lit("'"),
+              regexp_replace(col(f.name).cast("string"), "'", "''"),
+              lit("'")))
+        case BooleanType =>
+          when(col(f.name).isNull, lit("NULL"))
+            .otherwise(when(col(f.name), "1").otherwise("0"))
+        case _ => coalesce(col(f.name).cast("string"), lit("NULL"))
+      }
+    }.toSeq: _*)
+
+  /** S16: SQL-dump snapshot sink (the export half of
+    * src/utils.py:151-211, minus the mysqldump subprocess): one
+    * `CREATE DATABASE`/`USE` header, then per table a CREATE block and
+    * one single-row `INSERT INTO ... VALUES (...);` line per row
+    * (mysqldump --skip-extended-insert format — valid executable SQL,
+    * renderable in parallel with no last-row special case, and exactly
+    * the grammar Readers.dumpStats counts). Row order within a table
+    * follows `orderBy` when given — dumps are reconciliation artifacts,
+    * determinism beats speed here. One file by contract (like the
+    * reference's dump); body rendering is distributed, only the final
+    * concat is single-stream. */
+  def sqlDump(tables: Seq[(String, DataFrame)], dbName: String,
+              path: String, orderBy: Seq[String] = Nil): Unit = {
+    require(tables.nonEmpty, "sqlDump: no tables")
+    val spark = tables.head._2.sparkSession
+    import spark.implicits._
+    def lines(ls: Seq[String]): DataFrame = ls.toDF("value")
+    val header = lines(Seq(
+      "-- graft SQL dump",
+      s"CREATE DATABASE `$dbName`;",
+      s"USE `$dbName`;"))
+    val parts = tables.map { case (name, df) =>
+      val create = lines(
+        s"CREATE TABLE `$name` (" +:
+          df.schema.fields.map(f => s"  `${f.name}` ${sqlType(f.dataType)},")
+            .toSeq :+ ");")
+      val ordered =
+        if (orderBy.nonEmpty && orderBy.forall(df.columns.contains))
+          df.orderBy(orderBy.map(col): _*)
+        else df
+      val body = ordered.select(
+        concat(lit(s"INSERT INTO `$name` VALUES ("), sqlTuple(df), lit(");"))
+          .as("value"))
+      create.union(body)
+    }
+    parts.foldLeft(header)(_ union _)
+      .coalesce(1).write.mode("overwrite").text(path)
+  }
+
   /** Continuous CNA matrix: nulls → "NA" (cnv.py:659). */
   def cnaContinuous(df: DataFrame, path: String): Unit =
     tsv(df, path, nullAs = "NA")

@@ -141,4 +141,19 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 11L), (2L, 3L)))
   }
+
+  test("ntileByRange == global ntile for uneven and tiny inputs") {
+    for (n <- Seq(97L, 100L, 7L, 3L)) {
+      val df = (1L to n).map(i => (i * 13 % 101, i)).toDF("k", "uid")
+      val expected = Batching.globalNtile(df, Seq(col("k"), col("uid")), 10)
+        .select("uid", "batch").as[(Long, Int)].collect().toMap
+      // order by a unique derived key: make (k, uid) total via k*1000+uid
+      val keyed = df.withColumn("__ord",
+        col("k") * 1000 + col("uid"))
+      val got = Batching.ntileByRange(keyed, "__ord", 10, numPartitions = 4)
+        .select("uid", "batch").as[(Long, Int)].collect().toMap
+      // same order relation (k asc, uid asc) <=> (__ord asc) since uid < 1000
+      assert(got == expected, s"n=$n")
+    }
+  }
 }

@@ -69,11 +69,11 @@ class PedmatchFlowSpec extends SparkSpec {
     val got = PedmatchFlow.somaticSnvs(t, n, "TUM", "NOR")
     val rows = got.select("POS", "ALT", "t_GT", "t_DP", "n_GT")
       .as[(Long, String, String, String, String)].collect().toSet
-    // v1 splits to T and G; both somatic (tumor 0/1 vs normal 0/0 for T,
-    // NA genotype for G side since normal lacks that allele row)
-    assert(rows == Set(
-      (100L, "T", "0/1", "20", "0/0"),
-      (100L, "G", "0/1", "20", "NA")))
+    // v1 splits to T and G; tumor GT 0/1 calls ONLY the first alt, so
+    // after bcftools-faithful renumbering the T row keeps 0/1 (somatic
+    // vs normal 0/0) and the G row becomes 0/0 and is dropped — the
+    // pre-renumbering behavior kept a spurious somatic G row
+    assert(rows == Set((100L, "T", "0/1", "20", "0/0")))
   }
 
   test("gistic boundary in somaticCnv is strict >2.0") {

@@ -15,6 +15,28 @@ class VariantOpsSpec extends SparkSpec {
     assert(got == Set((100L, 0, "T"), (100L, 1, "G"), (200L, 0, "G")))
   }
 
+  test("splitMultiallelic: GT renumbered per allele (bcftools norm -m -any)") {
+    // hand-computed `bcftools norm -m -any` outputs:
+    //   site ALT=T,G GT 1/2 -> T row: 1/0, G row: 0/1
+    //   site ALT=T,G GT 0|2 -> T row: 0|0, G row: 0|1
+    //   site ALT=T,G GT ./1 -> T row: ./1, G row: ./0
+    //   biallelic 0/1 unchanged
+    val df = Seq(
+      ("chr1", 100L, "A", "T,G", "GT:DP", "1/2:13"),
+      ("chr1", 200L, "A", "T,G", "GT:DP", "0|2:7"),
+      ("chr1", 300L, "A", "T,G", "GT:DP", "./1:5"),
+      ("chr1", 400L, "C", "G", "GT:DP", "0/1:9"))
+      .toDF("CHROM", "POS", "REF", "ALT", "FORMAT", "S1")
+    val got = VariantOps.splitMultiallelic(df, renumberSamples = Seq("S1"))
+      .select("POS", "allele_idx", "ALT", "S1")
+      .as[(Long, Int, String, String)].collect().toSet
+    assert(got == Set(
+      (100L, 0, "T", "1/0:13"), (100L, 1, "G", "0/1:13"),
+      (200L, 0, "T", "0|0:7"), (200L, 1, "G", "0|1:7"),
+      (300L, 0, "T", "./1:5"), (300L, 1, "G", "./0:5"),
+      (400L, 0, "G", "0/1:9")))
+  }
+
   test("injectFt appends FT to FORMAT and FILTER to the sample column") {
     val df = Seq(("GT:DP", "0/1:10", "PASS")).toDF("FORMAT", "S1", "FILTER")
     val got = VariantOps.injectFt(df, "S1")

@@ -36,6 +36,43 @@ class WritersSpec extends SparkSpec {
     assert(back.select("POS").as[Long].collect().head == 100L)
   }
 
+  test("S15/S16 round trip: jdbc sink + sql dump -> DbCounter all match") {
+    import graft.flows.DbCounter
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // uppercase names: Derby folds unquoted identifiers to upper case
+    val patient = Seq((1L, "Alice O'Hara", 34), (2L, "Bob", 41),
+      (3L, null.asInstanceOf[String], 9))
+      .toDF("ID", "NAME", "AGE")
+    val sample = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("SID", "PATIENT_ID")
+    Writers.jdbc(patient, url, "PATIENT", props)
+    Writers.jdbc(sample, url, "SAMPLE", props)
+
+    val dumpDir = java.nio.file.Files
+      .createTempDirectory("graft_dump").toString + "/dump.sql"
+    Writers.sqlDump(Seq("PATIENT" -> patient, "SAMPLE" -> sample),
+      "graftdb", dumpDir, orderBy = Seq("ID"))
+
+    // quote-escaping survives: O'Hara -> 'Alice O''Hara'
+    val text = spark.read.text(dumpDir).as[String].collect()
+    assert(text.exists(_.contains("'Alice O''Hara'")))
+    assert(text.count(_.startsWith("USE ")) == 1)
+
+    val dump = DbCounter.dumpCounts(spark, dumpDir)
+    val db = DbCounter.dbCounts(spark, url, props, Seq("PATIENT", "SAMPLE"))
+    val recon = DbCounter.reconcile(dump, db)
+      .select("table_name", "columns_match", "rows_match")
+      .as[(String, Boolean, Boolean)].collect()
+    assert(recon.length == 2 && recon.forall(r => r._2 && r._3),
+      recon.mkString(", "))
+
+    // S17 synergy: header strip removes exactly the USE/CREATE DATABASE lines
+    val stripped = Readers.stripDumpHeaders(spark, dumpDir).count()
+    assert(stripped == text.length - 2)
+  }
+
   test("annotator retry: transient failures retried, terminal gives FAILED") {
     // fails twice for chr1 then succeeds; always fails for chr9
     class Flaky extends Annotator {
