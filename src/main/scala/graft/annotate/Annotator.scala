@@ -55,6 +55,11 @@ object Annotate {
       df.schema.fieldIndex("ALT"))
     df.mapPartitions { rows =>
       annotator.open()
+      // close() must fire even when the iterator is NOT drained (a
+      // downstream limit() or a task kill abandons it mid-stream) —
+      // tie the client lifecycle to the task, not the iterator
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => annotator.close())
       val out = rows.map { r =>
         var attempt = 0
         var res: (String, String, String) = null
@@ -73,11 +78,13 @@ object Annotate {
         }
         Row.fromSeq(r.toSeq ++ Seq(res._1, res._2, res._3))
       }
-      // NOTE: close() after exhaustion — wrap to run at iterator end
+      // also close on clean exhaustion (driver-side local iterators
+      // have no TaskContext); double-close is the Annotator's contract
+      // to tolerate (idempotent close)
       new Iterator[Row] {
         def hasNext: Boolean = {
           val h = out.hasNext
-          if (!h) annotator.close()
+          if (!h && ctx == null) annotator.close()
           h
         }
         def next(): Row = out.next()

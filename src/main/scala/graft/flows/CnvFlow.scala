@@ -90,6 +90,17 @@ object CnvFlow {
                            log2Matrix: DataFrame, discreteMatrix: DataFrame,
                            reconciliation: DataFrame)
 
+  /** Whole flow with the GENCODE GTF staged over HTTP first (S13,
+    * cnv.py:319-347: step 5 of the reference flow). The fetch is a
+    * driver-side staging step; the staged `.gz` is read directly
+    * (S9 transparent decompression). */
+  def runWithGencode(spark: SparkSession, cnvJsonPath: String,
+                     gencodeVersion: Int, stagingDir: String,
+                     manifest: DataFrame): Outputs =
+    run(spark, cnvJsonPath,
+      graft.sources.HttpFetch.gencodeGtf(gencodeVersion, stagingDir).toString,
+      manifest)
+
   /** Whole flow from file inputs. `samples` drawn from the manifest
     * (small, driver-side) as the explicit pivot column list. */
   def run(spark: SparkSession, cnvJsonPath: String, gtfPath: String,

@@ -12,12 +12,17 @@ import org.apache.spark.sql.types._
   */
 object Writers {
 
+  /** Backtick-quoted reference: cBio column names contain dots
+    * (`loc.start`, `seg.mean`) which a bare col() would read as a
+    * struct path. */
+  private def qcol(name: String): Column = col(s"`$name`")
+
   /** Render nulls per-format before writing: every column is cast to
     * string with `nullAs` substituted. Int-typed doubles print without
     * pandas' `.0` artifacts because the types are true ints. */
   def renderNulls(df: DataFrame, nullAs: String): DataFrame =
     df.select(df.schema.fields.map { f =>
-      coalesce(col(f.name).cast("string"), lit(nullAs)).as(f.name)
+      coalesce(qcol(f.name).cast("string"), lit(nullAs)).as(f.name)
     }.toSeq: _*)
 
   /** S14: TSV sink. `single=true` reproduces the reference's one-file
@@ -44,7 +49,7 @@ object Writers {
     val spark = df.sparkSession
     import spark.implicits._
     val body = rendered.select(
-      concat_ws("\t", rendered.columns.map(col): _*).as("value"))
+      concat_ws("\t", rendered.columns.map(qcol): _*).as("value"))
     // single ordered file: the csv reader treats the first line of
     // EVERY file as the header, so header+body must share one file
     Seq(header).toDF("value").union(body).coalesce(1)
@@ -63,7 +68,7 @@ object Writers {
       .mkString("\n")
     val rendered = renderNulls(df, ".")
     val body = rendered.select(
-      concat_ws("\t", rendered.columns.map(col): _*).as("value"))
+      concat_ws("\t", rendered.columns.map(qcol): _*).as("value"))
     Seq(header).toDF("value").union(body).coalesce(1)
       .write.mode("overwrite").text(path)
   }
@@ -101,14 +106,14 @@ object Writers {
     concat_ws(",", df.schema.fields.map { f =>
       f.dataType match {
         case StringType | TimestampType | DateType =>
-          when(col(f.name).isNull, lit("NULL"))
+          when(qcol(f.name).isNull, lit("NULL"))
             .otherwise(concat(lit("'"),
-              regexp_replace(col(f.name).cast("string"), "'", "''"),
+              regexp_replace(qcol(f.name).cast("string"), "'", "''"),
               lit("'")))
         case BooleanType =>
-          when(col(f.name).isNull, lit("NULL"))
-            .otherwise(when(col(f.name), "1").otherwise("0"))
-        case _ => coalesce(col(f.name).cast("string"), lit("NULL"))
+          when(qcol(f.name).isNull, lit("NULL"))
+            .otherwise(when(qcol(f.name), "1").otherwise("0"))
+        case _ => coalesce(qcol(f.name).cast("string"), lit("NULL"))
       }
     }.toSeq: _*)
 

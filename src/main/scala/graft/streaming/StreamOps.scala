@@ -23,9 +23,11 @@ object StreamOps {
                              n: Long, firstTs: Long)
 
   /** Streaming twin of operators.Sessionize.sessionStats: per-user
-    * gap-based sessions via mapGroupsWithState. Emits the running
-    * aggregate of each user's CURRENT session every trigger (Update
-    * mode); after all input is seen the latest row per (user, session)
+    * gap-based sessions via flatMapGroupsWithState. Every batch emits
+    * (a) the FINAL aggregate of each session closed within the batch —
+    * including a session carried in state across batches and closed by
+    * a later event — and (b) the running aggregate of the user's
+    * current open session. The latest row per (user, session) always
     * equals the batch result. Events must arrive time-ordered per user
     * within a batch (the iterator is sorted here defensively).
     */
@@ -33,18 +35,24 @@ object StreamOps {
   : Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessState, SessionAgg](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (user, it, state: GroupState[SessState]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
           var s = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
           sorted.foreach { e =>
-            s = if (s.lastTs == Long.MinValue || e.ts - s.lastTs > gapNs)
-              SessState(s.sessionId + 1, e.ts, 1L, e.ts)
-            else s.copy(lastTs = e.ts, n = s.n + 1)
+            if (s.lastTs == Long.MinValue || e.ts - s.lastTs > gapNs) {
+              // close the previous session with its accumulated state
+              if (s.n > 0)
+                out += SessionAgg(user, s.sessionId, s.n, s.firstTs, s.lastTs)
+              s = SessState(s.sessionId + 1, e.ts, 1L, e.ts)
+            } else s = s.copy(lastTs = e.ts, n = s.n + 1)
           }
           state.update(s)
-          SessionAgg(user, s.sessionId, s.n, s.firstTs, s.lastTs)
+          if (s.n > 0)
+            out += SessionAgg(user, s.sessionId, s.n, s.firstTs, s.lastTs)
+          out.iterator
       }
   }
 

@@ -63,6 +63,62 @@ class FlowsSpec extends SparkSpec {
     assert(written.getAs[String]("PT2-S2") == "NA")
   }
 
+  test("CnvFlow golden files: data_cna/data_log2_cna/.seg byte-compare") {
+    // same fixture as the end-to-end test, but the assertion is on the
+    // exact BYTES of the three file products (SURVEY §5 item 2):
+    // header order, tab separation, chr-strip, NA/0 null rendering,
+    // int-vs-float formatting
+    val dir = Files.createTempDirectory("cnvflow-golden")
+    val doc1 =
+      """{"metadata": {"sample_name": "PT1-S1"}, "segments": [
+        |  {"position": {"chrom": "chr1", "start": 1000, "end": 5000, "length": 4000},
+        |   "cnv": {"log2_copy_ratio": 1.5, "cnv_supporting_points": 10,
+        |           "cnv_supporting_reads": 30, "log2_pval": 0.01,
+        |           "log2_copy_ratio_90per_ci_low": 1.0,
+        |           "log2_copy_ratio_90per_ci_high": 2.0}}]}""".stripMargin
+    val doc2 =
+      """{"metadata": {"sample_name": "PT2-S2"}, "segments": [
+        |  {"position": {"chrom": "chr1", "start": 2600, "end": 2900, "length": 300},
+        |   "cnv": {"log2_copy_ratio": -1.2, "cnv_supporting_points": 5,
+        |           "cnv_supporting_reads": 12, "log2_pval": 0.05,
+        |           "log2_copy_ratio_90per_ci_low": -1.6,
+        |           "log2_copy_ratio_90per_ci_high": -0.8}}]}""".stripMargin
+    val jsonDir = dir.resolve("json"); Files.createDirectories(jsonDir)
+    write(jsonDir, "s1.json", doc1)
+    write(jsonDir, "s2.json", doc2)
+    val gtf = write(dir, "g.gtf",
+      "chr1\tHAVANA\tgene\t2001\t3000\t.\t+\t.\tgene_id \"E1\"; gene_type \"protein_coding\"; gene_name \"TP53\";\n")
+    val manifest = Seq(
+      ("PT1-S1", "s3://b/s1.json", "s1.json", "m1", 10L),
+      ("PT2-S2", "s3://b/s2.json", "s2.json", "m2", 11L))
+      .toDF("sample_id", "s3_url", "file_name", "md5sum", "file_size")
+    val out = CnvFlow.run(spark, jsonDir.toString, gtf, manifest)
+
+    def readBack(path: String): String = {
+      val part = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.readString(part.toPath)
+    }
+    val log2Path = dir.resolve("data_log2_cna.txt").toString
+    Writers.cnaContinuous(out.log2Matrix.orderBy("Hugo_Symbol"), log2Path)
+    assert(readBack(log2Path) ==
+      "Hugo_Symbol\tPT1-S1\tPT2-S2\nTP53\t1.5\tNA\n")
+
+    val cnaPath = dir.resolve("data_cna.txt").toString
+    Writers.cnaDiscrete(out.discreteMatrix.orderBy("Hugo_Symbol"), cnaPath)
+    assert(readBack(cnaPath) ==
+      "Hugo_Symbol\tPT1-S1\tPT2-S2\nTP53\t1\t0\n")
+
+    val segPath = dir.resolve("data_cna_hg38.seg").toString
+    Writers.tsv(out.seg.orderBy(col("ID"), col("chrom"), col("`loc.start`")),
+      segPath,
+      nullAs = "", single = true)
+    assert(readBack(segPath) ==
+      "ID\tchrom\tloc.start\tloc.end\tnum.mark\tseg.mean\n" +
+        "PT1-S1\t1\t1000\t5000\t10\t1.5\n" +
+        "PT2-S2\t1\t2600\t2900\t5\t-1.2\n")
+  }
+
   test("CnvFlow.run rejects a manifest with duplicate sample ids") {
     val dir = Files.createTempDirectory("cnvflow-bad")
     val gtf = write(dir, "g.gtf", "chr1\tx\tgene\t1\t10\t.\t+\t.\tgene_id \"E\"; gene_type \"protein_coding\"; gene_name \"G\";\n")

@@ -39,6 +39,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: session closed by a later batch emits its FINAL aggregate") {
+    // the mapGroupsWithState form lost this: batch1 e@0; batch2 grows
+    // the session (e@10) AND closes it (e@50 starts session 2) in the
+    // same batch -> session 1's final row must show n=2, not n=1
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionizeStream(input.toDS(), gapNs = 30 * M)
+      .writeStream.format("memory").queryName("sess_close")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(7L, 0 * M, 1L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(7L, 10 * M, 2L, "click", 1.0),
+        Event(7L, 50 * M, 3L, "click", 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("sess_close")
+        .groupBy("user_id", "session_id")
+        .agg(max(struct("n_events", "t_start", "t_end")).as("s"))
+        .select(col("session_id"), col("s.n_events"),
+          col("s.t_start"), col("s.t_end"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(latest == Set(
+        (1L, 2L, 0L, 10 * M),          // closed with BOTH events
+        (2L, 1L, 50 * M, 50 * M)))
+    } finally q.stop()
+  }
+
   test("hourlyCounts: windowed streaming agg matches batch grouping") {
     implicit val sqlCtx = spark.sqlContext
     val H = 3600L * 1000000000L

@@ -73,6 +73,29 @@ class WritersSpec extends SparkSpec {
     assert(stripped == text.length - 2)
   }
 
+  test("annotator close() fires when the iterator is abandoned mid-stream") {
+    WritersSpec.probeOpens.set(0)
+    WritersSpec.probeCloses.set(0)
+    class Probe extends Annotator {
+      def annotate(c: String, p: Long, r: String, a: String) =
+        ("G", "Missense_Mutation", "SUCCESS")
+      override def open(): Unit = { WritersSpec.probeOpens.incrementAndGet(); () }
+      override def close(): Unit = { WritersSpec.probeCloses.incrementAndGet(); () }
+    }
+    val df = (1L to 200L).map(i => ("chr1", i, "A", "T"))
+      .toDF("CHROM", "POS", "REF", "ALT").repartition(2)
+    // limit(1) abandons the partition iterator after one row — the
+    // old exhaustion-based close never fired here
+    val one = Annotate.withAnnotations(df, new Probe).limit(1).collect()
+    assert(one.length == 1)
+    // task-completion listeners run at task end; poll briefly
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (WritersSpec.probeCloses.get() < WritersSpec.probeOpens.get() &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    val (o, c) = (WritersSpec.probeOpens.get(), WritersSpec.probeCloses.get())
+    assert(o >= 1 && c == o, s"opens=$o closes=$c")
+  }
+
   test("annotator retry: transient failures retried, terminal gives FAILED") {
     // fails twice for chr1 then succeeds; always fails for chr9
     class Flaky extends Annotator {
@@ -94,4 +117,11 @@ class WritersSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == Map("chr1" -> "SUCCESS", "chr9" -> "FAILED"))
   }
+}
+
+object WritersSpec {
+  // static probes: local-mode executors share the JVM, so task-side
+  // lifecycle hooks are observable here
+  val probeOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val probeCloses = new java.util.concurrent.atomic.AtomicInteger(0)
 }
