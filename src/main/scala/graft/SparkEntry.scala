@@ -296,6 +296,12 @@ object SparkEntry {
         Similarity.srpBucket(col("embedding").cast("array<double>"),
           planes = 8, dim = 64).as("bucket"))),
 
+    // full SRP-bucketed ANN path: bucket -> in-bucket exact re-rank
+    "q_s_lshpairs" -> ((s, d) =>
+      Similarity.lshBucketed(
+        t(s, d, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", minCos = 0.2)),
+
     // ---- §2.4 distincts ----
     "q_a3_distinct" -> ((s, d) =>
       t(s, d, "events").select("event_type").distinct()),
@@ -420,6 +426,11 @@ object SparkEntry {
     "list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END)"
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform($a, (x, i) -> x * $b[i]))"
+  /** SRP bucket over a DOUBLE[] column — mirrors Similarity.srpBucket. */
+  private def srpBucketSql(v: String): String =
+    (0 until 8).map(p =>
+      s"(CASE WHEN list_sum(list_transform($v, (x, i) -> x * (((($p * 64 + (i - 1)) * 2654435761) % 1009) - 504))) > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
@@ -551,11 +562,11 @@ object SparkEntry {
     "q_s_threshold" ->
       s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id) SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2",
 
-    "q_s_lsh" -> {
-      val bucket = (0 until 8).map(p =>
-        s"(CASE WHEN list_sum(list_transform(v, (x, i) -> x * (((($p * 64 + (i - 1)) * 2654435761) % 1009) - 504))) > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
-      s"SELECT vec_id, $bucket AS bucket FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
-    },
+    "q_s_lsh" ->
+      s"SELECT vec_id, ${srpBucketSql("v")} AS bucket FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+
+    "q_s_lshpairs" ->
+      s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cosSql("a.v", "c.v")} AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2",
 
     "q_m_binary" ->
       s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents",

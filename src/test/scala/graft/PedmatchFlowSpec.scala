@@ -155,6 +155,62 @@ class PedmatchFlowSpec extends SparkSpec {
     assert(got(5L) == (null, null))
   }
 
+  test("ClinicalMergeFlow end-to-end: prep -> annotation payload -> extract -> megaMAF") {
+    // mci:301 composed: clinical filter/prep, annotation consequence
+    // arrays (the Genome Nexus response shape), F16 extraction, A5c
+    // merge where clinical rows beat the cumulative megaMAF
+    val clinical = Seq(
+      ("s1", "BRAF", "chr7", 140753336L, "A", "T",
+        "p.V600E", "c.1799T>A", "Somatic", "Present", "panelA", "Pathogenic"),
+      ("s2", "KRAS", "chr12", 25245351L, "C", "G",
+        "Not Reported", "c.35delAAA", "Somatic", "Present", "panelA", "Benign"),
+      ("s3", "GERM", "chrX", 5L, "G", "A",
+        "p.X1Y", "c.1A>G", "Germline", "Present", "panelA", "Benign"))
+      .toDF("Tumor_Sample_Barcode", "gene_symbol", "chromosome",
+        "Start_Position", "Reference_Allele", "Tumor_Seq_Allele2",
+        "hgvs_protein", "hgvs_coding", "genomic_source_category",
+        "status", "test", "reported_significance")
+    val prepped = ClinicalMergeFlow.prepClinical(clinical, Seq("panelA"))
+
+    // annotation payload per row: protein consequence for s1 (matched
+    // by containment), del-truncated coding consequence for s2
+    // (matched only via the first-marker truncation stage)
+    val consType = "array<struct<hgvsp:string,hgvsc:string," +
+      "hgvspShort:string,variantClassification:string>>"
+    val withPayload = prepped
+      .withColumn("transcriptConsequences", array(struct(
+        concat(lit("NP_1:"), col("hgvs_protein")).as("hgvsp"),
+        concat(org.apache.spark.sql.functions.substring_index(
+          col("hgvs_coding"), "del", 1), lit("del")).as("hgvsc"),
+        concat(lit("p.Short_"), col("gene_symbol")).as("hgvspShort"),
+        lit("Missense_Mutation").as("variantClassification"))))
+      .withColumn("transcriptConsequenceSummaries",
+        array().cast(consType))
+    val extracted = ClinicalMergeFlow.extractAnnotations(withPayload)
+      .withColumn("Chromosome", col("chromosome"))
+    assert(extracted.select("gene_symbol", "hgvs_short")
+      .as[(String, String)].collect().toMap ==
+      Map("BRAF" -> "p.Short_BRAF", "KRAS" -> "p.Short_KRAS"))
+
+    // cumulative megaMAF: same BRAF variant annotated long ago with no
+    // significance (loses), plus an untouched historical row (kept)
+    val existing = Seq(
+      ("s1", "7", 140753336L, "A", "T", "Not Reported", "old_braf"),
+      ("s9", "9", 1L, "G", "C", "Pathogenic", "old_keeper"))
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+        "Reference_Allele", "Tumor_Seq_Allele2",
+        "reported_significance", "hgvs_short")
+    val merged = ClinicalMergeFlow.mergeMegaMaf(
+      existing,
+      extracted.select("Tumor_Sample_Barcode", "Chromosome",
+        "Start_Position", "Reference_Allele", "Tumor_Seq_Allele2",
+        "reported_significance", "hgvs_short"),
+      variantKey = Seq("Chromosome", "Start_Position",
+        "Reference_Allele", "Tumor_Seq_Allele2"))
+    val got = merged.select("hgvs_short").as[String].collect().toSet
+    assert(got == Set("p.Short_BRAF", "p.Short_KRAS", "old_keeper"))
+  }
+
   test("DbCounter.reconcile flags mismatches") {
     val dump = Seq(("patient", 3L, 100L), ("sample", 2L, 50L))
       .toDF("table_name", "column_count", "row_count")

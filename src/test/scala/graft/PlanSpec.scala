@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Plan-quality assertions — the properties `.explain` audits by eye,
+  * pinned as tests so a refactor can't silently regress them:
+  * signature sharing, broadcast choice, parquet pushdown/pruning. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("LSH plan computes the minhash signature ONCE per row") {
+    // a real scan, not a LocalRelation — local input would be
+    // constant-folded and the expression wouldn't survive to the plan
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Dedup.minhashLshCandidates(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3)
+      .pairs.queryExecution.optimizedPlan.toString
+    // one kernel call in the whole plan: the banding projection reads
+    // the bound signature column, never re-derives it per band/perm
+    assert(count(plan, "graft_minhash_sig") == 1, plan)
+  }
+
+  test("jaccard plan builds token hashes in their own projection (no inlining)") {
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val plan = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", 3)
+      .queryExecution.optimizedPlan.toString
+    // tokenization (split+xxhash) appears once per join side, not once
+    // per element_at reference inside the shingle transform
+    assert(count(plan, "split(lower(text") <= 2, plan)
+  }
+
+  test("VAF lookup join broadcasts the small side") {
+    val maf = (1L to 100L).map(i => (i.toString, i, "x"))
+      .toDF("Chromosome", "Start_Position", "payload")
+    val af = Seq(("1", 1, "0.5")).toDF("Chromosome", "Start_Position", "AF")
+    val plan = graft.operators.VariantOps.addVaf(maf, af)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("parquet scan: filter pushed down, columns pruned") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val q = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      formatted)
+    // ReadSchema carries only the referenced columns, not all 16
+    val read = formatted.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity") &&
+      !read.contains("l_extendedprice"), read)
+  }
+
+  test("IVF assignment broadcasts centroids (no shuffle of the corpus)") {
+    val emb = (1L to 50L).map(i =>
+      (i, Array.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+    val plan = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+}
