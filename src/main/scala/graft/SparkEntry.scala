@@ -270,6 +270,14 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TF.simhash(col("text"), 8).as("simhash"))),
 
+    // 32-bit signatures: 8-bit blocks give 256 bucket values per
+    // block, keeping in-bucket pairing subquadratic (16-bit/4-bit
+    // blocks measured 84 s at sf0.1 — bucket-space sizing IS the
+    // scale knob here)
+    "q_d_simdup" -> ((s, d) =>
+      Dedup.simhashNearDups(t(s, d, "documents"), "text", "doc_id",
+        bits = 32, maxHamming = 3)),
+
     "q_d_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = docs.select(col("doc_id").as("id_a"),
@@ -426,6 +434,13 @@ object SparkEntry {
     "list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END)"
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform($a, (x, i) -> x * $b[i]))"
+  /** SimHash over a token-hash list column `hs` — mirrors
+    * TextFns.simhash bit votes. */
+  private def simhashSql(bits: Int): String =
+    (0 until bits).map(j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
   /** SRP bucket over a DOUBLE[] column — mirrors Similarity.srpBucket. */
   private def srpBucketSql(v: String): String =
     (0 until 8).map(p =>
@@ -547,11 +562,19 @@ object SparkEntry {
       s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), d AS (SELECT doc_id, $shinglesSql AS sh FROM t) SELECT doc_id, $mh FROM d"
     },
 
-    "q_d_simhash" -> {
-      val bits = (0 until 8).map(j =>
-        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"WITH t AS (SELECT doc_id, list_transform($toksSql, x -> ${h60Sql("x")}) AS hs FROM documents) SELECT doc_id, $bits AS simhash FROM t"
-    },
+    "q_d_simhash" ->
+      s"WITH t AS (SELECT doc_id, list_transform($toksSql, x -> ${h60Sql("x")}) AS hs FROM documents) SELECT doc_id, ${simhashSql(8)} AS simhash FROM t",
+
+    // brute-force oracle validates that block banding is EXACT for
+    // hamming <= maxHamming (pigeonhole recall guarantee)
+    "q_d_simdup" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($toksSql, x -> ${h60Sql("x")}) AS hs FROM documents),
+         |s AS (SELECT doc_id, ${simhashSql(32)} AS sig FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  list_sum(list_transform(range(0, 32), j -> CASE WHEN ((a.sig >> j) & 1) <> ((b.sig >> j) & 1) THEN 1 ELSE 0 END)) AS hamming
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming::BIGINT AS hamming FROM p WHERE hamming <= 3
+         |""".stripMargin,
 
     "q_d_jaccard" ->
       s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), d AS (SELECT doc_id, $shinglesSql AS sh FROM t) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard FROM d a JOIN d b ON b.doc_id = a.doc_id + 1",

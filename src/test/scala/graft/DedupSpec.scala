@@ -102,6 +102,29 @@ class DedupSpec extends SparkSpec {
     assert(res.pairs.count() == 0 && res.droppedBuckets.count() == 0)
   }
 
+  test("simhashNearDups: banding is exact vs brute-force hamming") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashNearDups(docs, "text", "doc_id",
+      bits = 16, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the same signatures
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.TextFns.simhash(col("text"), 16).as("s"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // fixture actually exercises the path
+  }
+
   test("dupClusters: matches brute-force components on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
