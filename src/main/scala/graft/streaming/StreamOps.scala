@@ -56,6 +56,25 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of operators.Dedup.exactByContent: keep the
+    * first-seen row per content hash, dropping duplicates ACROSS
+    * batches (state = one hash per distinct document). For bounded
+    * state on unbounded streams pass `watermark = Some(eventTimeCol ->
+    * delay)` — duplicates are then only suppressed within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`), the standard
+    * trade on infinite corpora. */
+  def exactDedupStream(df: DataFrame, textCol: String,
+                       watermark: Option[(String, String)] = None)
+  : DataFrame = {
+    val hashed = df.withColumn("content_hash", md5(col(textCol)))
+    watermark match {
+      case Some((timeCol, delay)) =>
+        hashed.withWatermark(timeCol, delay)
+          .dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
   /** Streaming tumbling-window counts with a watermark — the
     * incremental form of the q_e_hourly batch query. */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours")

@@ -67,6 +67,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactDedupStream: duplicates dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.exactDedupStream(
+      input.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "same text"), (2L, "same text"), (3L, "other"))
+      q.processAllAvailable()
+      input.addData((4L, "same text"), (5L, "brand new")) // 4 is a cross-batch dup
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      // which of the two same-batch duplicates survives is arbitrary;
+      // the cross-batch duplicate (4) must never appear
+      assert(kept.intersect(Set(1L, 2L)).size == 1 &&
+        kept.contains(3L) && kept.contains(5L) && !kept.contains(4L) &&
+        kept.size == 3, kept.toString)
+    } finally q.stop()
+  }
+
   test("hourlyCounts: windowed streaming agg matches batch grouping") {
     implicit val sqlCtx = spark.sqlContext
     val H = 3600L * 1000000000L
