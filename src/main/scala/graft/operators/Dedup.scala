@@ -256,6 +256,20 @@ object Dedup {
     if (exact) Similarity.thresholdPairs(df, idCol, vecCol, minCos)
     else Similarity.lshBucketed(df, idCol, vecCol, minCos)
 
+  /** End-to-end SEMANTIC dedup (the embedding twin of `dedupByLsh`):
+    * near-dup pairs above `minCos` → connected components → keep the
+    * min-id representative per cluster. `exact = false` routes through
+    * the SRP-bucketed ANN — the 100 TB path (bucket join instead of
+    * all-pairs; recall bounded by the plane count). */
+  def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                       minCos: Double, exact: Boolean = true): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, minCos, exact)
+      .select("id_a", "id_b")
+    val drop = dupClusters(pairs).filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Hashed shingle-set frame `(__id, __set)` — the one-time build
     * that Jaccard scoring reuses. Two projections so tokenization runs
     * once and the n `element_at` shingle reads hit a bound column

@@ -151,6 +151,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupByEmbedding: near-identical vectors collapse to one representative") {
+    def vec(base: Double, jitter: Double): Array[Double] =
+      Array.tabulate(8)(i => base + i + jitter)
+    val docs = Seq(
+      (1L, vec(1.0, 0.0)), (2L, vec(1.0, 0.001)), (7L, vec(1.0, -0.001)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -5.0)))
+      .toDF("vec_id", "embedding")
+    for (exact <- Seq(true, false)) {
+      val kept = Dedup.dedupByEmbedding(docs, "vec_id", "embedding",
+        minCos = 0.9999, exact = exact)
+        .select("vec_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"exact=$exact")
+    }
+  }
+
   test("ngramJaccard: identical=1, disjoint=0") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
