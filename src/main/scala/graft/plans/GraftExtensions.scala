@@ -22,5 +22,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    // text kernels: int literals for k / shingle size / bits
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinhashSignature(children(0),
+        intArg(children, 1, "numHashes"), intArg(children, 2, "shingleSize"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash(children(0),
+        intArg(children, 1, "bits"))))
   }
+
+  private def intArg(children: Seq[Expression], i: Int, name: String): Int =
+    children(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer literal, got $other")
+    }
 }

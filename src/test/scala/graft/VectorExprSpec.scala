@@ -36,6 +36,32 @@ class VectorExprSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("graft_simhash / graft_minhash_sig register on the SQL surface") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.plans.SimHash].getName, "graft_simhash"),
+      (c: Seq[Expression]) => graft.plans.SimHash(c(0),
+        c(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    reg.registerFunction(new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[graft.plans.MinhashSignature].getName,
+        "graft_minhash_sig"),
+      (c: Seq[Expression]) => graft.plans.MinhashSignature(c(0),
+        c(1).asInstanceOf[Literal].value.asInstanceOf[Int],
+        c(2).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    // SQL results equal the Column-API kernels
+    val sql = spark.sql(
+      "SELECT graft_simhash('a b c', 8) AS s, graft_minhash_sig('a b c d', 4, 3) AS m")
+      .collect().head
+    val api = Seq("x").toDF("ignore").select(
+      graft.functions.TextFns.simhash(lit("a b c"), 8).as("s"),
+      graft.functions.TextFns.minhashSignatureNative(lit("a b c d"), 4, 3).as("m"))
+      .collect().head
+    assert(sql.getLong(0) == api.getLong(0))
+    assert(sql.getSeq[Long](1) == api.getSeq[Long](1))
+  }
+
   test("IVF: nProbe=k equals brute force; nProbe=1 stays within probed buckets") {
     val rng = new scala.util.Random(11)
     val df = (1 to 200).map(i =>
