@@ -43,7 +43,9 @@ object PedmatchFlow {
         .withColumn("annot", ColumnFns.infoField(col("INFO"), "ANNOTATION"))
         .withColumn("reads",
           ColumnFns.infoField(col("INFO"), "READ_COUNT").cast("long"))
-    val pairCols = Seq("gene", "exon", "CHROM", "POS")
+    // annot/reads ride in the pairing too: the SV row takes them from
+    // the SECOND breakpoint (pedmatch:144,148)
+    val pairCols = Seq("gene", "exon", "annot", "reads", "CHROM", "POS")
     val tumorPairs = VariantOps.pairBreakpoints(
       prep(tumorVcf), "FUSION_ID", orderCol, pairCols)
     val normalPairs = VariantOps.pairBreakpoints(
@@ -51,6 +53,32 @@ object PedmatchFlow {
     VariantOps.subtractGermline(tumorPairs, normalPairs,
       keys = Seq("site1_gene", "site2_gene", "site1_POS", "site2_POS"))
   }
+
+  /** pedmatch:131-150: the cBio SV projection of a paired-fusion
+    * frame — constants (SOMATIC/GRCh37/Fusion/Oncomine/No/Yes) and the
+    * second breakpoint's annotation + read count, exactly as the
+    * reference builds each row dict. */
+  def toSv(fusionPairs: DataFrame,
+           sampleId: org.apache.spark.sql.Column): DataFrame =
+    fusionPairs.select(
+      sampleId.as("Sample_Id"),
+      lit("SOMATIC").as("SV_Status"),
+      col("site1_gene").as("Site1_Hugo_Symbol"),
+      col("site1_exon").as("Site1_Region_Number"),
+      col("site2_gene").as("Site2_Hugo_Symbol"),
+      col("site2_exon").as("Site2_Region_Number"),
+      lit("GRCh37").as("NCBI_Build"),
+      lit("Fusion").as("Class"),
+      lit("Oncomine").as("Method"),
+      col("FUSION_ID").as("Event_Info"),
+      col("site2_annot").as("Annotation"),
+      lit("No").as("DNA_Support"),
+      lit("Yes").as("RNA_Support"),
+      col("site2_reads").as("Tumor_Read_Count"),
+      col("site1_CHROM").as("Site1_Chromosome"),
+      col("site1_POS").as("Site1_Position"),
+      col("site2_CHROM").as("Site2_Chromosome"),
+      col("site2_POS").as("Site2_Position"))
 
   /** pedmatch:197-205,289-308: copy-number rows: Amplification/KI2
     * filters, NUMTILES/END/RAW_CN extracts, log2+GISTIC calls, somatic

@@ -305,21 +305,35 @@ object Dedup {
           .otherwise(col("inter").cast("double") / col("union")))
       .drop("set_a", "set_b")
 
+  /** `dedupByLsh` result: the deduplicated docs plus the oversize-
+    * bucket accounting from the candidate stage (recall loss is a
+    * caller-visible fact, end to end — not just in the pair stage). */
+  final case class DedupResult(deduped: DataFrame, droppedBuckets: DataFrame)
+
   /** End-to-end near-dup removal: MinHash-LSH candidates → Jaccard
     * confirmation ≥ `minJaccard` → connected components → keep the
-    * min-id representative of each cluster. Returns the deduplicated
-    * docs frame. */
-  def dedupByLsh(docs: DataFrame, textCol: String, idCol: String,
-                 numHashes: Int = 16, bands: Int = 4,
-                 shingleSize: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val candidates = minhashLshPairs(docs, textCol, idCol,
-      numHashes, bands, shingleSize)
-    val confirmed = ngramJaccard(candidates, docs, textCol, idCol, shingleSize)
+    * min-id representative of each cluster. */
+  def dedupByLshChecked(docs: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        shingleSize: Int = 3, minJaccard: Double = 0.8,
+                        maxBucket: Int = 1000): DedupResult = {
+    val candidates = minhashLshCandidates(docs, textCol, idCol,
+      numHashes, bands, shingleSize, maxBucket)
+    val confirmed = ngramJaccard(candidates.pairs, docs, textCol, idCol,
+      shingleSize)
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b")
     val clusters = dupClusters(confirmed)
     val drop = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    docs.join(drop, Seq(idCol), "left_anti")
+    DedupResult(docs.join(drop, Seq(idCol), "left_anti"),
+      candidates.droppedBuckets)
   }
+
+  /** Deduplicated-docs-only view of `dedupByLshChecked`. */
+  def dedupByLsh(docs: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 shingleSize: Int = 3, minJaccard: Double = 0.8): DataFrame =
+    dedupByLshChecked(docs, textCol, idCol, numHashes, bands,
+      shingleSize, minJaccard).deduped
 }

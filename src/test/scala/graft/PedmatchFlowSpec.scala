@@ -40,6 +40,31 @@ class PedmatchFlowSpec extends SparkSpec {
     assert(got == Set(("EWSR1", "FLI1")))
   }
 
+  test("data_sv golden: SV projection bytes (pedmatch:131-150)") {
+    val t = Seq(
+      ("chr22", 100L, "F1_1", "A", "T", "9", "PASS",
+        "SVTYPE=Fusion;GENE_NAME=EWSR1;EXON_NUM=7;ANNOTATION=x1;READ_COUNT=40", "GT", "0/1"),
+      ("chr11", 200L, "F1_2", "A", "T", "9", "PASS",
+        "SVTYPE=Fusion;GENE_NAME=FLI1;EXON_NUM=6;ANNOTATION=x2;READ_COUNT=41", "GT", "0/1"))
+      .toDF(vcfCols: _*)
+    val sv = PedmatchFlow.toSv(
+      PedmatchFlow.fusions(t, t.limit(0), orderCol = "POS"),
+      lit("PT1-S1"))
+    val dir = java.nio.file.Files.createTempDirectory("sv").toString + "/data_sv.txt"
+    graft.sources.Writers.tsv(sv.orderBy("Event_Info"), dir, single = true)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val text = java.nio.file.Files.readString(part.toPath)
+    assert(text ==
+      "Sample_Id\tSV_Status\tSite1_Hugo_Symbol\tSite1_Region_Number\t" +
+        "Site2_Hugo_Symbol\tSite2_Region_Number\tNCBI_Build\tClass\tMethod\t" +
+        "Event_Info\tAnnotation\tDNA_Support\tRNA_Support\tTumor_Read_Count\t" +
+        "Site1_Chromosome\tSite1_Position\tSite2_Chromosome\tSite2_Position\n" +
+        // Annotation/Tumor_Read_Count come from the SECOND breakpoint
+        "PT1-S1\tSOMATIC\tEWSR1\t7\tFLI1\t6\tGRCh37\tFusion\tOncomine\t" +
+        "F1\tx2\tNo\tYes\t41\tchr22\t100\tchr11\t200\n")
+  }
+
   test("somaticCnv: amplification extract + gene-level germline anti join") {
     val t = Seq(
       ("chr8", 1L, "c1", "A", "<CNV>", "9", "PASS",
