@@ -117,11 +117,13 @@ object TextFns {
     }.reduce(_ + _)
   }
 
-  /** Hamming distance between two simhash signatures (<= 32 bits). */
+  /** Hamming distance between two simhash signatures: one
+    * `bit_count(xor)` intrinsic (Long.bitCount in codegen) instead of
+    * a per-bit shift chain; masked to the low `bits` bits. */
   def hamming(a: Column, b: Column, bits: Int = 16): Column = {
     val x = a.bitwiseXOR(b)
-    (0 until bits).map(j =>
-      shiftright(x, j).bitwiseAND(1L)).reduce(_ + _)
+    val masked = if (bits >= 64) x else x.bitwiseAND((1L << bits) - 1)
+    bit_count(masked).cast("long")
   }
 
   /** Rolling polynomial fingerprint over tokens:

@@ -173,15 +173,18 @@ object Dedup {
     banded.groupBy("blk", "bval")
       .agg(sort_array(collect_list(col("ds"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(TextFns.pairs(col("members"))).as("p"))
-      .select(col("p._1.doc_id").as("id_a"), col("p._1.sig").as("sig_a"),
-        col("p._2.doc_id").as("id_b"), col("p._2.sig").as("sig_b"))
-      // a close pair shares several blocks -> dedupe before confirming
-      .groupBy("id_a", "id_b")
-      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
-      .withColumn("hamming", TextFns.hamming(col("sig_a"), col("sig_b"), bits))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      // hamming check INSIDE the bucket kernel (graft.plans
+      // .HammingPairs — compiled nested loop, one Long.bitCount per
+      // candidate): the possibly-huge candidate set never exists as
+      // rows; only close pairs leave the bucket
+      .select(explode({
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(graft.plans.HammingPairs(
+          ColumnBridge.expression(col("members")), maxHamming))
+      }).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      // a close pair shares several blocks -> one row per pair
+      .distinct()
   }
 
   /** Duplicate-cluster resolution: candidate pairs → connected

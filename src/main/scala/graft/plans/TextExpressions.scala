@@ -91,6 +91,36 @@ object TextKernels {
     sig
   }
 
+  /** All pairs within `maxHamming` popcount distance from a
+    * (doc_id, sig) member array — compiled nested loop, survivors
+    * only. */
+  def hammingPairs(members: ArrayData, maxHamming: Int): ArrayData = {
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        if (h <= maxHamming)
+          out += new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](ids(i), ids(j), h.toLong))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** k-permutation minhash signature over n-token shingles; null when
     * the document has fewer than n tokens. */
   def minhashSignature(text: UTF8String, k: Int, n: Int): ArrayData = {
@@ -131,6 +161,43 @@ object TextKernels {
     }
     new GenericArrayData(mins)
   }
+}
+
+/** `graft_hamming_pairs(members, maxHamming)` over an
+  * array<struct<doc_id:long, sig:long>>: all (i, j) pairs with
+  * popcount(sig_i ^ sig_j) <= maxHamming, as
+  * array<struct<id_a, id_b, hamming>>. Compiled double loop + one
+  * Long.bitCount per candidate — the interpreted HOF equivalent
+  * (filter(pairs(...), hamming <= k)) allocates a lambda frame and a
+  * struct per candidate; this emits only survivors. Input order is
+  * preserved (callers pass a sorted member list so id_a < id_b). */
+case class HammingPairs(child: Expression, maxHamming: Int)
+  extends UnaryExpression {
+
+  private val elemType = new org.apache.spark.sql.types.StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+    .add("hamming", LongType, nullable = false)
+  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+  override def prettyName: String = "graft_hamming_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+      if s.length == 2 && s.fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<long,long>>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.hammingPairs(input.asInstanceOf[ArrayData], maxHamming)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.hammingPairs($c, $maxHamming)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `graft_simhash(text, bits)` → long: bit j of the signature is set
