@@ -259,6 +259,22 @@ object Dedup {
     if (exact) Similarity.thresholdPairs(df, idCol, vecCol, minCos)
     else Similarity.lshBucketed(df, idCol, vecCol, minCos)
 
+  /** End-to-end SimHash dedup (the third leg next to `dedupByLsh` and
+    * `dedupByEmbedding`): near-dup pairs within `maxHamming` →
+    * connected components → keep the min-id representative. SimHash
+    * trades MinHash's Jaccard estimate for one 64-bit signature per
+    * doc and an exact banding guarantee — the cheapest near-dup pass
+    * at corpus scale. */
+  def dedupBySimhash(docs: DataFrame, textCol: String, idCol: String,
+                     bits: Int = 32, maxHamming: Int = 3,
+                     maxBucket: Int = 10000): DataFrame = {
+    val pairs = simhashNearDups(docs, textCol, idCol, bits, maxHamming,
+      maxBucket).select("id_a", "id_b")
+    val drop = dupClusters(pairs).filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end SEMANTIC dedup (the embedding twin of `dedupByLsh`):
     * near-dup pairs above `minCos` → connected components → keep the
     * min-id representative per cluster. `exact = false` routes through

@@ -151,6 +151,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupBySimhash: exact-dup texts collapse, distinct texts survive") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (4L, base), (9L, base),  // hamming 0 cluster
+      (2L, "completely different text about spark engines and scale systems"),
+      (3L, "another unrelated document with its own distinct vocabulary set"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupBySimhash(docs, "text", "doc_id",
+      bits = 32, maxHamming = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(4L) && !kept.contains(9L))
+    assert(kept.contains(2L) && kept.contains(3L))
+  }
+
   test("dedupByEmbedding: near-identical vectors collapse to one representative") {
     def vec(base: Double, jitter: Double): Array[Double] =
       Array.tabulate(8)(i => base + i + jitter)
