@@ -72,7 +72,7 @@ object Dedup {
                        numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
     df.withColumn("__sig",
         TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize))
-      .select(df.columns.map(col) ++ (0 until numHashes).map(i =>
+      .select(df.columns.toSeq.map(col) ++ (0 until numHashes).map(i =>
         col("__sig").getItem(i).as(s"mh_$i")): _*)
 
   /** MinHash-LSH result: candidate pairs plus the oversize-bucket

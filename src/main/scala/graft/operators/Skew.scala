@@ -36,7 +36,7 @@ object Skew {
       s"saltedJoin: joinType '$joinType' would emit duplicate rows for " +
         "unmatched rows of the replicated side; use inner/left/semi/anti")
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(numSalts))
+      pmod(xxhash64(struct(skewed.columns.toSeq.map(col): _*)), lit(numSalts))
         .cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))

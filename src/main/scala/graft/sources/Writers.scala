@@ -49,7 +49,7 @@ object Writers {
     val spark = df.sparkSession
     import spark.implicits._
     val body = rendered.select(
-      concat_ws("\t", rendered.columns.map(qcol): _*).as("value"))
+      concat_ws("\t", rendered.columns.toSeq.map(qcol): _*).as("value"))
     // single ordered file: the csv reader treats the first line of
     // EVERY file as the header, so header+body must share one file
     Seq(header).toDF("value").union(body).coalesce(1)
@@ -68,7 +68,7 @@ object Writers {
       .mkString("\n")
     val rendered = renderNulls(df, ".")
     val body = rendered.select(
-      concat_ws("\t", rendered.columns.map(qcol): _*).as("value"))
+      concat_ws("\t", rendered.columns.toSeq.map(qcol): _*).as("value"))
     Seq(header).toDF("value").union(body).coalesce(1)
       .write.mode("overwrite").text(path)
   }
