@@ -180,6 +180,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("100TB path: shingle sets materialized to bucketed storage feed Jaccard") {
+    // the documented scale shape (shingleSets scaladoc): build the
+    // hashed set frame ONCE, write it bucketed by id, score candidate
+    // pairs from storage — shingling never reruns per scoring pass
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
+    val path = java.nio.file.Files.createTempDirectory("sets").toString
+    graft.sources.Storage.writeBucketed(sets, "shingle_sets",
+      path + "/tbl", bucketKeys = Seq("__id"), buckets = 4)
+    try {
+      val stored = graft.sources.Storage.table(spark, "shingle_sets")
+      val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+      val got = Dedup.ngramJaccardOnSets(pairs, stored)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 2L, 1.0), (1L, 3L, 0.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS shingle_sets")
+  }
+
   test("ngramJaccard: identical=1, disjoint=0") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))

@@ -68,6 +68,32 @@ class TextKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("property: native kernels == HOF chains on random strings") {
+    import org.scalacheck.Gen
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("Ünï", "tök", "ärger", "ΔΘΩ", "дом", "空", "a-b.c", "..", "42"))
+    val docGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(n, Gen.oneOf(" ", "  ", "\t", " \n"))
+    } yield toks.zip(seps).map { case (t, s) => t + s }.mkString
+    val samples = Gen.listOfN(120, docGen)
+      .apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(42L)).get
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val cmp = df.select(col("id"),
+      TextFns.minhashPerm(TextFns.shingleHashes(col("text"), 2), 1).as("mh_hof"),
+      TextFns.minhashSignatureNative(col("text"), 4, 2).getItem(1).as("mh_nat"),
+      TextFns.simhashHof(col("text"), 12).as("sh_hof"),
+      TextFns.simhash(col("text"), 12).as("sh_nat")).collect()
+    cmp.foreach { r =>
+      assert(r.getAs[Any]("mh_hof") == r.getAs[Any]("mh_nat"), s"minhash id=${r.getLong(0)}")
+      assert(r.getAs[Any]("sh_hof") == r.getAs[Any]("sh_nat"), s"simhash id=${r.getLong(0)}")
+    }
+  }
+
   test("hashed shingle sets: two-stage tokenHashes64 path preserves set size") {
     // cardinality structure (not values) is the contract: distinct
     // shingle strings <-> distinct hash triples
