@@ -89,6 +89,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactDedupStream with watermark: bounded state still dedups in-horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val src = input.toDF().toDF("doc_id", "ts_ms", "text")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    val q = StreamOps.exactDedupStream(src, "text",
+      watermark = Some("event_time" -> "10 minutes"))
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 0L, "same"), (2L, 1000L, "same"), (3L, 2000L, "other"))
+      q.processAllAvailable()
+      input.addData((4L, 3000L, "same")) // in-horizon duplicate: dropped
+      q.processAllAvailable()
+      val kept = spark.table("dedup_wm")
+        .select("doc_id").as[Long].collect().toSet
+      assert(!kept.contains(4L) && kept.contains(3L) && kept.size == 2,
+        kept.toString)
+    } finally q.stop()
+  }
+
   test("hourlyCounts: windowed streaming agg matches batch grouping") {
     implicit val sqlCtx = spark.sqlContext
     val H = 3600L * 1000000000L
