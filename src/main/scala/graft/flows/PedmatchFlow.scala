@@ -34,10 +34,14 @@ object PedmatchFlow {
     * pairing in explicit `orderCol` order → germline subtraction on
     * the 4-col key. */
   def fusions(tumorVcf: DataFrame, normalVcf: DataFrame,
-              orderCol: String): DataFrame = {
+              orderCol: String, keyCols: Seq[String] = Nil): DataFrame = {
     def prep(vcf: DataFrame): DataFrame =
       vcf.filter(col("INFO").contains("SVTYPE=Fusion"))
         .withColumn("FUSION_ID", ColumnFns.splitIdx(col("ID"), "_", 0))
+        // grouping key: (patient..., fusion id) in multi-patient
+        // frames — fusion ids repeat across patients
+        .withColumn("__pfid", concat_ws("#",
+          (keyCols.map(col) :+ col("FUSION_ID")): _*))
         .withColumn("gene", ColumnFns.infoField(col("INFO"), "GENE_NAME"))
         .withColumn("exon", ColumnFns.infoField(col("INFO"), "EXON_NUM"))
         .withColumn("annot", ColumnFns.infoField(col("INFO"), "ANNOTATION"))
@@ -47,11 +51,13 @@ object PedmatchFlow {
     // the SECOND breakpoint (pedmatch:144,148)
     val pairCols = Seq("gene", "exon", "annot", "reads", "CHROM", "POS")
     val tumorPairs = VariantOps.pairBreakpoints(
-      prep(tumorVcf), "FUSION_ID", orderCol, pairCols)
+      prep(tumorVcf), "__pfid", orderCol, pairCols)
     val normalPairs = VariantOps.pairBreakpoints(
-      prep(normalVcf), "FUSION_ID", orderCol, pairCols)
+      prep(normalVcf), "__pfid", orderCol, pairCols)
     VariantOps.subtractGermline(tumorPairs, normalPairs,
-      keys = Seq("site1_gene", "site2_gene", "site1_POS", "site2_POS"))
+      keys = keyCols ++ Seq("site1_gene", "site2_gene",
+        "site1_POS", "site2_POS"))
+      .drop("__pfid")
   }
 
   /** pedmatch:131-150: the cBio SV projection of a paired-fusion
@@ -83,7 +89,8 @@ object PedmatchFlow {
   /** pedmatch:197-205,289-308: copy-number rows: Amplification/KI2
     * filters, NUMTILES/END/RAW_CN extracts, log2+GISTIC calls, somatic
     * = tumor genes absent from normal (J5). */
-  def somaticCnv(tumorVcf: DataFrame, normalVcf: DataFrame): DataFrame = {
+  def somaticCnv(tumorVcf: DataFrame, normalVcf: DataFrame,
+                 keyCols: Seq[String] = Nil): DataFrame = {
     def prep(vcf: DataFrame): DataFrame =
       vcf.filter(col("INFO").contains("Amplification") &&
           !col("CHROM").contains("KI2"))
@@ -94,23 +101,60 @@ object PedmatchFlow {
         .withColumn("raw_cn",
           ColumnFns.infoField(col("INFO"), "RAW_CN").cast("double"))
     val calls = VariantOps.copyNumberCalls(prep(tumorVcf), "raw_cn")
-    VariantOps.subtractGermlineByGene(calls, prep(normalVcf))
+    VariantOps.subtractGermline(calls, prep(normalVcf),
+      keys = keyCols :+ "Hugo_Symbol")
   }
 
   /** pedmatch:312-448: somatic SNVs: FT injection, tumor/normal merge,
     * multiallelic split, somatic filter, FORMAT extracts. */
   def somaticSnvs(tumorVcf: DataFrame, normalVcf: DataFrame,
-                  tumorSample: String, normalSample: String): DataFrame = {
+                  tumorSample: String, normalSample: String,
+                  keyCols: Seq[String] = Nil): DataFrame = {
     def prep(vcf: DataFrame, sample: String): DataFrame =
       VariantOps.injectFt(
           VariantOps.splitMultiallelic(vcf, renumberSamples = Seq(sample)),
           sample)
         .withColumnRenamed(sample, "SAMPLE")
     val merged = VariantOps.mergeTumorNormal(
-      prep(tumorVcf, tumorSample), prep(normalVcf, normalSample), "SAMPLE")
+      prep(tumorVcf, tumorSample), prep(normalVcf, normalSample), "SAMPLE",
+      extraKeys = keyCols)
     val somatic = VariantOps.somaticFilter(merged, "SAMPLE", "SAMPLE")
     VariantOps.extractGenotypeFields(
       VariantOps.extractGenotypeFields(somatic, "tumor_SAMPLE", "t_"),
       "normal_SAMPLE", "n_")
+  }
+
+  final case class Outputs(sv: DataFrame, cnvCalls: DataFrame,
+                           snvs: DataFrame, skipped: DataFrame)
+
+  /** Whole flow, ALL patients at once (SURVEY §3.2: the reference fans
+    * out one thread per patient over batches of 200; here the entire
+    * cohort is ONE set of DataFrames keyed by participant — every
+    * stage joins/windows on (participant_id, ...) so germline
+    * subtraction, tumor/normal merges and fusion pairing stay
+    * per-patient-correct with no driver loop and no per-patient
+    * plans. Scales to any cohort size the cluster scales to.)
+    *
+    * `vcfDir` holds one single-sample VCF per manifest row; rows are
+    * tagged back to the manifest by file name. */
+  def runAll(spark: SparkSession, manifest: DataFrame,
+             vcfDir: String, orderCol: String = "POS"): Outputs = {
+    import graft.sources.Readers
+    val (paired, skipped) = pairPatients(manifest)
+    val all = Readers.vcf(spark, vcfDir, Seq("SAMPLE"))
+      .withColumn("file_name", ColumnFns.basename(input_file_name()))
+    val tagged = all.join(
+      paired.select("file_name", "participant_id", "sample_type", "sample_id"),
+      Seq("file_name"))
+    val tumor = VariantOps.passOnly(
+      tagged.filter(col("sample_type") === "tissue")).drop("sample_type")
+    val normal = VariantOps.passOnly(
+      tagged.filter(col("sample_type") === "blood")).drop("sample_type")
+    val key = Seq("participant_id")
+    Outputs(
+      sv = toSv(fusions(tumor, normal, orderCol, key), col("sample_id")),
+      cnvCalls = somaticCnv(tumor, normal, key),
+      snvs = somaticSnvs(tumor, normal, "SAMPLE", "SAMPLE", key),
+      skipped = skipped)
   }
 }

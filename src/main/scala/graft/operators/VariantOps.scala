@@ -66,14 +66,19 @@ object VariantOps {
   // ---- J8: tumor/normal merge (bcftools merge -m id) ----
   /** Full-outer join on the variant key; EVERY non-key column gets a
     * tumor_/normal_ prefix, and INFO/QUAL are re-exposed unprefixed
-    * from whichever side is present (tumor wins when both). */
+    * from whichever side is present (tumor wins when both).
+    * `extraKeys` extend the join key for multi-patient frames —
+    * joining many patients' variants in ONE distributed merge keyed by
+    * (patient, variant) instead of a per-patient driver loop. */
   def mergeTumorNormal(tumor: DataFrame, normal: DataFrame,
-                       sampleCol: String): DataFrame = {
+                       sampleCol: String,
+                       extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = extraKeys ++ variantKey
     def prefixed(df: DataFrame, p: String) =
-      df.columns.filterNot(variantKey.contains)
+      df.columns.filterNot(keys.contains)
         .foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
     prefixed(tumor, "tumor_").join(prefixed(normal, "normal_"),
-        variantKey, "full")
+        keys, "full")
       .withColumn("INFO", coalesce(col("tumor_INFO"), col("normal_INFO")))
       .withColumn("QUAL", coalesce(col("tumor_QUAL"), col("normal_QUAL")))
   }

@@ -236,6 +236,62 @@ class PedmatchFlowSpec extends SparkSpec {
     assert(got == Set("p.Short_BRAF", "p.Short_KRAS", "old_keeper"))
   }
 
+  test("runAll: whole cohort in one DAG, germline subtraction stays per-patient") {
+    val dir = java.nio.file.Files.createTempDirectory("pedmatch_all")
+    val vcfDir = dir.resolve("vcf"); java.nio.file.Files.createDirectories(vcfDir)
+    def vcfFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(vcfDir.resolve(name),
+        ("##fileformat=VCFv4.2" +:
+          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS" +:
+          rows).mkString("", "\n", "\n"))
+    def fus(id: String, chrom: String, pos: Long, gene: String, exon: Int) =
+      s"$chrom\t$pos\t$id\tA\tT\t9\tPASS\tSVTYPE=Fusion;GENE_NAME=$gene;EXON_NUM=$exon;ANNOTATION=an;READ_COUNT=12\tGT\t0/1"
+    def snv(chrom: String, pos: Long, gt: String) =
+      s"$chrom\t$pos\tv$pos\tA\tT\t9\tPASS\tDP=20\tGT:X:DP\t$gt:z:20"
+    def cnv(gene: String, cn: Double) =
+      s"chr8\t1\tc_$gene\tA\t<CNV>\t9\tPASS\tSVTYPE=CNV;Amplification;GENE_NAME=$gene;NUMTILES=4;END=900;RAW_CN=$cn\tGT\t0/1"
+
+    // P1: somatic fusion EWSR1-FLI1, somatic snv (0/1 vs 0/0), somatic MYC amp
+    vcfFile("p1_t.vcf", Seq(fus("F1_1", "chr22", 100, "EWSR1", 7),
+      fus("F1_2", "chr11", 200, "FLI1", 6), snv("chr1", 100, "0/1"),
+      cnv("MYC", 8.0)))
+    vcfFile("p1_b.vcf", Seq(snv("chr1", 100, "0/0")))
+    // P2: the SAME fusion + amp, but germline (present in blood), snv
+    // genotype equal in tumor/normal -> P2 contributes NOTHING somatic
+    vcfFile("p2_t.vcf", Seq(fus("F1_1", "chr22", 100, "EWSR1", 7),
+      fus("F1_2", "chr11", 200, "FLI1", 6), snv("chr2", 200, "1/1"),
+      cnv("EGFR", 6.0)))
+    vcfFile("p2_b.vcf", Seq(fus("F1_1", "chr22", 100, "EWSR1", 7),
+      fus("F1_2", "chr11", 200, "FLI1", 6), snv("chr2", 200, "1/1"),
+      cnv("EGFR", 6.0)))
+    // P3: tissue only -> skipped by pairing
+    vcfFile("p3_t.vcf", Seq(snv("chr3", 300, "0/1")))
+
+    val manifest = Seq(
+      ("P1-T", "s3://b/p1_t.vcf", "p1_t.vcf", "m1", 1L, "P1", "tissue"),
+      ("P1-B", "s3://b/p1_b.vcf", "p1_b.vcf", "m2", 1L, "P1", "blood"),
+      ("P2-T", "s3://b/p2_t.vcf", "p2_t.vcf", "m3", 1L, "P2", "tissue"),
+      ("P2-B", "s3://b/p2_b.vcf", "p2_b.vcf", "m4", 1L, "P2", "blood"),
+      ("P3-T", "s3://b/p3_t.vcf", "p3_t.vcf", "m5", 1L, "P3", "tissue"))
+      .toDF("sample_id", "s3_url", "file_name", "md5sum", "file_size",
+        "participant_id", "sample_type")
+
+    val out = PedmatchFlow.runAll(spark, manifest, vcfDir.toString)
+    // fusion somatic ONLY for P1 — P2's germline copy must not erase
+    // P1's (per-patient keying) and must itself be dropped
+    val sv = out.sv.select("Sample_Id", "Site1_Hugo_Symbol",
+      "Site2_Hugo_Symbol").as[(String, String, String)].collect().toSet
+    assert(sv == Set(("P1-T", "EWSR1", "FLI1")))
+    val cnvGot = out.cnvCalls.select("participant_id", "Hugo_Symbol")
+      .as[(String, String)].collect().toSet
+    assert(cnvGot == Set(("P1", "MYC")))
+    val snvGot = out.snvs.select("participant_id", "POS", "t_GT", "n_GT")
+      .as[(String, Long, String, String)].collect().toSet
+    assert(snvGot == Set(("P1", 100L, "0/1", "0/0")))
+    assert(out.skipped.select("participant_id").as[String].collect().toSeq
+      == Seq("P3"))
+  }
+
   test("DbCounter.reconcile flags mismatches") {
     val dump = Seq(("patient", 3L, 100L), ("sample", 2L, 50L))
       .toDF("table_name", "column_count", "row_count")
