@@ -40,6 +40,31 @@ object VcfAnnoFlow {
   def concatMafs(mafs: Seq[DataFrame]): DataFrame =
     mafs.reduce(_ unionByName _)
 
+  /** Whole-manifest run, no per-file loop: one tagged VCF scan over
+    * `vcfDir` (file name via input_file_name → manifest join), prep as
+    * column transforms keyed by source_file, one annotation stage, one
+    * accounting pass. The reference's 500-file download batches and
+    * 200-file annotation batches (vcf_anno.py:595,636) dissolve into
+    * partitioning. Returns (annotated MAF, check report — rerun
+    * manifest = filter(needs_rerun)). */
+  def runAll(spark: SparkSession, manifest: DataFrame, vcfDir: String,
+             annotator: Annotator): (DataFrame, DataFrame) = {
+    import graft.sources.Readers
+    val all = Readers.vcf(spark, vcfDir, Seq("SAMPLE"))
+      .withColumn("source_file", ColumnFns.basename(input_file_name()))
+    val prepped = VariantOps.passOnly(all)
+      .select(
+        ColumnFns.chrStrip(col("CHROM")).as("CHROM"),
+        col("POS"), col("REF"), col("ALT"), col("source_file"))
+      .withColumn("Start_Position", col("POS"))
+      .withColumn("End_Position",
+        ColumnFns.endPosition(col("POS"), col("REF")))
+    val barcodes = manifest.select(col("file_name").as("source_file"),
+      col("sample"))
+    val maf = annotateAll(prepped, annotator, barcodes)
+    (maf, concatMafCheck(manifest, maf))
+  }
+
   /** vcf_anno.py:400-483: per-file expected counts vs observed rows,
     * FAILED detection (KI2* contigs exempt), null-barcode detection;
     * returns the check report (one row per source file, needs_rerun

@@ -133,6 +133,35 @@ class FlowsSpec extends SparkSpec {
     }
   }
 
+  test("VcfAnnoFlow.runAll: tagged scan -> annotate -> check, no per-file loop") {
+    val dir = Files.createTempDirectory("vcfanno_all")
+    val vcfDir = dir.resolve("vcf"); Files.createDirectories(vcfDir)
+    def vcfFile(name: String, rows: Seq[String]): Unit =
+      Files.writeString(vcfDir.resolve(name),
+        ("##fileformat=VCFv4.2" +:
+          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS" +:
+          rows).mkString("", "\n", "\n"))
+    vcfFile("a.vcf", Seq(
+      "chr1\t100\tv1\tAT\tT\t50\tPASS\tDP=9\tGT\t0/1",
+      "chr1\t150\tv2\tG\tC\t50\tlowq\tDP=2\tGT\t0/1")) // lowq dropped
+    vcfFile("b.vcf", Seq(
+      "chr2\t500\tv3\tG\tGA\t50\tPASS\tDP=7\tGT\t1/1"))
+    val manifest = Seq(
+      ("a.vcf", "TCGA-01", 1L), ("b.vcf", "TCGA-02", 1L),
+      ("c.vcf", "TCGA-03", 3L)) // never produced -> rerun
+      .toDF("file_name", "sample", "expected_variants")
+    val (maf, check) = VcfAnnoFlow.runAll(spark, manifest,
+      vcfDir.toString, new MockAnnotator)
+    val rows = maf.select("CHROM", "End_Position", "Tumor_Sample_Barcode",
+      "Annotation_Status").as[(String, Long, String, String)].collect().toSet
+    assert(rows == Set(
+      ("1", 101L, "TCGA-01", "SUCCESS"),   // chr strip + AT end pos
+      ("2", 500L, "TCGA-02", "SUCCESS")))
+    val rerun = check.filter($"needs_rerun")
+      .select("file_name").as[String].collect().toSet
+    assert(rerun == Set("c.vcf"))
+  }
+
   test("VcfAnnoFlow: prep → mock annotate → concat → check") {
     val vcf1 = Seq(
       ("chr1", 100L, "v1", "AT", "T", "50", "PASS", "DP=9", "GT", "0/1"),
