@@ -125,6 +125,13 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty) // fixture actually exercises the path
   }
 
+  test("dupClusters: hitting maxIterations throws instead of returning split clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(pairs, maxIterations = 0)
+    }
+  }
+
   test("dupClusters: matches brute-force components on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
