@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -213,46 +213,89 @@ object Readers {
 
   // ---- S10: mysqldump statistics scan (src/utils.py:326-394) ----
 
-  /** Two facts per table from a SQL dump, in one distributed pass:
-    * column counts from `CREATE TABLE` blocks, row counts from INSERT
-    * value rows. The dump's "current table" is line-position state —
-    * recovered relationally in a way that scales: the global sort
-    * touches ONLY the marker lines (one per CREATE/INSERT statement,
-    * a ~10⁻³ fraction of the file), which become [start, end) offset
-    * ranges; every data line then finds its table via a broadcast
-    * range join. The bulk of the file is never shuffled or sorted.
-    * (`monotonically_increasing_id` is file-ordered here because a
-    * single input file's partitions are offset-ordered.)
-    */
-  def dumpStats(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Count of value-tuples on one line: "),(" separators + 1. */
+  private def tupleCount(c: Column): Column =
+    size(split(c, "\\),\\s*\\("))
+
+  /** The positional markers of a dump — the ONLY lines whose table
+    * association is line-position state: `CREATE TABLE` openers and
+    * bare `INSERT INTO ... VALUES` headers whose tuples continue on
+    * following lines. Complete `INSERT INTO t VALUES (...);` lines are
+    * NOT markers — they self-identify (see dumpStats). Public so tests
+    * can assert the marker set stays statement-sized, not row-sized. */
+  def dumpMarkers(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
       .select(col("value"), monotonically_increasing_id().as("off"))
-    val markers = lines
+    lines
       .withColumn("create_tbl",
         regexp_extract(col("value"), "^CREATE TABLE `([^`]+)`", 1))
       .withColumn("insert_tbl",
-        regexp_extract(col("value"), "^INSERT INTO `([^`]+)`", 1))
+        when(col("value").rlike("^INSERT INTO `[^`]+`\\s+VALUES\\s*$"),
+          regexp_extract(col("value"), "^INSERT INTO `([^`]+)`", 1))
+          .otherwise(""))
       .filter(col("create_tbl") =!= "" || col("insert_tbl") =!= "")
       .select(col("off").as("start_off"),
         when(col("create_tbl") =!= "", col("create_tbl"))
           .otherwise(col("insert_tbl")).as("tbl"),
         (col("create_tbl") =!= "").as("is_create"))
+  }
+
+  /** Two facts per table from a SQL dump (src/utils.py:326-394):
+    * column counts from `CREATE TABLE` blocks, row counts from INSERT
+    * value rows.
+    *
+    * Scale design: complete `INSERT INTO t VALUES (...);` lines —
+    * which is EVERY data row in a --skip-extended-insert dump such as
+    * `Writers.sqlDump`'s own output — self-identify their table, so
+    * they are counted with a plain hash aggregation: no ordering, no
+    * window, no join. Positional carry (a global sort + broadcast
+    * range join on `monotonically_increasing_id`, which is
+    * file-ordered because a single file's partitions are
+    * offset-ordered) is reserved for lines that genuinely need it:
+    * column definitions inside CREATE blocks and `(...)` continuation
+    * lines under a bare multi-line INSERT header. Both marker kinds
+    * are statement-sized (one per table / one per extended statement),
+    * so the window frame stays tiny no matter how many rows the dump
+    * holds.
+    */
+  def dumpStats(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = spark.read.text(path)
+      .select(col("value"), monotonically_increasing_id().as("off"))
+
+    // Self-identifying complete INSERT lines: direct groupBy, scales
+    // with file size (the 100 TB path).
+    val direct = lines
+      .select(regexp_extract(col("value"),
+        "^INSERT INTO `([^`]+)`\\s+VALUES\\s*\\(", 1).as("tbl"),
+        col("value"))
+      .filter(col("tbl") =!= "")
+      .groupBy("tbl")
+      .agg(sum(tupleCount(col("value"))).as("direct_rows"))
+
+    // Position-carried lines: column defs + tuple continuations only.
+    val markers = dumpMarkers(spark, path)
     val w = Window.orderBy("start_off") // tiny frame: markers only
     val ranges = markers.withColumn("end_off",
       coalesce(lead(col("start_off"), 1).over(w), lit(Long.MaxValue)))
-    lines.join(broadcast(ranges),
+    val carried = lines
+      .filter(col("value").rlike("^\\s+`[^`]+`") ||
+        col("value").startsWith("("))
+      .join(broadcast(ranges),
         col("off") >= col("start_off") && col("off") < col("end_off"))
-      .groupBy(col("tbl").as("table_name"))
+      .groupBy("tbl")
       .agg(
         sum(when(col("is_create") &&
           col("value").rlike("^\\s+`[^`]+`"), 1).otherwise(0))
           .as("column_count"),
-        sum(when(!col("is_create") && (col("value").startsWith("(") ||
-          col("value").rlike("^INSERT INTO .*VALUES\\s*\\(")),
-          // count value-tuples on the line: "),(" separators + 1
-          size(split(col("value"), "\\),\\s*\\(")))
-          .otherwise(0)).as("row_count"))
+        sum(when(!col("is_create") && col("value").startsWith("("),
+          tupleCount(col("value"))).otherwise(0)).as("carried_rows"))
+
+    carried.join(direct, Seq("tbl"), "full_outer")
+      .select(col("tbl").as("table_name"),
+        coalesce(col("column_count"), lit(0L)).as("column_count"),
+        (coalesce(col("carried_rows"), lit(0L)) +
+          coalesce(col("direct_rows"), lit(0L))).as("row_count"))
   }
 
   // ---- S17: line-filtered copy (strip USE/CREATE DATABASE) ----

@@ -61,6 +61,24 @@ class PlanSpec extends SparkSpec {
       !read.contains("l_extendedprice"), read)
   }
 
+  test("dumpStats window admits statement markers only, not complete INSERT rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-dump")
+    val p = dir.resolve("d.sql")
+    java.nio.file.Files.writeString(p,
+      "CREATE TABLE `t` (\n  `id` int,\n);\nINSERT INTO `t` VALUES (1);\n")
+    val plan = graft.sources.Readers.dumpStats(spark, p.toString)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.size == 1, plan.toString)
+    val sub = windows.head.treeString
+    // below the window: the bare-header anchor (VALUES at end-of-line)
+    // admits multi-line INSERT headers; the self-identifying complete
+    // INSERT pattern (VALUES followed by a tuple) must NOT feed it
+    assert(sub.contains("VALUES\\s*$"), sub)
+    assert(!sub.contains("VALUES\\s*\\("), sub)
+  }
+
   test("IVF assignment broadcasts centroids (no shuffle of the corpus)") {
     val emb = (1L to 50L).map(i =>
       (i, Array.fill(8)(i.toFloat))).toDF("vec_id", "embedding")

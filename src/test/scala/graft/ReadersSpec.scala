@@ -92,6 +92,24 @@ class ReadersSpec extends SparkSpec {
     assert(got == Map("patient" -> (3L, 2L), "sample" -> (2L, 1L)))
   }
 
+  test("dumpStats on its own sqlDump output: counts right, markers statement-sized") {
+    // Writers.sqlDump emits one complete INSERT line per row
+    // (--skip-extended-insert). Round 2's dumpStats made every such
+    // line a positional marker → full-row-count window. Now complete
+    // INSERT lines self-identify and bypass the window entirely.
+    val a = (1 to 500).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    val b = (1 to 300).map(i => (i.toLong, i * 2.0, s"x'$i")).toDF("id", "v", "s")
+    val dir = Files.createTempDirectory("graft-dump-rt").resolve("out").toString
+    graft.sources.Writers.sqlDump(
+      Seq("ta" -> a, "tb" -> b), "db", dir, orderBy = Seq("id"))
+    val got = Readers.dumpStats(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, c, r) => k -> ((c, r)) }.toMap
+    assert(got == Map("ta" -> (2L, 500L), "tb" -> (3L, 300L)))
+    // 800 data rows, but only the 2 CREATE openers are markers
+    assert(Readers.dumpMarkers(spark, dir).count() == 2)
+  }
+
   test("stripDumpHeaders removes USE/CREATE DATABASE lines") {
     val path = tmpFile("d2.sql",
       "USE `cbio`;\nCREATE DATABASE x;\nINSERT INTO t VALUES (1);\n")
