@@ -76,8 +76,18 @@ object Similarity {
     * hyperplanes (deterministic hash-derived coefficients); bucket =
     * bit-packed signs. Vectors in the same bucket are ANN candidates.
     * At 100 TB this turns the n² search into per-bucket groups.
+    * Compiled kernel (one two-level loop, no per-row allocation);
+    * `srpBucketHof` below is the interpreted reference it is
+    * bitwise-parity-tested against.
     */
-  def srpBucket(vec: Column, planes: Int, dim: Int): Column = {
+  def srpBucket(vec: Column, planes: Int, dim: Int): Column =
+    ColumnBridge.column(graft.plans.SrpBucket(
+      ColumnBridge.expression(vec), planes, dim))
+
+  /** Interpreted HOF reference for srpBucket (parity tests + the shape
+    * the DuckDB oracle reproduces). Runs `planes` aggregate passes per
+    * row — do not use on the hot path. */
+  def srpBucketHof(vec: Column, planes: Int, dim: Int): Column = {
     (0 until planes).map { p =>
       // deterministic pseudo-random plane: coeff_j = (((p*dim+j)*2654435761) mod 1009) - 504
       val proj = aggregate(
@@ -86,6 +96,19 @@ object Similarity {
         lit(0.0), (s, v) => s + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Plane count as an explicit corpus-sizing knob: expected bucket
+    * population is ~corpusSize / 2^planes (uniform directions), so
+    * pick the smallest plane count whose expected bucket is at or
+    * under `targetBucketSize`. More planes = smaller buckets = lower
+    * recall per bucket; pair with multiple probe rounds if recall
+    * matters more than cost. Clamped to [4, 62] (bit-packed long). */
+  def planesFor(corpusSize: Long, targetBucketSize: Int = 64): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val needed = math.ceil(
+      math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.max(4, math.min(62, needed))
   }
 
   // ---- IVF (inverted-file) ANN ----
@@ -161,16 +184,42 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
-  /** ANN via SRP buckets + exact re-rank inside each bucket. */
-  def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
-                  minCos: Double, planes: Int = 8, dim: Int = 64): DataFrame = {
+  /** ANN via SRP buckets + exact re-rank inside each bucket, with the
+    * same skew guardrails as `Dedup.minhashLshCandidates`: buckets
+    * past `maxBucket` members are excluded from pairing — otherwise
+    * the in-bucket self-join goes quadratic on a single hot bucket —
+    * and surfaced in `droppedBuckets` (bucket, size), never silently.
+    * Size `planes` to the corpus with `planesFor` so buckets stay
+    * small in expectation; the cap is the backstop for skewed
+    * direction distributions (e.g. boilerplate-heavy embeddings).
+    *
+    * Plan shape: one kernel projection, a partial-aggregated bucket
+    * census (tiny: ≤ 2^planes rows, broadcast back), then a single
+    * shuffled equi-join on bucket whose pairs stream through the
+    * compiled cosine filter — no per-bucket member list is ever
+    * materialized. */
+  def lshBucketedChecked(df: DataFrame, idCol: String, vecCol: String,
+                         minCos: Double, planes: Int = 8, dim: Int = 64,
+                         maxBucket: Int = 1000): Dedup.LshCandidates = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("bucket", srpBucket(col("__v"), planes, dim))
-    val a = v.select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
-    val b = v.select(col("id").as("id_b"), col("__v").as("__vb"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val census = v.groupBy("bucket").agg(count(lit(1)).as("bsize"))
+    val dropped = census.filter(col("bsize") > maxBucket)
+      .select(col("bucket"), col("bsize").as("size"))
+    val ok = census.filter(col("bsize").between(2, maxBucket)).select("bucket")
+    val vv = v.join(broadcast(ok), Seq("bucket"))
+    val a = vv.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = vv.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
+    Dedup.LshCandidates(pairs, dropped)
   }
+
+  /** Pairs-only view of `lshBucketedChecked` (oracle/bench surface). */
+  def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
+                  minCos: Double, planes: Int = 8, dim: Int = 64,
+                  maxBucket: Int = 1000): DataFrame =
+    lshBucketedChecked(df, idCol, vecCol, minCos, planes, dim, maxBucket).pairs
 }

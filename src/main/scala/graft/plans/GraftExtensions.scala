@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash(children(0),
         intArg(children, 1, "bits"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucket].getName, "graft_srp_bucket"),
+      (children: Seq[Expression]) => SrpBucket(children(0),
+        intArg(children, 1, "planes"), intArg(children, 2, "dim"))))
   }
 
   private def intArg(children: Seq[Expression], i: Int, name: String): Int =

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native codegen'd vector kernels for the similarity operators.
   *
@@ -56,6 +56,69 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sign-random-projection bucket: `planes` deterministic pseudo-random
+  * hyperplanes, bucket = bit-packed projection signs. Bitwise-identical
+  * to the HOF form `Similarity.srpBucketHof` (same hash-derived
+  * coefficients `(((p*dim+j) * 2654435761) mod 1009) - 504`, same
+  * j-ascending accumulation order — float sums match exactly), which
+  * is also what the DuckDB oracle reproduces. The HOF runs `planes`
+  * interpreted aggregate(zip_with(sequence...)) passes allocating
+  * three arrays per row each; this is one compiled two-level loop,
+  * zero allocation — the same gap MinhashSignature closed for text.
+  */
+case class SrpBucket(child: Expression, planes: Int, dim: Int)
+  extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        s += x.getDouble(j) * (((p * dim + j) * 2654435761L) % 1009L - 504L)
+        j += 1
+      }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $dim);
+         |long bucket = 0L;
+         |for (int p = 0; p < $planes; p++) {
+         |  double s = 0.0;
+         |  for (int j = 0; j < n; j++) {
+         |    s += $a.getDouble(j) *
+         |      (((long)(p * $dim + j) * 2654435761L) % 1009L - 504L);
+         |  }
+         |  if (s > 0) bucket |= (1L << p);
+         |}
+         |${ev.value} = bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Cosine similarity in ONE pass (dot, |a|², |b|² in the same loop) —

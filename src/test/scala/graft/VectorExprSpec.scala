@@ -62,6 +62,51 @@ class VectorExprSpec extends SparkSpec {
     assert(sql.getSeq[Long](1) == api.getSeq[Long](1))
   }
 
+  test("compiled srp bucket matches the interpreted HOF form bitwise") {
+    val rng = new scala.util.Random(13)
+    val df = (1 to 200).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextDouble() - 0.5))).toDF("id", "v")
+    val mismatches = df.select(
+      Similarity.srpBucket(col("v"), planes = 8, dim = 64).as("native"),
+      Similarity.srpBucketHof(col("v"), planes = 8, dim = 64).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // short vectors (length < dim) must agree too: HOF zip_with pads
+    // the shorter side, kernel min()'s the length — both see dim
+    // here, so pin with exact-length input at a different dim
+    val small = Seq((1L, Array(0.3, -0.7, 0.1, 0.9))).toDF("id", "v")
+    val r = small.select(
+      Similarity.srpBucket(col("v"), 12, 4).as("n"),
+      Similarity.srpBucketHof(col("v"), 12, 4).as("h"))
+      .as[(Long, Long)].collect().head
+    assert(r._1 == r._2)
+  }
+
+  test("lshBucketedChecked caps hot buckets and reports them") {
+    // one plane -> at most 2 buckets; 40 near-identical vectors all
+    // land together, far past maxBucket=10
+    val base = Array.fill(8)(1.0f)
+    val df = (1 to 40).map(i => (i.toLong, base.clone()))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshBucketedChecked(df, "vec_id", "embedding",
+      minCos = 0.0, planes = 1, dim = 8, maxBucket = 10)
+    assert(got.pairs.count() == 0) // the only bucket was dropped
+    val dropped = got.droppedBuckets
+      .select("size").as[Long].collect()
+    assert(dropped.toSeq == Seq(40L))
+    // raise the cap: the same corpus pairs fully (40 choose 2)
+    val open = Similarity.lshBucketedChecked(df, "vec_id", "embedding",
+      minCos = 0.0, planes = 1, dim = 8, maxBucket = 40)
+    assert(open.pairs.count() == 40L * 39 / 2)
+    assert(open.droppedBuckets.count() == 0)
+  }
+
+  test("planesFor sizes plane count to the corpus") {
+    assert(Similarity.planesFor(1000000L, 64) == 14)  // 2^14 buckets
+    assert(Similarity.planesFor(100L, 64) == 4)       // clamped low
+    assert(Similarity.planesFor(Long.MaxValue / 2, 1) == 62) // clamped high
+  }
+
   test("IVF: nProbe=k equals brute force; nProbe=1 stays within probed buckets") {
     val rng = new scala.util.Random(11)
     val df = (1 to 200).map(i =>
