@@ -34,7 +34,74 @@ final class MockAnnotator extends Annotator {
   }
 }
 
+/** HTTP-backed annotator modeled on the reference's Genome Nexus
+  * client (mci_clinical_variant_merge.py:51-160): one GET per variant
+  * against `baseUrl/annotation/{chrom}:g.{pos}{ref}>{alt}`, JSON
+  * response summarized to (hugoGeneSymbol, variantClassification)
+  * from `annotation_summary.transcriptConsequenceSummary` with a
+  * first-of-`transcriptConsequenceSummaries` fallback (the reference's
+  * less-stringent second pass, mci:117-130).
+  *
+  * Retry taxonomy follows vcf_anno.py:92-108: connection/TLS/server
+  * trouble (IOException incl. SSLException, HTTP 5xx, timeouts) is
+  * TRANSIENT — thrown plain so `Annotate.withAnnotations` retries
+  * with backoff; an HTTP 4xx is a CLIENT error — thrown as
+  * `Annotate.NonRetryable` so the row fails fast without burning the
+  * retry budget. One client per partition (`open`), reused across
+  * rows; `close` drops it (idempotent — the lifecycle contract).
+  */
+final class HttpAnnotator(baseUrl: String,
+                          timeoutMs: Long = 10000L) extends Annotator {
+  @transient private var client: java.net.http.HttpClient = _
+  @transient private var mapper: com.fasterxml.jackson.databind.ObjectMapper = _
+
+  override def open(): Unit = {
+    client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+  override def close(): Unit = { client = null; mapper = null }
+
+  def annotate(chrom: String, pos: Long, ref: String, alt: String)
+  : (String, String, String) = {
+    if (client == null) open() // tolerate use outside mapPartitions
+    val query = java.net.URLEncoder.encode(
+      s"$chrom:g.$pos$ref>$alt", "UTF-8")
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(
+        s"$baseUrl/annotation/$query?fields=annotation_summary"))
+      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case ok if ok / 100 == 2 => parse(resp.body())
+      case clientErr if clientErr / 100 == 4 =>
+        throw new Annotate.NonRetryable(
+          s"HTTP $clientErr for $chrom:$pos$ref>$alt")
+      case other =>
+        throw new java.io.IOException(
+          s"HTTP $other for $chrom:$pos$ref>$alt")
+    }
+  }
+
+  private def parse(body: String): (String, String, String) = {
+    val ann = mapper.readTree(body).path("annotation_summary")
+    val primary = ann.path("transcriptConsequenceSummary")
+    val chosen =
+      if (!primary.isMissingNode && !primary.isNull) primary
+      else ann.path("transcriptConsequenceSummaries").path(0)
+    (chosen.path("hugoGeneSymbol").asText(null),
+      chosen.path("variantClassification").asText(null),
+      "SUCCESS")
+  }
+}
+
 object Annotate {
+
+  /** A client-side error (HTTP 4xx): the request itself is wrong, so
+    * retrying cannot help — the reference raises ClientError through
+    * while retrying only connection/TLS trouble (vcf_anno.py:92-108). */
+  final class NonRetryable(msg: String) extends RuntimeException(msg)
 
   val annotationSchema: StructType = StructType(Seq(
     StructField("Hugo_Symbol", StringType),
@@ -69,6 +136,8 @@ object Annotate {
             res = annotator.annotate(r.getString(iC), r.getLong(iP),
               r.getString(iR), r.getString(iA))
           } catch {
+            case _: NonRetryable => // client error: fail fast, no retry
+              res = (null, null, "FAILED")
             case e: Exception if attempt < maxRetries =>
               attempt += 1
               Thread.sleep(math.min(backoffMs << attempt, backoffMs * 10))
