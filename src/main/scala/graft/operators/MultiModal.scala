@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (north-star op).
   *
   * Images/audio/video travel as opaque `binary` columns next to typed
-  * metadata structs. The decode step itself is STUBBED (this container
-  * has no image/audio libs — see the builder brief): `decodeStub`
-  * derives deterministic fake dimensions from a content hash, while
-  * `decodeBatch` shows the real partition-wise plumbing (one decoder
-  * instance per partition, rows streamed through it) that a JNI/
-  * library-backed decoder would drop into.
+  * metadata structs. Image decode is REAL (`decodeBatch(realDecoder =
+  * true)`: JDK `javax.imageio` header read — PNG/JPEG/GIF/BMP width,
+  * height, format without decoding pixels); audio/video decode and
+  * pixel-level ops remain stubbed (this container has no media libs):
+  * `decodeStub` derives deterministic fake dimensions from a content
+  * hash, and undecodable payloads fall back to the same stub metadata
+  * so downstream geometry ops keep working.
   *
   * At 100 TB the binary payloads dominate I/O: keep them in their own
   * parquet column (never in a struct with hot columns) so column
@@ -85,9 +86,44 @@ object MultiModal {
       explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)),
         lit(every))))
 
-  /** Partition-wise decode: the real-media shape. One decoder per
-    * partition, rows streamed through `mapPartitions` — this is where
-    * an actual image library call would live (`???` branch marked). */
+  /** Stub metadata: deterministic fake dimensions from a content hash
+    * (same formula as `decodeStub`'s Column form). */
+  private def stubMeta(bytes: Array[Byte]): Row = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(bytes).substring(0, 15), 16)
+    Row(bytes.length.toLong, h % 640, h % 480, "stub")
+  }
+
+  /** Real image header decode via JDK `javax.imageio` — width/height/
+    * format WITHOUT decoding pixels (`ImageReader.getWidth(0)` reads
+    * only the header), so the per-row cost is a few hundred bytes of
+    * parsing no matter how large the payload. Returns null when no
+    * registered reader recognizes the bytes. */
+  private def imageHeaderMeta(bytes: Array[Byte]): Row = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Row(bytes.length.toLong, r.getWidth(0).toLong,
+            r.getHeight(0).toLong, r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Partition-wise decode: the real-media shape — rows streamed
+    * through `mapPartitions`, decoder state per partition not per row.
+    * `realDecoder = true` reads true image headers (PNG/JPEG/GIF/BMP,
+    * javax.imageio ships with the JDK); bytes no reader recognizes
+    * fall back to the deterministic stub metadata (format = "stub"),
+    * the path non-image media keeps until a real audio/video library
+    * is linked in. */
   def decodeBatch(df: DataFrame, binCol: String = "content",
                   realDecoder: Boolean = false): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -95,17 +131,15 @@ object MultiModal {
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       // per-partition decoder lifecycle: init once, stream rows through
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val meta: Row =
-          if (realDecoder) ??? // real image/audio decode goes here
-          else if (bytes == null) null
-          else {
-            val h = java.lang.Long.parseLong(
-              org.apache.commons.codec.digest.DigestUtils
-                .md5Hex(bytes).substring(0, 15), 16)
-            Row(bytes.length.toLong, h % 640, h % 480, "stub")
-          }
+          if (bytes == null) null
+          else if (realDecoder) {
+            val real = imageHeaderMeta(bytes)
+            if (real != null) real else stubMeta(bytes)
+          } else stubMeta(bytes)
         Row.fromSeq(r.toSeq :+ meta)
       }
     }(Encoders.row(outSchema))

@@ -142,6 +142,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (2L, 3L)))
   }
 
+  test("multimodal: realDecoder reads true PNG/JPEG headers, stub-falls-back otherwise") {
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val df = Seq(
+      (1L, imageBytes("png", 640, 360)),
+      (2L, imageBytes("jpg", 31, 17)),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, null: Array[Byte])
+    ).toDF("doc_id", "content")
+    val got = MultiModal.decodeBatch(df, realDecoder = true)
+      .select(col("doc_id"), col("meta.width"), col("meta.height"),
+        col("meta.format"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) -1L else r.getLong(2)),
+          r.getString(3))).toMap
+    assert(got(1L) == ((640L, 360L, "png")))
+    assert(got(2L)._1 == 31L && got(2L)._2 == 17L &&
+      got(2L)._3.startsWith("jp")) // reader reports "jpeg"
+    assert(got(3L)._3 == "stub") // undecodable -> deterministic stub
+    assert(got(4L) == ((-1L, -1L, null))) // null payload -> null meta
+  }
+
   test("ntileByRange == global ntile for uneven and tiny inputs") {
     for (n <- Seq(97L, 100L, 7L, 3L)) {
       val df = (1L to n).map(i => (i * 13 % 101, i)).toDF("k", "uid")
