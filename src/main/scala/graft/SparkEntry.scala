@@ -310,6 +310,16 @@ object SparkEntry {
         t(s, d, "embeddings").filter(col("vec_id") < 300),
         "vec_id", "embedding", minCos = 0.2)),
 
+    // recall accounting for the approximate path: what the SRP buckets
+    // cost vs the exact threshold pairs, on the same sample
+    "q_s_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 300)
+      Similarity.recallReport(
+        Similarity.lshBucketed(emb, "vec_id", "embedding", minCos = 0.2),
+        Similarity.thresholdPairs(emb, "vec_id", "embedding", minCos = 0.2),
+        keyCols = Seq("id_a", "id_b"))
+    }),
+
     // ---- §2.4 distincts ----
     "q_a3_distinct" -> ((s, d) =>
       t(s, d, "events").select("event_type").distinct()),
@@ -590,6 +600,9 @@ object SparkEntry {
 
     "q_s_lshpairs" ->
       s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cosSql("a.v", "c.v")} AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2",
+
+    "q_s_recall" ->
+      s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), approx AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2), exact AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM e a JOIN e c ON a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2) SELECT count(*) AS exact_count, CAST(count(ap.id_a) AS BIGINT) AS hit_count, count(ap.id_a) * 1.0 / count(*) AS recall FROM exact ex LEFT JOIN approx ap ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b",
 
     "q_m_binary" ->
       s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents",

@@ -217,6 +217,36 @@ object Similarity {
     Dedup.LshCandidates(pairs, dropped)
   }
 
+  /** Recall accounting for the approximate paths: the fraction of the
+    * EXACT result the approximate one recovered, overall or per group.
+    * At 100 TB the approximate knobs (nProbe, planes, maxBucket) get
+    * turned, and the engine should measure what they cost — run this
+    * on a sample, not the full corpus (the exact leg is the expensive
+    * one; reference analog: the annotation-coverage accounting at
+    * mci:219-226).
+    *
+    *   - top-k:  recallReport(ivfSearch(...), bruteForceTopK(...),
+    *             keyCols = Seq("query_id","neighbor_id"),
+    *             perCols = Seq("query_id"))  → recall@k per query
+    *   - pairs:  recallReport(lshBucketed(...), thresholdPairs(...),
+    *             keyCols = Seq("id_a","id_b"))  → one overall row
+    *
+    * Output: perCols ++ (exact_count, hit_count, recall). Approx-only
+    * extras (false positives of a candidate stage) don't lower recall —
+    * they are precision, measurable by swapping the arguments. */
+  def recallReport(approx: DataFrame, exact: DataFrame,
+                   keyCols: Seq[String],
+                   perCols: Seq[String] = Nil): DataFrame = {
+    val hits = approx.select(keyCols.map(col): _*).distinct()
+      .withColumn("__hit", lit(1L))
+    exact.select((keyCols ++ perCols).distinct.map(col): _*)
+      .join(hits, keyCols, "left")
+      .groupBy(perCols.map(col): _*)
+      .agg(count(lit(1)).as("exact_count"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hit_count"))
+      .withColumn("recall", col("hit_count") / col("exact_count"))
+  }
+
   /** Pairs-only view of `lshBucketedChecked` (oracle/bench surface). */
   def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
                   minCos: Double, planes: Int = 8, dim: Int = 64,

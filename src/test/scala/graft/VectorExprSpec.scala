@@ -129,6 +129,42 @@ class VectorExprSpec extends SparkSpec {
       .as[(Long, Long)].collect().forall(_._2 <= 5))
   }
 
+  test("recallReport: per-query top-k and overall pair recall") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 12L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val per = Similarity.recallReport(approx, exact,
+      keyCols = Seq("query_id", "neighbor_id"), perCols = Seq("query_id"))
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    // approx-only extras (2,99) are precision, not recall
+    assert(per == Map(1L -> 1.0, 2L -> 0.5))
+    val overall = Similarity.recallReport(approx, exact,
+      keyCols = Seq("query_id", "neighbor_id"))
+      .select("exact_count", "hit_count", "recall")
+      .as[(Long, Long, Double)].collect().head
+    assert(overall == ((4L, 3L, 0.75)))
+  }
+
+  test("IVF recall: full probe = 1.0, narrow probe bounded and reported") {
+    val rng = new scala.util.Random(23)
+    val df = (1 to 200).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") <= 5)
+    val cents = Similarity.seedCentroids(df, "vec_id", "embedding", 4)
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+    def recallOf(nProbe: Int): Array[Double] = Similarity.recallReport(
+      Similarity.ivfSearch(assigned, cents, queries, "vec_id", "embedding",
+        nProbe, topK = 5),
+      exact, keyCols = Seq("query_id", "neighbor_id"),
+      perCols = Seq("query_id"))
+      .select("recall").as[Double].collect()
+    assert(recallOf(4).forall(_ == 1.0)) // nProbe = k: degrades to exact
+    val narrow = recallOf(1)
+    assert(narrow.length == 5 && narrow.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("Lloyd refinement tightens clusters (two separated blobs)") {
     val rng = new scala.util.Random(5)
     def blob(center: Float, ids: Range) = ids.map(i =>
