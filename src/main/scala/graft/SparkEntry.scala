@@ -145,6 +145,17 @@ object SparkEntry {
       Pivots.discrete(agg, "l_suppkey", "l_returnflag", "v", Seq("A", "N", "R"))
     }),
 
+    // the reference's real matrix shape (cnv.py:655-679): one column
+    // per sample, values passed EXPLICITLY (SURVEY §7.4 item 3) — no
+    // inference scan, no 10k-value cap surprise
+    "q_v3_wide" -> ((s, d) => {
+      val agg = t(s, d, "lineitem")
+        .withColumn("pcol", concat(lit("p"), col("l_partkey") % 500))
+        .groupBy("l_suppkey", "pcol")
+        .agg(round(sum(col("l_quantity")), 4).as("v"))
+      Pivots.continuous(agg, "l_suppkey", "pcol", "v", widePivotCols)
+    }),
+
     // ---- §2.7 scalar functions ----
     "q_f_strings" -> ((s, d) =>
       t(s, d, "orders").select(
@@ -451,6 +462,11 @@ object SparkEntry {
       s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
 
+  /** q_v3_wide's explicit pivot-value list — the cBio
+    * one-column-per-sample matrix shape (500 columns here; values are
+    * always passed, never inferred). */
+  private val widePivotCols: Seq[String] = (0 until 500).map(i => s"p$i")
+
   /** SRP bucket over a DOUBLE[] column — mirrors Similarity.srpBucket. */
   private def srpBucketSql(v: String): String =
     (0 until 8).map(p =>
@@ -508,6 +524,13 @@ object SparkEntry {
 
     "q_v2_pivot_discrete" ->
       "SELECT l_suppkey, CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS INTEGER) AS \"A\", CAST(count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS INTEGER) AS \"N\", CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS INTEGER) AS \"R\" FROM lineitem GROUP BY l_suppkey",
+
+    "q_v3_wide" -> {
+      val cases = widePivotCols.zipWithIndex.map { case (name, i) =>
+        s"round(sum(CASE WHEN l_partkey % 500 = $i THEN l_quantity END), 4) AS $name"
+      }.mkString(", ")
+      s"SELECT l_suppkey, $cases FROM lineitem GROUP BY l_suppkey"
+    },
 
     "q_f_strings" ->
       "SELECT o_orderkey, string_split(o_orderpriority, '-')[1] AS prio_num, string_split(o_orderpriority, '-')[-1] AS prio_name, 'chr' || CAST(o_orderkey % 5 AS VARCHAR) AS chrom FROM orders",
