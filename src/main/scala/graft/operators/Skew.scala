@@ -43,12 +43,54 @@ object Skew {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Outer joins that preserve unmatched rows of the REPLICATED side
+    * (full/right) can't ride `saltedJoin` directly — each unmatched
+    * replica would null-extend once per salt. Decompose instead:
+    * inner part salted as usual, plus the unmatched rows of each
+    * preserved side recovered with a salted ANTI join against the
+    * other side's distinct keys (distinct is a partial-aggregated
+    * groupBy — skew-safe — and its output is keyspace-sized, so the
+    * anti's replicated side stays small). Null keys never match, so
+    * they surface null-extended from their own side — plain SQL outer
+    * semantics. Tumor/normal full-outer merges on chrom-skewed keys
+    * (J8) are the reference-shaped workload this serves. */
+  def saltedOuterJoin(skewed: DataFrame, other: DataFrame,
+                      keys: Seq[String], numSalts: Int,
+                      joinType: String = "full_outer"): DataFrame = {
+    val jt = joinType.toLowerCase.replace(" ", "").replace("_", "")
+    require(Set("full", "fullouter", "outer", "right", "rightouter")
+      .contains(jt),
+      s"saltedOuterJoin: use saltedJoin for '$joinType' (it preserves " +
+        "only the per-row-salted side, which needs no decomposition)")
+    // typed-null extension for the columns the anti legs lack
+    def nullExtend(df: DataFrame, like: DataFrame): DataFrame =
+      df.select(df.columns.map(col).toSeq ++
+        like.schema.fields.filterNot(f => keys.contains(f.name))
+          .map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val inner = saltedJoin(skewed, other, keys, numSalts, "inner")
+    val rightOnly = nullExtend(
+      saltedJoin(other, skewed.select(keys.map(col): _*).distinct(),
+        keys, numSalts, "left_anti"), skewed)
+    if (jt.startsWith("right")) inner.unionByName(rightOnly)
+    else {
+      val leftOnly = nullExtend(
+        saltedJoin(skewed, other.select(keys.map(col): _*).distinct(),
+          keys, numSalts, "left_anti"), other)
+      inner.unionByName(leftOnly).unionByName(rightOnly)
+    }
+  }
+
   /** Key-frequency report to decide WHETHER to salt: top-k heaviest
-    * keys with their share of the total. */
+    * keys with their share of the total. One scan of `df`: the total
+    * comes from re-aggregating the (keyspace-sized) count relation,
+    * whose shuffle Spark reuses (ReusedExchange) rather than
+    * rescanning the input — the old `df.count()` pre-pass was a
+    * second full scan. */
   def keySkewReport(df: DataFrame, keys: Seq[String], topK: Int = 20): DataFrame = {
-    val total = df.count()
-    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("rows"))
-      .withColumn("share", round(col("rows") / lit(total.toDouble), 6))
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("rows"))
+    counts.crossJoin(broadcast(counts.agg(sum("rows").as("__total"))))
+      .withColumn("share", round(col("rows") / col("__total"), 6))
+      .drop("__total")
       .orderBy(col("rows").desc)
       .limit(topK)
   }

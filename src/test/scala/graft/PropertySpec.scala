@@ -73,6 +73,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: saltedOuterJoin == plain join for full/right outer") {
+    val skewed = (1 to 1000).map(i =>
+      (if (i % 10 == 0) 1L else rng.nextInt(50).toLong, i)).toDF("k", "v")
+    // dim keys 100-109 match nothing in skewed -> right-only rows;
+    // skewed keys 30-49 match nothing in dim -> left-only rows
+    val dim = ((0 until 30) ++ (100 until 110))
+      .map(k => (k.toLong, s"d$k")).toDF("k", "name")
+    for (jt <- Seq("full_outer", "right_outer")) {
+      val plain = skewed.join(dim, Seq("k"), jt)
+        .select("k", "v", "name").collect().toSet
+      val salted = Skew.saltedOuterJoin(skewed, dim, Seq("k"),
+        numSalts = 8, jt).select("k", "v", "name").collect().toSet
+      assert(salted == plain, jt)
+    }
+    // the unmatched-replica duplication saltedJoin refuses must not
+    // sneak back in: exactly one null-extended row per unmatched key
+    val fo = Skew.saltedOuterJoin(skewed, dim, Seq("k"), 8, "full_outer")
+    assert(fo.filter(col("v").isNull).count() == 10)
+  }
+
+  test("keySkewReport: single aggregation tree, correct shares") {
+    val df = (1 to 100).map(i => (if (i <= 60) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val rep = Skew.keySkewReport(df, Seq("k"), topK = 3).collect()
+    assert(rep.head.getAs[String]("k") == "hot")
+    assert(rep.head.getAs[Long]("rows") == 60L)
+    assert(rep.head.getAs[Double]("share") == 0.6)
+  }
+
   test("property: exact dedup keep counts sum to input size") {
     val docs = (1 to 300).map(i => (i.toLong, s"text-${rng.nextInt(40)}"))
       .toDF("id", "text")
