@@ -356,6 +356,16 @@ object SparkEntry {
         t(s, d, "documents").filter(TF.wordCount(col("text")) >= 3),
         "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3)),
 
+    // end-to-end dedup composition under the clock: LSH candidates ->
+    // Jaccard confirm -> connected components -> representatives.
+    // No SQL oracle (iterative CC); driver records rows-only — the
+    // component stages above are each oracle-checked separately.
+    "q_d_pipeline" -> ((s, d) =>
+      Dedup.dedupByLshChecked(
+        t(s, d, "documents").filter(TF.wordCount(col("text")) >= 3),
+        "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
+        minJaccard = 0.5).deduped.select("doc_id")),
+
     // ---- §2.2 P9: deterministic batching — scalable range-partitioned
     //      form (identical output to ntile(10) OVER (ORDER BY ...),
     //      which the oracle uses; no single-task global window) ----
