@@ -108,6 +108,26 @@ object Annotate {
     StructField("Variant_Classification", StringType),
     StructField("Annotation_Status", StringType)))
 
+  /** Annotate only the DISTINCT (CHROM, POS, REF, ALT) variants, then
+    * join the results back onto every carrying row. At cohort scale
+    * the same variant recurs across thousands of samples; the API
+    * budget must scale with the VARIANT space, not the row count —
+    * the reference pays one call per clinical row (mci:163-183), which
+    * does not survive 100×. The distinct set is dimension-sized, so
+    * the join back is broadcastable (Catalyst decides from stats; AQE
+    * converts at runtime otherwise). Output column order matches
+    * `withAnnotations`. */
+  def withAnnotationsDistinct(df: DataFrame, annotator: Annotator,
+                              maxRetries: Int = 3, throttleMs: Long = 0L,
+                              backoffMs: Long = 1000L): DataFrame = {
+    val keyCols = Seq("CHROM", "POS", "REF", "ALT")
+    val annotated = withAnnotations(
+      df.select(keyCols.map(df.apply): _*).distinct(),
+      annotator, maxRetries, throttleMs, backoffMs)
+    df.join(annotated, keyCols, "left")
+      .select((df.columns ++ annotationSchema.fieldNames).map(col).toSeq: _*)
+  }
+
   /** Effectful annotation stage: df must carry CHROM/POS/REF/ALT.
     * `maxRetries`/`throttleMs` reproduce the reference's client
     * discipline (X4/X5: retries w/ backoff, 1s throttle) inside each

@@ -252,4 +252,44 @@ object Similarity {
                   minCos: Double, planes: Int = 8, dim: Int = 64,
                   maxBucket: Int = 1000): DataFrame =
     lshBucketedChecked(df, idCol, vecCol, minCos, planes, dim, maxBucket).pairs
+
+  /** Multi-probe SRP ANN: each vector additionally probes the buckets
+    * at sign-space Hamming distance 1 (one plane flipped), so a near
+    * pair split by a single hyperplane is still found. This is the
+    * recall-recovery knob that pairs with `planesFor`: MORE planes
+    * keep buckets small (cost), probing puts back most of the recall
+    * the extra cuts lose — measure with `recallReport`.
+    *
+    * Cost shape: probe side explodes (planes+1)× but carries only
+    * (bucket, id, vec); candidate ids are deduped BEFORE the vectors
+    * join back for the exact cosine re-rank, so each surviving pair
+    * is scored once. Home-bucket census + maxBucket guardrails as in
+    * `lshBucketedChecked`; pairs whose BOTH homes are dropped vanish
+    * and show up in `droppedBuckets`. */
+  def lshBucketedMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                            minCos: Double, planes: Int = 8, dim: Int = 64,
+                            maxBucket: Int = 1000): Dedup.LshCandidates = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("bucket", srpBucket(col("__v"), planes, dim))
+    val census = v.groupBy("bucket").agg(count(lit(1)).as("bsize"))
+    val dropped = census.filter(col("bsize") > maxBucket)
+      .select(col("bucket"), col("bsize").as("size"))
+    // single-member homes stay: their rows can still pair via probes
+    val ok = census.filter(col("bsize") <= maxBucket).select("bucket")
+    val vv = v.join(broadcast(ok), Seq("bucket"))
+    val probes = vv.select(col("id"),
+      explode(array(col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val home = vv.select(col("bucket"), col("id").as("id_b"))
+    val cand = probes.join(home, Seq("bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    val pairs = cand
+      .join(v.select(col("id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+    Dedup.LshCandidates(pairs, dropped)
+  }
 }

@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
 import graft.annotate.{Annotate, HttpAnnotator}
 import graft.flows.ClinicalMergeFlow
 
+/** In-JVM call counter (local-mode executors share the test JVM). */
+object CountingAnnotator {
+  val calls = new AtomicInteger(0)
+}
+final class CountingAnnotator extends graft.annotate.Annotator {
+  def annotate(chrom: String, pos: Long, ref: String, alt: String)
+  : (String, String, String) = {
+    CountingAnnotator.calls.incrementAndGet()
+    (s"G$chrom", "VC", "SUCCESS")
+  }
+}
+
 /** §2.9: the HTTP-backed Annotator against an in-process server (the
   * JDK server stands in for Genome Nexus — no egress here), including
   * the retry taxonomy: 5xx retried with backoff, 4xx failed fast. */
@@ -91,6 +103,24 @@ class HttpAnnotatorSpec extends SparkSpec {
       assert(r == ((null, "FAILED")))
       assert(hits.get() == 1) // NOT 4: no retries for a client error
     }
+  }
+
+  test("withAnnotationsDistinct: API calls scale with variants, not rows") {
+    CountingAnnotator.calls.set(0)
+    // 120 rows over 6 distinct variants
+    val df = (1 to 120).map { i =>
+      val v = i % 6
+      (s"S$i", v.toString, 1000L + v, "A", "T")
+    }.toDF("sample", "CHROM", "POS", "REF", "ALT")
+    val out = Annotate.withAnnotationsDistinct(df, new CountingAnnotator,
+      maxRetries = 0, backoffMs = 1L)
+    assert(out.columns.toSeq ==
+      df.columns.toSeq ++ Annotate.annotationSchema.fieldNames)
+    val rows = out.select("CHROM", "Hugo_Symbol").as[(String, String)]
+      .collect()
+    assert(rows.length == 120)
+    assert(rows.forall { case (c, h) => h == s"G$c" })
+    assert(CountingAnnotator.calls.get() == 6) // not 120
   }
 
   test("ClinicalMergeFlow end-to-end on the HTTP annotator") {

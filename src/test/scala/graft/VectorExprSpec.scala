@@ -101,6 +101,32 @@ class VectorExprSpec extends SparkSpec {
     assert(open.droppedBuckets.count() == 0)
   }
 
+  test("multi-probe SRP: superset of single-probe, recall recovered") {
+    val rng = new scala.util.Random(41)
+    // 150 twin pairs: near-identical vectors that a single hyperplane
+    // sometimes separates when the plane count is high
+    val rows = (0 until 150).flatMap { i =>
+      val v = Array.fill(16)(rng.nextDouble() * 2 - 1)
+      val twin = v.map(x => x + (rng.nextDouble() - 0.5) * 0.4)
+      Seq((2L * i, v.map(_.toFloat)), (2L * i + 1, twin.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.thresholdPairs(df, "vec_id", "embedding", 0.9)
+    val single = Similarity.lshBucketed(df, "vec_id", "embedding", 0.9,
+      planes = 12, dim = 16)
+    val multi = Similarity.lshBucketedMultiProbe(df, "vec_id", "embedding",
+      0.9, planes = 12, dim = 16).pairs
+    val sp = single.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mp = multi.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sp.subsetOf(mp))
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallReport(approx, exact, Seq("id_a", "id_b"))
+        .select("recall").as[Double].collect().head
+    val (rs, rm) = (recallOf(single), recallOf(multi))
+    assert(rm >= rs)
+    assert(rm > rs, s"expected probing to recover split pairs: $rs vs $rm")
+  }
+
   test("planesFor sizes plane count to the corpus") {
     assert(Similarity.planesFor(1000000L, 64) == 14)  // 2^14 buckets
     assert(Similarity.planesFor(100L, 64) == 4)       // clamped low
