@@ -255,6 +255,14 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TF.qualityScore(col("text")).as("quality"))),
 
+    // Gopher-style repetition screens (word-level): the drop-before-
+    // training filters a 100 TB corpus pass runs first
+    "q_t_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        round(TF.dupTokenFraction(col("text")), 6).as("dup_frac"),
+        round(TF.topTokenFraction(col("text")), 6).as("top_frac"),
+        round(TF.consecRepeatFraction(col("text")), 6).as("consec_frac"))),
+
     "q_t_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TF.langGuess(col("text")).as("lang_guess"))),
@@ -583,6 +591,14 @@ object SparkEntry {
 
     "q_t_quality" ->
       s"WITH q AS (SELECT doc_id, len($toksSql)::DOUBLE AS nw, len(list_filter($toksSql, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, $punctSql AS pr FROM documents) SELECT doc_id, round((least(nw / 100.0, 1.0) + least(hits / greatest(nw, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS quality FROM q",
+
+    "q_t_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)
+         |SELECT doc_id,
+         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) END, 6) AS dup_frac,
+         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d))))::DOUBLE / len(tk) END, 6) AS top_frac,
+         |  round(CASE WHEN len(tk) < 2 THEN 0.0 ELSE len(list_filter(range(2, len(tk) + 1), i -> tk[i] = tk[i-1]))::DOUBLE / (len(tk) - 1) END, 6) AS consec_frac
+         |FROM t""".stripMargin,
 
     "q_t_langid" ->
       s"WITH q AS (SELECT doc_id, $toksSql AS tk FROM documents), c AS (SELECT doc_id, len(list_filter(tk, t -> t IN ('the','and','of','is'))) AS c_en, len(list_filter(tk, t -> t IN ('el','la','los','es'))) AS c_es, len(list_filter(tk, t -> t IN ('der','die','und','ist'))) AS c_de, len(list_filter(tk, t -> t IN ('le','les','est','et'))) AS c_fr FROM q) SELECT doc_id, CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en' WHEN c_es >= c_de AND c_es >= c_fr THEN 'es' WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_guess FROM c",

@@ -152,6 +152,39 @@ object TextFns {
 
   def wordCount(c: Column): Column = size(tokens(c))
 
+  // ---- repetition screens (Gopher-style, Rae et al. 2021 §A1.1) ----
+  // Training corpora drop boilerplate/repetitive docs before anything
+  // else touches them; at word level these are pure Column HOFs — no
+  // UDF, no shuffle, they fuse into the scan projection.
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 - distinct/total. 0 for empty docs. */
+  def dupTokenFraction(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      (size(t) - size(array_distinct(t))).cast("double") / size(t))
+  }
+
+  /** Fraction of tokens covered by the single most frequent token —
+    * the word-level analog of Gopher's top-n-gram screen. */
+  def topTokenFraction(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(t),
+        d => size(filter(t, x => x === d))))
+        .cast("double") / size(t))
+  }
+
+  /** Fraction of adjacent token positions that repeat (stutter runs:
+    * "batch batch batch"). */
+  def consecRepeatFraction(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) < 2, lit(0.0)).otherwise(
+      size(filter(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1), (a, b) => a === b), x => x))
+        .cast("double") / (size(t) - 1))
+  }
+
   /** Marker-word lists for the n-gram/stopword language-ID heuristic.
     * Declaration order is the tie-break precedence. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

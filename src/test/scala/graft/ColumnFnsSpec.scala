@@ -108,6 +108,27 @@ class ColumnFnsSpec extends SparkSpec {
     assert(got == 0L)
   }
 
+  test("repetition screens: dup/top/consec fractions with boundaries") {
+    val df = Seq(
+      ("a b c d", 0.0, 0.25, 0.0),          // all distinct
+      ("x x x x", 0.75, 1.0, 1.0),          // one stuttered token
+      ("a b a b", 0.5, 0.5, 0.0),           // repeats, never adjacent
+      ("solo", 0.0, 1.0, 0.0),              // single token
+      ("", 0.0, 0.0, 0.0)                   // empty doc: all guards
+    ).toDF("t", "ed", "et", "ec")
+    val got = df.select(
+      TF.dupTokenFraction(col("t")).as("d"),
+      TF.topTokenFraction(col("t")).as("tp"),
+      TF.consecRepeatFraction(col("t")).as("c"),
+      col("ed"), col("et"), col("ec"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(3), s"dup: $r")
+      assert(r.getDouble(1) == r.getDouble(4), s"top: $r")
+      assert(r.getDouble(2) == r.getDouble(5), s"consec: $r")
+    }
+  }
+
   test("langGuess picks the marker-heavy language") {
     val df = Seq(
       "the cat and the dog of the house is big",
