@@ -110,6 +110,26 @@ class ReadersSpec extends SparkSpec {
     assert(Readers.dumpMarkers(spark, dir).count() == 2)
   }
 
+  test("dumpStats: single-line extended INSERTs (mysqldump default grammar)") {
+    val path = tmpFile("ext.sql",
+      """CREATE TABLE `t1` (
+        |  `id` int NOT NULL,
+        |  `v` varchar(8)
+        |) ENGINE=InnoDB;
+        |INSERT INTO `t1` VALUES (1,'a'),(2,'b'),(3,'c');
+        |INSERT INTO `t1` VALUES (4,'d'),(5,'e');
+        |CREATE TABLE `t2` (
+        |  `id` int NOT NULL
+        |) ENGINE=InnoDB;
+        |""".stripMargin)
+    val got = Readers.dumpStats(spark, path)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, c, r) => k -> ((c, r)) }.toMap
+    assert(got == Map("t1" -> (2L, 5L), "t2" -> (1L, 0L)))
+    // complete INSERT lines are not positional markers here either
+    assert(Readers.dumpMarkers(spark, path).count() == 2)
+  }
+
   test("stripDumpHeaders removes USE/CREATE DATABASE lines") {
     val path = tmpFile("d2.sql",
       "USE `cbio`;\nCREATE DATABASE x;\nINSERT INTO t VALUES (1);\n")

@@ -129,4 +129,35 @@ class StreamOpsSpec extends SparkSpec {
       assert(got == Set(("click", 2L, 5.0), ("buy", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("annotation stage composes with streaming (stateless mapPartitions)") {
+    // §2.9 × §2.10: the effectful annotator is a stateless per-row
+    // transform, so the same withAnnotations call drops into a
+    // readStream pipeline unchanged — per-microbatch partition
+    // lifecycle, same output schema as the batch twin
+    implicit val sqlCtx = spark.sqlContext
+    case class Variant(CHROM: String, POS: Long, REF: String, ALT: String)
+    val input = MemoryStream[(String, Long, String, String)]
+    val variants = input.toDS()
+      .toDF("CHROM", "POS", "REF", "ALT")
+    val annotated = graft.annotate.Annotate.withAnnotations(
+      variants, new graft.annotate.MockAnnotator, maxRetries = 0)
+    val q = annotated.writeStream.format("memory").queryName("anno")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("17", 7577120L, "C", "T"), ("2", 200L, "G", "C"))
+      q.processAllAvailable()
+      input.addData(("1", 100L, "A", "G"))
+      q.processAllAvailable()
+      val got = spark.table("anno")
+      assert(got.count() == 3)
+      // identical rows to the batch twin on the same input
+      val batch = graft.annotate.Annotate.withAnnotations(
+        Seq(("17", 7577120L, "C", "T"), ("2", 200L, "G", "C"),
+          ("1", 100L, "A", "G")).toDF("CHROM", "POS", "REF", "ALT"),
+        new graft.annotate.MockAnnotator, maxRetries = 0)
+      assert(got.collect().map(_.toSeq).toSet ==
+        batch.collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
 }
