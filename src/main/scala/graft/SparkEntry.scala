@@ -147,7 +147,11 @@ object SparkEntry {
 
     // the reference's real matrix shape (cnv.py:655-679): one column
     // per sample, values passed EXPLICITLY (SURVEY §7.4 item 3) — no
-    // inference scan, no 10k-value cap surprise
+    // inference scan, no 10k-value cap surprise. Pre-agg + pivot, NOT
+    // the single-shuffle conditional-agg form: at width 500 the
+    // latter evaluates every predicate per input row and falls out of
+    // whole-stage codegen (measured 20 s vs 1.8 s at sf0.1 —
+    // Pivots.continuousAgg scaladoc).
     "q_v3_wide" -> ((s, d) => {
       val agg = t(s, d, "lineitem")
         .withColumn("pcol", concat(lit("p"), col("l_partkey") % 500))

@@ -25,6 +25,28 @@ object Pivots {
                  valueCol: String, values: Seq[String]): DataFrame =
     df.groupBy(idxCol).pivot(colCol, values).agg(first(col(valueCol)))
 
+  /** NARROW matrix in one shuffle: when the cell value is itself an
+    * aggregate, conditional aggregation —
+    * `groupBy(idx).agg(agg(when(colCol = v, value)) per v)` — saves
+    * `pivot`'s second exchange, and map-side partial aggregation
+    * covers the idx × value matrix before the shuffle.
+    *
+    * MEASURED LIMIT: use only for narrow value lists (≲50). Every
+    * input row evaluates ALL `values.length` predicates (O(rows ×
+    * width) vs the pivot form's one pre-agg touch per row), and wide
+    * aggregate lists fall out of whole-stage codegen — at width 500
+    * on sf0.1 this form ran 20 s vs 1.8 s for pre-agg + `pivot`
+    * (`continuous`), which is why `q_v3_wide` uses the latter.
+    * `cell` builds the aggregate from the masked value column. */
+  def continuousAgg(df: DataFrame, idxCol: String, colCol: String,
+                    valueCol: String, values: Seq[String],
+                    cell: Column => Column): DataFrame = {
+    require(values.nonEmpty, "continuousAgg: empty pivot-value list")
+    val cells = values.map(v =>
+      cell(when(col(colCol) === v, col(valueCol))).as(v))
+    df.groupBy(idxCol).agg(cells.head, cells.tail: _*)
+  }
+
   /** V2: discrete (GISTIC-like) matrix — nulls→0, all int
     * (cnv.py:670-679). */
   def discrete(df: DataFrame, idxCol: String, colCol: String,

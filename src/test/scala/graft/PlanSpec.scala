@@ -61,6 +61,20 @@ class PlanSpec extends SparkSpec {
       !read.contains("l_extendedprice"), read)
   }
 
+  test("wide conditional-agg matrix shuffles exactly once") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .withColumn("pcol", concat(lit("p"), col("l_partkey") % 20))
+    val plan = graft.operators.Pivots.continuousAgg(
+      li, "l_suppkey", "pcol", "l_quantity",
+      (0 until 20).map(i => s"p$i"), c => sum(c))
+      .queryExecution.sparkPlan.toString
+    // at most ONE exchange (zero when the scan is a single partition),
+    // never the pre-agg + pivot double shuffle; map-side combine on
+    assert(count(plan, "Exchange") <= 1, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("dumpStats window admits statement markers only, not complete INSERT rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-dump")
     val p = dir.resolve("d.sql")

@@ -73,6 +73,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: single-shuffle continuousAgg == pre-agg + pivot") {
+    val df = (1 to 800).map(_ =>
+      (s"g${rng.nextInt(25)}", s"s${rng.nextInt(30)}", rng.nextDouble()))
+      .toDF("gene", "sample", "v")
+    val samples = (0 until 30).map(i => s"s$i")
+    val viaPivot = Pivots.continuous(
+      df.groupBy("gene", "sample").agg(round(sum(col("v")), 4).as("sv")),
+      "gene", "sample", "sv", samples)
+    val viaAgg = Pivots.continuousAgg(df, "gene", "sample", "v", samples,
+      c => round(sum(c), 4))
+    assert(viaAgg.columns.toSeq == viaPivot.columns.toSeq)
+    assert(viaAgg.collect().map(_.toSeq).toSet ==
+      viaPivot.collect().map(_.toSeq).toSet)
+  }
+
   test("property: saltedOuterJoin == plain join for full/right outer") {
     val skewed = (1 to 1000).map(i =>
       (if (i % 10 == 0) 1L else rng.nextInt(50).toLong, i)).toDF("k", "v")
