@@ -378,6 +378,19 @@ object SparkEntry {
         "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
         minJaccard = 0.5).deduped.select("doc_id")),
 
+    // ---- skew tooling (§4): salted full outer == plain full outer —
+    //      the oracle is the unsalted SQL join, so the decomposition
+    //      (salted inner + salted anti legs) is hash-checked whole ----
+    "q_x_salted" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderkey"), col("o_totalprice"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      Skew.saltedOuterJoin(o, c, Seq("custkey"), numSalts = 8, "full_outer")
+        .select("custkey", "o_orderkey", "o_totalprice", "c_name")
+    }),
+
     // ---- §2.2 P9: deterministic batching — scalable range-partitioned
     //      form (identical output to ntile(10) OVER (ORDER BY ...),
     //      which the oracle uses; no single-task global window) ----
@@ -706,6 +719,9 @@ object SparkEntry {
 
     "q_p9_ntile" ->
       "SELECT batch, count(*) AS n, round(sum(o_totalprice), 4) AS batch_total FROM (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_orderkey) AS batch FROM orders) GROUP BY batch",
+
+    "q_x_salted" ->
+      "SELECT custkey, o_orderkey, o_totalprice, c_name FROM (SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0) o FULL OUTER JOIN (SELECT c_custkey AS custkey, c_name FROM customer) c USING (custkey)",
 
     // q_s_ivf with nProbe = number of centroids searches every bucket,
     // so the exact brute-force top-k is the correct oracle
