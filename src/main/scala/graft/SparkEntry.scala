@@ -260,12 +260,16 @@ object SparkEntry {
         TF.qualityScore(col("text")).as("quality"))),
 
     // Gopher-style repetition screens (word-level): the drop-before-
-    // training filters a 100 TB corpus pass runs first
+    // training filters a 100 TB corpus pass runs first. Tokenize once
+    // per row (own projection), score three screens off the bound array.
     "q_t_repetition" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        round(TF.dupTokenFraction(col("text")), 6).as("dup_frac"),
-        round(TF.topTokenFraction(col("text")), 6).as("top_frac"),
-        round(TF.consecRepeatFraction(col("text")), 6).as("consec_frac"))),
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"),
+          round(TF.dupTokenFractionOnTokens(col("__tk")), 6).as("dup_frac"),
+          round(TF.topTokenFractionOnTokens(col("__tk")), 6).as("top_frac"),
+          round(TF.consecRepeatFractionOnTokens(col("__tk")), 6)
+            .as("consec_frac"))),
 
     "q_t_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),

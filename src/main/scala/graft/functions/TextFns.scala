@@ -159,31 +159,50 @@ object TextFns {
 
   /** Fraction of tokens that are repeats of an earlier token:
     * 1 - distinct/total. 0 for empty docs. */
-  def dupTokenFraction(c: Column): Column = {
-    val t = tokens(c)
+  def dupTokenFraction(c: Column): Column =
+    dupTokenFractionOnTokens(tokens(c))
+
+  /** `dupTokenFraction` over a pre-tokenized array column — bind the
+    * `tokens(...)` array once in its own projection when computing
+    * several screens per row (CollapseProject leaves the non-cheap
+    * split alias alone, so it is evaluated once, not once per screen). */
+  def dupTokenFractionOnTokens(t: Column): Column =
     when(size(t) === 0, lit(0.0)).otherwise(
       (size(t) - size(array_distinct(t))).cast("double") / size(t))
-  }
 
   /** Fraction of tokens covered by the single most frequent token —
-    * the word-level analog of Gopher's top-n-gram screen. */
-  def topTokenFraction(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(t),
-        d => size(filter(t, x => x === d))))
-        .cast("double") / size(t))
+    * the word-level analog of Gopher's top-n-gram screen. Top-token
+    * count = longest equal run of the SORTED token array, folded in
+    * one `aggregate` pass with (prev, run, best) state — O(n log n)
+    * per row, not the O(n · distinct) of counting each distinct token
+    * against the full array. */
+  def topTokenFraction(c: Column): Column =
+    topTokenFractionOnTokens(tokens(c))
+
+  def topTokenFractionOnTokens(t: Column): Column = {
+    val best = aggregate(array_sort(t),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(t) === 0, lit(0.0))
+      .otherwise(best.cast("double") / size(t))
   }
 
   /** Fraction of adjacent token positions that repeat (stutter runs:
     * "batch batch batch"). */
-  def consecRepeatFraction(c: Column): Column = {
-    val t = tokens(c)
+  def consecRepeatFraction(c: Column): Column =
+    consecRepeatFractionOnTokens(tokens(c))
+
+  def consecRepeatFractionOnTokens(t: Column): Column =
     when(size(t) < 2, lit(0.0)).otherwise(
       size(filter(zip_with(slice(t, lit(1), size(t) - 1),
         slice(t, lit(2), size(t) - 1), (a, b) => a === b), x => x))
         .cast("double") / (size(t) - 1))
-  }
 
   /** Marker-word lists for the n-gram/stopword language-ID heuristic.
     * Declaration order is the tie-break precedence. */
