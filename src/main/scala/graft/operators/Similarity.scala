@@ -247,6 +247,18 @@ object Similarity {
       .withColumn("recall", col("hit_count") / col("exact_count"))
   }
 
+  /** Precision of the approximate result: the fraction of what it
+    * RETURNED that the exact result confirms — `recallReport` with the
+    * arguments swapped and honest column names. For a candidate stage
+    * followed by an exact confirm (LSH → Jaccard, SRP → cosine),
+    * precision < 1 measures wasted confirm work, not wrong answers. */
+  def precisionReport(approx: DataFrame, exact: DataFrame,
+                      keyCols: Seq[String],
+                      perCols: Seq[String] = Nil): DataFrame =
+    recallReport(exact, approx, keyCols, perCols)
+      .withColumnRenamed("exact_count", "approx_count")
+      .withColumnRenamed("recall", "precision")
+
   /** Pairs-only view of `lshBucketedChecked` (oracle/bench surface). */
   def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
                   minCos: Double, planes: Int = 8, dim: Int = 64,

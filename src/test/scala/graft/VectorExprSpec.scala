@@ -170,6 +170,12 @@ class VectorExprSpec extends SparkSpec {
       .select("exact_count", "hit_count", "recall")
       .as[(Long, Long, Double)].collect().head
     assert(overall == ((4L, 3L, 0.75)))
+    // precision: of the 4 approx pairs, 3 are confirmed by exact
+    val prec = Similarity.precisionReport(approx, exact,
+      keyCols = Seq("query_id", "neighbor_id"))
+      .select("approx_count", "hit_count", "precision")
+      .as[(Long, Long, Double)].collect().head
+    assert(prec == ((4L, 3L, 0.75)))
   }
 
   test("IVF recall: full probe = 1.0, narrow probe bounded and reported") {
