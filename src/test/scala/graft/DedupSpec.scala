@@ -125,6 +125,17 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty) // fixture actually exercises the path
   }
 
+  test("dupClusters: 200-node chain converges in O(log n) rounds (pointer jumping)") {
+    // worst-case diameter graph: a path 1-2-...-200. Pure min-label
+    // propagation needs ~200 rounds; with pointer jumping the label
+    // tree halves per round, so 12 rounds must be plenty for n=200
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, maxIterations = 12)
+    assert(got.count() == 200)
+    assert(got.select("cluster_id").distinct().as[Long].collect().toSeq
+      == Seq(1L))
+  }
+
   test("dupClusters: hitting maxIterations throws instead of returning split clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
