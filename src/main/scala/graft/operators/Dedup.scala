@@ -253,10 +253,16 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs (the semantic-dedup leg of
     * the training-data pipeline): exact form for modest corpora, SRP-
-    * bucketed ANN (`Similarity.lshBucketed`) as the 100 TB path. */
+    * bucketed ANN (`Similarity.lshBucketed`) as the 100 TB path;
+    * `multiProbe` additionally probes one-flip buckets to recover
+    * pairs a single hyperplane split (recall knob — measure with
+    * `Similarity.recallReport`). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        minCos: Double, exact: Boolean = true): DataFrame =
+                        minCos: Double, exact: Boolean = true,
+                        multiProbe: Boolean = false): DataFrame =
     if (exact) Similarity.thresholdPairs(df, idCol, vecCol, minCos)
+    else if (multiProbe)
+      Similarity.lshBucketedMultiProbe(df, idCol, vecCol, minCos).pairs
     else Similarity.lshBucketed(df, idCol, vecCol, minCos)
 
   /** End-to-end SimHash dedup (the third leg next to `dedupByLsh` and
@@ -281,8 +287,9 @@ object Dedup {
     * the SRP-bucketed ANN — the 100 TB path (bucket join instead of
     * all-pairs; recall bounded by the plane count). */
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
-                       minCos: Double, exact: Boolean = true): DataFrame = {
-    val pairs = embeddingNearDups(df, idCol, vecCol, minCos, exact)
+                       minCos: Double, exact: Boolean = true,
+                       multiProbe: Boolean = false): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, minCos, exact, multiProbe)
       .select("id_a", "id_b")
     val drop = dupClusters(pairs).filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))

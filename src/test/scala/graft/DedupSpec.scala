@@ -190,11 +190,11 @@ class DedupSpec extends SparkSpec {
       (1L, vec(1.0, 0.0)), (2L, vec(1.0, 0.001)), (7L, vec(1.0, -0.001)),
       (3L, Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -5.0)))
       .toDF("vec_id", "embedding")
-    for (exact <- Seq(true, false)) {
+    for ((exact, probe) <- Seq((true, false), (false, false), (false, true))) {
       val kept = Dedup.dedupByEmbedding(docs, "vec_id", "embedding",
-        minCos = 0.9999, exact = exact)
+        minCos = 0.9999, exact = exact, multiProbe = probe)
         .select("vec_id").as[Long].collect().toSet
-      assert(kept == Set(1L, 3L), s"exact=$exact")
+      assert(kept == Set(1L, 3L), s"exact=$exact multiProbe=$probe")
     }
   }
 
