@@ -101,12 +101,21 @@ object Writers {
 
   /** One row rendered as a SQL value tuple: strings quoted with
     * doubled-''-escaping (ANSI; NO_BACKSLASH_ESCAPES-compatible),
-    * nulls as NULL, numerics verbatim. */
+    * nulls as NULL, numerics verbatim. A control character (\n/\r) in
+    * a string value would tear the one-statement-per-line grammar the
+    * dump promises (and `Readers.dumpStats` counts) — that is a LOUD
+    * error at render time (`raise_error`, no extra scan, the write
+    * job aborts uncommitted), not a silently corrupt dump; scrub or
+    * encode such values upstream. */
   private def sqlTuple(df: DataFrame): Column =
     concat_ws(",", df.schema.fields.map { f =>
       f.dataType match {
         case StringType | TimestampType | DateType =>
           when(qcol(f.name).isNull, lit("NULL"))
+            .when(qcol(f.name).cast("string").rlike("[\\n\\r]"),
+              raise_error(concat(
+                lit(s"sqlDump: control character in `${f.name}` value: "),
+                qcol(f.name).cast("string"))))
             .otherwise(concat(lit("'"),
               regexp_replace(qcol(f.name).cast("string"), "'", "''"),
               lit("'")))

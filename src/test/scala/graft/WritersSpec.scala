@@ -60,6 +60,20 @@ class WritersSpec extends SparkSpec {
     assert(text.exists(_.contains("'Alice O''Hara'")))
     assert(text.count(_.startsWith("USE ")) == 1)
 
+    // a newline inside a value would tear the one-statement-per-line
+    // grammar — must abort loudly, never write a corrupt dump
+    val torn = Seq((1L, "line1\nline2")).toDF("ID", "NAME")
+    val err = intercept[Exception] {
+      Writers.sqlDump(Seq("T" -> torn), "graftdb",
+        java.nio.file.Files.createTempDirectory("graft_dump_bad")
+          .toString + "/bad.sql")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("control character")),
+      messages(err).mkString(" | "))
+
     val dump = DbCounter.dumpCounts(spark, dumpDir)
     val db = DbCounter.dbCounts(spark, url, props, Seq("PATIENT", "SAMPLE"))
     val recon = DbCounter.reconcile(dump, db)
