@@ -230,7 +230,7 @@ object Readers {
       .withColumn("create_tbl",
         regexp_extract(col("value"), "^CREATE TABLE `([^`]+)`", 1))
       .withColumn("insert_tbl",
-        when(col("value").rlike("^INSERT INTO `[^`]+`\\s+VALUES\\s*$"),
+        when(col("value").rlike("^INSERT INTO `[^`]+`.*VALUES\\s*$"),
           regexp_extract(col("value"), "^INSERT INTO `([^`]+)`", 1))
           .otherwise(""))
       .filter(col("create_tbl") =!= "" || col("insert_tbl") =!= "")
@@ -264,14 +264,17 @@ object Readers {
       .select(col("value"), monotonically_increasing_id().as("off"))
 
     // Self-identifying complete INSERT lines: direct groupBy, scales
-    // with file size (the 100 TB path).
+    // with file size (the 100 TB path). `.*?` admits an optional
+    // column list (--complete-insert form: INSERT INTO `t` (a,b)
+    // VALUES ...); tuples are counted in the VALUES part only, so a
+    // column list never inflates the row count.
     val direct = lines
       .select(regexp_extract(col("value"),
-        "^INSERT INTO `([^`]+)`\\s+VALUES\\s*\\(", 1).as("tbl"),
-        col("value"))
+        "^INSERT INTO `([^`]+)`.*?VALUES\\s*\\(", 1).as("tbl"),
+        regexp_extract(col("value"), "VALUES\\s*(\\(.*)", 1).as("vals"))
       .filter(col("tbl") =!= "")
       .groupBy("tbl")
-      .agg(sum(tupleCount(col("value"))).as("direct_rows"))
+      .agg(sum(tupleCount(col("vals"))).as("direct_rows"))
 
     // Position-carried lines: column defs + tuple continuations only.
     val markers = dumpMarkers(spark, path)

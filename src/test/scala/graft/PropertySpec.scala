@@ -89,12 +89,17 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: saltedOuterJoin == plain join for full/right outer") {
-    val skewed = (1 to 1000).map(i =>
-      (if (i % 10 == 0) 1L else rng.nextInt(50).toLong, i)).toDF("k", "v")
+    // incl. null keys on both sides: SQL null never matches, so each
+    // null-key row must surface exactly once, null-extended
+    val skewed = ((1 to 1000).map(i =>
+      (if (i % 10 == 0) java.lang.Long.valueOf(1L)
+      else java.lang.Long.valueOf(rng.nextInt(50).toLong), i)) :+
+      ((null: java.lang.Long, 9999))).toDF("k", "v")
     // dim keys 100-109 match nothing in skewed -> right-only rows;
     // skewed keys 30-49 match nothing in dim -> left-only rows
-    val dim = ((0 until 30) ++ (100 until 110))
-      .map(k => (k.toLong, s"d$k")).toDF("k", "name")
+    val dim = (((0 until 30) ++ (100 until 110))
+      .map(k => (java.lang.Long.valueOf(k.toLong), s"d$k")) :+
+      ((null: java.lang.Long, "dnull"))).toDF("k", "name")
     for (jt <- Seq("full_outer", "right_outer")) {
       val plain = skewed.join(dim, Seq("k"), jt)
         .select("k", "v", "name").collect().toSet
@@ -104,8 +109,9 @@ class PropertySpec extends SparkSpec {
     }
     // the unmatched-replica duplication saltedJoin refuses must not
     // sneak back in: exactly one null-extended row per unmatched key
+    // (10 unmatched dim keys + the null-key dim row)
     val fo = Skew.saltedOuterJoin(skewed, dim, Seq("k"), 8, "full_outer")
-    assert(fo.filter(col("v").isNull).count() == 10)
+    assert(fo.filter(col("v").isNull).count() == 11)
   }
 
   test("keySkewReport: single aggregation tree, correct shares") {

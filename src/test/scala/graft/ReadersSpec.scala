@@ -130,6 +130,19 @@ class ReadersSpec extends SparkSpec {
     assert(Readers.dumpMarkers(spark, path).count() == 2)
   }
 
+  test("dumpStats: --complete-insert column lists don't hide or inflate rows") {
+    val path = tmpFile("ci.sql",
+      """INSERT INTO `t1` (`id`, `v`) VALUES (1,'a'),(2,'b');
+        |INSERT INTO `t1` (`id`, `v`) VALUES (3,'c');
+        |""".stripMargin)
+    val got = Readers.dumpStats(spark, path)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, c, r) => k -> ((c, r)) }.toMap
+    // the (`id`, `v`) column list is neither a tuple (no inflation to
+    // 3+2) nor camouflage (rows are found at all)
+    assert(got == Map("t1" -> (0L, 3L)))
+  }
+
   test("stripDumpHeaders removes USE/CREATE DATABASE lines") {
     val path = tmpFile("d2.sql",
       "USE `cbio`;\nCREATE DATABASE x;\nINSERT INTO t VALUES (1);\n")
