@@ -103,6 +103,7 @@ object MultiModal {
   private def imageHeaderMeta(bytes: Array[Byte]): Row = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    if (iis == null) return null // no SPI could wrap these bytes
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) null
