@@ -22,6 +22,24 @@ class ValidateSpec extends SparkSpec {
       "c.json" -> "MISSING"))
   }
 
+  test("md5Check with sizeCol: truncation reported as SIZE_MISMATCH") {
+    val dir = Files.createTempDirectory("graft-md5-size")
+    Files.write(dir.resolve("a.json"), "hello".getBytes)
+    Files.write(dir.resolve("b.json"), "wor".getBytes) // truncated
+    val md5hello = "5d41402abc4b2a76b9719d911017c592"
+    val md5world = "7d793037a0760186574b0282f2f435e7"
+    val manifest = Seq(
+      ("s1", "a.json", md5hello, 5L),  // correct
+      ("s2", "b.json", md5world, 5L),  // wrong size AND digest -> SIZE
+      ("s3", "a.json2", md5hello, 5L)) // absent
+      .toDF("sample_id", "file_name", "md5sum", "file_size")
+    val got = Validate.md5Check(spark, dir.toString, manifest,
+      sizeCol = Some("file_size"))
+      .select("file_name", "status").as[(String, String)].collect().toMap
+    assert(got == Map("a.json" -> "OK", "b.json" -> "SIZE_MISMATCH",
+      "a.json2" -> "MISSING"))
+  }
+
   test("pendingWork: expected minus existing on the key") {
     val expected = Seq(("f1", 1), ("f2", 2), ("f3", 3)).toDF("file", "n")
     val existing = Seq(Tuple1("f2")).toDF("file")
