@@ -75,6 +75,72 @@ object StreamOps {
     }
   }
 
+  /** Streaming NEAR-dup dedup (the SimHash leg) as a `foreachBatch`
+    * step against an accumulated signature store — the production
+    * pattern when dedup state is a TABLE (every signature seen so
+    * far) rather than the per-key scalar state the built-in stateful
+    * operators hold. Each microbatch is:
+    *   1. deduped internally with the batch operator
+    *      (`Dedup.dedupBySimhash` — banded buckets + compiled
+    *      hamming kernel);
+    *   2. screened against the store via the same block banding
+    *      (a batch doc within `maxHamming` of ANY stored signature
+    *      is dropped);
+    *   3. survivors written to `outDir/batch_id=<id>` and their
+    *      signatures appended to `storeDir/batch_id=<id>`.
+    * Replay safety: both writes overwrite their own batch_id slice,
+    * and the screen reads only `batch_id < current` — a retried batch
+    * neither duplicates output nor screens itself against its own
+    * signatures.
+    *
+    *   docs.writeStream
+    *     .foreachBatch(StreamOps.simhashDedupBatchStep(store, out,
+    *       "text", "doc_id")).start()
+    */
+  def simhashDedupBatchStep(storeDir: String, outDir: String,
+                            textCol: String, idCol: String,
+                            bits: Int = 32, maxHamming: Int = 3,
+                            maxBucket: Int = 10000)
+  : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    val spark = batch.sparkSession
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0,
+      s"bits=$bits must divide into maxHamming+1=$blocks blocks")
+    val blockBits = bits / blocks
+    val mask = (1L << blockBits) - 1
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("*"), explode(array((0 until blocks).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sig"), b * blockBits).bitwiseAND(mask).as("bval"))
+      }: _*)).as("e"))
+        .select(col(idCol), col("sig"), col("e.blk"), col("e.bval"))
+
+    val internal = Dedup.dedupBySimhash(batch, textCol, idCol, bits,
+      maxHamming, maxBucket)
+    val sigs = internal.select(col(idCol),
+      TextFns.simhash(col(textCol), bits).as("sig"))
+    val stored =
+      try Some(spark.read.parquet(storeDir)
+        .filter(col("batch_id") < batchId)
+        .select(col("sig").as("__ssig"), col("blk"), col("bval")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val survivors = stored match {
+      case None => internal
+      case Some(st) =>
+        val dupIds = banded(sigs).join(st, Seq("blk", "bval"))
+          .filter(TextFns.hamming(col("sig"), col("__ssig"), bits)
+            <= maxHamming)
+          .select(col(idCol)).distinct()
+        internal.join(dupIds, Seq(idCol), "left_anti")
+    }
+    survivors.write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId")
+    banded(sigs.join(survivors.select(col(idCol)), Seq(idCol)))
+      .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
+
   /** Streaming tumbling-window counts with a watermark — the
     * incremental form of the q_e_hourly batch query. */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours")

@@ -130,6 +130,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhashDedupBatchStep: near-dups dropped across batches via the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    val (store, out) = (s"$dirs/store", s"$dirs/out")
+    val input = MemoryStream[(Long, String)]
+    val step = StreamOps.simhashDedupBatchStep(store, out, "text", "doc_id")
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(step).start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta"), // in-batch dup of 1
+        (3L, "completely different vocabulary about other topics entirely"))
+      q.processAllAvailable()
+      input.addData(
+        (4L, "alpha beta gamma delta epsilon zeta"), // cross-batch dup of 1
+        (5L, "fresh unrelated content with novel words and phrasing"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L))
+      // the store holds banded signatures only for survivors
+      val storedIds = spark.read.parquet(store)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(storedIds == Set(1L, 3L, 5L))
+      // replaying batch 1 against the store is idempotent: the screen
+      // reads only batch_id < current, so survivors are unchanged
+      val replay = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta"),
+        (3L, "completely different vocabulary about other topics entirely"))
+        .toDF("doc_id", "text")
+      step(replay, 0L)
+      val after = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("annotation stage composes with streaming (stateless mapPartitions)") {
     // §2.9 × §2.10: the effectful annotator is a stateless per-row
     // transform, so the same withAnnotations call drops into a
