@@ -337,6 +337,13 @@ object SparkEntry {
         t(s, d, "embeddings").filter(col("vec_id") < 300),
         "vec_id", "embedding", minCos = 0.2)),
 
+    // multi-probe SRP: each vector also probes the one-flip buckets,
+    // recovering pairs a single hyperplane split
+    "q_s_multiprobe" -> ((s, d) =>
+      Similarity.lshBucketedMultiProbe(
+        t(s, d, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", minCos = 0.2).pairs),
+
     // recall accounting for the approximate path: what the SRP buckets
     // cost vs the exact threshold pairs, on the same sample
     "q_s_recall" -> ((s, d) => {
@@ -670,6 +677,9 @@ object SparkEntry {
 
     "q_s_lshpairs" ->
       s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cosSql("a.v", "c.v")} AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2",
+
+    "q_s_multiprobe" ->
+      s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), pr AS (SELECT vec_id, unnest(list_concat([bucket], list_transform(range(0, 8), p -> xor(bucket, (1::BIGINT << p))))) AS pbucket FROM b), cand AS (SELECT DISTINCT a.vec_id AS id_a, h.vec_id AS id_b FROM pr a JOIN b h ON a.pbucket = h.bucket AND a.vec_id < h.vec_id), p AS (SELECT c.id_a, c.id_b, ${cosSql("ea.v", "eb.v")} AS cos FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b) SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2",
 
     "q_s_recall" ->
       s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), approx AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2), exact AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM e a JOIN e c ON a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2) SELECT count(*) AS exact_count, CAST(count(ap.id_a) AS BIGINT) AS hit_count, count(ap.id_a) * 1.0 / count(*) AS recall FROM exact ex LEFT JOIN approx ap ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b",
