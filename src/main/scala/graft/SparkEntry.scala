@@ -767,6 +767,32 @@ object SparkEntry {
         s"SELECT doc_id, $bnd AS band, ${h60Sql(s"mh_${2 * bnd}::VARCHAR || '_' || mh_${2 * bnd + 1}::VARCHAR")} AS bucket FROM sig"
       }.mkString(" UNION ALL ")
       s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE len($toksSql) >= 3), d AS (SELECT doc_id, $shinglesSql AS sh FROM t), sig AS (SELECT doc_id, $mh FROM d), bk AS ($bandSelects) SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS band_matches FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id GROUP BY 1, 2"
+    },
+
+    // the END-TO-END dedup composition, oracle-checked whole: LSH
+    // candidates (q_d_lsh's SQL) -> Jaccard confirm (q_d_jaccard's
+    // set algebra) -> connected components via WITH RECURSIVE
+    // min-label propagation (the fixpoint dupClusters reaches
+    // iteratively) -> representative filter
+    "q_d_pipeline" -> {
+      val mh = (0 until 8).map { i =>
+        val a = (2654435761L * (i + 1)) % 1000000007L
+        val b = (2246822519L * (i + 1)) % 1000000007L
+        s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, ${h60Sql(s"mh_${2 * bnd}::VARCHAR || '_' || mh_${2 * bnd + 1}::VARCHAR")} AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      val jac = "CASE WHEN len(list_distinct(list_concat(da.sh, db.sh))) = 0 THEN 0.0 ELSE len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) END"
+      s"WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE len($toksSql) >= 3), " +
+        s"d AS (SELECT doc_id, $shinglesSql AS sh FROM t), " +
+        s"sig AS (SELECT doc_id, $mh FROM d), bk AS ($bandSelects), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+        s"conf AS (SELECT id_a, id_b FROM cand JOIN d da ON da.doc_id = cand.id_a JOIN d db ON db.doc_id = cand.id_b WHERE $jac >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM conf UNION SELECT id_b, id_a FROM conf), " +
+        "cc AS (SELECT src AS id, src AS lbl FROM edges UNION SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src WHERE cc.lbl < e.dst), " +
+        "dropped AS (SELECT id FROM (SELECT id, min(lbl) AS c FROM cc GROUP BY id) WHERE id <> c) " +
+        "SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT id FROM dropped)"
     }
   )
 }
