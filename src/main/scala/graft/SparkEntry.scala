@@ -389,6 +389,18 @@ object SparkEntry {
         "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
         minJaccard = 0.5).deduped.select("doc_id")),
 
+    // the sibling end-to-end pipelines, oracle-checked whole the same
+    // way (pairs stage -> recursive-CTE connected components)
+    "q_d_pipeline_sim" -> ((s, d) =>
+      Dedup.dedupBySimhash(t(s, d, "documents"), "text", "doc_id",
+        bits = 32, maxHamming = 3).select("doc_id")),
+
+    "q_d_pipeline_emb" -> ((s, d) =>
+      Dedup.dedupByEmbedding(
+        t(s, d, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", minCos = 0.3, exact = true)
+        .select("vec_id")),
+
     // ---- skew tooling (§4): salted full outer == plain full outer —
     //      the oracle is the unsalted SQL join, so the decomposition
     //      (salted inner + salted anti legs) is hash-checked whole ----
@@ -507,6 +519,20 @@ object SparkEntry {
     (0 until bits).map(j =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
+
+  /** Connected-components tail shared by the end-to-end dedup
+    * oracles: symmetric edges from a `(id_a, id_b)` CTE named
+    * `$pairsCte`, min-label propagation to fixpoint via WITH
+    * RECURSIVE (the same fixpoint `Dedup.dupClusters` reaches with
+    * pointer-jumped iteration), then everything that is NOT a
+    * non-representative member of a cluster. Prepend `WITH RECURSIVE`
+    * to the full query when splicing this in. */
+  private def ccTailSql(pairsCte: String, keepFrom: String,
+                        idCol: String): String =
+    s"edges AS (SELECT id_a AS src, id_b AS dst FROM $pairsCte UNION SELECT id_b, id_a FROM $pairsCte), " +
+      "cc AS (SELECT src AS id, src AS lbl FROM edges UNION SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src WHERE cc.lbl < e.dst), " +
+      "dropped AS (SELECT id FROM (SELECT id, min(lbl) AS c FROM cc GROUP BY id) WHERE id <> c) " +
+      s"SELECT $idCol FROM $keepFrom WHERE $idCol NOT IN (SELECT id FROM dropped)"
 
   /** q_v3_wide's explicit pivot-value list — the cBio
     * one-column-per-sample matrix shape (500 columns here; values are
@@ -789,10 +815,20 @@ object SparkEntry {
         s"sig AS (SELECT doc_id, $mh FROM d), bk AS ($bandSelects), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
         s"conf AS (SELECT id_a, id_b FROM cand JOIN d da ON da.doc_id = cand.id_a JOIN d db ON db.doc_id = cand.id_b WHERE $jac >= 0.5), " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM conf UNION SELECT id_b, id_a FROM conf), " +
-        "cc AS (SELECT src AS id, src AS lbl FROM edges UNION SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src WHERE cc.lbl < e.dst), " +
-        "dropped AS (SELECT id FROM (SELECT id, min(lbl) AS c FROM cc GROUP BY id) WHERE id <> c) " +
-        "SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT id FROM dropped)"
+        ccTailSql("conf", "t", "doc_id")
+    },
+
+    "q_d_pipeline_sim" -> {
+      s"WITH RECURSIVE t AS (SELECT doc_id, list_transform($toksSql, x -> ${h60Sql("x")}) AS hs FROM documents), " +
+        s"s AS (SELECT doc_id, ${simhashSql(32)} AS sig FROM t), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE list_sum(list_transform(range(0, 32), j -> CASE WHEN ((a.sig >> j) & 1) <> ((b.sig >> j) & 1) THEN 1 ELSE 0 END)) <= 3), " +
+        ccTailSql("p", "t", "doc_id")
+    },
+
+    "q_d_pipeline_emb" -> {
+      s"WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE ${cosSql("a.v", "b.v")} >= 0.3), " +
+        ccTailSql("p", "e", "vec_id")
     }
   )
 }
