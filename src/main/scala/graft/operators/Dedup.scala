@@ -201,12 +201,47 @@ object Dedup {
     * kept representative per cluster is id == cluster_id.
     */
   def dupClusters(pairs: DataFrame, maxIterations: Int = 20,
-                  checkpointEvery: Int = 3): DataFrame = {
+                  checkpointEvery: Int = 3,
+                  localSolveMaxEdges: Long = 1000000L): DataFrame = {
     // symmetric edge list incl. self-loops
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
+    // Adaptive local solve: each distributed round costs several
+    // scheduled stages regardless of data volume, so on a graph whose
+    // edge list is driver-safe (~16 MB at the default cap) a collected
+    // union-find wins by orders of magnitude. The distributed loop
+    // below remains the scale path — a 100 TB near-dup graph blows
+    // straight past the cap. Disable with localSolveMaxEdges = 0.
+    val nEdges = edges.count()
+    if (nEdges > 0 && nEdges <= localSolveMaxEdges) {
+      val es = edges.select(col("src"), col("dst"))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id: root IS the cluster id
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val out = ids.iterator.map(id => (id, find(id))).toSeq
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toDF("id", "cluster_id")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .cache()
@@ -223,7 +258,11 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"),
           col("cluster_id").as("__old"))
-      // jump: label := label(label) — halves label-tree depth
+      // jump: label := label(label) — halves label-tree depth. (A
+      // second jump per round was tried and reverted: without
+      // materializing the first jump its lut re-evaluates the whole
+      // un-cached subtree, quadrupling per-round work — measured far
+      // slower, not faster.)
       val lut = hopped.select(col("id").as("cluster_id"),
         col("cluster_id").as("__parent"))
       val jumped = hopped.join(lut, Seq("cluster_id"), "left")
@@ -248,6 +287,7 @@ object Dedup {
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIterations rounds " +
           "(pointer-jumped min-label propagation); raise maxIterations")
+    System.err.println(s"[dupClusters] converged in $i rounds")
     labels
   }
 

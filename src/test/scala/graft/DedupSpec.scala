@@ -130,7 +130,9 @@ class DedupSpec extends SparkSpec {
     // propagation needs ~200 rounds; with pointer jumping the label
     // tree halves per round, so 12 rounds must be plenty for n=200
     val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.dupClusters(pairs, maxIterations = 12)
+    // force the distributed loop: this test pins the O(log n) claim
+    val got = Dedup.dupClusters(pairs, maxIterations = 12,
+      localSolveMaxEdges = 0)
     assert(got.count() == 200)
     assert(got.select("cluster_id").distinct().as[Long].collect().toSeq
       == Seq(1L))
@@ -139,7 +141,8 @@ class DedupSpec extends SparkSpec {
   test("dupClusters: hitting maxIterations throws instead of returning split clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.dupClusters(pairs, maxIterations = 0)
+      // localSolveMaxEdges = 0 forces the distributed loop
+      Dedup.dupClusters(pairs, maxIterations = 0, localSolveMaxEdges = 0)
     }
   }
 
@@ -163,9 +166,15 @@ class DedupSpec extends SparkSpec {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(v => (v, find(v))).toSet
-      val got = Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+      // both paths must agree with the brute force: the driver-side
+      // union-find (default) and the distributed pointer-jump loop
+      val local = Dedup.dupClusters(edges.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toSet
-      assert(got == expected, s"trial $trial")
+      val dist = Dedup.dupClusters(edges.toDF("id_a", "id_b"),
+        localSolveMaxEdges = 0)
+        .as[(Long, Long)].collect().toSet
+      assert(local == expected, s"trial $trial (local)")
+      assert(dist == expected, s"trial $trial (distributed)")
     }
   }
 
