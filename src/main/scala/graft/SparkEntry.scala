@@ -401,6 +401,17 @@ object SparkEntry {
         "vec_id", "embedding", minCos = 0.3, exact = true)
         .select("vec_id")),
 
+    // the designated 100 TB semantic-dedup path under the oracle AND
+    // the clock: multi-probe SRP-bucketed ANN pairs (bucket join, not
+    // all-pairs) -> connected components -> representatives. The
+    // exact=true twin above stays as the correctness baseline.
+    "q_d_pipeline_emb_ann" -> ((s, d) =>
+      Dedup.dedupByEmbedding(
+        t(s, d, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", minCos = 0.3, exact = false,
+        multiProbe = true)
+        .select("vec_id")),
+
     // ---- skew tooling (§4): salted full outer == plain full outer —
     //      the oracle is the unsalted SQL join, so the decomposition
     //      (salted inner + salted anti legs) is hash-checked whole ----
@@ -431,6 +442,25 @@ object SparkEntry {
       Similarity.ivfSearch(assigned, centroids,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         nProbe = 8, topK = 5)
+    }),
+
+    // IVF with one Lloyd refinement pass: refined centroids are the
+    // per-dim means of the seed assignment (rounded to 6 dp so the
+    // distributed avg's last-ulp partial-aggregation order can't leak
+    // into downstream comparisons), then assignment + probed search
+    // run against THEM. nProbe < k, so the result genuinely depends on
+    // the refined centroids — the oracle replays the whole cascade.
+    "q_s_ivf_lloyd" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+      val refined = Similarity
+        .refineCentroids(emb, "vec_id", "embedding", seeds, iterations = 1)
+        .select(col("centroid_id"),
+          transform(col("cvec"), x => round(x, 6)).as("cvec"))
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", refined)
+      Similarity.ivfSearch(assigned, refined,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nProbe = 3, topK = 5)
     }),
 
     // ---- SQL surface (spark.sql over registered views) ----
@@ -545,7 +575,12 @@ object SparkEntry {
       s"(CASE WHEN list_sum(list_transform($v, (x, i) -> x * (((($p * 64 + (i - 1)) * 2654435761) % 1009) - 504))) > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
   private def cosSql(a: String, b: String): String =
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    s"round(${cosRawSql(a, b)}, 6)"
+  /** Unrounded cosine — for ORDER-BY comparisons that mirror the Spark
+    * kernel's unrounded ranking (both engines sum the same arrays in
+    * the same sequential order, so the IEEE doubles agree bitwise). */
+  private def cosRawSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   def oracleSql: Map[String, String] = Map(
     "q_p1_project" ->
@@ -829,6 +864,35 @@ object SparkEntry {
       s"WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), " +
         s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE ${cosSql("a.v", "b.v")} >= 0.3), " +
         ccTailSql("p", "e", "vec_id")
+    },
+
+    // multi-probe SRP pairs (q_s_multiprobe's expansion, at minCos
+    // 0.3) -> the same recursive-CTE connected-components tail: the
+    // approximate end-to-end semantic dedup, hash-checked whole
+    "q_d_pipeline_emb_ann" -> {
+      s"WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), " +
+        s"b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), " +
+        "pr AS (SELECT vec_id, unnest(list_concat([bucket], list_transform(range(0, 8), p -> xor(bucket, (1::BIGINT << p))))) AS pbucket FROM b), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, h.vec_id AS id_b FROM pr a JOIN b h ON a.pbucket = h.bucket AND a.vec_id < h.vec_id), " +
+        s"p AS (SELECT c.id_a, c.id_b FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b WHERE ${cosSql("ea.v", "eb.v")} >= 0.3), " +
+        ccTailSql("p", "e", "vec_id")
+    },
+
+    // full IVF cascade with one Lloyd pass: seed assignment -> per-dim
+    // means rounded to 6 dp (matching the Spark wrapper) -> re-assign
+    // -> probe the 3 nearest refined centroids -> exact top-5 re-rank
+    // inside the probed buckets only
+    "q_s_ivf_lloyd" -> {
+      s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "seeds AS (SELECT vec_id AS centroid_id, v AS cvec FROM e ORDER BY vec_id LIMIT 8), " +
+        s"a0 AS (SELECT vec_id, v, centroid_id FROM (SELECT e.vec_id, e.v, s.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosRawSql("e.v", "s.cvec")} DESC, s.centroid_id) AS rn FROM e CROSS JOIN seeds s) WHERE rn = 1), " +
+        "dims AS (SELECT centroid_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a0), " +
+        "ref AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM (SELECT centroid_id, pos, round(avg(x), 6) AS m FROM dims GROUP BY 1, 2) GROUP BY centroid_id), " +
+        s"a1 AS (SELECT vec_id, v, centroid_id FROM (SELECT e.vec_id, e.v, r.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosRawSql("e.v", "r.cvec")} DESC, r.centroid_id) AS rn FROM e CROSS JOIN ref r) WHERE rn = 1), " +
+        "q AS (SELECT vec_id, v FROM e WHERE vec_id < 10), " +
+        s"probes AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM (SELECT q.vec_id, q.v, r.centroid_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosRawSql("q.v", "r.cvec")} DESC, r.centroid_id) AS rn FROM q CROSS JOIN ref r) WHERE rn <= 3), " +
+        s"cands AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p.qv", "a.v")} AS cos FROM probes p JOIN a1 a ON p.centroid_id = a.centroid_id WHERE p.query_id <> a.vec_id) " +
+        "SELECT query_id, neighbor_id, cos, rank FROM (SELECT c.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM cands c) WHERE rank <= 5"
     }
   )
 }
