@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted equi join: the skewed side gets a deterministic per-row
-    * salt (hash of the whole row — stable across task retries, unlike
-    * rand()); the other side is replicated once per salt. Shuffle keys
-    * become (keys..., salt) so one hot key spreads over `numSalts`
-    * tasks. Replication cost: `other` is materialized numSalts× —
-    * use for dimension-vs-fact skew, keep numSalts modest (8–32).
+    * salt (hash of the whole row MIXED with a partition-stable row id
+    * — stable across task retries, unlike rand(); the row id keeps
+    * bit-identical duplicate rows from all hashing into one salt
+    * bucket and recreating the hotspot the salt exists to break); the
+    * other side is replicated once per salt. Shuffle keys become
+    * (keys..., salt) so one hot key spreads over `numSalts` tasks.
+    * Replication cost: `other` is materialized numSalts× — use for
+    * dimension-vs-fact skew, keep numSalts modest (8–32).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  numSalts: Int, joinType: String = "inner"): DataFrame = {
@@ -35,13 +38,22 @@ object Skew {
     require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin: joinType '$joinType' would emit duplicate rows for " +
         "unmatched rows of the replicated side; use inner/left/semi/anti")
-    val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.toSeq.map(col): _*)), lit(numSalts))
-        .cast("int"))
+    val salted = skewed.withColumn("__salt", rowSalt(skewed, numSalts))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** The per-row salt `saltedJoin` assigns, exposed for spread
+    * inspection. monotonically_increasing_id = (partitionId << 33) +
+    * row offset: a retried task recomputes its partition in the same
+    * order, so the salt is retry-stable (unlike rand()), while the row
+    * id keeps bit-identical duplicate rows out of a single bucket. The
+    * join result never depends on WHICH salt a row lands in — only
+    * that the replicated side carries all of them. */
+  def rowSalt(df: DataFrame, numSalts: Int): Column =
+    pmod(xxhash64(struct(df.columns.toSeq.map(col): _*),
+      monotonically_increasing_id()), lit(numSalts)).cast("int")
 
   /** Outer joins that preserve unmatched rows of the REPLICATED side
     * (full/right) can't ride `saltedJoin` directly — each unmatched

@@ -175,7 +175,7 @@ object Readers {
       val in = fs.open(firstFile)
       try in.readAllBytes() finally in.close()
     }
-    val header = XlsxParse.sheetRows(headerBytes, sheet).headOption
+    val header = XlsxParse.sheetRows(headerBytes, sheet, maxRows = 1).headOption
       .getOrElse(throw new IllegalArgumentException(
         s"xlsx: empty sheet in $firstFile"))
       .map(h => if (h == null) "" else h)

@@ -32,9 +32,13 @@ object XlsxParse {
 
   /** All rows of `sheet` (default: the workbook's first sheet) as
     * string cell vectors, ragged rows padded with null to the max
-    * width. */
+    * width. `maxRows` stops the StAX scan as soon as that many rows
+    * are complete — a header peek (`maxRows = 1`) touches only the
+    * first row's XML and never materializes the rest of a possibly
+    * multi-hundred-MB worksheet on the driver. */
   def sheetRows(bytes: Array[Byte],
-                sheet: Option[String] = None): Vector[Vector[String]] = {
+                sheet: Option[String] = None,
+                maxRows: Int = Int.MaxValue): Vector[Vector[String]] = {
     val parts = readParts(bytes, sheet)
     val shared = parts.sharedStrings
     val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[String]]
@@ -45,7 +49,7 @@ object XlsxParse {
     var inIsT = false
     var row: mutable.ArrayBuffer[String] = null
     val text = new StringBuilder
-    while (r.hasNext) {
+    while (rows.length < maxRows && r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {

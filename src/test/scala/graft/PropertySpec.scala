@@ -73,6 +73,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: saltedJoin spreads IDENTICAL duplicate rows across salts") {
+    // worst case for a whole-row-hash salt: every skewed row is
+    // bit-identical, so they'd all hash into ONE salt bucket and
+    // recreate the hotspot — the partition-stable row-id mix must
+    // spread them while leaving the join result (a multiset with
+    // duplicates!) exactly equal to the unsalted join
+    val skewed = spark.range(1000)
+      .select(lit(1L).as("k"), lit(42).as("v")).repartition(4)
+    val dim = Seq((1L, "d1"), (2L, "d2")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k"), "inner")
+      .select("k", "v", "name").collect().map(_.toSeq)
+      .sortBy(_.mkString(","))
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), numSalts = 8, "inner")
+      .select("k", "v", "name").collect().map(_.toSeq)
+      .sortBy(_.mkString(","))
+    assert(salted.length == 1000 && salted.toSeq == plain.toSeq)
+    val spread = skewed.select(Skew.rowSalt(skewed, 8).as("s"))
+      .select(countDistinct(col("s"))).collect().head.getLong(0)
+    assert(spread == 8L, s"identical rows landed in only $spread salts")
+  }
+
   test("property: single-shuffle continuousAgg == pre-agg + pivot") {
     val df = (1 to 800).map(_ =>
       (s"g${rng.nextInt(25)}", s"s${rng.nextInt(30)}", rng.nextDouble()))

@@ -106,6 +106,28 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("XlsxParse: maxRows=1 header peek never scans past the first row") {
+    // worksheet whose SECOND row is malformed XML: a full parse throws,
+    // but the header peek stops after row 1 and never sees it — proof
+    // the driver-side peek doesn't materialize the whole sheet
+    val buf = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(buf)
+    entry(z, "xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="m" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry(z, "xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships><Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry(z, "xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>
+         |<row r="1">${is("A1", "col_a")}${is("B1", "col_b")}</row>
+         |<row r="2">${num("A2", "1")}</unclosed-garbage>
+         |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val bytes = buf.toByteArray
+    assert(XlsxParse.sheetRows(bytes, None, maxRows = 1) ==
+      Vector(Vector("col_a", "col_b")))
+    intercept[Exception] { XlsxParse.sheetRows(bytes, None) }
+  }
+
   test("Readers.xlsx: pedmatch manifest start — schema'd scan + validation") {
     val df = Readers.xlsx(spark, fixturePath, Some("manifest"),
       Some(Readers.pedmatchManifestSchema))
