@@ -299,11 +299,14 @@ object Dedup {
     * `Similarity.recallReport`). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         minCos: Double, exact: Boolean = true,
-                        multiProbe: Boolean = false): DataFrame =
+                        multiProbe: Boolean = false, planes: Int = 8,
+                        dim: Int = 64, maxBucket: Int = 1000): DataFrame =
     if (exact) Similarity.thresholdPairs(df, idCol, vecCol, minCos)
     else if (multiProbe)
-      Similarity.lshBucketedMultiProbe(df, idCol, vecCol, minCos).pairs
-    else Similarity.lshBucketed(df, idCol, vecCol, minCos)
+      Similarity.lshBucketedMultiProbe(df, idCol, vecCol, minCos,
+        planes, dim, maxBucket).pairs
+    else Similarity.lshBucketed(df, idCol, vecCol, minCos,
+      planes, dim, maxBucket)
 
   /** End-to-end SimHash dedup (the third leg next to `dedupByLsh` and
     * `dedupByEmbedding`): near-dup pairs within `maxHamming` →
@@ -328,8 +331,10 @@ object Dedup {
     * all-pairs; recall bounded by the plane count). */
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String,
                        minCos: Double, exact: Boolean = true,
-                       multiProbe: Boolean = false): DataFrame = {
-    val pairs = embeddingNearDups(df, idCol, vecCol, minCos, exact, multiProbe)
+                       multiProbe: Boolean = false, planes: Int = 8,
+                       dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, minCos, exact,
+      multiProbe, planes, dim, maxBucket)
       .select("id_a", "id_b")
     val drop = dupClusters(pairs).filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))

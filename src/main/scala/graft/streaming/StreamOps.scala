@@ -141,6 +141,59 @@ object StreamOps {
       .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
   }
 
+  /** Streaming SEMANTIC dedup (the embedding leg, twin of
+    * `Dedup.dedupByEmbedding(exact = false, multiProbe = true)`) as a
+    * `foreachBatch` step against an accumulated signature store —
+    * same table-state pattern as `simhashDedupBatchStep`. Each
+    * microbatch:
+    *   1. dedupes internally via the multi-probe SRP-bucketed ANN
+    *      path (bucket join + exact cosine confirm, never all-pairs);
+    *   2. screens against the store: each batch survivor probes its
+    *      home bucket plus the one-flip buckets — the same probe set
+    *      the in-batch path uses, so a stored near-dup split from the
+    *      batch doc by a single hyperplane is still caught — and is
+    *      dropped when any stored vector confirms `cos >= minCos`;
+    *   3. writes survivors to `outDir/batch_id=<id>` and their
+    *      (bucket, vector) signatures to `storeDir/batch_id=<id>`.
+    * Replay safety as in the SimHash twin: both writes overwrite
+    * their own batch_id slice and the screen reads only
+    * `batch_id < current`.
+    */
+  def srpDedupBatchStep(storeDir: String, outDir: String,
+                        vecCol: String, idCol: String, minCos: Double,
+                        planes: Int = 8, dim: Int = 64,
+                        maxBucket: Int = 1000)
+  : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.{Dedup, Similarity}
+    val spark = batch.sparkSession
+    val internal = Dedup.dedupByEmbedding(batch, idCol, vecCol, minCos,
+      exact = false, multiProbe = true, planes, dim, maxBucket)
+    val sigs = internal.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("bucket", Similarity.srpBucket(col("__v"), planes, dim))
+    val stored =
+      try Some(spark.read.parquet(storeDir)
+        .filter(col("batch_id") < batchId)
+        .select(col("bucket"), col("__v").as("__sv")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val survivors = stored match {
+      case None => internal
+      case Some(st) =>
+        val probes = sigs.select(col(idCol), col("__v"),
+          explode(array(col("bucket") +: (0 until planes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+        val dupIds = probes.join(st, Seq("bucket"))
+          .filter(Similarity.cosine(col("__v"), col("__sv")) >= minCos)
+          .select(col(idCol)).distinct()
+        internal.join(dupIds, Seq(idCol), "left_anti")
+    }
+    survivors.write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId")
+    sigs.join(survivors.select(col(idCol)), Seq(idCol))
+      .select(col(idCol), col("__v"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
+
   /** Streaming tumbling-window counts with a watermark — the
     * incremental form of the q_e_hourly batch query. */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours")

@@ -169,6 +169,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("srpDedupBatchStep: embedding near-dups dropped across batches via the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-stream-embdedup")
+    val (store, out) = (s"$dirs/store", s"$dirs/out")
+    val a = Seq(1.0, 0.2, 0.1, 0.0, 0.3, 0.0, 0.1, 0.2)
+    val aJit = Seq(1.0, 0.21, 0.1, 0.0, 0.3, 0.0, 0.1, 0.19) // cos(a,·) ≈ 0.99992
+    val b = Seq(0.0, 1.0, 0.0, 0.9, 0.0, 0.8, 0.0, 0.0) // cos(a,·) ≈ 0.12
+    val c = Seq(0.1, 0.0, 1.0, 0.0, 0.0, 0.0, 0.9, 0.0) // cos(a,·) ≈ 0.20
+    val input = MemoryStream[(Long, Seq[Double])]
+    val step = StreamOps.srpDedupBatchStep(store, out, "embedding",
+      "vec_id", minCos = 0.95, planes = 8, dim = 8)
+    val q = input.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(step).start()
+    try {
+      input.addData((1L, a), (2L, aJit), (3L, b)) // 2 is an in-batch near-dup
+      q.processAllAvailable()
+      input.addData((4L, a), (5L, c)) // 4 is a cross-batch near-dup of 1
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L))
+      // the store holds signatures only for survivors
+      val storedIds = spark.read.parquet(store)
+        .select("vec_id").distinct().as[Long].collect().toSet
+      assert(storedIds == Set(1L, 3L, 5L))
+      // convergence: identical keep-set to the batch twin on the
+      // whole corpus (ids arrive in increasing order, so first-seen
+      // == min-id representative)
+      val batchKept = graft.operators.Dedup.dedupByEmbedding(
+        Seq((1L, a), (2L, aJit), (3L, b), (4L, a), (5L, c))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCos = 0.95, exact = false,
+        multiProbe = true, planes = 8, dim = 8)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == batchKept)
+      // replaying batch 0 is idempotent: the screen reads only
+      // batch_id < current, so survivors are unchanged
+      step(Seq((1L, a), (2L, aJit), (3L, b)).toDF("vec_id", "embedding"), 0L)
+      val after = spark.read.parquet(out)
+        .select("vec_id").as[Long].collect().toSet
+      assert(after == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("annotation stage composes with streaming (stateless mapPartitions)") {
     // §2.9 × §2.10: the effectful annotator is a stateless per-row
     // transform, so the same withAnnotations call drops into a
