@@ -93,6 +93,49 @@ class PlanSpec extends SparkSpec {
     assert(!sub.contains("VALUES\\s*\\("), sub)
   }
 
+  test("multi-probe SRP plan: no cartesian, candidates deduped BEFORE the vector join-back") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qe = Similarity.lshBucketedMultiProbe(emb, "vec_id", "embedding",
+      minCos = 0.2).pairs.queryExecution
+    // every join is an equi join — the probe expansion must never
+    // degrade to an all-pairs nested loop
+    val sp = qe.sparkPlan.toString
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"), sp)
+    // the candidate distinct groups on BARE ids (no vector columns):
+    // each surviving pair is scored once, after dedup
+    val dedupAggs = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.output.map(_.name).toSet == Set("id_a", "id_b") => a
+    }
+    assert(dedupAggs.nonEmpty, qe.optimizedPlan.toString)
+  }
+
+  test("SimHash near-dup candidate stage: no full-table window, no cartesian") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val qe = Dedup.simhashNearDups(docs, "text", "doc_id",
+      bits = 32, maxHamming = 3).queryExecution
+    assert(qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, qe.optimizedPlan.toString)
+    assert(!qe.sparkPlan.toString.contains("CartesianProduct"),
+      qe.sparkPlan.toString)
+  }
+
+  test("SRP-bucketed pair stage: no full-table window, no cartesian") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qe = Similarity.lshBucketed(emb, "vec_id", "embedding",
+      minCos = 0.3).queryExecution
+    assert(qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, qe.optimizedPlan.toString)
+    assert(!qe.sparkPlan.toString.contains("CartesianProduct"),
+      qe.sparkPlan.toString)
+  }
+
   test("IVF assignment broadcasts centroids (no shuffle of the corpus)") {
     val emb = (1L to 50L).map(i =>
       (i, Array.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
