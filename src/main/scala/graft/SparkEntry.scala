@@ -425,6 +425,28 @@ object SparkEntry {
         .select("custkey", "o_orderkey", "o_totalprice", "c_name")
     }),
 
+    // ---- deterministic sampling / splitting (training-data ops):
+    //      md5-keyed, so re-runs, repartitioning, and appends never
+    //      change a row's fate — and the oracle replays the exact set ----
+    "q_x_sample" -> ((s, d) =>
+      Sampling.hashSample(t(s, d, "orders"), "o_orderkey", 0.25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "q_x_split" -> ((s, d) =>
+      Sampling.assignSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+
+    "q_x_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 0.9, "src1" -> 0.5), defaultRate = 0.1)
+        .select("doc_id", "source")),
+
+    "q_x_reservoir" -> ((s, d) =>
+      Sampling.samplePerKey(t(s, d, "events"), Seq("user_id"),
+        "event_id", k = 3)
+        .select("user_id", "event_id")),
+
     // ---- §2.2 P9: deterministic batching — scalable range-partitioned
     //      form (identical output to ntile(10) OVER (ORDER BY ...),
     //      which the oracle uses; no single-task global window) ----
@@ -797,6 +819,18 @@ object SparkEntry {
 
     "q_x_salted" ->
       "SELECT custkey, o_orderkey, o_totalprice, c_name FROM (SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0) o FULL OUTER JOIN (SELECT c_custkey AS custkey, c_name FROM customer) c USING (custkey)",
+
+    "q_x_sample" ->
+      s"SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE substr(md5(o_orderkey::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.25)}'",
+
+    "q_x_split" ->
+      s"SELECT doc_id, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents",
+
+    "q_x_stratified" ->
+      s"SELECT doc_id, source FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 8) < (CASE WHEN source = 'src0' THEN '${Sampling.thresholdHex(0.9)}' WHEN source = 'src1' THEN '${Sampling.thresholdHex(0.5)}' ELSE '${Sampling.thresholdHex(0.1)}' END)",
+
+    "q_x_reservoir" ->
+      "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY substr(md5(event_id::VARCHAR), 1, 8), event_id) AS rn FROM events) WHERE rn <= 3",
 
     // q_s_ivf with nProbe = number of centroids searches every bucket,
     // so the exact brute-force top-k is the correct oracle

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / mixing for training-data
+  * pipelines (north-star extension; reference analog: the cohort
+  * partitioning in pedmatch.py — but here the contract is the one a
+  * 100 TB corpus job needs: STABLE under re-runs, partitioning, and
+  * incremental appends).
+  *
+  * Every operator keys off the first 8 hex chars of `md5(salt || id)`
+  * compared lexicographically against a precomputed threshold string:
+  *   - no RNG, no `rand()` — adding executors, retrying a stage, or
+  *     re-running the job yields the SAME sample (Spark's `sample()`
+  *     is seed-stable only for identical partitioning);
+  *   - a row's fate depends only on (salt, its own id) — appending new
+  *     data never reshuffles old rows across splits, which is what
+  *     keeps train/test contamination-free across corpus versions;
+  *   - md5 is portable, so a SQL oracle reproduces the exact row set
+  *     (same trick as Dedup's hash60 family);
+  *   - pure `Column` expressions: the filter is codegen'd and pushes
+  *     into the scan like any other predicate — a sample of a 100 TB
+  *     table reads all rows but shuffles NONE (no window, no agg).
+  *
+  * Salts namespace independent draws: sampling at 0.25 with salt "a"
+  * and 0.25 with salt "b" gives two ~6.25%-overlapping subsets, while
+  * nested fractions with the SAME salt are subsets of each other
+  * (0.1 ⊂ 0.25) — both properties are load-bearing for corpus
+  * ablation studies, so they are tested.
+  */
+object Sampling {
+
+  /** Threshold string for `fraction` over the 32-bit hex-prefix space.
+    * Lexicographic compare of fixed-width lowercase hex == numeric
+    * compare, and "g" sorts after every hex digit, so fraction 1.0
+    * keeps everything. Exposed so oracle SQL embeds the identical
+    * literal. */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val t = math.round(fraction * 4294967296.0) // 2^32
+    if (t >= 4294967296L) "g" else f"$t%08x"
+  }
+
+  /** The sampling key: first 8 hex chars of md5(salt || id). Uniform
+    * on [0, 2^32) for distinct ids; deterministic everywhere. */
+  def sampleKey(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+
+  /** Keep a deterministic `fraction` of rows keyed by `idCol`. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: String = ""): DataFrame =
+    df.filter(sampleKey(col(idCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Assign every row to exactly one named split (train/val/test…) by
+    * cumulative threshold. Fractions must sum to 1 (±1e-9); the last
+    * split absorbs the hex-rounding remainder so no row is unassigned.
+    * Adds `splitCol`; rows keep their assignment forever (append-safe).
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)], salt: String = "",
+                  splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "no splits given")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val key = sampleKey(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // every key < "g" ⇒ the last WHEN always catches the remainder
+    val assigned = splits.init.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val cond = key < lit(thresholdHex(c))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Per-stratum sampling rates (dataset mixing / rebalancing): keep
+    * each row with its stratum's rate, `defaultRate` for strata not in
+    * the map. `rates` is config-sized (a when-chain, not a join) —
+    * for a million-stratum table use a broadcast-join variant instead.
+    * Same salt ⇒ a stratum's sample at a lower rate is a subset of its
+    * sample at a higher rate (nested, like hashSample). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = ""): DataFrame = {
+    val key = sampleKey(col(idCol), salt)
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (v, r)) =>
+        val c = col(stratumCol) === v
+        Some(acc.fold(when(c, lit(thresholdHex(r))))(
+          _.when(c, lit(thresholdHex(r)))))
+    }.fold(lit(thresholdHex(defaultRate)): Column)(
+      _.otherwise(lit(thresholdHex(defaultRate))))
+    df.filter(key < thr)
+  }
+
+  /** Exactly `k` rows per key group (or all, if the group is smaller),
+    * chosen uniformly and deterministically — the distributed stand-in
+    * for per-group reservoir sampling. One shuffle (the window
+    * partition); ties cannot happen because `idCol` breaks them. */
+  def samplePerKey(df: DataFrame, keyCols: Seq[String], idCol: String,
+                   k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(sampleKey(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__srn", row_number().over(w))
+      .filter(col("__srn") <= k).drop("__srn")
+  }
+}

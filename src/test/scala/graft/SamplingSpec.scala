@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 2000L).toDF("id")
+
+  test("thresholdHex: fixed-width hex, 0 and 1 are the extremes") {
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(0.25) == "40000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(1.0) == "g") // sorts after every hex key
+    intercept[IllegalArgumentException](Sampling.thresholdHex(1.2))
+  }
+
+  test("hashSample: deterministic, near-uniform, fraction-monotone") {
+    val s25a = Sampling.hashSample(ids, "id", 0.25).as[Long].collect().toSet
+    val s25b = Sampling.hashSample(ids, "id", 0.25).as[Long].collect().toSet
+    assert(s25a == s25b) // re-run stability
+    assert(math.abs(s25a.size - 500) < 100) // ~binomial(2000, .25)
+    // nested property: lower fraction with same salt is a subset
+    val s10 = Sampling.hashSample(ids, "id", 0.10).as[Long].collect().toSet
+    assert(s10.subsetOf(s25a))
+    // fraction 0 and 1 boundaries
+    assert(Sampling.hashSample(ids, "id", 0.0).count() == 0)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 2000)
+  }
+
+  test("hashSample: salts draw independently") {
+    val a = Sampling.hashSample(ids, "id", 0.25, salt = "a")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, "id", 0.25, salt = "b")
+      .as[Long].collect().toSet
+    assert(a != b)
+    // overlap should be ~ 2000 * 0.0625 = 125, not ~500
+    assert(a.intersect(b).size < 300)
+  }
+
+  test("assignSplit: total, disjoint, append-stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplit(ids, "id", splits)
+      .as[(Long, String)].collect()
+    assert(got.length == 2000) // every row assigned exactly once
+    val byLabel = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 1400 && byLabel("val") < 400)
+    // append-stability: the first 1000 ids get the same labels when
+    // assigned alone as within the full set
+    val sub = Sampling.assignSplit((1L to 1000L).toDF("id"), "id", splits)
+      .as[(Long, String)].collect().toMap
+    val full = got.toMap
+    assert(sub.forall { case (k, v) => full(k) == v })
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.3)))
+  }
+
+  test("stratifiedSample: per-stratum rates honored, default applies") {
+    val df = ids.withColumn("stratum",
+      when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val got = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("even" -> 0.9), defaultRate = 0.1)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(got("even") > 800 && got("even") <= 1000)
+    assert(got("odd") < 200)
+    // rate-monotone within a stratum (same salt): 0.5 ⊂ 0.9
+    val hi = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("even" -> 0.9), 0.1).filter(col("stratum") === "even")
+      .select("id").as[Long].collect().toSet
+    val lo = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("even" -> 0.5), 0.1).filter(col("stratum") === "even")
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("samplePerKey: exactly k per big group, all of smaller groups") {
+    val df = Seq.tabulate(100)(i => (s"u${i % 3}", i.toLong)) ++
+      Seq(("tiny", 999L))
+    val got = Sampling.samplePerKey(df.toDF("user", "id"),
+      Seq("user"), "id", k = 5)
+    val counts = got.groupBy("user").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("u0") == 5 && counts("u1") == 5 && counts("u2") == 5)
+    assert(counts("tiny") == 1)
+    // deterministic across runs
+    val again = Sampling.samplePerKey(df.toDF("user", "id"),
+      Seq("user"), "id", k = 5).select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+  }
+
+  test("sample filter pushes down to the scan (no shuffle, no window)") {
+    val plan = Sampling.hashSample(ids, "id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
