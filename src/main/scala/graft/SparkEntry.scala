@@ -485,6 +485,27 @@ object SparkEntry {
         nProbe = 3, topK = 5)
     }),
 
+    // ---- PQ: product quantization — the compression half of the
+    //      100 TB ANN story (IVF partitions the corpus, PQ shrinks
+    //      what each partition stores). Encode is map-only; ADC
+    //      scores via integer LUT sums, so the oracle replays the
+    //      cascade exactly ----
+    "q_s_pq_code" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 4, dim = 64, k = 8)
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    }),
+
+    "q_s_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 4, dim = 64, k = 8)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      Similarity.pqAdcSearch(codes, cb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dim = 64, topK = 5)
+    }),
+
     // ---- SQL surface (spark.sql over registered views) ----
     "q_sql_agg" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -604,7 +625,34 @@ object SparkEntry {
   private def cosRawSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** Squared-L2 over DOUBLE[] — sequential sum mirroring
+    * Similarity.l2Hof, so the IEEE doubles agree bitwise. */
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i])))"
+
+  /** PQ shared CTE prefix: 4×16-dim subspace slices, codebook seeded
+    * from the 8 lowest-id vectors, per-(vec, sub) nearest-centroid
+    * code — mirrors pqTrain(iterations = 0) + pqEncode. */
+  private val pqPrefixSql: String =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "subs AS (SELECT unnest(range(0, 4)) AS sub), " +
+      "seeds AS (SELECT vec_id AS centroid_id, v FROM e ORDER BY vec_id LIMIT 8), " +
+      "cb AS (SELECT sub, centroid_id, list_slice(v, sub*16 + 1, sub*16 + 16) AS cvec FROM seeds CROSS JOIN subs), " +
+      "sv AS (SELECT vec_id, sub, list_slice(v, sub*16 + 1, sub*16 + 16) AS svec FROM e CROSS JOIN subs), " +
+      s"dists AS (SELECT sv.vec_id, sv.sub, cb.centroid_id, ${l2Sql("sv.svec", "cb.cvec")} AS d FROM sv JOIN cb ON sv.sub = cb.sub), " +
+      "enc AS (SELECT vec_id, sub, centroid_id AS code FROM (SELECT vec_id, sub, centroid_id, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, centroid_id) AS rn FROM dists) WHERE rn = 1)"
+
   def oracleSql: Map[String, String] = Map(
+    "q_s_pq_code" ->
+      s"WITH $pqPrefixSql SELECT vec_id, sub, code FROM enc",
+
+    "q_s_pq_adc" ->
+      (s"WITH $pqPrefixSql, " +
+        "q AS (SELECT vec_id AS query_id, sub, list_slice(v, sub*16 + 1, sub*16 + 16) AS qs FROM e CROSS JOIN subs WHERE vec_id < 10), " +
+        s"lut AS (SELECT query_id, sub, centroid_id AS code, floor(${l2Sql("qs", "cvec")} * 1e6)::BIGINT AS d FROM q JOIN cb USING (sub)), " +
+        "sc AS (SELECT lut.query_id, enc.vec_id, sum(lut.d)::BIGINT AS adist FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code WHERE lut.query_id <> enc.vec_id GROUP BY 1, 2) " +
+        "SELECT query_id, vec_id AS neighbor_id, adist, rank FROM (SELECT sc.*, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank FROM sc) WHERE rank <= 5"),
+
     "q_p1_project" ->
       "SELECT p_partkey, p_name AS part_name, upper(p_brand) AS brand FROM part",
 

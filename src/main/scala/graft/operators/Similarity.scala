@@ -265,6 +265,128 @@ object Similarity {
                   maxBucket: Int = 1000): DataFrame =
     lshBucketedChecked(df, idCol, vecCol, minCos, planes, dim, maxBucket).pairs
 
+  // ---- Product quantization (PQ) ----
+
+  /** Sequential-sum squared L2 distance — the HOF form on BOTH sides
+    * of the oracle so the IEEE doubles agree bitwise (same trick as
+    * `cosRawSql`). Hot-path note: PQ distances are computed against
+    * codebook/LUT-sized data (m·k rows), never per corpus row, so the
+    * interpreted HOF is not on the 100 TB critical path — the per-row
+    * work is the argmin in `pqEncode` (k·m small-vector L2s) and the
+    * integer LUT join in `pqAdcSearch`. */
+  def l2Hof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, v) => s + v)
+
+  /** PQ codebooks: the vector space split into `m` contiguous
+    * subspaces of `dim/m`; per subspace, `k` centroids seeded from the
+    * k lowest-id vectors' subvectors (deterministic, like
+    * `seedCentroids`) and optionally refined with per-subspace Lloyd
+    * passes (means rounded to 6 dp — same agg-order guard as
+    * `refineCentroids`). Output: (sub, centroid_id, cvec).
+    *
+    * At 100 TB the codebook is the TRAINED artifact (m·k rows —
+    * metadata-sized); train on a `Sampling.hashSample` of the corpus,
+    * then encode everything. 16-dim subvectors at k=256 give 64×
+    * compression of a float64[64] embedding — the reason PQ is the
+    * storage format for trillion-row ANN (IVF partitions the corpus,
+    * PQ compresses what each partition stores). */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int = 4, dim: Int = 64, k: Int = 8,
+              iterations: Int = 0): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val seeds = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("__v"))
+      .select(col("centroid_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("__v"), j * sub + 1, sub).as("cvec"))): _*)).as("s"))
+      .select(col("s.sub").as("sub"), col("centroid_id"),
+        col("s.cvec").as("cvec"))
+    var cb = seeds
+    for (_ <- 1 to iterations) {
+      val assigned = pqEncodeWithVec(df, idCol, vecCol, cb, m, dim)
+      cb = assigned
+        .select(col("sub"), col("code").as("centroid_id"),
+          posexplode(col("__sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "centroid_id", "pos")
+        .agg(round(avg(col("x")), 6).as("mu"))
+        .groupBy("sub", "centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("sub"), col("centroid_id"),
+          transform(col("pm"), p => p.getField("mu")).as("cvec"))
+    }
+    cb
+  }
+
+  /** Encode every vector as m centroid codes — MAP-ONLY: the codebook
+    * is collapsed to one array row per subspace and broadcast, and the
+    * argmin runs inside the projection (no shuffle, no window — the
+    * shape an encode pass over 100 TB needs). Ties keep the lowest
+    * centroid_id (cents sorted, strict-less compare). Long format
+    * (id, sub, code); pack with groupBy(id) only if storage wants it. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int = 4, dim: Int = 64): DataFrame =
+    pqEncodeWithVec(df, idCol, vecCol, codebooks, m, dim)
+      .select(col(idCol), col("sub"), col("code"))
+
+  private def pqEncodeWithVec(df: DataFrame, idCol: String, vecCol: String,
+                              codebooks: DataFrame, m: Int,
+                              dim: Int): DataFrame = {
+    val sub = dim / m
+    val grouped = codebooks.groupBy("sub")
+      .agg(array_sort(collect_list(
+        struct(col("centroid_id"), col("cvec")))).as("cents"))
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(grouped))
+      .withColumn("__sv", slice(col("__v"), col("sub") * sub + 1, lit(sub)))
+      .withColumn("__best", aggregate(col("cents"),
+        struct(lit(Double.PositiveInfinity).as("d"),
+          lit(Long.MaxValue).as("centroid_id")),
+        (acc, c) => {
+          val dd = l2Hof(col("__sv"), c.getField("cvec"))
+          when(dd < acc.getField("d"),
+            struct(dd.as("d"), c.getField("centroid_id").as("centroid_id")))
+            .otherwise(acc)
+        }))
+      .select(col(idCol), col("sub"),
+        col("__best").getField("centroid_id").as("code"), col("__sv"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    * lookup table of micro-integer distances (floor(L2·1e6) — integer
+    * so the m-way sum is order-independent and oracle-exact) from each
+    * query subvector to each centroid; corpus rows never touch a
+    * vector again — score = sum of m LUT entries via a broadcast join
+    * on (sub, code). One aggregation + the top-k window; approximate
+    * by construction (quantization error), measure with
+    * `recallReport` vs `bruteForceTopK`. */
+  def pqAdcSearch(codes: DataFrame, codebooks: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 4, dim: Int = 64, topK: Int = 5): DataFrame = {
+    val sub = dim / m
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+      .select(col("query_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("__qv"), j * sub + 1, sub).as("__qs"))): _*)).as("s"))
+      .select(col("query_id"), col("s.sub").as("sub"), col("s.__qs").as("__qs"))
+    val lut = q.join(codebooks, Seq("sub"))
+      .withColumn("__d", floor(l2Hof(col("__qs"), col("cvec")) * 1e6))
+      .select(col("query_id"), col("sub"),
+        col("centroid_id").as("code"), col("__d"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy("query_id", idCol)
+      .agg(sum(col("__d")).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
   /** Multi-probe SRP ANN: each vector additionally probes the buckets
     * at sign-space Hamming distance 1 (one plane flipped), so a near
     * pair split by a single hyperplane is still found. This is the
