@@ -485,6 +485,16 @@ object SparkEntry {
         nProbe = 3, topK = 5)
     }),
 
+    // ---- column profiling (validate-before-ingest surface):
+    //      all measures for all columns in one aggregation pass ----
+    "q_x_profile" -> ((s, d) =>
+      Profile.numeric(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    "q_x_topvalues" -> ((s, d) =>
+      Profile.frequentValues(t(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"), k = 3)),
+
     // ---- PQ: product quantization — the compression half of the
     //      100 TB ANN story (IVF partitions the corpus, PQ shrinks
     //      what each partition stores). Encode is map-only; ADC
@@ -642,7 +652,25 @@ object SparkEntry {
       s"dists AS (SELECT sv.vec_id, sv.sub, cb.centroid_id, ${l2Sql("sv.svec", "cb.cvec")} AS d FROM sv JOIN cb ON sv.sub = cb.sub), " +
       "enc AS (SELECT vec_id, sub, centroid_id AS code FROM (SELECT vec_id, sub, centroid_id, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, centroid_id) AS rn FROM dists) WHERE rn = 1)"
 
+  /** Per-column profile row mirroring Profile.numeric. */
+  private def profileColSql(table: String, c: String): String =
+    s"SELECT '$c' AS \"column\", count($c) AS n, " +
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, " +
+      s"count(DISTINCT $c) AS n_distinct, " +
+      s"round(min($c)::DOUBLE, 6) AS min_v, round(max($c)::DOUBLE, 6) AS max_v, " +
+      s"round(avg($c), 4) AS mean_v, round(quantile_cont($c, 0.5), 6) AS median_v " +
+      s"FROM $table"
+
   def oracleSql: Map[String, String] = Map(
+    "q_x_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(profileColSql("lineitem", _)).mkString(" UNION ALL "),
+
+    "q_x_topvalues" ->
+      ("WITH pairs AS (SELECT 'o_orderstatus' AS \"column\", o_orderstatus::VARCHAR AS value FROM orders UNION ALL SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders), " +
+        "c AS (SELECT \"column\", value, count(*) AS cnt FROM pairs GROUP BY 1, 2) " +
+        "SELECT \"column\", value, cnt, rank FROM (SELECT c.*, row_number() OVER (PARTITION BY \"column\" ORDER BY cnt DESC, value) AS rank FROM c) WHERE rank <= 3"),
+
     "q_s_pq_code" ->
       s"WITH $pqPrefixSql SELECT vec_id, sub, code FROM enc",
 

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1.0, Some(10.0)), (2.0, Some(20.0)), (3.0, None),
+    (4.0, Some(40.0)), (100.0, Some(10.0))
+  ).toDF("a", "b")
+
+  test("numeric: counts, nulls, distincts, exact median per column") {
+    val got = Profile.numeric(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val a = got("a")
+    assert(a._2 == 5 && a._3 == 0 && a._4 == 5)
+    assert(a._5 == 1.0 && a._6 == 100.0)
+    assert(a._7 == 22.0)   // mean
+    assert(a._8 == 3.0)    // exact median of {1,2,3,4,100}
+    val b = got("b")
+    assert(b._2 == 4 && b._3 == 1 && b._4 == 3) // null excluded, 10 dup
+    assert(b._8 == 15.0)   // median of {10,10,20,40} -> interpolated 15
+  }
+
+  test("numeric: single scan — exactly one aggregate over the input") {
+    val plan = Profile.numeric(df, Seq("a", "b"))
+      .queryExecution.optimizedPlan.toString
+    // one Aggregate node (plus Expand for the multi-distinct), not one
+    // scan per column
+    assert("(?s)LocalRelation|LogicalRDD".r.findAllIn(plan).size == 1,
+      s"multiple scans:\n$plan")
+  }
+
+  test("frequentValues: top-k with deterministic tie-break by value") {
+    val t = Seq("x", "x", "y", "y", "z").toDF("c1")
+      .withColumn("c2", lit("k"))
+    val got = Profile.frequentValues(t, Seq("c1", "c2"), k = 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    // c1: x and y tie at 2 -> x first by value; z (1) cut at k=2
+    assert(got == Set(
+      ("c1", "x", 2L, 1), ("c1", "y", 2L, 2), ("c2", "k", 5L, 1)))
+  }
+
+  test("frequentValues: null values surface as a row, not a crash") {
+    val t = Seq(Some("v"), None, None).toDF("c")
+    val got = Profile.frequentValues(t, Seq("c"), k = 2)
+      .as[(String, String, Long, Int)].collect()
+    // null casts to null string; grouped as its own value
+    assert(got.exists(r => r._2 == null && r._3 == 2))
+  }
+}
