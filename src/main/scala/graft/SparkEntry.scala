@@ -314,6 +314,16 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // substring-level dedup signal (Lee et al.): n-grams shared across
+    // docs, and the per-doc span coverage a trim/drop pass acts on
+    "q_d_ngramdups" -> ((s, d) =>
+      Dedup.duplicatedNgrams(t(s, d, "documents"), "text", "doc_id",
+        n = 5, minDocs = 2)),
+
+    "q_d_ngramcov" -> ((s, d) =>
+      Dedup.ngramSpanCoverage(t(s, d, "documents"), "text", "doc_id",
+        n = 5, minDocs = 2)),
+
     // ---- similarity search (embeddings) ----
     "q_s_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -661,7 +671,27 @@ object SparkEntry {
       s"round(avg($c), 4) AS mean_v, round(quantile_cont($c, 0.5), 6) AS median_v " +
       s"FROM $table"
 
+  /** 5-gram list of `tk` WITH duplicates and positions preserved —
+    * mirrors TextFns.wordShingles(n = 5). */
+  private val ngram5Sql =
+    "CASE WHEN len(tk) < 5 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(list_slice(tk, i, i + 4), ' ')) END"
+
   def oracleSql: Map[String, String] = Map(
+    "q_d_ngramdups" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        s"g AS (SELECT doc_id, unnest($ngram5Sql) AS g FROM t), " +
+        s"h AS (SELECT doc_id, ${h60Sql("g")} AS ngram_hash FROM g) " +
+        "SELECT ngram_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2"),
+
+    "q_d_ngramcov" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        s"g AS (SELECT doc_id, unnest(ng) AS g, generate_subscripts(ng, 1) AS gpos FROM (SELECT doc_id, $ngram5Sql AS ng FROM t)), " +
+        s"h AS (SELECT doc_id, gpos, ${h60Sql("g")} AS ngram_hash FROM g), " +
+        "dup AS (SELECT ngram_hash FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
+        "pos AS (SELECT doc_id, unnest(range(gpos, gpos + 5)) AS p FROM h JOIN dup USING (ngram_hash)), " +
+        "cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM pos GROUP BY 1) " +
+        "SELECT t.doc_id, len(tk) AS n_tokens, coalesce(covered, 0) AS covered, CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(coalesce(covered, 0) / len(tk), 6) END AS coverage FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id"),
+
     "q_x_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(profileColSql("lineitem", _)).mkString(" UNION ALL "),

@@ -376,6 +376,55 @@ object Dedup {
           .otherwise(col("inter").cast("double") / col("union")))
       .drop("set_a", "set_b")
 
+  /** N-gram duplication census — the substring-level dedup signal
+    * ("Deduplicating Training Data Makes Language Models Better":
+    * repeated ~50-token spans, here word n-grams): every hashed
+    * n-gram occurring in at least `minDocs` DISTINCT documents, with
+    * its document reach and total occurrence count. One shuffle (the
+    * groupBy on the hash); the n-gram strings never leave the
+    * projection — only 60-bit hashes are shuffled. */
+  def duplicatedNgrams(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, minDocs: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("__g"))
+      .select(col("doc_id"), hash60(col("__g")).as("ngram_hash"))
+      .groupBy("ngram_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-span coverage: the fraction of token
+    * positions lying inside an n-gram that `duplicatedNgrams` flagged.
+    * This is the drop/trim signal a corpus pass acts on (documents
+    * above a coverage threshold are boilerplate-heavy). Position sets
+    * are deduplicated per doc with a single countDistinct aggregation;
+    * the flagged-hash join is an equi-join on the 60-bit hash (AQE
+    * broadcasts it when the flagged set is small). */
+  def ngramSpanCoverage(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, minDocs: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFns.tokens(col(textCol)).as("__tk"))
+    val grams = toks.select(col("doc_id"),
+        posexplode(when(size(col("__tk")) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("__tk")) - (n - 1)),
+            i => array_join(slice(col("__tk"), i, lit(n)), " "))))
+          .as(Seq("__gpos", "__g")))
+      .select(col("doc_id"), col("__gpos"), hash60(col("__g")).as("ngram_hash"))
+    val flagged = duplicatedNgrams(df, textCol, idCol, n, minDocs)
+      .select("ngram_hash")
+    val covered = grams.join(flagged, Seq("ngram_hash"))
+      .select(col("doc_id"),
+        explode(sequence(col("__gpos") + 1, col("__gpos") + n)).as("__pos"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("__pos")).as("covered"))
+    toks.select(col("doc_id"), size(col("__tk")).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .withColumn("coverage", when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(round(col("covered") / col("n_tokens"), 6)))
+  }
+
   /** `dedupByLsh` result: the deduplicated docs plus the oversize-
     * bucket accounting from the candidate stage (recall loss is a
     * caller-visible fact, end to end — not just in the pair stage). */

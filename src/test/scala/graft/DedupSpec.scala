@@ -238,4 +238,42 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 2L, 1.0), (1L, 3L, 0.0)))
   }
+
+  test("duplicatedNgrams: cross-doc n-grams flagged, within-doc repeats are not") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),       // shares 5-gram with 2
+      (2L, "the cat sat on the mat tomorrow"),
+      (3L, "aa bb cc dd ee aa bb cc dd ee"),      // repeats ONLY within itself
+      (4L, "completely different words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedNgrams(docs, "text", "doc_id", n = 5,
+      minDocs = 2).as[(Long, Long, Long)].collect()
+    // docs 1+2 share exactly two 5-grams ("the cat sat on the",
+    // "cat sat on the mat"); doc 3's self-repeats span < 2 docs
+    assert(got.length == 2)
+    assert(got.forall { case (_, nd, nt) => nd == 2 && nt == 2 })
+  }
+
+  test("ngramSpanCoverage: covered positions counted once, zero for clean docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // 5-grams: "a b c d e", "b c d e f" — both shared
+      (2L, "a b c d e f"),
+      (3L, "p q r s t u v")) // no shared n-grams
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramSpanCoverage(docs, "text", "doc_id", n = 5,
+      minDocs = 2).select("doc_id", "n_tokens", "covered", "coverage")
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // both docs fully covered: overlapping spans 1-5 and 2-6 union to 1-6
+    assert(got(1L) == ((1L, 6, 6L, 1.0)))
+    assert(got(2L) == ((2L, 6, 6L, 1.0)))
+    assert(got(3L) == ((3L, 7, 0L, 0.0)))
+  }
+
+  test("ngramSpanCoverage: docs shorter than n have zero n-grams, zero coverage") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.ngramSpanCoverage(docs, "text", "doc_id", n = 5,
+      minDocs = 2).select("doc_id", "covered", "coverage")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 0L, 0.0), (2L, 0L, 0.0)))
+  }
 }
