@@ -249,6 +249,30 @@ object SparkEntry {
         .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))),
 
+    // ---- temporal alignment: as-of join (union-sort form — ONE
+    //      shuffle, no range-join product; the oracle is DuckDB's
+    //      NATIVE ASOF JOIN, an independent implementation) ----
+    "q_j9_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select("user_id", "ts", "event_id")
+      val r = ev.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("r_event_id"), col("value").as("r_value"))
+      AsOfJoin.backward(l, r, Seq("user_id"), "ts",
+        Seq("r_event_id", "r_value"))
+        .select("event_id", "user_id", "r_event_id", "r_value")
+    }),
+
+    // ---- per-key rolling + lag features (feature engineering) ----
+    "q_e_rolling" -> ((s, d) =>
+      Features.lagFeatures(
+        Features.rollingStats(t(s, d, "events"), Seq("user_id"), "ts",
+          "value", k = 4),
+        Seq("user_id"), "ts", "value", Seq(1))
+        .select("event_id", "user_id", "roll_n", "roll_sum", "roll_avg",
+          "roll_min", "roll_max", "lag_1")),
+
     // ---- text analysis (documents) ----
     "q_t_stats" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -802,6 +826,13 @@ object SparkEntry {
 
     "q_e_hourly" ->
       "SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1, 2",
+
+    "q_j9_asof" ->
+      "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts >= r.ts",
+
+    "q_e_rolling" ->
+      ("SELECT event_id, user_id, count(value) OVER w AS roll_n, round(sum(value) OVER w, 4) AS roll_sum, round(avg(value) OVER w, 4) AS roll_avg, min(value) OVER w AS roll_min, max(value) OVER w AS roll_max, lag(value, 1) OVER w2 AS lag_1 FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY user_id ORDER BY ts)"),
 
     "q_t_stats" ->
       s"SELECT doc_id, len($toksSql) AS n_words, round($punctSql, 6) AS punct_ratio FROM documents",

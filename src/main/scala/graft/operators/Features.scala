@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key ordered feature engineering (north-star extension): rolling
+  * windows and lag features — the standard transforms a training-data
+  * pipeline derives from event streams before model input.
+  *
+  * All window frames are ROWS-bounded per key: one hash shuffle on the
+  * key, an in-partition sort, and a single pass — no self-joins, no
+  * global sort. Sums/averages are rounded (4 dp) where exposed so
+  * sliding-frame summation order (Spark's per-frame accumulation vs an
+  * oracle's segment tree) cannot leak into comparisons.
+  */
+object Features {
+
+  /** Rolling count/sum/avg/min/max of `valueCol` over the last `k`
+    * rows per key, ordered by `orderCol`. */
+  def rollingStats(df: DataFrame, keys: Seq[String], orderCol: String,
+                   valueCol: String, k: Int): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(-(k - 1), Window.currentRow)
+    df.withColumn("roll_n", count(col(valueCol)).over(w))
+      .withColumn("roll_sum", round(sum(col(valueCol)).over(w), 4))
+      .withColumn("roll_avg", round(avg(col(valueCol)).over(w), 4))
+      .withColumn("roll_min", min(col(valueCol)).over(w))
+      .withColumn("roll_max", max(col(valueCol)).over(w))
+  }
+
+  /** `lag_<n>` columns of `valueCol` for each requested offset —
+    * null-padded at each key's head, all from ONE window spec (a
+    * single sort serves every lag). */
+  def lagFeatures(df: DataFrame, keys: Seq[String], orderCol: String,
+                  valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"bad lags $lags")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    lags.foldLeft(df)((d, n) =>
+      d.withColumn(s"lag_$n", lag(col(valueCol), n).over(w)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Features}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left probes at t=5,10,20 for key a; right snapshots at t=1,10,15
+  private lazy val left = Seq(
+    ("a", 5L, "l1"), ("a", 10L, "l2"), ("a", 20L, "l3"),
+    ("b", 7L, "l4") // key with no right rows at all
+  ).toDF("k", "ts", "lval")
+  private lazy val right = Seq(
+    ("a", 1L, "r1"), ("a", 10L, "r2"), ("a", 15L, "r3")
+  ).toDF("k", "ts", "rval")
+
+  test("backward inclusive: latest right at-or-before each left ts") {
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("rval"))
+      .select("k", "ts", "lval", "rval")
+      .as[(String, Long, String, String)].collect().toSet
+    assert(got == Set(
+      ("a", 5L, "l1", "r1"),
+      ("a", 10L, "l2", "r2"), // equal ts matches
+      ("a", 20L, "l3", "r3"),
+      ("b", 7L, "l4", null))) // left-outer
+  }
+
+  test("backward strict: equal timestamps do NOT match") {
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("rval"),
+      strict = true)
+      .select("ts", "rval").as[(Long, String)].collect().toMap
+    assert(got(10L) == "r1") // r2@10 excluded, falls back to r1@1
+  }
+
+  test("forward inclusive and strict") {
+    val inc = AsOfJoin.forward(left, right, Seq("k"), "ts", Seq("rval"))
+      .select("ts", "rval").as[(Long, String)].collect().toMap
+    assert(inc(5L) == "r2" && inc(10L) == "r2" && inc(20L) == null)
+    val str = AsOfJoin.forward(left, right, Seq("k"), "ts", Seq("rval"),
+      strict = true)
+      .select("ts", "rval").as[(Long, String)].collect().toMap
+    assert(str(10L) == "r3") // r2@10 excluded under strict
+  }
+
+  test("single shuffle: exactly one hash exchange in the plan") {
+    val plan = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("rval"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one exchange:\n$plan")
+  }
+
+  test("payload name collision with left is rejected") {
+    intercept[IllegalArgumentException](
+      AsOfJoin.backward(left, right.withColumnRenamed("rval", "lval"),
+        Seq("k"), "ts", Seq("lval")))
+  }
+
+  test("rollingStats + lagFeatures: frame fills, head pads with null") {
+    val df = Seq(("u", 1L, 1.0), ("u", 2L, 2.0), ("u", 3L, 3.0),
+      ("u", 4L, 4.0)).toDF("k", "ts", "value")
+    val got = Features.lagFeatures(
+      Features.rollingStats(df, Seq("k"), "ts", "value", k = 3),
+      Seq("k"), "ts", "value", Seq(1, 2))
+      .select("ts", "roll_n", "roll_sum", "roll_avg", "lag_1", "lag_2")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 1.0, 1.0, None, None)))
+    assert(got(2) == ((3L, 3L, 6.0, 2.0, Some(2.0), Some(1.0))))
+    assert(got(3) == ((4L, 3L, 9.0, 3.0, Some(3.0), Some(2.0)))) // slides
+  }
+}
