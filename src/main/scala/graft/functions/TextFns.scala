@@ -96,6 +96,18 @@ object TextFns {
       ColumnBridge.expression(c), k, shingleSize))
   }
 
+  /** Compiled n-gram hash60 array (plans.NgramHashes): every word
+    * n-gram's 60-bit md5 hash, duplicates AND positions preserved
+    * (index i = n-gram starting at token i; empty array below n
+    * tokens). Bitwise-identical to `transform(wordShingles(c, n),
+    * hash60)` (TextKernelSpec) with no n-gram strings materialized —
+    * the hot-path form of the duplicated-span census. */
+  def ngramHashesNative(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.NgramHashes(
+      ColumnBridge.expression(c), n))
+  }
+
   /** SimHash over `bits` low bits of the token hashes: bit j of the
     * signature is set when the sum of (+1/-1) votes at position j is
     * positive. Native kernel (graft.plans.SimHash) — one compiled

@@ -386,8 +386,7 @@ object Dedup {
   def duplicatedNgrams(df: DataFrame, textCol: String, idCol: String,
                        n: Int, minDocs: Int = 2): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(TextFns.wordShingles(col(textCol), n)).as("__g"))
-      .select(col("doc_id"), hash60(col("__g")).as("ngram_hash"))
+        explode(TextFns.ngramHashesNative(col(textCol), n)).as("ngram_hash"))
       .groupBy("ngram_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_total"))
@@ -404,13 +403,9 @@ object Dedup {
                         n: Int, minDocs: Int = 2): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       TextFns.tokens(col(textCol)).as("__tk"))
-    val grams = toks.select(col("doc_id"),
-        posexplode(when(size(col("__tk")) < n, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(1), size(col("__tk")) - (n - 1)),
-            i => array_join(slice(col("__tk"), i, lit(n)), " "))))
-          .as(Seq("__gpos", "__g")))
-      .select(col("doc_id"), col("__gpos"), hash60(col("__g")).as("ngram_hash"))
+    val grams = df.select(col(idCol).as("doc_id"),
+        posexplode(TextFns.ngramHashesNative(col(textCol), n))
+          .as(Seq("__gpos", "ngram_hash")))
     val flagged = duplicatedNgrams(df, textCol, idCol, n, minDocs)
       .select("ngram_hash")
     val covered = grams.join(flagged, Seq("ngram_hash"))

@@ -25,24 +25,46 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Long-format numeric profile: one row per column —
-    * (column, n, n_null, n_distinct, min_v, max_v, mean_v, median_v). */
+    * (column, n, n_null, n_distinct, min_v, max_v, mean_v, median_v).
+    *
+    * Two single-purpose passes over just the profiled columns, NOT one
+    * combined aggregate: `countDistinct` plans an Expand of
+    * (n_cols+1)× the input, and `percentile` forces the whole
+    * aggregate onto the object-hash path — combined, every expanded
+    * row pays the object path (measured 19.2 s at sf0.1 vs 6-7 s
+    * split; BASELINE.md). Pass 1 does count/null/min/max/mean/median
+    * in one codegen-planned agg; pass 2 does the distinct counts
+    * alone, Expand over a narrow projection. The 1-row results
+    * cross-join (both driver-sized) and unpivot.
+    *
+    * Exact `percentile`'s per-partition buffer scales with the
+    * partition's DISTINCT value count — fine for measure-like columns,
+    * heavy for near-unique ones (l_extendedprice-shaped). At full
+    * corpus scale flip `approxMedian`/`approxDistinct` (t-digest /
+    * HLL: one-pass, bounded state, not oracle-exact — which is why the
+    * checked query keeps the exact forms). */
   def numeric(df: DataFrame, cols: Seq[String],
-              approxDistinct: Boolean = false): DataFrame = {
+              approxDistinct: Boolean = false,
+              approxMedian: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
-    val aggs = cols.flatMap { c =>
+    val basicAggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else countDistinct(col(c))).as(s"${c}__distinct"),
         round(min(col(c)).cast("double"), 6).as(s"${c}__min"),
         round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
         round(avg(col(c)), 4).as(s"${c}__mean"),
-        // exact sort-based percentile: order-independent, oracle-exact;
-        // swap for percentile_approx at full-corpus scale
-        round(expr(s"percentile($c, 0.5D)"), 6).as(s"${c}__median"))
+        round((if (approxMedian)
+          expr(s"approx_percentile($c, 0.5D, 10000)").cast("double")
+        else expr(s"percentile($c, 0.5D)")), 6).as(s"${c}__median"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val distinctAggs = cols.map { c =>
+      (if (approxDistinct) approx_count_distinct(col(c))
+       else countDistinct(col(c))).as(s"${c}__distinct")
+    }
+    val narrow = df.select(cols.map(col): _*)
+    val wide = narrow.agg(basicAggs.head, basicAggs.tail: _*)
+      .crossJoin(narrow.agg(distinctAggs.head, distinctAggs.tail: _*))
     val structs = cols.map { c =>
       struct(lit(c).as("column"),
         col(s"${c}__n").as("n"),

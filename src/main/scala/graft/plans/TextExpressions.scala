@@ -121,6 +121,34 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** All n-gram hash60 values of the whitespace tokens, duplicates
+    * AND order preserved (index i = the n-gram starting at token i) —
+    * the building block of the duplicated-span census. Incremental
+    * md5 over token bytes: no n-gram string is ever materialized.
+    * Empty array (not null) below n tokens, so downstream explodes
+    * drop the doc without a null-handling branch. */
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return null
+    val toks = tokenBytes(text)
+    val nt = toks.length
+    if (nt < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nt - n + 1)
+    val md = md5Local.get()
+    var s = 0
+    while (s <= nt - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(SPACE)
+        md.update(toks(s + j))
+        j += 1
+      }
+      out(s) = digest60(md)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-permutation minhash signature over n-token shingles; null when
     * the document has fewer than n tokens. */
   def minhashSignature(text: UTF8String, k: Int, n: Int): ArrayData = {
@@ -220,6 +248,33 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.plans.TextKernels.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_ngram_hashes(text, n)` → array<long> of hash60 values for
+  * every word n-gram, duplicates and positions preserved (empty below
+  * n tokens). Same md5-derived 60-bit hash as ColumnFns.hash60, so a
+  * SQL oracle reproduces each value from the joined n-gram string. */
+case class NgramHashes(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.ngramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.ngramHashes($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -25,13 +25,19 @@ class ProfileSpec extends SparkSpec {
     assert(b._8 == 15.0)   // median of {10,10,20,40} -> interpolated 15
   }
 
-  test("numeric: single scan — exactly one aggregate over the input") {
+  test("numeric: two single-purpose passes, Expand never feeds percentile") {
     val plan = Profile.numeric(df, Seq("a", "b"))
       .queryExecution.optimizedPlan.toString
-    // one Aggregate node (plus Expand for the multi-distinct), not one
-    // scan per column
-    assert("(?s)LocalRelation|LogicalRDD".r.findAllIn(plan).size == 1,
-      s"multiple scans:\n$plan")
+    // exactly two scans (basic+median pass, distinct pass) — not one
+    // per column, and never one combined agg (the Expand × object-hash
+    // interaction measured 3× slower; see scaladoc)
+    assert("LocalRelation".r.findAllIn(plan).size == 2,
+      s"expected two scans:\n$plan")
+    // the Expand subtree (distinct pass) must not compute percentiles:
+    // everything below the Expand node is scan-only
+    val belowExpand = plan.substring(plan.indexOf("Expand"))
+    assert(!belowExpand.contains("percentile("),
+      s"Expand feeds percentile:\n$plan")
   }
 
   test("frequentValues: top-k with deterministic tie-break by value") {

@@ -108,4 +108,18 @@ class TextKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
       assert(a == b, s"id=${r.getLong(0)}: $a distinct strings vs $b hashes")
     }
   }
+
+  test("ngram hashes: native kernel == hash60 over wordShingles, positions kept") {
+    val df = docs.toDF("id", "text")
+    for (n <- Seq(1, 3, 5)) {
+      val hof = df.select(col("id"),
+        transform(TextFns.wordShingles(col("text"), n),
+          g => graft.functions.ColumnFns.hash60(g)).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val native = df.select(col("id"),
+        TextFns.ngramHashesNative(col("text"), n).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == hof, s"n=$n")
+    }
+  }
 }
