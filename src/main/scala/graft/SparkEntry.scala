@@ -338,6 +338,18 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // the COMPOSED corpus-cleaning pass: screens (length/language/
+    // quality/repetition) -> exact dedup -> LSH near-dedup, with
+    // per-document drop attribution — both the survivors and the
+    // audit report are oracle-checked whole
+    "q_t_clean" -> ((s, d) =>
+      Corpus.clean(t(s, d, "documents"), "text", "doc_id")
+        .kept.select("doc_id")),
+
+    "q_t_cleanreport" -> ((s, d) =>
+      Corpus.clean(t(s, d, "documents"), "text", "doc_id")
+        .dropReport),
+
     // substring-level dedup signal (Lee et al.): n-grams shared across
     // docs, and the per-doc span coverage a trim/drop pass acts on
     "q_d_ngramdups" -> ((s, d) =>
@@ -695,12 +707,61 @@ object SparkEntry {
       s"round(avg($c), 4) AS mean_v, round(quantile_cont($c, 0.5), 6) AS median_v " +
       s"FROM $table"
 
+  /** Shared prefix of the corpus-clean oracles: screens with
+    * first-fail attribution (mirrors Corpus.clean's stage CASE), exact
+    * dedup, then the q_d_pipeline LSH machinery over the survivors.
+    * Splice after WITH RECURSIVE; ends at the `conf` CTE. */
+  private val cleanPrefixSql: String = {
+    val mh = (0 until 8).map { i =>
+      val a = (2654435761L * (i + 1)) % 1000000007L
+      val b = (2246822519L * (i + 1)) % 1000000007L
+      s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, ${h60Sql(s"mh_${2 * bnd}::VARCHAR || '_' || mh_${2 * bnd + 1}::VARCHAR")} AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val jac = "CASE WHEN len(list_distinct(list_concat(da.sh, db.sh))) = 0 THEN 0.0 ELSE len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) END"
+    s"en0 AS (SELECT doc_id, text, $toksSql AS tk FROM documents), " +
+      "en1 AS (SELECT doc_id, text, tk, len(tk) AS nw, " +
+      "len(list_filter(tk, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, " +
+      s"$punctSql AS pr, " +
+      "len(list_filter(tk, t -> t IN ('the','and','of','is'))) AS c_en, " +
+      "len(list_filter(tk, t -> t IN ('el','la','los','es'))) AS c_es, " +
+      "len(list_filter(tk, t -> t IN ('der','die','und','ist'))) AS c_de, " +
+      "len(list_filter(tk, t -> t IN ('le','les','est','et'))) AS c_fr, " +
+      "CASE WHEN len(tk) = 0 THEN 0.0 ELSE (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) END AS dup_frac FROM en0), " +
+      "scr AS (SELECT doc_id, text, tk, CASE WHEN nw < 3 OR nw > 100000 THEN 'length' " +
+      "WHEN NOT (c_en >= c_es AND c_en >= c_de AND c_en >= c_fr) THEN 'language' " +
+      "WHEN round((least(nw / 100.0, 1.0) + least(hits / greatest(nw::DOUBLE, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) < 0.3 THEN 'quality' " +
+      "WHEN dup_frac > 0.5 THEN 'repetition' END AS stage FROM en1), " +
+      "ex AS (SELECT doc_id, text, tk FROM scr WHERE stage IS NULL), " +
+      "exk AS (SELECT doc_id, text, tk FROM (SELECT ex.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM ex) WHERE rn = 1), " +
+      s"d AS (SELECT doc_id, $shinglesSql AS sh FROM exk), " +
+      s"sig AS (SELECT doc_id, $mh FROM d), bk AS ($bandSelects), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      s"conf AS (SELECT id_a, id_b FROM cand JOIN d da ON da.doc_id = cand.id_a JOIN d db ON db.doc_id = cand.id_b WHERE $jac >= 0.5)"
+  }
+
   /** 5-gram list of `tk` WITH duplicates and positions preserved —
     * mirrors TextFns.wordShingles(n = 5). */
   private val ngram5Sql =
     "CASE WHEN len(tk) < 5 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(list_slice(tk, i, i + 4), ' ')) END"
 
   def oracleSql: Map[String, String] = Map(
+    "q_t_clean" ->
+      (s"WITH RECURSIVE $cleanPrefixSql, " +
+        ccTailSql("conf", "exk", "doc_id")),
+
+    "q_t_cleanreport" ->
+      (s"WITH RECURSIVE $cleanPrefixSql, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM conf UNION SELECT id_b, id_a FROM conf), " +
+        "cc AS (SELECT src AS id, src AS lbl FROM edges UNION SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src WHERE cc.lbl < e.dst), " +
+        "ccdrop AS (SELECT id FROM (SELECT id, min(lbl) AS c FROM cc GROUP BY id) WHERE id <> c), " +
+        "rep AS (SELECT stage, count(*) AS n FROM scr WHERE stage IS NOT NULL GROUP BY 1 " +
+        "UNION ALL SELECT 'exact_dup', count(*) FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM exk) " +
+        "UNION ALL SELECT 'near_dup', count(*) FROM ccdrop) " +
+        "SELECT stage, n FROM rep WHERE n > 0"),
+
     "q_d_ngramdups" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
         s"g AS (SELECT doc_id, unnest($ngram5Sql) AS g FROM t), " +

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** The composed corpus-cleaning pass — what a training-data pipeline
+  * actually runs over 100 TB before tokenization: cheap per-document
+  * screens first (length, language, quality, repetition — one
+  * projection, no shuffle), then exact dedup (one hash aggregation),
+  * then MinHash-LSH near-dedup (bucketed candidates → Jaccard confirm
+  * → connected components) — most-selective-cheapest first, so the
+  * expensive stages only see survivors.
+  *
+  * Every drop is attributed: each document lands in `dropReport` under
+  * its FIRST failing stage (screen order is the documented order
+  * below), and near-dup's oversize-bucket skew report rides along
+  * untouched. Nothing vanishes silently — at corpus scale an
+  * unexplained 3% volume loss is a debugging week.
+  */
+object Corpus {
+
+  /** kept: surviving documents (all input columns).
+    * drops: per-document attribution (id, stage) — stage ∈ length |
+    *   language | quality | repetition | exact_dup | near_dup; the
+    *   audit trail ("why did doc X disappear").
+    * dropReport: `drops` aggregated to (stage, n).
+    * droppedBuckets: the LSH skew report (band, bucket, size).
+    * All four are LAZY frames sharing one lineage — no count() action
+    * hides inside; cache `kept`'s parent once if you materialize
+    * several of them on a big corpus. */
+  final case class CleanResult(kept: DataFrame, drops: DataFrame,
+                               dropReport: DataFrame,
+                               droppedBuckets: DataFrame)
+
+  def clean(docs: DataFrame, textCol: String, idCol: String,
+            langs: Seq[String] = Seq("en"),
+            minWords: Int = 3, maxWords: Int = 100000,
+            minQuality: Double = 0.3,
+            maxDupTokenFrac: Double = 0.5,
+            numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+            minJaccard: Double = 0.5, maxBucket: Int = 1000): CleanResult = {
+    val text = col(textCol)
+    // one projection computes every screen; first failing stage wins
+    val stage = when(TextFns.wordCount(text) < minWords ||
+        TextFns.wordCount(text) > maxWords, "length")
+      .when(!TextFns.langGuess(text).isin(langs: _*), "language")
+      .when(TextFns.qualityScore(text) < minQuality, "quality")
+      .when(TextFns.dupTokenFraction(text) > maxDupTokenFrac, "repetition")
+    val staged = docs.withColumn("__stage", stage)
+    val screened = staged.filter(col("__stage").isNull).drop("__stage")
+
+    // exact dedup: keep the min-id representative per content hash
+    val exactKept = Dedup.keepFirst(
+      screened.withColumn("__ch", md5(text)), Seq("__ch"),
+      Seq(col(idCol).asc)).drop("__ch")
+    val exactDrops = screened
+      .join(exactKept.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("exact_dup").as("stage"))
+
+    // near-dedup on the exact-kept survivors
+    val near = Dedup.dedupByLshChecked(exactKept, textCol, idCol,
+      numHashes, bands, shingleSize, minJaccard, maxBucket)
+    val nearDrops = exactKept
+      .join(near.deduped.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("near_dup").as("stage"))
+
+    val drops = staged.filter(col("__stage").isNotNull)
+      .select(col(idCol), col("__stage").as("stage"))
+      .unionByName(exactDrops).unionByName(nearDrops)
+    CleanResult(near.deduped, drops,
+      drops.groupBy("stage").agg(count(lit(1)).as("n")),
+      near.droppedBuckets)
+  }
+}

@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SrpBucket].getName, "graft_srp_bucket"),
       (children: Seq[Expression]) => SrpBucket(children(0),
         intArg(children, 1, "planes"), intArg(children, 2, "dim"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "graft_ngram_hashes"),
+      (children: Seq[Expression]) => NgramHashes(children(0),
+        intArg(children, 1, "n"))))
   }
 
   private def intArg(children: Seq[Expression], i: Int, name: String): Int =
