@@ -56,6 +56,47 @@ object StreamOps {
       }
   }
 
+  /** A two-sided as-of stream record: `side` 0 = reference (right),
+    * 1 = probe (left); `payload` is the reference value carried onto
+    * probes. */
+  final case class AsOfIn(key: Long, ts: Long, side: Int,
+                          probe_id: Long, payload: Double)
+  final case class AsOfOut(key: Long, ts: Long, probe_id: Long,
+                           matched_ts: Long, payload: Double)
+  /** Latest reference row seen per key (ts + payload). */
+  final case class AsOfState(ts: Long, payload: Double)
+
+  /** Streaming twin of operators.AsOfJoin.backward: enrich each probe
+    * event with the LATEST reference value at-or-before it, keeping
+    * one reference row per key in state (the state is O(keys), not
+    * O(events) — the shape an unbounded enrichment stream needs).
+    * Within a batch both sides are merged time-ordered, so a reference
+    * and a probe arriving in the same batch still align exactly like
+    * the batch operator. Late references (older than the state) are
+    * ignored — the documented as-of streaming trade; bound state
+    * further with a timeout if keys churn. `matched_ts` = Long.MinValue
+    * and payload = NaN mark probes with no reference yet. */
+  def asOfEnrichStream(in: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[AsOfState]) =>
+          // reference sorts before probe at equal ts (inclusive match)
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.side))
+          var s = state.getOption
+            .getOrElse(AsOfState(Long.MinValue, Double.NaN))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          sorted.foreach { e =>
+            if (e.side == 0) {
+              if (e.ts >= s.ts) s = AsOfState(e.ts, e.payload)
+            } else out += AsOfOut(key, e.ts, e.probe_id, s.ts, s.payload)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming twin of operators.Dedup.exactByContent: keep the
     * first-seen row per content hash, dropping duplicates ACROSS
     * batches (state = one hash per distinct document). For bounded

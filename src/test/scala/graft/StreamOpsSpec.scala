@@ -243,4 +243,37 @@ class StreamOpsSpec extends SparkSpec {
         batch.collect().map(_.toSeq).toSet)
     } finally q.stop()
   }
+
+  test("asOfEnrichStream: probes enriched from cross-batch reference state") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{AsOfIn, AsOfOut}
+    val input = MemoryStream[AsOfIn]
+    val q = StreamOps.asOfEnrichStream(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: reference r@5 then probe p1@10 (same batch), probe
+      // p0@3 BEFORE any reference
+      input.addData(
+        AsOfIn(1L, 5L, 0, 0L, 50.0),
+        AsOfIn(1L, 10L, 1, 101L, 0.0),
+        AsOfIn(1L, 3L, 1, 100L, 0.0))
+      q.processAllAvailable()
+      // batch 2: probe sees the batch-1 reference from STATE; a newer
+      // reference then takes over; equal-ts probe matches inclusively
+      input.addData(
+        AsOfIn(1L, 20L, 1, 102L, 0.0),
+        AsOfIn(1L, 30L, 0, 0L, 70.0),
+        AsOfIn(1L, 30L, 1, 103L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof")
+        .as[AsOfOut].collect().map(o => o.probe_id ->
+          (o.matched_ts, if (o.payload.isNaN) None else Some(o.payload)))
+        .toMap
+      assert(got(100L) == ((Long.MinValue, None)))  // no reference yet
+      assert(got(101L) == ((5L, Some(50.0))))       // same-batch alignment
+      assert(got(102L) == ((5L, Some(50.0))))       // from state
+      assert(got(103L) == ((30L, Some(70.0))))      // equal ts inclusive
+    } finally q.stop()
+  }
 }
