@@ -338,6 +338,11 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // TF-IDF salient terms (rounded BEFORE ranking so ln's last-ulp
+    // noise can't decide order — ties break by term in both engines)
+    "q_t_tfidf" -> ((s, d) =>
+      Tfidf.topTerms(t(s, d, "documents"), "text", "doc_id", k = 3)),
+
     // the COMPOSED corpus-cleaning pass: screens (length/language/
     // quality/repetition) -> exact dedup -> LSH near-dedup, with
     // per-document drop attribution — both the survivors and the
@@ -562,6 +567,16 @@ object SparkEntry {
         "vec_id", "embedding", m = 4, dim = 64, topK = 5)
     }),
 
+    // int8 scalar quantization (8× embedding storage cut; codes are
+    // engine-portable because floor(x/s + 0.5) is, unlike round())
+    "q_s_quant" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding").cast("array<double>"))
+            .as("__q"))
+        .select(col("vec_id"), round(col("__q.scale"), 6).as("scale"),
+          posexplode(col("__q.codes")).as(Seq("pos", "code")))),
+
     // ---- SQL surface (spark.sql over registered views) ----
     "q_sql_agg" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -748,6 +763,14 @@ object SparkEntry {
     "CASE WHEN len(tk) < 5 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(list_slice(tk, i, i + 4), ' ')) END"
 
   def oracleSql: Map[String, String] = Map(
+    "q_t_tfidf" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*) AS df FROM (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM t) GROUP BY 1), " +
+        "n AS (SELECT count(*) AS nn FROM documents), " +
+        "sc AS (SELECT doc_id, term, round(tf * (ln((nn + 1)::DOUBLE / (df + 1)) + 1), 4) AS tfidf FROM tf JOIN dfq USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, term, tfidf, rank FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc) WHERE rank <= 3"),
+
     "q_t_clean" ->
       (s"WITH RECURSIVE $cleanPrefixSql, " +
         ccTailSql("conf", "exk", "doc_id")),
@@ -785,6 +808,12 @@ object SparkEntry {
       ("WITH pairs AS (SELECT 'o_orderstatus' AS \"column\", o_orderstatus::VARCHAR AS value FROM orders UNION ALL SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders), " +
         "c AS (SELECT \"column\", value, count(*) AS cnt FROM pairs GROUP BY 1, 2) " +
         "SELECT \"column\", value, cnt, rank FROM (SELECT c.*, row_number() OVER (PARTITION BY \"column\" ORDER BY cnt DESC, value) AS rank FROM c) WHERE rank <= 3"),
+
+    "q_s_quant" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s, v FROM e), " +
+        "c AS (SELECT vec_id, s, CASE WHEN s = 0 THEN list_transform(v, x -> 0) ELSE list_transform(v, x -> floor(x / s + 0.5)::INT) END AS codes FROM q) " +
+        "SELECT vec_id, round(s, 6) AS scale, generate_subscripts(codes, 1) - 1 AS pos, unnest(codes) AS code FROM c"),
 
     "q_s_pq_code" ->
       s"WITH $pqPrefixSql SELECT vec_id, sub, code FROM enc",

@@ -265,6 +265,32 @@ object Similarity {
                   maxBucket: Int = 1000): DataFrame =
     lshBucketedChecked(df, idCol, vecCol, minCos, planes, dim, maxBucket).pairs
 
+  // ---- Scalar (int8) quantization ----
+
+  /** Symmetric int8 quantization: scale = max|x| / 127, code_i =
+    * floor(x_i/scale + 0.5) ∈ [-127, 127] — 8× smaller embedding
+    * storage with ≤ scale/2 per-dimension error, the standard
+    * first-rung compression before PQ. All-zero vectors get scale 0 /
+    * all-zero codes. floor(+0.5) rather than round(): identical
+    * semantics in every engine (SQL round() half-away vs HALF_UP
+    * differs), so the oracle replays codes exactly. Output:
+    * struct<scale: double, codes: array<int>> (write codes as
+    * array<tinyint> at rest). */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = aggregate(vec, lit(0.0),
+      (m, x) => greatest(m, abs(x))) / 127.0
+    struct(scale.as("scale"),
+      when(scale === 0.0,
+        transform(vec, _ => lit(0).cast("int")))
+        .otherwise(transform(vec,
+          x => floor(x / scale + 0.5).cast("int"))).as("codes"))
+  }
+
+  /** Inverse of `quantizeInt8`: code_i · scale. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast("double") * q.getField("scale"))
+
   // ---- Product quantization (PQ) ----
 
   /** Sequential-sum squared L2 distance — the HOF form on BOTH sides

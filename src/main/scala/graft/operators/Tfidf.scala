@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** TF-IDF term weighting — corpus keyword extraction / salient-term
+  * surfacing (the analysis pass behind topic drift checks and
+  * search-index weighting on a training corpus).
+  *
+  * Shapes: `docFreq` and the per-doc term counts are each ONE hash
+  * aggregation; the idf join is term→term (the document-frequency
+  * table is vocabulary-sized — broadcast when it fits, which for word
+  * tokens it does). The corpus size joins in as a broadcast 1-row
+  * frame, not a driver-side count() action. Terms stay strings here
+  * (vocabulary-bounded); swap to hash60 terms at web scale.
+  *
+  * tfidf = tf · (ln((N+1)/(df+1)) + 1) — the smoothed form; ROUNDED
+  * to 4 dp BEFORE ranking so rank ties break identically everywhere
+  * (ln is not IEEE-correctly-rounded, so unrounded last-ulp noise
+  * must not decide order). */
+object Tfidf {
+
+  /** (term, df): number of documents containing each term. */
+  def docFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(array_distinct(TextFns.tokens(col(textCol))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Top-k TF-IDF terms per document: (doc_id, term, tfidf, rank). */
+  def topTerms(docs: DataFrame, textCol: String, idCol: String,
+               k: Int): DataFrame = {
+    require(k > 0)
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(broadcast(docFreq(docs, textCol)), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1), 4))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tfidf", "rank")
+  }
+}

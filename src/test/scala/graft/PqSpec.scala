@@ -89,4 +89,27 @@ class PqSpec extends SparkSpec {
       m = 2, dim = 8, k = 4, iterations = 2)
     assert(totalErr(cb2) <= totalErr(cb0) + 1e-9)
   }
+
+  test("quantizeInt8: round-trip error bounded by scale/2, zero vector safe") {
+    val df = Seq(
+      (1L, Array(1.0, -2.0, 0.5, 126.9)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0))
+    ).toDF("id", "v")
+    val q = df.select(col("id"),
+      col("v"),
+      Similarity.quantizeInt8(col("v")).as("q"))
+    val rt = q.select(col("id"), col("v"), col("q.scale").as("s"),
+      Similarity.dequantizeInt8(col("q")).as("r"))
+      .as[(Long, Seq[Double], Double, Seq[Double])].collect()
+    rt.foreach { case (id, v, s, r) =>
+      v.zip(r).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= s / 2 + 1e-12, s"id=$id x=$x y=$y s=$s")
+      }
+    }
+    val zero = rt.find(_._1 == 2L).get
+    assert(zero._3 == 0.0 && zero._4.forall(_ == 0.0))
+    // codes stay in [-127, 127]
+    val codes = q.select(explode(col("q.codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= -127 && c <= 127))
+  }
 }
