@@ -264,6 +264,15 @@ object SparkEntry {
         .select("event_id", "user_id", "r_event_id", "r_value")
     }),
 
+    // group-aware null imputation (nulls injected deterministically so
+    // the oracle sees the same holes)
+    "q_e_impute" -> ((s, d) =>
+      Impute.fillFromGroup(
+        t(s, d, "events").withColumn("value",
+          when(col("event_id") % 10 === 0, lit(null)).otherwise(col("value"))),
+        Seq("user_id"), "value", stat = "mean")
+        .select("event_id", "user_id", "value_filled", "value_imputed")),
+
     // ---- per-key rolling + lag features (feature engineering) ----
     "q_e_rolling" -> ((s, d) =>
       Features.lagFeatures(
@@ -567,6 +576,21 @@ object SparkEntry {
         "vec_id", "embedding", m = 4, dim = 64, topK = 5)
     }),
 
+    // the combined IVF-PQ index: probe 3 of 8 cells, ADC-score only
+    // their members from PQ codes — the full trillion-row cascade,
+    // oracle-replayed end to end
+    "q_s_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 4, dim = 64, k = 8)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      Similarity.ivfPqSearch(assigned, codes, cb, cents,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        m = 4, dim = 64, nProbe = 3, topK = 5)
+    }),
+
     // int8 scalar quantization (8× embedding storage cut; codes are
     // engine-portable because floor(x/s + 0.5) is, unlike round())
     "q_s_quant" -> ((s, d) =>
@@ -809,6 +833,18 @@ object SparkEntry {
         "c AS (SELECT \"column\", value, count(*) AS cnt FROM pairs GROUP BY 1, 2) " +
         "SELECT \"column\", value, cnt, rank FROM (SELECT c.*, row_number() OVER (PARTITION BY \"column\" ORDER BY cnt DESC, value) AS rank FROM c) WHERE rank <= 3"),
 
+    "q_s_ivfpq" ->
+      (s"WITH $pqPrefixSql, " +
+        "ivfc AS (SELECT vec_id AS centroid_id, v AS cvec FROM e ORDER BY vec_id LIMIT 8), " +
+        s"a0 AS (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, i.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosRawSql("e.v", "i.cvec")} DESC, i.centroid_id) AS rn FROM e CROSS JOIN ivfc i) WHERE rn = 1), " +
+        "qq AS (SELECT vec_id, v FROM e WHERE vec_id < 10), " +
+        s"probes AS (SELECT vec_id AS query_id, centroid_id FROM (SELECT q.vec_id, i.centroid_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosRawSql("q.v", "i.cvec")} DESC, i.centroid_id) AS rn FROM qq q CROSS JOIN ivfc i) WHERE rn <= 3), " +
+        "qs AS (SELECT vec_id AS query_id, sub, list_slice(v, sub*16 + 1, sub*16 + 16) AS qsv FROM qq CROSS JOIN subs), " +
+        s"lut AS (SELECT query_id, sub, centroid_id AS code, floor(${l2Sql("qsv", "cvec")} * 1e6)::BIGINT AS d FROM qs JOIN cb USING (sub)), " +
+        "cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a0 a USING (centroid_id) WHERE p.query_id <> a.vec_id), " +
+        "sc AS (SELECT c.query_id, c.vec_id, sum(lut.d)::BIGINT AS adist FROM cand c JOIN enc ON enc.vec_id = c.vec_id JOIN lut ON lut.query_id = c.query_id AND lut.sub = enc.sub AND lut.code = enc.code GROUP BY 1, 2) " +
+        "SELECT query_id, vec_id AS neighbor_id, adist, rank FROM (SELECT sc.*, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank FROM sc) WHERE rank <= 5"),
+
     "q_s_quant" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "q AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s, v FROM e), " +
@@ -923,6 +959,12 @@ object SparkEntry {
     "q_e_rolling" ->
       ("SELECT event_id, user_id, count(value) OVER w AS roll_n, round(sum(value) OVER w, 4) AS roll_sum, round(avg(value) OVER w, 4) AS roll_avg, min(value) OVER w AS roll_min, max(value) OVER w AS roll_max, lag(value, 1) OVER w2 AS lag_1 FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY user_id ORDER BY ts)"),
+
+    "q_e_impute" ->
+      ("WITH e AS (SELECT event_id, user_id, CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value FROM events), " +
+        "g AS (SELECT event_id, user_id, value, avg(value) OVER (PARTITION BY user_id) AS gstat FROM e), " +
+        "a AS (SELECT avg(value) AS allstat FROM e) " +
+        "SELECT event_id, user_id, round(coalesce(value, gstat, allstat), 4) AS value_filled, CASE WHEN value IS NULL THEN 1 ELSE 0 END AS value_imputed FROM g CROSS JOIN a"),
 
     "q_t_stats" ->
       s"SELECT doc_id, len($toksSql) AS n_words, round($punctSql, 6) AS punct_ratio FROM documents",

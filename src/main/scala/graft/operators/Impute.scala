@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Missing-value imputation — the feature-cleaning step between
+  * profiling (which finds the nulls) and model input (which can't eat
+  * them). Group-aware: a null fills from ITS group's statistic
+  * (per-cohort biology, per-user behavior), falling back to the global
+  * statistic when the whole group is null.
+  *
+  * Shape: group statistics ride a whole-partition window (one hash
+  * shuffle, no sort, no join-back); the global fallback is a 1-row
+  * broadcast cross-join. Nothing collects to the driver. */
+object Impute {
+
+  /** Fill nulls in `valueCol` with the per-group mean (`"mean"`) or
+    * exact median (`"median"`), global statistic as fallback. Adds
+    * `<valueCol>_filled` (rounded to 4 dp — group aggregation order
+    * must not leak) and `<valueCol>_imputed` (1 when filled). */
+  def fillFromGroup(df: DataFrame, keys: Seq[String], valueCol: String,
+                    stat: String = "mean"): DataFrame = {
+    def statOf(c: String, over: Option[Seq[String]]): Column = {
+      val base = stat match {
+        case "mean"   => avg(col(c))
+        case "median" => expr(s"percentile($c, 0.5D)")
+        case other => throw new IllegalArgumentException(
+          s"stat must be mean or median, got $other")
+      }
+      over.fold(base)(ks =>
+        base.over(Window.partitionBy(ks.map(col): _*)))
+    }
+    val g = df.withColumn("__gstat", statOf(valueCol, Some(keys)))
+    val global = df.agg(statOf(valueCol, None).as("__allstat"))
+    g.crossJoin(broadcast(global))
+      .withColumn(s"${valueCol}_filled",
+        round(coalesce(col(valueCol), col("__gstat"), col("__allstat")), 4))
+      .withColumn(s"${valueCol}_imputed",
+        when(col(valueCol).isNull, 1).otherwise(0))
+      .drop("__gstat", "__allstat")
+  }
+}

@@ -413,6 +413,59 @@ object Similarity {
         col("adist"), col("rank"))
   }
 
+  /** IVF-PQ: the combined index shape trillion-row ANN actually ships
+    * — IVF prunes WHICH vectors get scored (only the `nProbe` probed
+    * cells), PQ prunes HOW MUCH is read per scored vector (m codes
+    * instead of the raw embedding; with `quantizeInt8`/`pqEncode`
+    * storage that's the difference between scanning vectors and
+    * scanning bytes). Inputs are the already-built index artifacts:
+    * `assigned` from `ivfAssign`, `codes` from `pqEncode`, their
+    * `centroids`/`codebooks`. Probe selection and the per-query LUT
+    * are metadata-sized broadcasts; the corpus-side work is one
+    * broadcast-join + one aggregation over the probed cells only.
+    * Recall loses both from probing (measure vs `ivfSearch`) and
+    * quantization (measure vs `bruteForceTopK`) — `recallReport`
+    * takes either pair. */
+  def ivfPqSearch(assigned: DataFrame, codes: DataFrame,
+                  codebooks: DataFrame, centroids: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 4, dim: Int = 64,
+                  nProbe: Int = 3, topK: Int = 5): DataFrame = {
+    val sub = dim / m
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val probes = {
+      val scored = q.join(broadcast(centroids))
+        .withColumn("__sim", cosine(col("__qv"), col("cvec")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__sim").desc, col("centroid_id").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nProbe)
+        .select("query_id", "centroid_id")
+    }
+    val lut = q.select(col("query_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("__qv"), j * sub + 1, sub).as("__qs"))): _*)).as("s"))
+      .select(col("query_id"), col("s.sub").as("sub"), col("s.__qs").as("__qs"))
+      .join(codebooks, Seq("sub"))
+      .withColumn("__d", floor(l2Hof(col("__qs"), col("cvec")) * 1e6))
+      .select(col("query_id"), col("sub"),
+        col("centroid_id").as("code"), col("__d"))
+    val cellCodes = codes
+      .join(assigned.select(col(idCol), col("centroid_id")), Seq(idCol))
+    val scored = cellCodes.join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy("query_id", idCol)
+      .agg(sum(col("__d")).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
   /** Multi-probe SRP ANN: each vector additionally probes the buckets
     * at sign-space Hamming distance 1 (one plane flipped), so a near
     * pair split by a single hyperplane is still found. This is the

@@ -185,4 +185,32 @@ class OperatorsSpec extends SparkSpec {
       assert(got == expected, s"n=$n")
     }
   }
+
+  // ---- Impute ----
+
+  test("fillFromGroup: nulls fill from group mean, whole-null group falls to global") {
+    val df = Seq(
+      ("u1", Some(10.0)), ("u1", Some(20.0)), ("u1", None),
+      ("u2", None), ("u2", None) // whole group null
+    ).toDF("k", "value")
+    val got = Impute.fillFromGroup(df, Seq("k"), "value", "mean")
+      .select("k", "value_filled", "value_imputed")
+      .as[(String, Double, Int)].collect()
+    val u1 = got.filter(_._1 == "u1")
+    assert(u1.count(_._3 == 1) == 1)
+    assert(u1.filter(_._3 == 1).head._2 == 15.0)   // group mean
+    val u2 = got.filter(_._1 == "u2")
+    assert(u2.forall(r => r._3 == 1 && r._2 == 15.0)) // global mean
+  }
+
+  test("fillFromGroup: median stat and bad stat rejection") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(9.0)),
+      ("g", None)).toDF("k", "value")
+    val got = Impute.fillFromGroup(df, Seq("k"), "value", "median")
+      .filter(col("value_imputed") === 1)
+      .select("value_filled").as[Double].collect()
+    assert(got.sameElements(Array(2.0)))
+    intercept[IllegalArgumentException](
+      Impute.fillFromGroup(df, Seq("k"), "value", "mode"))
+  }
 }

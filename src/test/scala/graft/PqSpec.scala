@@ -112,4 +112,36 @@ class PqSpec extends SparkSpec {
     val codes = q.select(explode(col("q.codes"))).as[Int].collect()
     assert(codes.forall(c => c >= -127 && c <= 127))
   }
+
+  test("ivfPqSearch: probed-cell ADC ranking stays cluster-pure") {
+    val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding", 4)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 2, dim = 8, k = 4)
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", cb,
+      m = 2, dim = 8)
+    val got = Similarity.ivfPqSearch(assigned, codes, cb, cents,
+      vecs.filter(col("vec_id") < 4), "vec_id", "embedding",
+      m = 2, dim = 8, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n, _, _) => q != n })
+    // +10-cluster queries only ever surface +10-cluster neighbors
+    assert(got.forall { case (q, n, _, _) => (q % 2) == (n % 2) })
+  }
+
+  test("ivfPqSearch: corpus-side plan has no per-query vector recompute (broadcast LUT + probes)") {
+    val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding", 4)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 2, dim = 8, k = 4)
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", cb,
+      m = 2, dim = 8)
+    val plan = Similarity.ivfPqSearch(assigned, codes, cb, cents,
+      vecs.filter(col("vec_id") < 4), "vec_id", "embedding",
+      m = 2, dim = 8, nProbe = 2, topK = 3)
+      .queryExecution.executedPlan.toString
+    // both index-side joins are broadcasts of metadata-sized frames
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
 }
