@@ -28,4 +28,32 @@ object Storage {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Plain partitioned-parquet write (no catalog table): one directory
+    * per partition value, so reads filtered on `partitionKeys` prune
+    * whole directories before any I/O (`PartitionFilters` in the scan,
+    * verified in StorageSpec). The corpus layout knob: partition by
+    * low-cardinality routing columns (date, lang, source shard), never
+    * by high-cardinality ones — a million tiny directories is the
+    * small-file problem with extra steps. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionKeys: Seq[String]): Unit = {
+    require(partitionKeys.nonEmpty, "no partition keys")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionKeys: _*).parquet(path)
+  }
+
+  /** Compact a frame to ≈`targetBytes` output files using the plan's
+    * own size estimate (no driver collect; the estimate is coarse —
+    * parquet encoding typically shrinks it further, so treat
+    * `targetBytes` as a lower bound on file size). The answer to the
+    * small-file problem a streaming or per-batch ingest leaves behind:
+    * read the fragments, write back ceil(bytes/target) files. */
+  def compact(df: DataFrame, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      (bytes / BigInt(targetBytes)).toInt + (if (bytes % BigInt(targetBytes) > 0) 1 else 0))
+    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

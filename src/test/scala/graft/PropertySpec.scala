@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, IntervalJoin, Pivots, Skew}
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Pivots, Skew}
 
 /** Seeded randomized property tests (SURVEY.md §5: reconciliation
   * invariants, partition laws, idempotence). */
@@ -150,5 +150,38 @@ class PropertySpec extends SparkSpec {
     val groups = Dedup.exactByContent(docs, "text", "id")
     assert(groups.agg(sum("dup_count")).as[Long].collect().head == 300L)
     assert(groups.count() == docs.select("text").distinct().count())
+  }
+
+  test("property: asOfJoin == brute-force latest-preceding on random data") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = Seq.tabulate(200)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000) * 7L + i, i * 1.5))
+      .distinct // unique (k, ts) per construction (ts = m*7+i unique)
+    val l = left.toDF("k", "ts", "lid")
+    val r = right.toDF("k", "ts", "pay")
+    val got = AsOfJoin.backward(l, r, Seq("k"), "ts", Seq("pay"))
+      .select("k", "ts", "lid", "pay")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    val expected = left.map { case (k, ts, lid) =>
+      val cands = right.filter(rr => rr._1 == k && rr._2 <= ts)
+      (k, ts, lid) -> (if (cands.isEmpty) None
+        else Some(cands.maxBy(_._2)._3))
+    }.toMap
+    assert(got == expected)
+    // strict variant: equal-ts right rows excluded
+    val gotS = AsOfJoin.backward(l, r, Seq("k"), "ts", Seq("pay"),
+      strict = true)
+      .select("k", "ts", "lid", "pay")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    val expectedS = left.map { case (k, ts, lid) =>
+      val cands = right.filter(rr => rr._1 == k && rr._2 < ts)
+      (k, ts, lid) -> (if (cands.isEmpty) None
+        else Some(cands.maxBy(_._2)._3))
+    }.toMap
+    assert(gotS == expectedS)
   }
 }

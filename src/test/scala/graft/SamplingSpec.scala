@@ -95,4 +95,22 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("hashSample is streaming-safe: stateless filter, same rows as batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = Sampling.hashSample(input.toDF().toDF("id"), "id", 0.25)
+      .writeStream.format("memory").queryName("ssample").start()
+    try {
+      input.addData(1L to 1000L: _*)
+      q.processAllAvailable()
+      input.addData(1001L to 2000L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssample").as[Long].collect().toSet
+      val batch = Sampling.hashSample((1L to 2000L).toDF("id"), "id", 0.25)
+        .as[Long].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }

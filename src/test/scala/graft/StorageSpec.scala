@@ -27,4 +27,30 @@ class StorageSpec extends SparkSpec {
       assert(joined.count() == expect)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("partitioned write: reads filtered on the partition key prune directories") {
+    val df = (1L to 100L).toDF("id")
+      .withColumn("shard", (col("id") % 4).cast("int"))
+    val path = java.nio.file.Files.createTempDirectory("part").toString + "/t"
+    graft.sources.Storage.writePartitioned(df, path, Seq("shard"))
+    val read = spark.read.parquet(path).filter(col("shard") === 2)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+      s"no partition pruning:\n$scan")
+    assert(read.count() == 25)
+    // only the shard=2 directory is touched
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("shard="))
+    assert(dirs.length == 4)
+  }
+
+  test("compact: fragmented input becomes a bounded file count") {
+    val frag = (1L to 1000L).toDF("id").repartition(37)
+    val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    graft.sources.Storage.compact(frag, path, targetBytes = 1L << 20)
+    val files = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 1 && files < 37, s"still fragmented: $files files")
+    assert(spark.read.parquet(path).count() == 1000)
+  }
 }
