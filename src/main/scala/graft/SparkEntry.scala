@@ -507,6 +507,20 @@ object SparkEntry {
         "event_id", k = 3)
         .select("user_id", "event_id")),
 
+    // deterministic oversampling (dataset-mixing ratios: each doc
+    // appears floor(2.3)=2 times + once more for a 0.3 hash draw)
+    "q_x_oversample" -> ((s, d) =>
+      Sampling.oversample(t(s, d, "documents"), "doc_id", factor = 2.3)
+        .select("doc_id", "copy")),
+
+    // token-budget sequence packing (pretraining batch construction):
+    // contiguous packs of ~5000 chars in doc_id order, scalable
+    // two-phase running sum — oracle is the plain one-window cumsum
+    "q_p10_pack" -> ((s, d) =>
+      Batching.packByBudget(t(s, d, "documents"), "doc_id", "n_chars",
+        budget = 5000L)
+        .select("doc_id", "n_chars", "pack")),
+
     // ---- §2.2 P9: deterministic batching — scalable range-partitioned
     //      form (identical output to ntile(10) OVER (ORDER BY ...),
     //      which the oracle uses; no single-task global window) ----
@@ -1100,6 +1114,12 @@ object SparkEntry {
 
     "q_x_reservoir" ->
       "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY substr(md5(event_id::VARCHAR), 1, 8), event_id) AS rn FROM events) WHERE rn <= 3",
+
+    "q_x_oversample" ->
+      s"SELECT doc_id, unnest(range(1, copies + 1)) AS copy FROM (SELECT doc_id, 2 + CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.3)}' THEN 1 ELSE 0 END AS copies FROM documents)",
+
+    "q_p10_pack" ->
+      "SELECT doc_id, n_chars, floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) / 5000)::BIGINT AS pack FROM documents",
 
     // q_s_ivf with nProbe = number of centroids searches every bucket,
     // so the exact brute-force top-k is the correct oracle

@@ -37,6 +37,47 @@ object Batching {
       .cast("int")
   }
 
+  /** Token-budget sequence packing — the batch-construction step of a
+    * pretraining pipeline: walk the corpus in `orderCol` order and cut
+    * a new pack every time the running `weightCol` total (token count,
+    * byte size) passes `budget`. A row whose weight spans a boundary
+    * stays whole in its starting pack (no splitting; packs overflow by
+    * at most one row's weight — the standard contiguous-packing
+    * approximation).
+    *
+    * Same scalable skeleton as `ntileByRange`: range-repartition on
+    * the order key, per-partition weight totals collected (one row per
+    * partition — metadata), global running sum = partition offset +
+    * in-partition window, pack id = floor((cumsum − weight)/budget).
+    * No single-task window; the oracle is the plain one-window SQL. */
+  def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
+                   budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val parts =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, col(orderCol))
+      else df.repartitionByRange(col(orderCol))
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+    val sums = withPid.groupBy("__pid")
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) =>
+      val o = (pid, acc); acc += s; o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("__pid", "__woffset")
+    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("__cum",
+        col("__woffset") + sum(col(weightCol).cast("long")).over(w))
+      .withColumn("pack",
+        floor((col("__cum") - col(weightCol)) / budget))
+      .drop("__pid", "__woffset", "__cum")
+  }
+
   /** Scalable twin of `globalNtile`: identical `batch` column, no
     * single-task window. `orderCol` must be a total order (unique) for
     * a deterministic result — same caveat as any rank-based batching.

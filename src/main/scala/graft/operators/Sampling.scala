@@ -95,6 +95,27 @@ object Sampling {
     df.filter(key < thr)
   }
 
+  /** Deterministic oversampling for dataset-mixing ratios (the
+    * "Wikipedia ×2.3" knob): every row appears floor(factor) times,
+    * plus once more when its (salt, id) hash falls under the
+    * fractional part — so epochs are reproducible and the realized
+    * mix converges to the requested ratio. Emits a `copy` index
+    * (1-based) for downstream shuffling/interleaving. Factor < 1
+    * degrades to `hashSample`; factor 0 empties. */
+  def oversample(df: DataFrame, idCol: String, factor: Double,
+                 salt: String = ""): DataFrame = {
+    require(factor >= 0.0, s"factor $factor")
+    val base = math.floor(factor).toLong
+    val frac = factor - base
+    val copies = lit(base) +
+      when(sampleKey(col(idCol), salt) < lit(thresholdHex(frac)), 1L)
+        .otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Exactly `k` rows per key group (or all, if the group is smaller),
     * chosen uniformly and deterministically — the distributed stand-in
     * for per-group reservoir sampling. One shuffle (the window

@@ -213,4 +213,33 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Impute.fillFromGroup(df, Seq("k"), "value", "mode"))
   }
+
+  // ---- Batching.packByBudget ----
+
+  test("packByBudget == single-window cumulative binning; no split rows") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(90) + 10L))
+      .toDF("id", "w")
+    val got = Batching.packByBudget(df, "id", "w", budget = 250L,
+      numPartitions = 8)
+      .select("id", "pack").as[(Long, Long)].collect().toMap
+    val win = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("pack", floor((sum("w").over(win) - col("w")) / 250L))
+      .select("id", "pack").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // packs are contiguous in id order
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("packByBudget: oversized single row occupies its own pack") {
+    val df = Seq((1L, 100L), (2L, 9999L), (3L, 100L)).toDF("id", "w")
+    val got = Batching.packByBudget(df, "id", "w", budget = 500L)
+      .select("id", "pack").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L && got(2L) == 0L) // 2 starts inside pack 0
+    assert(got(3L) > got(2L))              // and pushes 3 far ahead
+  }
 }

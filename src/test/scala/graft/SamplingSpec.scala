@@ -113,4 +113,22 @@ class SamplingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("oversample: realized ratio near factor, deterministic, copy indexed") {
+    val got = Sampling.oversample(ids, "id", factor = 2.3)
+      .as[(Long, Long)].collect()
+    assert(math.abs(got.length - 2000 * 2.3) < 150)
+    val byId = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(byId.values.forall(cs => cs == (1L to cs.length)))
+    assert(byId.values.forall(cs => cs.length == 2 || cs.length == 3))
+    val again = Sampling.oversample(ids, "id", factor = 2.3)
+      .as[(Long, Long)].collect()
+    assert(got.sorted.sameElements(again.sorted))
+    // factor < 1 degrades to plain sampling
+    val sub = Sampling.oversample(ids, "id", factor = 0.25)
+      .select("id").as[Long].collect().toSet
+    val plain = Sampling.hashSample(ids, "id", 0.25)
+      .as[Long].collect().toSet
+    assert(sub == plain)
+  }
 }
