@@ -347,6 +347,29 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // PII format screens on constructed payloads (email/url/phone
+    // injected per doc so counts and the redaction are exercised);
+    // redacted text compared via md5 — byte-for-byte parity
+    "q_t_pii" -> ((s, d) => {
+      val txt = concat(col("text"), lit(" contact doc"), col("doc_id"),
+        lit("@example.com or https://ex.org/p/"), col("doc_id"),
+        lit(" tel +1 (555) 000-"), col("doc_id") % 10000)
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.piiCounts(txt).as("__p"),
+          md5(TF.redactPii(txt)).as("red_md5"))
+        .select(col("doc_id"), col("__p.n_emails").as("n_emails"),
+          col("__p.n_urls").as("n_urls"),
+          col("__p.n_phones").as("n_phones"), col("red_md5"))
+    }),
+
+    // quantile winsorization (outlier clip between profile and features)
+    "q_x_winsor" -> ((s, d) =>
+      Profile.winsorize(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "l_quantity", loQ = 0.05, hiQ = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity_wins"), 4).as("wins"))),
+
     // TF-IDF salient terms (rounded BEFORE ranking so ln's last-ulp
     // noise can't decide order — ties break by term in both engines)
     "q_t_tfidf" -> ((s, d) =>
@@ -801,6 +824,18 @@ object SparkEntry {
     "CASE WHEN len(tk) < 5 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(list_slice(tk, i, i + 4), ' ')) END"
 
   def oracleSql: Map[String, String] = Map(
+    "q_t_pii" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact doc' || doc_id || '@example.com or https://ex.org/p/' || doc_id || ' tel +1 (555) 000-' || (doc_id % 10000) AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, " +
+        "len(regexp_extract_all(t, 'https?://[^ \\t\\n]+')) AS n_urls, " +
+        "len(regexp_extract_all(t, '\\+[0-9][0-9()\\-. ]{7,}[0-9]')) AS n_phones, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), 'https?://[^ \\t\\n]+', '<URL>', 'g'), '\\+[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g')) AS red_md5 FROM p"),
+
+    "q_x_winsor" ->
+      ("WITH q AS (SELECT round(quantile_cont(l_quantity, 0.05), 6) AS lo, round(quantile_cont(l_quantity, 0.95), 6) AS hi FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, round(least(greatest(l_quantity, lo), hi), 4) AS wins FROM lineitem CROSS JOIN q"),
+
     "q_t_tfidf" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1, 2), " +

@@ -164,6 +164,32 @@ object TextFns {
 
   def wordCount(c: Column): Column = size(tokens(c))
 
+  // ---- PII screens (corpus hygiene: find-then-redact before any
+  // text ships to training). Patterns stay inside the regex subset
+  // Java and RE2 agree on (char classes, bounded quantifiers) so the
+  // SQL oracle replays counts and redactions byte-for-byte. These are
+  // pattern screens, not NER — they catch the formats, not free-text
+  // names; compose with a model-based pass when that matters. ----
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ \\t\\n]+"
+  val phonePattern = "\\+[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  /** Per-doc PII format counts: struct(n_emails, n_urls, n_phones). */
+  def piiCounts(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(emailPattern), lit(0))).as("n_emails"),
+    size(regexp_extract_all(c, lit(urlPattern), lit(0))).as("n_urls"),
+    size(regexp_extract_all(c, lit(phonePattern), lit(0))).as("n_phones"))
+
+  /** Redact in a fixed order (emails, then URLs, then phones) — order
+    * is part of the contract since patterns can overlap. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      phonePattern, "<PHONE>")
+
   // ---- repetition screens (Gopher-style, Rae et al. 2021 §A1.1) ----
   // Training corpora drop boilerplate/repetitive docs before anything
   // else touches them; at word level these are pure Column HOFs — no

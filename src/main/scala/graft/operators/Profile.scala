@@ -78,6 +78,23 @@ object Profile {
     wide.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
 
+  /** Winsorize: clip `valueCol` into its global [loQ, hiQ] exact
+    * quantiles (rounded to 6 dp so the bounds are engine-portable) —
+    * the outlier treatment between profiling and features. Quantiles
+    * ride a 1-row broadcast; the clip is a codegen'd projection.
+    * Adds `<valueCol>_wins`. */
+  def winsorize(df: DataFrame, valueCol: String,
+                loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"bad quantiles $loQ/$hiQ")
+    val q = df.agg(
+      round(expr(s"percentile($valueCol, ${loQ}D)"), 6).as("__lo"),
+      round(expr(s"percentile($valueCol, ${hiQ}D)"), 6).as("__hi"))
+    df.crossJoin(broadcast(q))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Top-k most frequent values per column (mode census), long format:
     * (column, value, cnt, rank). One shuffle — the per-column unpivot
     * happens in the projection (explode), the groupBy partially

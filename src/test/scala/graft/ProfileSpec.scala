@@ -57,4 +57,27 @@ class ProfileSpec extends SparkSpec {
     // null casts to null string; grouped as its own value
     assert(got.exists(r => r._2 == null && r._3 == 2))
   }
+
+  test("winsorize: values clipped to the global quantile band") {
+    val t = (1 to 100).map(_.toDouble).toDF("v")
+    val got = Profile.winsorize(t, "v", 0.05, 0.95)
+      .select("v", "v_wins").as[(Double, Double)].collect().toMap
+    assert(got(1.0) > 1.0 && got(50.0) == 50.0 && got(100.0) < 100.0)
+    assert(got.values.max <= got(100.0) && got.values.min >= got(1.0))
+    intercept[IllegalArgumentException](Profile.winsorize(t, "v", 0.9, 0.1))
+  }
+
+  test("piiCounts/redactPii: formats found and scrubbed, clean text untouched") {
+    import graft.functions.{TextFns => TF}
+    val df = Seq(
+      "mail me at a.b+c@ex-corp.io or see https://ex.io/x?y=1 call +1 (555) 123-4567",
+      "no pii here at all").toDF("t")
+    val got = df.select(TF.piiCounts(col("t")).as("p"),
+      TF.redactPii(col("t")).as("r"))
+      .select("p.n_emails", "p.n_urls", "p.n_phones", "r")
+      .as[(Int, Int, Int, String)].collect()
+    assert(got(0)._1 == 1 && got(0)._2 == 1 && got(0)._3 == 1)
+    assert(got(0)._4 == "mail me at <EMAIL> or see <URL> call <PHONE>")
+    assert(got(1) == ((0, 0, 0, "no pii here at all")))
+  }
 }
