@@ -530,6 +530,17 @@ object SparkEntry {
         "event_id", k = 3)
         .select("user_id", "event_id")),
 
+    // deterministic global shuffle (training read order): scalable
+    // rank by (hash, id) — oracle is the plain one-window row_number
+    "q_x_shuffle" -> ((s, d) =>
+      Sampling.deterministicShuffle(t(s, d, "documents"), "doc_id")
+        .select("doc_id", "shuffle_rank")),
+
+    // per-group z-score feature scaling
+    "q_e_zscore" -> ((s, d) =>
+      Features.standardize(t(s, d, "events"), Seq("user_id"), "value")
+        .select("event_id", "user_id", "value_z")),
+
     // deterministic oversampling (dataset-mixing ratios: each doc
     // appears floor(2.3)=2 times + once more for a 0.3 hash draw)
     "q_x_oversample" -> ((s, d) =>
@@ -1152,6 +1163,12 @@ object SparkEntry {
 
     "q_x_oversample" ->
       s"SELECT doc_id, unnest(range(1, copies + 1)) AS copy FROM (SELECT doc_id, 2 + CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.3)}' THEN 1 ELSE 0 END AS copies FROM documents)",
+
+    "q_x_shuffle" ->
+      "SELECT doc_id, row_number() OVER (ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS shuffle_rank FROM documents",
+
+    "q_e_zscore" ->
+      "SELECT event_id, user_id, CASE WHEN stddev_pop(value) OVER w = 0 OR stddev_pop(value) OVER w IS NULL THEN 0.0 ELSE round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 4) END AS value_z FROM events WINDOW w AS (PARTITION BY user_id)",
 
     "q_p10_pack" ->
       "SELECT doc_id, n_chars, floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) / 5000)::BIGINT AS pack FROM documents",

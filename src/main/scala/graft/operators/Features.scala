@@ -31,6 +31,21 @@ object Features {
       .withColumn("roll_max", max(col(valueCol)).over(w))
   }
 
+  /** Per-group z-score standardization: (x − μ_g) / σ_g over a
+    * whole-partition window (one shuffle, no sort), population σ.
+    * Constant groups (σ = 0) standardize to 0 rather than NaN. Output
+    * rounded to 4 dp — both μ and σ are distributed sums whose
+    * accumulation order must not leak into comparisons. */
+  def standardize(df: DataFrame, keys: Seq[String],
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val mu = avg(col(valueCol)).over(w)
+    val sigma = stddev_pop(col(valueCol)).over(w)
+    df.withColumn(s"${valueCol}_z",
+      when(sigma === 0.0 || sigma.isNull, 0.0)
+        .otherwise(round((col(valueCol) - mu) / sigma, 4)))
+  }
+
   /** `lag_<n>` columns of `valueCol` for each requested offset —
     * null-padded at each key's head, all from ONE window spec (a
     * single sort serves every lag). */

@@ -116,6 +116,38 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Deterministic global shuffle: a total `shuffle_rank` ordering by
+    * (hash, id) — the reproducible row permutation a training run
+    * reads the corpus in. Same scalable skeleton as
+    * `Batching.ntileByRange`: range-repartition on the hash key,
+    * per-partition counts collected (metadata), rank = offset +
+    * in-partition row_number — no single-task global window. Change
+    * `salt` to reshuffle between epochs. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String = "",
+                           numPartitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__sk", sampleKey(col(idCol), salt))
+    val parts =
+      if (numPartitions > 0)
+        keyed.repartitionByRange(numPartitions, col("__sk"), col(idCol))
+      else keyed.repartitionByRange(col("__sk"), col(idCol))
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("__sk").asc, col(idCol).asc)
+    withPid.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("shuffle_rank", col("__offset") + row_number().over(w))
+      .drop("__pid", "__offset", "__sk")
+  }
+
   /** Exactly `k` rows per key group (or all, if the group is smaller),
     * chosen uniformly and deterministically — the distributed stand-in
     * for per-group reservoir sampling. One shuffle (the window

@@ -131,4 +131,21 @@ class SamplingSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(sub == plain)
   }
+
+  test("deterministicShuffle: a permutation, salt-sensitive, scalable rank == global window") {
+    val got = Sampling.deterministicShuffle(ids, "id", numPartitions = 8)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(got.map(_._2).sorted.sameElements(1L to 2000L)) // total permutation
+    // equals the single-window definition
+    import org.apache.spark.sql.expressions.Window
+    val expected = ids.withColumn("shuffle_rank", row_number().over(
+      Window.orderBy(Sampling.sampleKey(col("id"), ""), col("id"))))
+      .as[(Long, Int)].collect().map(t => t._1 -> t._2.toLong).toMap
+    assert(got.toMap == expected)
+    // different salt -> different permutation
+    val other = Sampling.deterministicShuffle(ids, "id", salt = "epoch2",
+      numPartitions = 8).select("id", "shuffle_rank")
+      .as[(Long, Long)].collect().toMap
+    assert(other != got.toMap)
+  }
 }
