@@ -642,10 +642,7 @@ object SparkEntry {
     // int8 scalar quantization (8× embedding storage cut; codes are
     // engine-portable because floor(x/s + 0.5) is, unlike round())
     "q_s_quant" -> ((s, d) =>
-      t(s, d, "embeddings")
-        .select(col("vec_id"),
-          Similarity.quantizeInt8(col("embedding").cast("array<double>"))
-            .as("__q"))
+      Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding", "__q")
         .select(col("vec_id"), round(col("__q.scale"), 6).as("scale"),
           posexplode(col("__q.codes")).as(Seq("pos", "code")))),
 

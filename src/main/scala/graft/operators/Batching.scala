@@ -24,6 +24,37 @@ object Batching {
   def globalNtile(df: DataFrame, orderCols: Seq[Column], n: Int): DataFrame =
     df.withColumn("batch", ntile(n).over(Window.orderBy(orderCols: _*)))
 
+  /** Shared scalable-rank skeleton (ntileByRange / packByBudget /
+    * Sampling.deterministicShuffle): range-repartition by `sortCols`
+    * and PIN the partitioning with persist — the per-partition
+    * aggregate below is collected in a SEPARATE job from the caller's
+    * final plan, and without pinning the two executions could sample
+    * different range boundaries (reservoir seed varies per job) or be
+    * AQE-coalesced differently, silently misaligning rows against the
+    * collected offsets. Returns the pinned frame (with `__pid`), the
+    * broadcastable (__pid, __offset) running-offset frame accumulated
+    * from `perPartition` (one row per partition — metadata, never
+    * data), and the grand total. MEMORY_AND_DISK: a big input spills
+    * instead of recomputing. */
+  private[operators] def partitionOffsets(
+      df: DataFrame, sortCols: Seq[Column], perPartition: Column,
+      numPartitions: Int): (DataFrame, DataFrame, Long) = {
+    val parts =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
+      else df.repartitionByRange(sortCols: _*)
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = withPid.groupBy("__pid").agg(perPartition.as("__v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, v) =>
+      val o = (pid, acc); acc += v; o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    (withPid, offsets.toSeq.toDF("__pid", "__offset"), acc)
+  }
+
   /** ntile(n) bucket from a 1-based global rank, closed form:
     * the first `total % n` buckets get `total/n + 1` rows, the rest
     * `total/n` — exactly SQL ntile. */
@@ -53,29 +84,17 @@ object Batching {
   def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
                    budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val parts =
-      if (numPartitions > 0) df.repartitionByRange(numPartitions, col(orderCol))
-      else df.repartitionByRange(col(orderCol))
-    val withPid = parts.withColumn("__pid", spark_partition_id())
-    val sums = withPid.groupBy("__pid")
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (pid, s) =>
-      val o = (pid, acc); acc += s; o
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("__pid", "__woffset")
+    // null weights advance the budget by 0 (row still gets a pack)
+    val wcol = coalesce(col(weightCol).cast("long"), lit(0L))
+    val (withPid, offsetDf, _) = partitionOffsets(df, Seq(col(orderCol)),
+      coalesce(sum(wcol), lit(0L)), numPartitions)
     val w = Window.partitionBy("__pid").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPid
       .join(broadcast(offsetDf), Seq("__pid"))
-      .withColumn("__cum",
-        col("__woffset") + sum(col(weightCol).cast("long")).over(w))
-      .withColumn("pack",
-        floor((col("__cum") - col(weightCol)) / budget))
-      .drop("__pid", "__woffset", "__cum")
+      .withColumn("__cum", col("__offset") + coalesce(sum(wcol).over(w), lit(0L)))
+      .withColumn("pack", floor((col("__cum") - wcol) / budget))
+      .drop("__pid", "__offset", "__cum")
   }
 
   /** Scalable twin of `globalNtile`: identical `batch` column, no
@@ -85,21 +104,8 @@ object Batching {
     * collect is one row per partition (offsets), never data. */
   def ntileByRange(df: DataFrame, orderCol: String, n: Int,
                    numPartitions: Int = 0): DataFrame = {
-    val parts =
-      if (numPartitions > 0) df.repartitionByRange(numPartitions, col(orderCol))
-      else df.repartitionByRange(col(orderCol))
-    val withPid = parts.withColumn("__pid", spark_partition_id())
-    // metadata-sized: one (pid, count) row per partition
-    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) =>
-      val o = (pid, acc); acc += c; o
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
+    val (withPid, offsetDf, total) = partitionOffsets(df,
+      Seq(col(orderCol)), count(lit(1)), numPartitions)
     val w = Window.partitionBy("__pid").orderBy(col(orderCol))
     withPid
       .join(broadcast(offsetDf), Seq("__pid"))

@@ -127,20 +127,8 @@ object Sampling {
                            salt: String = "",
                            numPartitions: Int = 0): DataFrame = {
     val keyed = df.withColumn("__sk", sampleKey(col(idCol), salt))
-    val parts =
-      if (numPartitions > 0)
-        keyed.repartitionByRange(numPartitions, col("__sk"), col(idCol))
-      else keyed.repartitionByRange(col("__sk"), col(idCol))
-    val withPid = parts.withColumn("__pid", spark_partition_id())
-    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) =>
-      val o = (pid, acc); acc += c; o
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
+    val (withPid, offsetDf, _) = Batching.partitionOffsets(keyed,
+      Seq(col("__sk"), col(idCol)), count(lit(1)), numPartitions)
     val w = Window.partitionBy("__pid")
       .orderBy(col("__sk").asc, col(idCol).asc)
     withPid.join(broadcast(offsetDf), Seq("__pid"))

@@ -273,17 +273,28 @@ object Similarity {
     * first-rung compression before PQ. All-zero vectors get scale 0 /
     * all-zero codes. floor(+0.5) rather than round(): identical
     * semantics in every engine (SQL round() half-away vs HALF_UP
-    * differs), so the oracle replays codes exactly. Output:
-    * struct<scale: double, codes: array<int>> (write codes as
-    * array<tinyint> at rest). */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = aggregate(vec, lit(0.0),
-      (m, x) => greatest(m, abs(x))) / 127.0
-    struct(scale.as("scale"),
-      when(scale === 0.0,
-        transform(vec, _ => lit(0).cast("int")))
-        .otherwise(transform(vec,
-          x => floor(x / scale + 0.5).cast("int"))).as("codes"))
+    * differs), so the oracle replays codes exactly.
+    *
+    * DataFrame-level on purpose: the scale is bound to its OWN column
+    * first, so the per-element lambda reads a cheap reference — a
+    * single-Column form would re-evaluate the max|x| aggregate inside
+    * the transform for every element (O(dim²) per row; HOF lambdas get
+    * no loop-invariant hoisting, and the multi-referenced non-cheap
+    * alias is exactly what keeps CollapseProject from inlining it
+    * back). Adds `outCol`: struct<scale: double, codes: array<int>>
+    * (write codes as array<tinyint> at rest). */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+                   outCol: String = "q8"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.withColumn("__qscale",
+        aggregate(v, lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
+      .withColumn(outCol, struct(col("__qscale").as("scale"),
+        when(col("__qscale") === 0.0,
+          transform(v, _ => lit(0).cast("int")))
+          .otherwise(transform(v,
+            x => floor(x / col("__qscale") + 0.5).cast("int")))
+          .as("codes")))
+      .drop("__qscale")
   }
 
   /** Inverse of `quantizeInt8`: code_i · scale. */

@@ -36,7 +36,11 @@ object Tfidf {
         explode(TextFns.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    val scored = tf.join(broadcast(docFreq(docs, textCol)), "term")
+    // df derived from tf (one row per (doc, term) already) — no second
+    // tokenize/explode pass over the corpus; the shared tf subtree is
+    // deduplicated by exchange reuse
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(termDf), "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") *
         (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1), 4))

@@ -52,8 +52,12 @@ object Storage {
   def compact(df: DataFrame, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1,
-      (bytes / BigInt(targetBytes)).toInt + (if (bytes % BigInt(targetBytes) > 0) 1 else 0))
+    // BigInt-safe: stats default to huge sentinels for sources without
+    // real estimates — cap BEFORE toInt (a raw toInt wraps negative /
+    // to 1 and either throws or un-compacts); 65536 tasks of
+    // targetBytes is past any single compaction job's sane size
+    val parts = ((bytes + targetBytes - 1) / targetBytes)
+      .max(BigInt(1)).min(BigInt(65536)).toInt
     df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -72,10 +72,14 @@ object StreamOps {
     * O(events) — the shape an unbounded enrichment stream needs).
     * Within a batch both sides are merged time-ordered, so a reference
     * and a probe arriving in the same batch still align exactly like
-    * the batch operator. Late references (older than the state) are
-    * ignored — the documented as-of streaming trade; bound state
-    * further with a timeout if keys churn. `matched_ts` = Long.MinValue
-    * and payload = NaN mark probes with no reference yet. */
+    * the batch operator. Late REFERENCES (older than the state) are
+    * ignored, and a late PROBE (older than the retained reference)
+    * emits the no-match sentinel rather than silently matching a
+    * FUTURE reference — with one retained reference per key the
+    * at-or-before contract can only be answered for probes at or
+    * after it; retain a history buffer if late probes must resolve.
+    * Bound state further with a timeout if keys churn. `matched_ts` =
+    * Long.MinValue and payload = NaN mark unmatched probes. */
   def asOfEnrichStream(in: Dataset[AsOfIn]): Dataset[AsOfOut] = {
     import in.sparkSession.implicits._
     in.groupByKey(_.key)
@@ -90,7 +94,12 @@ object StreamOps {
           sorted.foreach { e =>
             if (e.side == 0) {
               if (e.ts >= s.ts) s = AsOfState(e.ts, e.payload)
-            } else out += AsOfOut(key, e.ts, e.probe_id, s.ts, s.payload)
+            } else if (s.ts != Long.MinValue && s.ts <= e.ts) {
+              out += AsOfOut(key, e.ts, e.probe_id, s.ts, s.payload)
+            } else {
+              out += AsOfOut(key, e.ts, e.probe_id, Long.MinValue,
+                Double.NaN)
+            }
           }
           state.update(s)
           out.iterator

@@ -69,16 +69,4 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(2) == ((3L, 3L, 6.0, 2.0, Some(2.0), Some(1.0))))
     assert(got(3) == ((4L, 3L, 9.0, 3.0, Some(3.0), Some(2.0)))) // slides
   }
-
-  test("standardize: z-scores per group, constant group maps to 0") {
-    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0),
-      ("c", 5.0), ("c", 5.0)).toDF("k", "value")
-    val got = Features.standardize(df, Seq("k"), "value")
-      .select("k", "value", "value_z")
-      .as[(String, Double, Double)].collect()
-    val a = got.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
-    assert(a(20.0) == 0.0)
-    assert(a(10.0) == -a(30.0) && a(10.0) < 0) // symmetric
-    assert(got.filter(_._1 == "c").forall(_._3 == 0.0)) // sigma = 0
-  }
 }

@@ -242,4 +242,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) == 0L && got(2L) == 0L) // 2 starts inside pack 0
     assert(got(3L) > got(2L))              // and pushes 3 far ahead
   }
+
+  test("standardize: z-scores per group, constant group maps to 0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0),
+      ("c", 5.0), ("c", 5.0)).toDF("k", "value")
+    val got = graft.operators.Features.standardize(df, Seq("k"), "value")
+      .select("k", "value", "value_z")
+      .as[(String, Double, Double)].collect()
+    val a = got.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
+    assert(a(20.0) == 0.0)
+    assert(a(10.0) == -a(30.0) && a(10.0) < 0) // symmetric
+    assert(got.filter(_._1 == "c").forall(_._3 == 0.0)) // sigma = 0
+  }
 }

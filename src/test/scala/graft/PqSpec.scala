@@ -95,9 +95,7 @@ class PqSpec extends SparkSpec {
       (1L, Array(1.0, -2.0, 0.5, 126.9)),
       (2L, Array(0.0, 0.0, 0.0, 0.0))
     ).toDF("id", "v")
-    val q = df.select(col("id"),
-      col("v"),
-      Similarity.quantizeInt8(col("v")).as("q"))
+    val q = Similarity.quantizeInt8(df, "v", "q")
     val rt = q.select(col("id"), col("v"), col("q.scale").as("s"),
       Similarity.dequantizeInt8(col("q")).as("r"))
       .as[(Long, Seq[Double], Double, Seq[Double])].collect()

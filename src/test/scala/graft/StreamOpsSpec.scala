@@ -276,4 +276,24 @@ class StreamOpsSpec extends SparkSpec {
       assert(got(103L) == ((30L, Some(70.0))))      // equal ts inclusive
     } finally q.stop()
   }
+
+  test("asOfEnrichStream: late probe emits the sentinel, never a future reference") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{AsOfIn, AsOfOut}
+    val input = MemoryStream[AsOfIn]
+    val q = StreamOps.asOfEnrichStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(AsOfIn(9L, 100L, 0, 0L, 7.0))
+      q.processAllAvailable()
+      // probe OLDER than the retained reference: at-or-before cannot
+      // be answered from one retained row -> sentinel, not ts=100
+      input.addData(AsOfIn(9L, 50L, 1, 200L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_late").as[AsOfOut].collect()
+        .filter(_.probe_id == 200L).head
+      assert(got.matched_ts == Long.MinValue && got.payload.isNaN)
+    } finally q.stop()
+  }
 }
