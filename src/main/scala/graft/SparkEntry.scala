@@ -646,7 +646,26 @@ object SparkEntry {
         .select(col("vec_id"), round(col("__q.scale"), 6).as("scale"),
           posexplode(col("__q.codes")).as(Seq("pos", "code")))),
 
+    // equi-width histogram + one-pass correlation matrix (profiling)
+    "q_x_histogram" -> ((s, d) =>
+      Profile.histogram(t(s, d, "lineitem"), "l_extendedprice", bins = 20)),
+
+    "q_x_corr" -> ((s, d) =>
+      Profile.correlationMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
     // ---- SQL surface (spark.sql over registered views) ----
+    // OLAP rollup: per-(flag, status) + per-flag subtotals + grand
+    // total in one pass (the partial-aggregation tree Spark plans)
+    "q_sql_rollup" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT coalesce(l_returnflag, '<all>') AS flag,
+               coalesce(l_linestatus, '<all>') AS status,
+               count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+               FROM lineitem
+               GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+    }),
+
     "q_sql_agg" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql("""SELECT l_returnflag, l_linestatus,
@@ -1177,6 +1196,19 @@ object SparkEntry {
 
     "q_sql_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt FROM lineitem WHERE l_discount > 0.02 GROUP BY l_returnflag, l_linestatus",
+
+    "q_sql_rollup" ->
+      "SELECT coalesce(l_returnflag, '<all>') AS flag, coalesce(l_linestatus, '<all>') AS status, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+
+    "q_x_histogram" ->
+      ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, max(l_extendedprice)::DOUBLE AS hi FROM lineitem) " +
+        "SELECT CASE WHEN hi = lo THEN 0 ELSE least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) END::BIGINT AS bin, count(*) AS n FROM lineitem CROSS JOIN b GROUP BY 1"),
+
+    "q_x_corr" ->
+      ("SELECT col_a, col_b, corr FROM (" +
+        "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 4) AS corr FROM lineitem " +
+        "UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4) FROM lineitem " +
+        "UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem)"),
 
     "q_sql_join3" ->
       "SELECT c_mktsegment, o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_totalprice > 500.0 GROUP BY c_mktsegment, o_orderpriority",

@@ -95,6 +95,45 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Equi-width histogram of `valueCol`: `bins` buckets over the
+    * observed [min, max], bucket = floor((x − min)/width) clamped so
+    * max lands in the last bin. Bounds ride a 1-row broadcast; one
+    * aggregation. Empty bins are absent (join a spine if you need
+    * zeros). */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0)
+    val b = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    df.crossJoin(broadcast(b))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col(valueCol) - col("__lo")) * bins /
+              (col("__hi") - col("__lo"))),
+            lit(bins - 1L))))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Pairwise Pearson correlations of `cols` in ONE aggregation pass,
+    * long format (col_a, col_b, corr) for a < b pairs — rounded to
+    * 4 dp (corr is a ratio of distributed sums; accumulation order
+    * must not leak). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 4).as(s"${a}__${b}")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__${b}").as("corr"))
+    }
+    wide.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+
   /** Top-k most frequent values per column (mode census), long format:
     * (column, value, cnt, rank). One shuffle — the per-column unpivot
     * happens in the projection (explode), the groupBy partially

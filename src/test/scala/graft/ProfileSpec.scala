@@ -80,4 +80,29 @@ class ProfileSpec extends SparkSpec {
     assert(got(0)._4 == "mail me at <EMAIL> or see <URL> call <PHONE>")
     assert(got(1) == ((0, 0, 0, "no pii here at all")))
   }
+
+  test("histogram: bins cover [min, max], max lands in last bin, constant col safe") {
+    val t = (1 to 100).map(_.toDouble).toDF("v")
+    val got = Profile.histogram(t, "v", bins = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L to 9L).toSet)
+    assert(got.values.sum == 100)
+    assert(got(9L) >= 10) // 91..100 inclusive of the max
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val g2 = Profile.histogram(const, "v", bins = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(0L -> 3L))
+  }
+
+  test("correlationMatrix: perfect and inverse correlations, one pass") {
+    val t = (1 to 50).map(i => (i.toDouble, 2.0 * i, -3.0 * i))
+      .toDF("a", "b", "c")
+    val got = Profile.correlationMatrix(t, Seq("a", "b", "c"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == -1.0)
+    assert(got(("b", "c")) == -1.0)
+    assert(got.size == 3)
+  }
 }
