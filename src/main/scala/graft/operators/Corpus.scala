@@ -50,10 +50,15 @@ object Corpus {
     val staged = docs.withColumn("__stage", stage)
     val screened = staged.filter(col("__stage").isNull).drop("__stage")
 
-    // exact dedup: keep the min-id representative per content hash
+    // exact dedup: keep the min-id representative per content hash.
+    // Persisted: this frame feeds the near-dedup pipeline, both
+    // dedup-drop anti-joins, AND the kept output — four consumers
+    // that would each re-run the screens + window otherwise.
+    // MEMORY_AND_DISK: a big corpus spills instead of recomputing.
     val exactKept = Dedup.keepFirst(
       screened.withColumn("__ch", md5(text)), Seq("__ch"),
       Seq(col(idCol).asc)).drop("__ch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactDrops = screened
       .join(exactKept.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol), lit("exact_dup").as("stage"))
