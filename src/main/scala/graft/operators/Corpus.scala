@@ -26,12 +26,19 @@ object Corpus {
     *   audit trail ("why did doc X disappear").
     * dropReport: `drops` aggregated to (stage, n).
     * droppedBuckets: the LSH skew report (band, bucket, size).
-    * All four are LAZY frames sharing one lineage — no count() action
-    * hides inside; cache `kept`'s parent once if you materialize
-    * several of them on a big corpus. */
+    * All four are lazy frames sharing one lineage (no count() action
+    * hides inside), pinned on a shared persisted intermediate — the
+    * exact-dedup survivors feed four consumers. Call `unpersist()`
+    * when done with ALL of them; the frames recompute after that. */
   final case class CleanResult(kept: DataFrame, drops: DataFrame,
                                dropReport: DataFrame,
-                               droppedBuckets: DataFrame)
+                               droppedBuckets: DataFrame,
+                               private val pinned: DataFrame) {
+    /** Release the internal cache (pairs with Dedup.dupClusters'
+      * persist/unpersist discipline — a long-lived session running
+      * many cleans must not accumulate corpus-sized cached frames). */
+    def unpersist(): Unit = { pinned.unpersist(); () }
+  }
 
   def clean(docs: DataFrame, textCol: String, idCol: String,
             langs: Seq[String] = Seq("en"),
@@ -75,6 +82,6 @@ object Corpus {
       .unionByName(exactDrops).unionByName(nearDrops)
     CleanResult(near.deduped, drops,
       drops.groupBy("stage").agg(count(lit(1)).as("n")),
-      near.droppedBuckets)
+      near.droppedBuckets, pinned = exactKept)
   }
 }

@@ -102,9 +102,13 @@ object Profile {
     * zeros). */
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
     require(bins > 0)
-    val b = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+    // histogram of OBSERVED values: null rows are excluded up front
+    // (least()/floor() would otherwise silently fold them into a bin —
+    // track null counts with `numeric`, not here)
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val b = nonNull.agg(min(col(valueCol)).cast("double").as("__lo"),
       max(col(valueCol)).cast("double").as("__hi"))
-    df.crossJoin(broadcast(b))
+    nonNull.crossJoin(broadcast(b))
       .withColumn("bin",
         when(col("__hi") === col("__lo"), lit(0L))
           .otherwise(least(
@@ -123,13 +127,15 @@ object Profile {
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) =>
-      round(corr(col(a), col(b)), 4).as(s"${a}__${b}")
+    // positional aliases: name-derived ones (a__b) collide when column
+    // names themselves contain the separator
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      round(corr(col(a), col(b)), 4).as(s"__corr$i")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val structs = pairs.map { case (a, b) =>
+    val structs = pairs.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        col(s"${a}__${b}").as("corr"))
+        col(s"__corr$i").as("corr"))
     }
     wide.select(explode(array(structs: _*)).as("p")).select("p.*")
   }

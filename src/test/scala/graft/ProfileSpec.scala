@@ -105,4 +105,16 @@ class ProfileSpec extends SparkSpec {
     assert(got(("b", "c")) == -1.0)
     assert(got.size == 3)
   }
+
+  test("histogram excludes nulls; correlationMatrix survives '__' column names") {
+    val t = Seq(Some(1.0), Some(100.0), None).toDF("v")
+    val got = Profile.histogram(t, "v", bins = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 2) // null row NOT folded into a bin
+    val c = (1 to 20).map(i => (i.toDouble, 2.0 * i, 3.0 * i))
+      .toDF("a__b", "a", "b__c")
+    val cm = Profile.correlationMatrix(c, Seq("a__b", "a", "b__c"))
+      .as[(String, String, Double)].collect()
+    assert(cm.length == 3 && cm.forall(_._3 == 1.0))
+  }
 }
