@@ -397,6 +397,16 @@ object SparkEntry {
       Dedup.ngramSpanCoverage(t(s, d, "documents"), "text", "doc_id",
         n = 5, minDocs = 2)),
 
+    // benchmark decontamination: per-train-doc n-gram overlap vs a
+    // held-out benchmark slice (doc_id % 97 == 0)
+    "q_x_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.overlapReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 5)
+    }),
+
     // ---- similarity search (embeddings) ----
     "q_s_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -666,6 +676,34 @@ object SparkEntry {
                GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
     }),
 
+    // OLAP cube: all four grouping combinations in one pass (Spark
+    // plans one Expand + one partial-aggregation tree — no re-scan
+    // per grouping set, which is what matters at 100 TB)
+    "q_sql_cube" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+               FROM orders
+               GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+    }),
+
+    // window-function battery: lag/lead/row_number/running sum per
+    // customer. The running sum is sequential in frame order on both
+    // engines (identical addition order -> identical IEEE doubles).
+    "q_w_funcs" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderkey, o_custkey,
+               row_number()   OVER w AS rn,
+               round(coalesce(lag(o_totalprice)  OVER w, 0.0), 2) AS prev_price,
+               round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS run_total
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")
+    }),
+
     "q_sql_agg" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql("""SELECT l_returnflag, l_linestatus,
@@ -890,6 +928,18 @@ object SparkEntry {
         s"g AS (SELECT doc_id, unnest($ngram5Sql) AS g FROM t), " +
         s"h AS (SELECT doc_id, ${h60Sql("g")} AS ngram_hash FROM g) " +
         "SELECT ngram_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2"),
+
+    "q_x_decontam" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        s"g AS (SELECT doc_id, unnest($ngram5Sql) AS g FROM t), " +
+        s"h AS (SELECT DISTINCT doc_id, ${h60Sql("g")} AS ngram_hash FROM g), " +
+        "bench AS (SELECT DISTINCT ngram_hash FROM h WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT doc_id, ngram_hash FROM h WHERE doc_id % 97 <> 0), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN bench USING (ngram_hash) GROUP BY 1), " +
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1) " +
+        "SELECT t.doc_id, coalesce(n_grams, 0) AS n_grams, coalesce(n_hits, 0) AS n_hits, " +
+        "round(coalesce(n_hits, 0) / greatest(coalesce(n_grams, 0), 1), 6) AS contamination " +
+        "FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id) WHERE t.doc_id % 97 <> 0"),
 
     "q_d_ngramcov" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
@@ -1199,6 +1249,16 @@ object SparkEntry {
 
     "q_sql_rollup" ->
       "SELECT coalesce(l_returnflag, '<all>') AS flag, coalesce(l_linestatus, '<all>') AS status, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+
+    "q_sql_cube" ->
+      "SELECT coalesce(o_orderstatus, '<all>') AS status, coalesce(o_orderpriority, '<all>') AS priority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+
+    "q_w_funcs" ->
+      ("SELECT o_orderkey, o_custkey, row_number() OVER w AS rn, " +
+        "round(coalesce(lag(o_totalprice) OVER w, 0.0), 2) AS prev_price, " +
+        "round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price, " +
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS run_total " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
 
     "q_x_histogram" ->
       ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, max(l_extendedprice)::DOUBLE AS hi FROM lineitem) " +
