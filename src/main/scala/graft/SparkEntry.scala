@@ -557,6 +557,15 @@ object SparkEntry {
       Sampling.oversample(t(s, d, "documents"), "doc_id", factor = 2.3)
         .select("doc_id", "copy")),
 
+    // domain-weighted token-budget mixture: fill each language's
+    // token budget in deterministic hash order (grouped two-phase
+    // running sum — no per-domain single-task window)
+    "q_x_budget" -> ((s, d) =>
+      Sampling.tokenBudget(t(s, d, "documents"), "doc_id", "lang",
+        "n_chars", Map("en" -> 30000L, "es" -> 10000L),
+        defaultBudget = 15000L)
+        .select("doc_id", "lang", "n_chars")),
+
     // token-budget sequence packing (pretraining batch construction):
     // contiguous packs of ~5000 chars in doc_id order, scalable
     // two-phase running sum — oracle is the plain one-window cumsum
@@ -1235,6 +1244,10 @@ object SparkEntry {
 
     "q_e_zscore" ->
       "SELECT event_id, user_id, CASE WHEN stddev_pop(value) OVER w = 0 OR stddev_pop(value) OVER w IS NULL THEN 0.0 ELSE round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 4) END AS value_z FROM events WINDOW w AS (PARTITION BY user_id)",
+
+    "q_x_budget" ->
+      ("WITH c AS (SELECT doc_id, lang, n_chars, sum(n_chars) OVER (PARTITION BY lang ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) " +
+        "SELECT doc_id, lang, n_chars FROM c WHERE cum - n_chars < CASE lang WHEN 'en' THEN 30000 WHEN 'es' THEN 10000 ELSE 15000 END"),
 
     "q_p10_pack" ->
       "SELECT doc_id, n_chars, floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) / 5000)::BIGINT AS pack FROM documents",

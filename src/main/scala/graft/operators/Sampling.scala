@@ -136,6 +136,68 @@ object Sampling {
       .drop("__pid", "__offset", "__sk")
   }
 
+  /** Domain-weighted token-budget selection — the "mixture" step of a
+    * pretraining data recipe ("20 B tokens of web, 5 B of code…"):
+    * within each domain, walk rows in deterministic (salt, id)-hash
+    * order and keep them until the domain's token budget fills; the
+    * row that crosses the boundary stays whole (budgets overflow by
+    * at most one row — same convention as `Batching.packByBudget`).
+    * Deterministic, append-stable (a row's position in its domain's
+    * hash order never changes), and re-salting draws a fresh epoch.
+    *
+    * Scale shape: range-repartition on (domain, hash, id), collect
+    * per-(partition, domain) token sums (metadata — partitions ×
+    * domains rows, never data), then per-partition windows + the
+    * broadcast offsets. A domain larger than one partition never
+    * funnels through a single task — the same skeleton as
+    * `ntileByRange`, generalized to grouped offsets. `domainCol` must
+    * be a string column; `budgets` is config-sized (a when-chain). */
+  def tokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                  tokenCol: String, budgets: Map[String, Long],
+                  defaultBudget: Long, salt: String = "",
+                  numPartitions: Int = 0): DataFrame = {
+    require(defaultBudget >= 0L && budgets.values.forall(_ >= 0L),
+      "budgets must be non-negative")
+    val wcol = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val keyed = df.withColumn("__sk", sampleKey(col(idCol), salt))
+    val sortCols = Seq(col(domainCol), col("__sk"), col(idCol))
+    val parts =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, sortCols: _*)
+      else keyed.repartitionByRange(sortCols: _*)
+    // pin the partitioning — same reasoning as Batching.partitionOffsets
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = withPid
+      .groupBy(col("__pid"), col(domainCol).cast("string").as("__dom"))
+      .agg(coalesce(sum(wcol), lit(0L)).as("__v"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = sums.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(_._1).map { case (pid, dom, v) =>
+        val o = (pid, dom, acc); acc += v; o
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toDF("__pid", "__dom", "__offset")
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (dom, b)) =>
+        val c = col(domainCol) === dom
+        Some(acc.fold(when(c, lit(b)))(_.when(c, lit(b))))
+    }.fold(lit(defaultBudget): Column)(_.otherwise(lit(defaultBudget)))
+    val w = Window.partitionBy(col("__pid"), col(domainCol))
+      .orderBy(col("__sk").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid
+      .join(broadcast(offsetDf),
+        withPid("__pid") === offsetDf("__pid") &&
+          withPid(domainCol).cast("string") <=> offsetDf("__dom"), "inner")
+      .drop(offsetDf("__pid")).drop("__dom")
+      .withColumn("__cum", col("__offset") + coalesce(sum(wcol).over(w), lit(0L)))
+      .filter(col("__cum") - wcol < budgetCol)
+      .drop("__sk", "__pid", "__offset", "__cum")
+  }
+
   /** Exactly `k` rows per key group (or all, if the group is smaller),
     * chosen uniformly and deterministically — the distributed stand-in
     * for per-group reservoir sampling. One shuffle (the window

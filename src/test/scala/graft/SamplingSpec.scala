@@ -132,6 +132,41 @@ class SamplingSpec extends SparkSpec {
     assert(sub == plain)
   }
 
+  test("tokenBudget: fills each domain to its budget in hash order, +<=1 overflow row") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 3 == 0) "code" else "web", 10L + i % 7))
+      .toDF("id", "dom", "toks")
+    val got = Sampling.tokenBudget(docs, "id", "dom", "toks",
+      Map("web" -> 600L), defaultBudget = 300L, numPartitions = 8)
+    // equals the single-window reference definition
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("dom")
+      .orderBy(Sampling.sampleKey(col("id"), ""), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs
+      .withColumn("cum", sum(col("toks")).over(w))
+      .filter(col("cum") - col("toks") <
+        when(col("dom") === "web", 600L).otherwise(300L))
+      .select("id").as[Long].collect().toSet
+    val gotIds = got.select("id").as[Long].collect().toSet
+    assert(gotIds == expected)
+    // per-domain totals land in [budget, budget + max row weight)
+    val totals = got.groupBy("dom").agg(sum("toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(totals("web") >= 600L && totals("web") < 600L + 17L)
+    assert(totals("code") >= 300L && totals("code") < 300L + 17L)
+    // append stability: appending rows to ONE domain leaves the other
+    // domains' kept sets untouched (per-domain hash order is local)
+    val more = (401L to 500L).map(i => (i, "web", 10L)).toDF("id", "dom", "toks")
+    val again = Sampling.tokenBudget(docs.union(more), "id", "dom", "toks",
+      Map("web" -> 600L), defaultBudget = 300L, numPartitions = 8)
+    val codeBefore = got.filter(col("dom") === "code")
+      .select("id").as[Long].collect().toSet
+    val codeAfter = again.filter(col("dom") === "code")
+      .select("id").as[Long].collect().toSet
+    assert(codeAfter == codeBefore)
+  }
+
   test("deterministicShuffle: a permutation, salt-sensitive, scalable rank == global window") {
     val got = Sampling.deterministicShuffle(ids, "id", numPartitions = 8)
       .select("id", "shuffle_rank").as[(Long, Long)].collect()
