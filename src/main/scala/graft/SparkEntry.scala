@@ -546,6 +546,22 @@ object SparkEntry {
       Sampling.deterministicShuffle(t(s, d, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")),
 
+    // bloom-pruned exact joins: the bitset prunes the probe side
+    // before its shuffle; FPs are re-checked, so results match the
+    // plain semi/anti SQL exactly. Deliberately small filter (2^16
+    // bits) so false positives are exercised at test scale.
+    "q_x_bloomsemi" -> ((s, d) =>
+      BloomJoin.semiJoin(t(s, d, "lineitem"),
+        t(s, d, "orders").filter(col("o_totalprice") > 450000.0),
+        "l_orderkey", "o_orderkey", numBits = 1 << 16)
+        .select("l_orderkey", "l_linenumber")),
+
+    "q_x_bloomanti" -> ((s, d) =>
+      BloomJoin.antiJoin(t(s, d, "lineitem"),
+        t(s, d, "orders").filter(col("o_totalprice") > 450000.0),
+        "l_orderkey", "o_orderkey", numBits = 1 << 16)
+        .select("l_orderkey", "l_linenumber")),
+
     // per-group z-score feature scaling
     "q_e_zscore" -> ((s, d) =>
       Features.standardize(t(s, d, "events"), Seq("user_id"), "value")
@@ -1241,6 +1257,12 @@ object SparkEntry {
 
     "q_x_shuffle" ->
       "SELECT doc_id, row_number() OVER (ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS shuffle_rank FROM documents",
+
+    "q_x_bloomsemi" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 450000.0)",
+
+    "q_x_bloomanti" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 450000.0)",
 
     "q_e_zscore" ->
       "SELECT event_id, user_id, CASE WHEN stddev_pop(value) OVER w = 0 OR stddev_pop(value) OVER w IS NULL THEN 0.0 ELSE round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 4) END AS value_z FROM events WINDOW w AS (PARTITION BY user_id)",
