@@ -562,6 +562,31 @@ object SparkEntry {
         "l_orderkey", "o_orderkey", numBits = 1 << 16)
         .select("l_orderkey", "l_linenumber")),
 
+    // incremental merge: upsert a derived extract (modified balances
+    // for %7 keys, brand-new %13 keys) into the customer snapshot
+    "q_x_upsert" -> ((s, d) => {
+      val base = t(s, d, "customer")
+      val upd = base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(base.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      Merge.upsert(base, upd, Seq("c_custkey"))
+        .select("c_custkey", "c_acctbal")
+    }),
+
+    // CDC diff of the same extract vs the snapshot (plus deletes:
+    // the extract omits %11 keys)
+    "q_x_cdc" -> ((s, d) => {
+      val base = t(s, d, "customer")
+      val upd = base.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1000.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(base.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      Merge.cdcDiff(base, upd, Seq("c_custkey"))
+    }),
+
     // per-group z-score feature scaling
     "q_e_zscore" -> ((s, d) =>
       Features.standardize(t(s, d, "events"), Seq("user_id"), "value")
@@ -1257,6 +1282,21 @@ object SparkEntry {
 
     "q_x_shuffle" ->
       "SELECT doc_id, row_number() OVER (ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS shuffle_rank FROM documents",
+
+    "q_x_upsert" ->
+      ("WITH upd AS (SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_acctbal FROM customer WHERE c_custkey % 13 = 0) " +
+        "SELECT c_custkey, c_acctbal FROM upd " +
+        "UNION ALL SELECT c_custkey, c_acctbal FROM customer WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = customer.c_custkey)"),
+
+    "q_x_cdc" ->
+      ("WITH upd AS (SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 11 <> 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 13 = 0) " +
+        "SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey, " +
+        "CASE WHEN u.c_custkey IS NULL THEN 'delete' WHEN b.c_custkey IS NULL THEN 'insert' " +
+        "WHEN NOT (b.c_name IS NOT DISTINCT FROM u.c_name AND b.c_nationkey IS NOT DISTINCT FROM u.c_nationkey AND b.c_acctbal IS NOT DISTINCT FROM u.c_acctbal AND b.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment) THEN 'update' " +
+        "ELSE 'unchanged' END AS change_type " +
+        "FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey"),
 
     "q_x_bloomsemi" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 450000.0)",
