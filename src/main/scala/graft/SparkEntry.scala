@@ -562,6 +562,13 @@ object SparkEntry {
         "l_orderkey", "o_orderkey", numBits = 1 << 16)
         .select("l_orderkey", "l_linenumber")),
 
+    // z-order (Morton) key over two join/filter columns — the layout
+    // sort key a clustered write uses for two-column scan pruning
+    "q_x_zorder" -> ((s, d) =>
+      Layout.withZValue(t(s, d, "lineitem"), "l_partkey", "l_suppkey",
+        bits = 8)
+        .select("l_orderkey", "l_linenumber", "zval")),
+
     // incremental merge: upsert a derived extract (modified balances
     // for %7 keys, brand-new %13 keys) into the customer snapshot
     "q_x_upsert" -> ((s, d) => {
@@ -1282,6 +1289,15 @@ object SparkEntry {
 
     "q_x_shuffle" ->
       "SELECT doc_id, row_number() OVER (ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS shuffle_rank FROM documents",
+
+    "q_x_zorder" -> {
+      val terms = (0 until 8).map(i =>
+        s"((na >> $i) & 1) * ${1L << (2 * i)} + ((nb >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      "WITH s AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax, min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem), " +
+        "n AS (SELECT l_orderkey, l_linenumber, floor((l_partkey - pmin) * 256.0 / (pmax - pmin + 1))::BIGINT AS na, floor((l_suppkey - smin) * 256.0 / (smax - smin + 1))::BIGINT AS nb FROM lineitem CROSS JOIN s) " +
+        s"SELECT l_orderkey, l_linenumber, ($terms)::BIGINT AS zval FROM n"
+    },
 
     "q_x_upsert" ->
       ("WITH upd AS (SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal FROM customer WHERE c_custkey % 7 = 0 " +
