@@ -249,6 +249,16 @@ object SparkEntry {
         .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))),
 
+    // ordered funnel: view -> click -> purchase, first-touch strict
+    "q_e_funnel" -> ((s, d) =>
+      Funnel.reached(t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // per-type latency-style percentile table (exact percentile)
+    "q_e_pctl" -> ((s, d) =>
+      Profile.groupedPercentiles(t(s, d, "events"), Seq("event_type"),
+        "value", Seq(0.5, 0.95, 0.99))),
+
     // ---- temporal alignment: as-of join (union-sort form — ONE
     //      shuffle, no range-join product; the oracle is DuckDB's
     //      NATIVE ASOF JOIN, an independent implementation) ----
@@ -396,6 +406,10 @@ object SparkEntry {
     "q_d_ngramcov" -> ((s, d) =>
       Dedup.ngramSpanCoverage(t(s, d, "documents"), "text", "doc_id",
         n = 5, minDocs = 2)),
+
+    // inverted index over the corpus vocabulary (df >= 3)
+    "q_t_postings" -> ((s, d) =>
+      Tfidf.postings(t(s, d, "documents"), "text", "doc_id", minDf = 3L)),
 
     // benchmark decontamination: per-train-doc n-gram overlap vs a
     // held-out benchmark slice (doc_id % 97 == 0)
@@ -1135,6 +1149,22 @@ object SparkEntry {
 
     "q_e_hourly" ->
       "SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1, 2",
+
+    "q_e_funnel" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "t0 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "t1 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e JOIN t0 ON e.user_id = t0.user_id WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t0.t GROUP BY 1), " +
+        "t2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t1.t GROUP BY 1) " +
+        "SELECT u.user_id, CASE WHEN t2.t IS NOT NULL THEN 3 WHEN t1.t IS NOT NULL THEN 2 WHEN t0.t IS NOT NULL THEN 1 ELSE 0 END AS steps_completed " +
+        "FROM u LEFT JOIN t0 ON u.user_id = t0.user_id LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id"),
+
+    "q_e_pctl" ->
+      "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    "q_t_postings" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "u AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(tk) AS term FROM t)) " +
+        "SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings FROM u GROUP BY 1 HAVING count(*) >= 3"),
 
     "q_j9_asof" ->
       "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts >= r.ts",

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis: how far each user progresses through a
+  * sequence of event types, where step i counts only if it happens
+  * STRICTLY AFTER the user's first completion of step i−1
+  * (first-touch semantics — the standard product-analytics funnel).
+  *
+  * Relational composition, one `min` aggregation per step joined on
+  * the user key: every shuffle hashes the same key, so the exchanges
+  * line up (and the per-step frames are one row per qualifying user —
+  * they broadcast under AQE against the event scan at any scale).
+  * A k-step funnel is k scans of the (type-filtered, column-pruned)
+  * event table — at 100 TB each scan pushes `event_type = step` into
+  * the parquet filter, so the passes touch only matching row groups.
+  */
+object Funnel {
+
+  /** Per-user furthest step: 0 (never entered) … steps.length.
+    * Returns (userCol, steps_completed). */
+  def reached(df: DataFrame, userCol: String, tsCol: String,
+              typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val users = df.select(col(userCol)).distinct()
+    var prev: Option[DataFrame] = None
+    val stepFrames = steps.zipWithIndex.map { case (st, i) =>
+      val ev = df.filter(col(typeCol) === st).select(col(userCol), col(tsCol))
+      val cur = prev match {
+        case None =>
+          ev.groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
+        case Some(p) =>
+          ev.join(p, Seq(userCol))
+            .filter(col(tsCol) > col(s"__t${i - 1}"))
+            .groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
+      }
+      prev = Some(cur)
+      cur
+    }
+    val joined = stepFrames.foldLeft(users)(
+      (acc, f) => acc.join(f, Seq(userCol), "left"))
+    val stepsDone = steps.indices.reverse.foldLeft(Option.empty[Column]) {
+      case (acc, i) =>
+        val cond = col(s"__t$i").isNotNull
+        Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
+    }.fold(lit(0): Column)(_.otherwise(lit(0)))
+    joined.select(col(userCol), stepsDone.as("steps_completed"))
+  }
+
+  /** Funnel summary: users reaching at least each step (the classic
+    * decreasing bar chart), from one `reached` pass. */
+  def counts(df: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    val r = reached(df, userCol, tsCol, typeCol, steps)
+    val total = Seq.tabulate(steps.length) { i =>
+      sum(when(col("steps_completed") >= i + 1, 1L).otherwise(0L))
+        .as(s"__s$i")
+    }
+    val agg = r.agg(total.head, total.tail: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = agg.head()
+    steps.zipWithIndex.map { case (st, i) =>
+      (i + 1, st, row.getLong(i))
+    }.toDF("step", "event_type", "users_reached")
+  }
+}

@@ -95,6 +95,24 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group exact percentile summary (the p50/p95/p99 latency
+    * table). Exact `percentile` — order-independent and
+    * engine-portable (agrees with quantile_cont; see the winsorize
+    * note). One hash aggregation; the per-partition buffer scales
+    * with per-group distinct count — the documented exact-percentile
+    * caveat (swap approx_percentile past ~10^7 distincts per group).
+    */
+  def groupedPercentiles(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String,
+                         ps: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles out of [0,1]: $ps")
+    val aggs = ps.map(p =>
+      round(expr(s"percentile($valueCol, ${p}D)"), 6)
+        .as(s"p${math.round(p * 100)}"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Equi-width histogram of `valueCol`: `bins` buckets over the
     * observed [min, max], bucket = floor((x − min)/width) clamped so
     * max lands in the last bin. Bounds ride a 1-row broadcast; one

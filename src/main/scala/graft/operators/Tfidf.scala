@@ -28,6 +28,21 @@ object Tfidf {
         .as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Inverted index: per term, document frequency and the SORTED
+    * posting list of containing doc ids — the search-index build.
+    * `minDf` prunes the hapax tail (the bulk of any vocabulary)
+    * before lists materialize; a posting array is bounded by its
+    * term's df, so skew is visible in the df column itself (stoplist
+    * terms above a df ceiling before writing at web scale). */
+  def postings(docs: DataFrame, textCol: String, idCol: String,
+               minDf: Long = 2L): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .filter(col("df") >= minDf)
+
   /** Top-k TF-IDF terms per document: (doc_id, term, tfidf, rank). */
   def topTerms(docs: DataFrame, textCol: String, idCol: String,
                k: Int): DataFrame = {

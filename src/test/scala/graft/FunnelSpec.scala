@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // u1: full ordered funnel; u2: purchase BEFORE click (step 3 must
+  // not count — no purchase after the click); u3: view only;
+  // u4: starts at click (never views -> 0); u5: re-purchase after a
+  // later click counts via first-touch chain
+  private lazy val events = Seq(
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+    (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+    (3L, 10L, "view"),
+    (4L, 10L, "click"), (4L, 20L, "purchase"),
+    (5L, 10L, "view"), (5L, 20L, "purchase"), (5L, 30L, "click"),
+    (5L, 40L, "purchase")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("reached: strict first-touch ordering") {
+    val got = Funnel.reached(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 3))
+  }
+
+  test("same-timestamp step does NOT advance (strictly-after rule)") {
+    val tie = Seq((9L, 10L, "view"), (9L, 10L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.reached(tie, "user_id", "ts", "event_type",
+      Seq("view", "click")).as[(Long, Int)].collect().toMap
+    assert(got == Map(9L -> 1))
+  }
+
+  test("counts: decreasing per-step user totals") {
+    val got = Funnel.counts(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.map(_._3).sameElements(Array(4L, 3L, 2L)))
+    assert(got.map(_._2).sameElements(Array("view", "click", "purchase")))
+  }
+}
