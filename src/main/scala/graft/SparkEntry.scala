@@ -259,6 +259,16 @@ object SparkEntry {
       Profile.groupedPercentiles(t(s, d, "events"), Seq("event_type"),
         "value", Seq(0.5, 0.95, 0.99))),
 
+    // weekly cohort retention triangle (ts is epoch-nanos)
+    "q_e_retention" -> ((s, d) =>
+      Funnel.retention(t(s, d, "events"), "user_id", "ts",
+        bucket = 604800000000000L)),
+
+    // RAG-style overlapping character chunks (80 wide, 20 overlap)
+    "q_t_chunks" -> ((s, d) =>
+      Corpus.chunk(t(s, d, "documents"), "text", "doc_id",
+        maxChars = 80, overlap = 20)),
+
     // ---- temporal alignment: as-of join (union-sort form — ONE
     //      shuffle, no range-join product; the oracle is DuckDB's
     //      NATIVE ASOF JOIN, an independent implementation) ----
@@ -1160,6 +1170,16 @@ object SparkEntry {
 
     "q_e_pctl" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    "q_e_retention" ->
+      ("WITH f AS (SELECT user_id, min(epoch_ns(ts) // 604800000000000) AS cohort FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events) " +
+        "SELECT cohort, wk - cohort AS offset, count(DISTINCT a.user_id) AS n_users FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2"),
+
+    "q_t_chunks" ->
+      ("WITH t AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents WHERE length(text) > 0), " +
+        "c AS (SELECT doc_id, text, unnest(range(0, greatest(1, (len - 20 + 59) // 60))) AS chunk_id FROM t) " +
+        "SELECT doc_id, chunk_id, chunk_id * 60 AS chunk_start, substring(text, (chunk_id * 60 + 1)::INT, 80) AS chunk FROM c"),
 
     "q_t_postings" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +

@@ -84,4 +84,31 @@ object Corpus {
       drops.groupBy("stage").agg(count(lit(1)).as("n")),
       near.droppedBuckets, pinned = exactKept)
   }
+
+  /** Fixed-width overlapping character chunks — the RAG / context-
+    * window segmentation pass. Chunk i of a document covers
+    * [i·stride, i·stride + maxChars) with stride = maxChars − overlap;
+    * the last chunk may be short, empty documents emit none. Pure
+    * per-row generation (explode over a closed-form count): no
+    * shuffle, no state — chunking 100 TB is a map-only job that
+    * parallelizes with the scan. Emits (doc_id, chunk_id,
+    * chunk_start, chunk). */
+  def chunk(docs: DataFrame, textCol: String, idCol: String,
+            maxChars: Int, overlap: Int = 0): DataFrame = {
+    require(maxChars > 0 && overlap >= 0 && overlap < maxChars,
+      s"need 0 <= overlap < maxChars, got overlap=$overlap maxChars=$maxChars")
+    val stride = maxChars - overlap
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__len", length(col("__t")).cast("long"))
+      .filter(col("__len") > 0)
+      // n = ceil((len − overlap)/stride), min 1: the last chunk must
+      // contribute characters beyond the previous chunk's window (a
+      // doc shorter than maxChars is exactly one chunk)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        expr(s"greatest(1L, (__len - $overlap + ${stride - 1}) div $stride) - 1"))))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .withColumn("chunk",
+        expr(s"substring(__t, chunk_start + 1, $maxChars)"))
+      .drop("__t", "__len")
+  }
 }

@@ -48,6 +48,25 @@ object Funnel {
     joined.select(col(userCol), stepsDone.as("steps_completed"))
   }
 
+  /** Cohort retention: bucket each user by their FIRST activity
+    * period (`cohort`), then count distinct users active again at
+    * each later offset — the classic retention triangle. `bucket`
+    * is the period width in the units of `tsCol` (e.g. 7·86400·10⁹
+    * ns for weekly cohorts over epoch-nanos). Two hash aggregations
+    * and one user-keyed join (broadcast under AQE when the cohort
+    * frame fits); integer floor-division bucketing, so the result is
+    * engine-exact. */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+                bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val wk = expr(s"$tsCol div $bucket")
+    val first = df.groupBy(userCol).agg(min(wk).as("cohort"))
+    val active = df.select(col(userCol), wk.as("__wk")).distinct()
+    active.join(first, Seq(userCol))
+      .groupBy(col("cohort"), (col("__wk") - col("cohort")).as("offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Funnel summary: users reaching at least each step (the classic
     * decreasing bar chart), from one `reached` pass. */
   def counts(df: DataFrame, userCol: String, tsCol: String,

@@ -43,4 +43,23 @@ class CorpusSpec extends SparkSpec {
     assert(kept.intersect(droppedIds).isEmpty)
     assert(kept.union(droppedIds) == (1L to 8L).toSet)
   }
+
+  test("chunk: overlap windows, short docs, full reconstruction") {
+    val d = Seq((1L, "a" * 141), (2L, "b" * 70), (3L, ""), (4L, "xy"))
+      .toDF("doc_id", "text")
+    val got = Corpus.chunk(d, "text", "doc_id", maxChars = 80, overlap = 20)
+      .select("doc_id", "chunk_id", "chunk_start", "chunk")
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 141 chars, stride 60: ceil(121/60)=3 chunks at 0/60/120
+    assert(byDoc(1L).map(c => (c._3, c._4.length)).sameElements(
+      Array((0L, 80), (60L, 80), (120L, 21))))
+    // 70 <= 80: ONE chunk (no redundant contained tail)
+    assert(byDoc(2L).map(c => (c._3, c._4.length)).sameElements(Array((0L, 70))))
+    assert(!byDoc.contains(3L)) // empty doc: no chunks
+    assert(byDoc(4L).head._4 == "xy")
+    // consecutive chunks overlap by exactly `overlap` where full-width
+    val c1 = byDoc(1L)
+    assert(c1(0)._4.takeRight(20) == c1(1)._4.take(20))
+  }
 }

@@ -33,6 +33,15 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(9L -> 1))
   }
 
+  test("retention: cohort triangle from first-activity buckets") {
+    // u1 first in bucket 0, active 0 and 2; u2 first in 1, active 1
+    val ev = Seq((1L, 5L), (1L, 25L), (2L, 15L), (1L, 7L))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Funnel.retention(ev, "user_id", "ts", bucket = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
   test("counts: decreasing per-step user totals") {
     val got = Funnel.counts(events, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase"))
