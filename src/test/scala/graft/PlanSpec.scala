@@ -145,4 +145,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("bloom semi join: probe filter sits on the big side BELOW the join") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val ords = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_totalprice") > 450000.0)
+    val qe = graft.operators.BloomJoin.semiJoin(li, ords,
+      "l_orderkey", "o_orderkey", numBits = 1 << 16).queryExecution
+    val plan = qe.sparkPlan.toString
+    val probeIdx = plan.indexOf("graft_bloom_might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(probeIdx >= 0, plan)
+    // sparkPlan prints top-down: the join node precedes (is above)
+    // the probe filter, so the filter runs before rows reach the join
+    assert(joinIdx >= 0 && joinIdx < probeIdx, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("chunking is map-only: no exchange anywhere in the plan") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = graft.operators.Corpus.chunk(docs, "text", "doc_id",
+      maxChars = 80, overlap = 20).queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("decontamination: no cartesian; train grams semi-joined") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val qe = graft.operators.Decontaminate.overlapReport(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "text", "doc_id", n = 5).queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
 }
