@@ -56,6 +56,40 @@ object StreamOps {
       }
   }
 
+  /** Funnel progress state: furthest step index completed and the ts
+    * of that completion (first-touch chain). */
+  final case class FunnelState(step: Int, lastT: Long)
+  final case class FunnelProgress(user_id: Long, steps_completed: Int)
+
+  /** Streaming twin of operators.Funnel.reached: per-user strict
+    * first-touch funnel progression via flatMapGroupsWithState. The
+    * state is two numbers per user (the definition of "cheap state").
+    * Emits each user's current `steps_completed` every batch they
+    * appear in (Update mode — the latest row per user equals the
+    * batch result). Same ordering contract as `sessionizeStream`:
+    * in-batch events are sorted defensively; ACROSS batches per-user
+    * ts must be non-decreasing (late cross-batch events cannot rewind
+    * an advanced step). */
+  def funnelStream(events: Dataset[Event], steps: Seq[String])
+  : Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          sorted.foreach { e =>
+            if (s.step < steps.length && e.event_type == steps(s.step) &&
+                (s.step == 0 || e.ts > s.lastT))
+              s = FunnelState(s.step + 1, e.ts)
+          }
+          state.update(s)
+          Iterator.single(FunnelProgress(user, s.step))
+      }
+  }
+
   /** A two-sided as-of stream record: `side` 0 = reference (right),
     * 1 = probe (left); `payload` is the reference value carried onto
     * probes. */

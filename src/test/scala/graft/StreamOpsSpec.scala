@@ -296,4 +296,39 @@ class StreamOpsSpec extends SparkSpec {
       assert(got.matched_ts == Long.MinValue && got.payload.isNaN)
     } finally q.stop()
   }
+
+  test("funnelStream converges to the batch funnel across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val steps = Seq("view", "click", "purchase")
+    val q = StreamOps.funnelStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // u1 advances over two batches; u2's purchase precedes its
+      // click -> stuck at 2; u3 same-ts click must NOT advance
+      input.addData(
+        Event(1L, 10L, 1L, "view", 0.0), Event(1L, 20L, 2L, "click", 0.0),
+        Event(2L, 10L, 3L, "view", 0.0), Event(2L, 20L, 4L, "purchase", 0.0),
+        Event(3L, 10L, 5L, "view", 0.0), Event(3L, 10L, 6L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(1L, 30L, 7L, "purchase", 0.0),
+        Event(2L, 30L, 8L, "click", 0.0))
+      q.processAllAvailable()
+      val latest = spark.table("funnel")
+        .groupBy("user_id").agg(max("steps_completed").as("sc"))
+        .as[(Long, Int)].collect().toMap
+      assert(latest == Map(1L -> 3, 2L -> 2, 3L -> 1))
+      // equals the batch operator on the union of all events
+      val all = Seq(
+        (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+        (2L, 10L, "view"), (2L, 20L, "purchase"), (2L, 30L, "click"),
+        (3L, 10L, "view"), (3L, 10L, "click")
+      ).toDF("user_id", "ts", "event_type")
+      val batch = graft.operators.Funnel.reached(all, "user_id", "ts",
+        "event_type", steps).as[(Long, Int)].collect().toMap
+      assert(latest == batch)
+    } finally q.stop()
+  }
 }
