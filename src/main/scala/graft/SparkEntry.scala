@@ -259,6 +259,14 @@ object SparkEntry {
       Profile.groupedPercentiles(t(s, d, "events"), Seq("event_type"),
         "value", Seq(0.5, 0.95, 0.99))),
 
+    // integer-micro PageRank (3 iterations) on the order->part graph
+    "q_g_pagerank" -> ((s, d) =>
+      Graph.pageRankInt(
+        t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).as("src"),
+          (col("l_partkey") % 500).as("dst")),
+        "src", "dst", iters = 3)),
+
     // weekly cohort retention triangle (ts is epoch-nanos)
     "q_e_retention" -> ((s, d) =>
       Funnel.retention(t(s, d, "events"), "user_id", "ts",
@@ -1170,6 +1178,18 @@ object SparkEntry {
 
     "q_e_pctl" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    "q_g_pagerank" -> {
+      def hop(prev: String, out: String) =
+        s"c_$out AS (SELECT dst, sum(pr // outdeg) AS insum FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src GROUP BY 1), " +
+          s"$out AS (SELECT node, 150000 + 850000 * coalesce(insum, 0) // 1000000 AS pr FROM n LEFT JOIN c_$out ON node = dst)"
+      "WITH e AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem), " +
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "p0 AS (SELECT node, 1000000::BIGINT AS pr FROM n), " +
+        hop("p0", "p1") + ", " + hop("p1", "p2") + ", " + hop("p2", "p3") + " " +
+        "SELECT node, pr FROM p3"
+    },
 
     "q_e_retention" ->
       ("WITH f AS (SELECT user_id, min(epoch_ns(ts) // 604800000000000) AS cohort FROM events GROUP BY 1), " +
