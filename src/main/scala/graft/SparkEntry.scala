@@ -267,6 +267,21 @@ object SparkEntry {
           (col("l_partkey") % 500).as("dst")),
         "src", "dst", iters = 3)),
 
+    // resample: hourly counts densified per type (missing hours -> 0)
+    "q_e_gapfill" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      Features.fillGaps(hourly, Seq("event_type"), "hour", step = 1L,
+        Map("n" -> lit(0L)))
+        .select("event_type", "hour", "n")
+    }),
+
+    // document-level term co-occurrence with PMI scores
+    "q_t_pmi" -> ((s, d) =>
+      Tfidf.cooccurrence(t(s, d, "documents"), "text", "doc_id",
+        minPairs = 5L)),
+
     // weekly cohort retention triangle (ts is epoch-nanos)
     "q_e_retention" -> ((s, d) =>
       Funnel.retention(t(s, d, "events"), "user_id", "ts",
@@ -793,6 +808,17 @@ object SparkEntry {
                WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")
     }),
 
+    // explicit GROUPING SETS (the cube/rollup generalization: only
+    // the two named sets, still one Expand pass)
+    "q_sql_gsets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT coalesce(l_returnflag, '<any>') AS flag,
+               coalesce(l_linestatus, '<any>') AS status,
+               count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    }),
+
     "q_sql_agg" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql("""SELECT l_returnflag, l_linestatus,
@@ -1191,6 +1217,20 @@ object SparkEntry {
         "SELECT node, pr FROM p3"
     },
 
+    "q_e_gapfill" ->
+      ("WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, unnest(range(min(hour), max(hour) + 1)) AS hour FROM h GROUP BY event_type) " +
+        "SELECT r.event_type, r.hour, coalesce(h.n, 0) AS n FROM r LEFT JOIN h ON r.hour = h.hour AND r.event_type = h.event_type"),
+
+    "q_t_pmi" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "u AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(tk) AS term FROM t)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "f AS (SELECT term, count(*) AS n_t FROM u GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM documents) " +
+        "SELECT term_a, term_b, n_ab, round(ln(n_ab::DOUBLE * n / (fa.n_t * fb.n_t)), 4) AS pmi " +
+        "FROM p JOIN f fa ON fa.term = term_a JOIN f fb ON fb.term = term_b CROSS JOIN nn"),
+
     "q_e_retention" ->
       ("WITH f AS (SELECT user_id, min(epoch_ns(ts) // 604800000000000) AS cohort FROM events GROUP BY 1), " +
         "a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events) " +
@@ -1413,6 +1453,9 @@ object SparkEntry {
 
     "q_sql_cube" ->
       "SELECT coalesce(o_orderstatus, '<all>') AS status, coalesce(o_orderpriority, '<all>') AS priority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+
+    "q_sql_gsets" ->
+      "SELECT coalesce(l_returnflag, '<any>') AS flag, coalesce(l_linestatus, '<any>') AS status, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))",
 
     "q_w_funcs" ->
       ("SELECT o_orderkey, o_custkey, row_number() OVER w AS rn, " +

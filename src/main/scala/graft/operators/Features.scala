@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,5 +55,27 @@ object Features {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
     lags.foldLeft(df)((d, n) =>
       d.withColumn(s"lag_$n", lag(col(valueCol), n).over(w)))
+  }
+
+  /** Time-series gap filling: densify a per-key bucketed frame so
+    * every key covers its OWN [min, max] bucket range at `step`
+    * spacing, with `fills` defaults on inserted rows — the resample
+    * step before rolling windows (a gap would silently shrink a
+    * moving average's denominator). The spine is generated per key
+    * from a 2-value aggregate (no driver collect, no global range):
+    * spine size = span/step rows per key, joined back on
+    * (key, bucket) — one shuffle each side. */
+  def fillGaps(df: DataFrame, keys: Seq[String], bucketCol: String,
+               step: Long, fills: Map[String, Column]): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val spine = df.groupBy(keys.map(col): _*)
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+      .withColumn(bucketCol,
+        explode(sequence(col("__lo"), col("__hi"), lit(step))))
+      .drop("__lo", "__hi")
+    val joined = spine.join(df, keys :+ bucketCol, "left")
+    fills.foldLeft(joined) { case (acc, (c, d)) =>
+      acc.withColumn(c, coalesce(col(c), d))
+    }
   }
 }

@@ -43,6 +43,34 @@ object Tfidf {
         sort_array(collect_list(col("doc_id"))).as("postings"))
       .filter(col("df") >= minDf)
 
+  /** Term co-occurrence with PMI: document-level pairs (a<b) scored
+    * ln(P(a,b)/(P(a)P(b))) — collocation mining over a corpus. The
+    * pair space is bounded by `minPairs` AFTER one doc-keyed
+    * self-join of the distinct (doc, term) frame; term frequencies
+    * broadcast back onto the surviving pairs. PMI is rounded to 4 dp
+    * (ln is not correctly-rounded IEEE — same convention as tfidf).
+    * At web scale, pre-prune the vocabulary by df ceiling/floor
+    * before the self-join (stopwords dominate the pair space). */
+  def cooccurrence(docs: DataFrame, textCol: String, idCol: String,
+                   minPairs: Long = 2L): DataFrame = {
+    val td = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFns.tokens(col(textCol)))).as("term"))
+    val pairs = td.as("a").join(td.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    val tf = td.groupBy("term").agg(count(lit(1)).as("n_t"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    pairs
+      .join(broadcast(tf.select(col("term").as("term_a"), col("n_t").as("__na"))), "term_a")
+      .join(broadcast(tf.select(col("term").as("term_b"), col("n_t").as("__nb"))), "term_b")
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("__n") /
+          (col("__na") * col("__nb"))), 4).as("pmi"))
+  }
+
   /** Top-k TF-IDF terms per document: (doc_id, term, tfidf, rank). */
   def topTerms(docs: DataFrame, textCol: String, idCol: String,
                k: Int): DataFrame = {

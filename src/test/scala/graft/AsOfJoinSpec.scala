@@ -69,4 +69,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(2) == ((3L, 3L, 6.0, 2.0, Some(2.0), Some(1.0))))
     assert(got(3) == ((4L, 3L, 9.0, 3.0, Some(3.0), Some(2.0)))) // slides
   }
+
+  test("fillGaps: densifies each key's own range, fills with default") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(("a", 1L, 10L), ("a", 4L, 40L), ("b", 7L, 70L))
+      .toDF("k", "bucket", "n")
+    val got = graft.operators.Features
+      .fillGaps(df, Seq("k"), "bucket", step = 1L, Map("n" -> lit(0L)))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 10L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 40L),
+      ("b", 7L, 70L))) // b's range is just [7,7] — no bleed from a
+  }
 }

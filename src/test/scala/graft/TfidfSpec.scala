@@ -32,4 +32,25 @@ class TfidfSpec extends SparkSpec {
     assert(byDoc.values.forall(rows =>
       rows.length <= 2 && rows.map(_._4).sorted.sameElements(1 to rows.length)))
   }
+
+  test("postings: sorted doc lists, hapax pruned") {
+    val got = Tfidf.postings(docs, "text", "doc_id", minDf = 2L)
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "banana" -> ((2L, Seq(1L, 2L))),
+      "cherry" -> ((2L, Seq(2L, 3L))),
+      "common" -> ((3L, Seq(1L, 2L, 3L)))))
+  }
+
+  test("cooccurrence: pair counts and PMI sign") {
+    val got = Tfidf.cooccurrence(docs, "text", "doc_id", minPairs = 2L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // banana+common in docs 1,2; cherry+common in docs 2,3
+    assert(got.keySet == Set(("banana", "common"), ("cherry", "common")))
+    assert(got(("banana", "common"))._1 == 2L)
+    // PMI of (2/3)/(2/3 * 1) = ln(1) = 0 exactly
+    assert(got(("banana", "common"))._2 == 0.0)
+  }
 }
