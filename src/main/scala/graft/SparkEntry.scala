@@ -259,6 +259,25 @@ object SparkEntry {
       Profile.groupedPercentiles(t(s, d, "events"), Seq("event_type"),
         "value", Seq(0.5, 0.95, 0.99))),
 
+    // percentile-threshold anomaly flags (composed from the grouped
+    // percentile table, broadcast back onto the stream of events)
+    "q_e_anomaly" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p99 = Profile.groupedPercentiles(ev, Seq("event_type"),
+        "value", Seq(0.99))
+      ev.join(broadcast(p99), "event_type")
+        .filter(col("value") > col("p99"))
+        .select("event_id", "event_type", "value")
+    }),
+
+    // blocked fuzzy self-join (entity resolution): same first word,
+    // Levenshtein <= 3, aggregated to distinct name pairs
+    "q_x_fuzzy" -> ((s, d) =>
+      FuzzyJoin.selfPairs(t(s, d, "part"), "p_partkey", "p_name",
+        st => split(st, " ").getItem(0), maxDist = 3)
+        .groupBy("s_a", "s_b")
+        .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("dist"))),
+
     // integer-micro PageRank (3 iterations) on the order->part graph
     "q_g_pagerank" -> ((s, d) =>
       Graph.pageRankInt(
@@ -1204,6 +1223,16 @@ object SparkEntry {
 
     "q_e_pctl" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    "q_e_anomaly" ->
+      ("WITH q AS (SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1) " +
+        "SELECT event_id, e.event_type, value FROM events e JOIN q USING (event_type) WHERE value > p99"),
+
+    "q_x_fuzzy" ->
+      ("WITH p AS (SELECT p_partkey AS id, p_name AS s, string_split(p_name, ' ')[1] AS blk FROM part) " +
+        "SELECT a.s AS s_a, b.s AS s_b, count(*) AS n_pairs, min(levenshtein(a.s, b.s)) AS dist " +
+        "FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id " +
+        "WHERE a.s <> b.s AND levenshtein(a.s, b.s) <= 3 GROUP BY 1, 2"),
 
     "q_g_pagerank" -> {
       def hop(prev: String, out: String) =
