@@ -270,13 +270,12 @@ object SparkEntry {
         .select("event_id", "event_type", "value")
     }),
 
-    // blocked fuzzy self-join (entity resolution): same first word,
-    // Levenshtein <= 3, aggregated to distinct name pairs
+    // blocked fuzzy matching (entity resolution): same first word,
+    // Levenshtein <= 3 — over DISTINCT values with multiplicities
+    // (the heavy-duplicate scale path; row count stops mattering)
     "q_x_fuzzy" -> ((s, d) =>
-      FuzzyJoin.selfPairs(t(s, d, "part"), "p_partkey", "p_name",
-        st => split(st, " ").getItem(0), maxDist = 3)
-        .groupBy("s_a", "s_b")
-        .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("dist"))),
+      FuzzyJoin.valuePairs(t(s, d, "part"), "p_name",
+        st => split(st, " ").getItem(0), maxDist = 3)),
 
     // integer-micro PageRank (3 iterations) on the order->part graph
     "q_g_pagerank" -> ((s, d) =>
@@ -1229,10 +1228,9 @@ object SparkEntry {
         "SELECT event_id, e.event_type, value FROM events e JOIN q USING (event_type) WHERE value > p99"),
 
     "q_x_fuzzy" ->
-      ("WITH p AS (SELECT p_partkey AS id, p_name AS s, string_split(p_name, ' ')[1] AS blk FROM part) " +
-        "SELECT a.s AS s_a, b.s AS s_b, count(*) AS n_pairs, min(levenshtein(a.s, b.s)) AS dist " +
-        "FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id " +
-        "WHERE a.s <> b.s AND levenshtein(a.s, b.s) <= 3 GROUP BY 1, 2"),
+      ("WITH v AS (SELECT p_name AS s, count(*) AS cnt, string_split(p_name, ' ')[1] AS blk FROM part GROUP BY 1) " +
+        "SELECT a.s AS s_a, b.s AS s_b, a.cnt * b.cnt AS n_pairs, levenshtein(a.s, b.s) AS dist " +
+        "FROM v a JOIN v b ON a.blk = b.blk AND a.s < b.s WHERE levenshtein(a.s, b.s) <= 3"),
 
     "q_g_pagerank" -> {
       def hop(prev: String, out: String) =

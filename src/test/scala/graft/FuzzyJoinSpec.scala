@@ -20,6 +20,14 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1), (2L, 5L, 1)))
   }
 
+  test("valuePairs: distinct values with row-pair multiplicities") {
+    val got = FuzzyJoin.valuePairs(names, "name",
+      s => split(s, " ").getItem(0), maxDist = 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    // "small ring" appears twice (ids 1,5): multiplicity 2·1
+    assert(got == Set(("small rang", "small ring", 2L, 1)))
+  }
+
   test("wider maxDist admits the in-block distant pair, never crosses blocks") {
     val got = FuzzyJoin.selfPairs(names, "id", "name",
       s => split(s, " ").getItem(0), maxDist = 4)
