@@ -32,10 +32,14 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every iteration reads nodes and the degree-annotated edge list —
+    // pin both so the loop's lineage starts at the cache, not the scan
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDeg = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
       val contribs = withDeg.join(pr, col("src") === col("node"))
