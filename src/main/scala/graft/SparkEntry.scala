@@ -786,6 +786,14 @@ object SparkEntry {
       Profile.correlationMatrix(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
+    // PSI distribution drift between the even- and odd-order halves
+    "q_x_psi" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profile.psi(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        "l_extendedprice", bins = 10)
+    }),
+
     // ---- SQL surface (spark.sql over registered views) ----
     // OLAP rollup: per-(flag, status) + per-flag subtotals + grand
     // total in one pass (the partial-aggregation tree Spark plans)
@@ -1494,6 +1502,16 @@ object SparkEntry {
     "q_x_histogram" ->
       ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, max(l_extendedprice)::DOUBLE AS hi FROM lineitem) " +
         "SELECT CASE WHEN hi = lo THEN 0 ELSE least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) END::BIGINT AS bin, count(*) AS n FROM lineitem CROSS JOIN b GROUP BY 1"),
+
+    "q_x_psi" ->
+      ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, max(l_extendedprice)::DOUBLE AS hi FROM lineitem WHERE l_orderkey % 2 = 0), " +
+        "r AS (SELECT (CASE WHEN hi = lo THEN 0 ELSE greatest(least(floor((l_extendedprice - lo) * 10 / (hi - lo)), 9), 0) END)::BIGINT AS bin, count(*) AS n FROM lineitem CROSS JOIN b WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL GROUP BY 1), " +
+        "c AS (SELECT (CASE WHEN hi = lo THEN 0 ELSE greatest(least(floor((l_extendedprice - lo) * 10 / (hi - lo)), 9), 0) END)::BIGINT AS bin, count(*) AS n FROM lineitem CROSS JOIN b WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL GROUP BY 1), " +
+        "tr AS (SELECT sum(n)::DOUBLE AS t FROM r), tc AS (SELECT sum(n)::DOUBLE AS t FROM c), " +
+        "s AS (SELECT unnest(range(0, 10)) AS bin) " +
+        "SELECT s.bin, coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur, " +
+        "round(((coalesce(r.n, 0) + 1.0) / (tr.t + 10) - (coalesce(c.n, 0) + 1.0) / (tc.t + 10)) * ln(((coalesce(r.n, 0) + 1.0) / (tr.t + 10)) / ((coalesce(c.n, 0) + 1.0) / (tc.t + 10))), 6) AS psi_term " +
+        "FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin CROSS JOIN tr CROSS JOIN tc"),
 
     "q_x_corr" ->
       ("SELECT col_a, col_b, corr FROM (" +

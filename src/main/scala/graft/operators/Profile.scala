@@ -113,6 +113,45 @@ object Profile {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Population Stability Index between a reference and a current
+    * sample of one numeric column — the standard distribution-drift
+    * gate (PSI > 0.2 ⇒ investigate) run between corpus versions or
+    * train/serving windows. Bins are equi-width over the REFERENCE
+    * range (current values clamp into the edge bins, so new outliers
+    * surface as edge-bin mass); fractions are Laplace-smoothed
+    * ((n+1)/(N+bins)) so empty bins never produce ln(0). Long
+    * format: one row per bin with both counts and the PSI term —
+    * `sum(psi_term)` is the headline number, the per-bin rows are
+    * the diagnosis. Two aggregations + a bins-sized spine join: the
+    * samples are never joined row-to-row. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val spark = ref.sparkSession
+    val b = ref.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    def binned(df: DataFrame): DataFrame =
+      df.filter(col(valueCol).isNotNull).crossJoin(broadcast(b))
+        .select(when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(greatest(least(
+            floor((col(valueCol) - col("__lo")) * bins / (col("__hi") - col("__lo"))),
+            lit(bins - 1L)), lit(0L))).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    val nr = binned(ref).withColumnRenamed("n", "n_ref")
+    val nc = binned(cur).withColumnRenamed("n", "n_cur")
+    val totals = nr.agg(sum("n_ref")).head.getLong(0).toDouble ->
+      nc.agg(sum("n_cur")).head.getLong(0).toDouble
+    val spine = spark.range(bins).toDF("bin")
+    spine.join(nr, Seq("bin"), "left").join(nc, Seq("bin"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+      .withColumn("psi_term", round(
+        ((col("n_ref") + 1.0) / lit(totals._1 + bins) -
+          (col("n_cur") + 1.0) / lit(totals._2 + bins)) *
+          log(((col("n_ref") + 1.0) / lit(totals._1 + bins)) /
+            ((col("n_cur") + 1.0) / lit(totals._2 + bins))), 6))
+  }
+
   /** Equi-width histogram of `valueCol`: `bins` buckets over the
     * observed [min, max], bucket = floor((x − min)/width) clamped so
     * max lands in the last bin. Bounds ride a 1-row broadcast; one

@@ -117,4 +117,22 @@ class ProfileSpec extends SparkSpec {
       .as[(String, String, Double)].collect()
     assert(cm.length == 3 && cm.forall(_._3 == 1.0))
   }
+
+  test("psi: identical samples score ~0, shifted sample scores big") {
+    val a = (1L to 1000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val same = Profile.psi(a, a, "v", bins = 10)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(math.abs(same) < 1e-9)
+    // current sample shifted entirely above the reference range:
+    // clamps into the top bin -> large positive PSI
+    val b = (1L to 1000L).map(i => (i, 500.0 + (i % 7))).toDF("id", "v")
+    val drift = Profile.psi(a, b, "v", bins = 10)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(drift > 1.0, s"psi $drift")
+    // every bin row present, counts conserved
+    val rows = Profile.psi(a, b, "v", bins = 10).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).sum == 1000L)
+    assert(rows.map(_.getLong(2)).sum == 1000L)
+  }
 }
