@@ -55,9 +55,10 @@ object BloomJoin {
                bigKey: String, smallKey: String,
                numBits: Int = 1 << 23, k: Int = 5): DataFrame = {
     val bits = buildBits(small.select(col(smallKey)), smallKey, numBits, k)
+    // alias the build side: bigKey == smallKey must not be ambiguous
+    val keys = small.select(col(smallKey).as("__graft_bk")).distinct()
     big.filter(mightContain(col(bigKey), bits, numBits, k))
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_semi")
+      .join(keys, col(bigKey) === col("__graft_bk"), "left_semi")
   }
 
   /** Exact left-anti join with the stronger bloom win: a bloom MISS
@@ -69,10 +70,10 @@ object BloomJoin {
                numBits: Int = 1 << 23, k: Int = 5): DataFrame = {
     val bits = buildBits(small.select(col(smallKey)), smallKey, numBits, k)
     val mc = mightContain(col(bigKey), bits, numBits, k)
+    val keys = small.select(col(smallKey).as("__graft_bk")).distinct()
     val sureAbsent = big.filter(!coalesce(mc, lit(false)))
     val needCheck = big.filter(coalesce(mc, lit(false)))
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_anti")
+      .join(keys, col(bigKey) === col("__graft_bk"), "left_anti")
     sureAbsent.unionByName(needCheck)
   }
 }

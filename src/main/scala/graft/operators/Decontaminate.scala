@@ -28,16 +28,22 @@ object Decontaminate {
     val benchGrams = bench
       .select(explode(TextFns.ngramHashesNative(col(textCol), n)).as("ngram_hash"))
       .distinct()
+      .withColumn("__hit", lit(1L))
+    // ONE tokenization pass over the train side: the exploded frame
+    // yields both the per-doc gram count and the hit count (bench
+    // marked by a left join against the distinct bench vocabulary —
+    // each train gram matches at most one bench row)
     val trainGrams = train.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextFns.ngramHashesNative(col(textCol), n)))
         .as("ngram_hash"))
-    val hits = trainGrams.join(benchGrams, Seq("ngram_hash"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    train
-      .select(col(idCol).as("doc_id"),
-        size(array_distinct(TextFns.ngramHashesNative(col(textCol), n)))
-          .cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
+    val perDoc = trainGrams.join(benchGrams, Seq("ngram_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("__hit"), lit(0L)).as("n_hits"))
+    // cheap id-only pass restores sub-n documents (zero grams)
+    train.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contamination",
         round(col("n_hits") / greatest(col("n_grams"), lit(1L)), 6))

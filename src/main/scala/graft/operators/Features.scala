@@ -68,12 +68,24 @@ object Features {
   def fillGaps(df: DataFrame, keys: Seq[String], bucketCol: String,
                step: Long, fills: Map[String, Column]): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
-    val spine = df.groupBy(keys.map(col): _*)
+    // union the generated grid with the ACTUAL buckets: an off-grid
+    // original row (bucket not ≡ min mod step) must survive, not be
+    // dropped or zero-filled. Null-safe join keys for the same reason
+    // — a null group key's real row must not be replaced by the fill.
+    val grid = df.groupBy(keys.map(col): _*)
       .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
       .withColumn(bucketCol,
         explode(sequence(col("__lo"), col("__hi"), lit(step))))
       .drop("__lo", "__hi")
-    val joined = spine.join(df, keys :+ bucketCol, "left")
+    val spine = grid.unionByName(
+      df.select((keys :+ bucketCol).map(col): _*)).distinct()
+    val joinCols = keys :+ bucketCol
+    val cond = joinCols.map(c => col(s"__sp.$c") <=> col(s"__df.$c"))
+      .reduce(_ && _)
+    val joined = spine.as("__sp").join(df.as("__df"), cond, "left")
+      .select(joinCols.map(c => col(s"__sp.$c")) ++
+        df.columns.filterNot(joinCols.contains)
+          .map(c => col(s"__df.$c")): _*)
     fills.foldLeft(joined) { case (acc, (c, d)) =>
       acc.withColumn(c, coalesce(col(c), d))
     }

@@ -73,8 +73,8 @@ object Funnel {
              typeCol: String, steps: Seq[String]): DataFrame = {
     val r = reached(df, userCol, tsCol, typeCol, steps)
     val total = Seq.tabulate(steps.length) { i =>
-      sum(when(col("steps_completed") >= i + 1, 1L).otherwise(0L))
-        .as(s"__s$i")
+      coalesce(sum(when(col("steps_completed") >= i + 1, 1L).otherwise(0L)),
+        lit(0L)).as(s"__s$i") // empty input: 0 users, not an NPE
     }
     val agg = r.agg(total.head, total.tail: _*)
     val spark = df.sparkSession

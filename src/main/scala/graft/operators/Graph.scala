@@ -45,11 +45,24 @@ object Graph {
       val contribs = withDeg.join(pr, col("src") === col("node"))
         .select(col("dst"), expr("pr div outdeg").as("__c"))
         .groupBy("dst").agg(sum(col("__c")).as("__insum"))
+      // split the damping product around the micro-unit division:
+      // 850000·insum would overflow Long past ~10^7 nodes feeding one
+      // hub; 850000·quotient + 850000·remainder/10^6 is the SAME value
+      // ((850000·(q·10^6+r)) div 10^6 = 850000·q + (850000·r) div 10^6)
+      // with every intermediate bounded by 850000·n
       pr = nodes.join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(150000L) +
-            expr("850000 * coalesce(__insum, 0L) div 1000000")).as("pr"))
+            expr("850000 * (coalesce(__insum, 0L) div 1000000) + " +
+              "850000 * (coalesce(__insum, 0L) % 1000000) div 1000000"))
+            .as("pr"))
     }
-    pr
+    // hand back a self-contained result and release the three pinned
+    // frames (the repo discipline: a long-lived session must not
+    // accumulate corpus-sized cached frames). localCheckpoint(eager)
+    // materializes pr once THROUGH the caches before they drop.
+    val out = pr.localCheckpoint(true)
+    Seq(e, nodes, withDeg).foreach { f => f.unpersist(); () }
+    out
   }
 }

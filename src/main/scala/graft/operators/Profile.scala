@@ -107,9 +107,19 @@ object Profile {
                          ps: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles out of [0,1]: $ps")
-    val aggs = ps.map(p =>
-      round(expr(s"percentile($valueCol, ${p}D)"), 6)
-        .as(s"p${math.round(p * 100)}"))
+    // p50 / p95 / p99_5 — fractional percentiles keep their digits so
+    // labels never collide (0.995 and 0.999 must not both be "p100")
+    def label(p: Double): String = {
+      val s = BigDecimal(p * 100)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+      "p" + s.replace(".", "_")
+    }
+    val names = ps.map(label)
+    require(names.distinct.size == names.size, s"duplicate labels: $names")
+    val aggs = ps.zip(names).map { case (p, n) =>
+      round(expr(s"percentile($valueCol, ${p}D)"), 6).as(n)
+    }
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -137,19 +147,25 @@ object Profile {
             floor((col(valueCol) - col("__lo")) * bins / (col("__hi") - col("__lo"))),
             lit(bins - 1L)), lit(0L))).cast("long").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
+    // totals stay relational (bins-sized 1-row aggregates cross-joined
+    // back, exactly like the oracle's tr/tc CTEs): no driver action,
+    // no second scan of either sample, and an empty/all-null sample
+    // degrades to smoothing-only fractions instead of an NPE
     val nr = binned(ref).withColumnRenamed("n", "n_ref")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nc = binned(cur).withColumnRenamed("n", "n_cur")
-    val totals = nr.agg(sum("n_ref")).head.getLong(0).toDouble ->
-      nc.agg(sum("n_cur")).head.getLong(0).toDouble
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tr = nr.agg(coalesce(sum("n_ref"), lit(0L)).cast("double").as("__tr"))
+    val tc = nc.agg(coalesce(sum("n_cur"), lit(0L)).cast("double").as("__tc"))
     val spine = spark.range(bins).toDF("bin")
+    val ra = (col("n_ref") + 1.0) / (col("__tr") + bins)
+    val rc = (col("n_cur") + 1.0) / (col("__tc") + bins)
     spine.join(nr, Seq("bin"), "left").join(nc, Seq("bin"), "left")
+      .crossJoin(broadcast(tr)).crossJoin(broadcast(tc))
       .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
       .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
-      .withColumn("psi_term", round(
-        ((col("n_ref") + 1.0) / lit(totals._1 + bins) -
-          (col("n_cur") + 1.0) / lit(totals._2 + bins)) *
-          log(((col("n_ref") + 1.0) / lit(totals._1 + bins)) /
-            ((col("n_cur") + 1.0) / lit(totals._2 + bins))), 6))
+      .withColumn("psi_term", round((ra - rc) * log(ra / rc), 6))
+      .drop("__tr", "__tc")
   }
 
   /** Equi-width histogram of `valueCol`: `bins` buckets over the

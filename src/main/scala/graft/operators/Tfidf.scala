@@ -67,8 +67,10 @@ object Tfidf {
       .join(broadcast(tf.select(col("term").as("term_b"), col("n_t").as("__nb"))), "term_b")
       .crossJoin(broadcast(n))
       .select(col("term_a"), col("term_b"), col("n_ab"),
+        // denominator multiplied in double: long·long would overflow
+        // past ~3e9 docs (the numerator already promotes via n_ab)
         round(log(col("n_ab").cast("double") * col("__n") /
-          (col("__na") * col("__nb"))), 4).as("pmi"))
+          (col("__na").cast("double") * col("__nb"))), 4).as("pmi"))
   }
 
   /** Top-k TF-IDF terms per document: (doc_id, term, tfidf, rank). */

@@ -81,4 +81,15 @@ class AsOfJoinSpec extends SparkSpec {
       ("a", 1L, 10L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 40L),
       ("b", 7L, 70L))) // b's range is just [7,7] — no bleed from a
   }
+
+  test("fillGaps: off-grid original rows survive with their values") {
+    import org.apache.spark.sql.functions.lit
+    // step=5 grid from min 0 is {0,5}; the row at 7 (which defines
+    // __hi) is off-grid and must keep its value, not vanish
+    val df = Seq(("a", 0L, 1L), ("a", 7L, 7L)).toDF("k", "bucket", "n")
+    val got = graft.operators.Features
+      .fillGaps(df, Seq("k"), "bucket", step = 5L, Map("n" -> lit(0L)))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 0L, 1L), ("a", 5L, 0L), ("a", 7L, 7L)))
+  }
 }

@@ -39,6 +39,15 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.contains(-1L)) // the null row survived
   }
 
+  test("same-named join keys resolve (build side aliased)") {
+    val small2 = (1L to 5000L).filter(_ % 17 == 0).toDF("bk")
+    val semi = BloomJoin.semiJoin(big, small2, "bk", "bk",
+      numBits = 1 << 12, k = 5).count()
+    val anti = BloomJoin.antiJoin(big, small2, "bk", "bk",
+      numBits = 1 << 12, k = 5).count()
+    assert(semi == small2.count() && semi + anti == 5000L)
+  }
+
   test("bloom prune actually reduces the joined row count") {
     val bits = BloomJoin.buildBits(small, "sk", numBits = 1 << 16, k = 5)
     val pruned = big.filter(

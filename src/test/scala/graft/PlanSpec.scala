@@ -180,6 +180,8 @@ class PlanSpec extends SparkSpec {
       "text", "doc_id", n = 5).queryExecution
     val plan = qe.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("LeftSemi"), plan)
+    // ONE tokenization pass per side: the n-gram kernel appears once
+    // for train and once for bench, never a third time for the counts
+    assert(count(plan, "graft_ngram_hashes") <= 2, plan)
   }
 }
