@@ -283,7 +283,7 @@ object SparkEntry {
         t(s, d, "lineitem").select(
           (col("l_orderkey") % 500).as("src"),
           (col("l_partkey") % 500).as("dst")),
-        "src", "dst", iters = 3)),
+        "src", "dst", iters = 3).ranks),
 
     // resample: hourly counts densified per type (missing hours -> 0)
     "q_e_gapfill" -> ((s, d) => {

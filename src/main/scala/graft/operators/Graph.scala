@@ -25,8 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** ranks: (node, pr) micro-unit longs. `unpersist()` releases the
+    * three loop-pinned frames once the caller has consumed/written
+    * the ranks — same contract as `Corpus.CleanResult` (a long-lived
+    * session must not accumulate corpus-sized cached frames; an
+    * eager checkpoint instead would serialize the result and cost
+    * ~2× the loop time). */
+  final case class RankResult(ranks: DataFrame, private val pinned: Seq[DataFrame]) {
+    def unpersist(): Unit = pinned.foreach { f => f.unpersist(); () }
+  }
+
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
-                  iters: Int = 3): DataFrame = {
+                  iters: Int = 3): RankResult = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -57,12 +67,6 @@ object Graph {
               "850000 * (coalesce(__insum, 0L) % 1000000) div 1000000"))
             .as("pr"))
     }
-    // hand back a self-contained result and release the three pinned
-    // frames (the repo discipline: a long-lived session must not
-    // accumulate corpus-sized cached frames). localCheckpoint(eager)
-    // materializes pr once THROUGH the caches before they drop.
-    val out = pr.localCheckpoint(true)
-    Seq(e, nodes, withDeg).foreach { f => f.unpersist(); () }
-    out
+    RankResult(pr, Seq(e, nodes, withDeg))
   }
 }
