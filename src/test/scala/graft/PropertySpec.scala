@@ -184,4 +184,75 @@ class PropertySpec extends SparkSpec {
     }.toMap
     assert(gotS == expectedS)
   }
+
+  test("property: bloom semi/anti == plain joins on random key sets (3 sizes)") {
+    for (m <- Seq(64, 1 << 10, 1 << 16)) {
+      val bigKeys = Seq.fill(2000)(rng.nextLong() % 10000).toDF("bk")
+      val smallKeys = Seq.fill(300)(rng.nextLong() % 10000).toDF("sk")
+      val semi = graft.operators.BloomJoin
+        .semiJoin(bigKeys, smallKeys, "bk", "sk", numBits = m, k = 3)
+        .as[Long].collect().sorted.toSeq
+      val expSemi = bigKeys.join(smallKeys, col("bk") === col("sk"), "left_semi")
+        .as[Long].collect().sorted.toSeq
+      assert(semi == expSemi, s"numBits=$m")
+      val anti = graft.operators.BloomJoin
+        .antiJoin(bigKeys, smallKeys, "bk", "sk", numBits = m, k = 3)
+        .as[Long].collect().sorted.toSeq
+      val expAnti = bigKeys.join(smallKeys, col("bk") === col("sk"), "left_anti")
+        .as[Long].collect().sorted.toSeq
+      assert(anti == expAnti, s"numBits=$m")
+    }
+  }
+
+  test("property: upsert is idempotent; upsert+cdcDiff reconcile") {
+    val base = (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+    val upd = (400L to 600L).map(i => (i, s"u$i")).toDF("k", "v")
+    val once = graft.operators.Merge.upsert(base, upd, Seq("k"))
+    val twice = graft.operators.Merge.upsert(once, upd, Seq("k"))
+    assert(once.as[(Long, String)].collect().toSet ==
+      twice.as[(Long, String)].collect().toSet)
+    // diff of base vs upsert result: updates changed, new keys insert,
+    // nothing deleted (upsert never removes), rest unchanged
+    val diff = graft.operators.Merge.cdcDiff(base, once, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(!diff.values.exists(_ == "delete"))
+    assert((501L to 600L).forall(k => diff(k) == "insert"))
+    assert((400L to 500L).forall(k => diff(k) == "update"))
+    assert((1L to 399L).forall(k => diff(k) == "unchanged"))
+  }
+
+  test("property: chunks reconstruct the original text exactly") {
+    val docs = (1L to 60L).map { i =>
+      (i, rng.alphanumeric.take(rng.nextInt(300)).mkString)
+    }.filter(_._2.nonEmpty).toDF("doc_id", "text")
+    val chunks = graft.operators.Corpus
+      .chunk(docs, "text", "doc_id", maxChars = 40, overlap = 10)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val original = docs.as[(Long, String)].collect().toMap
+    chunks.foreach { case (id, cs) =>
+      // drop each successor's overlap prefix and concatenate
+      val rebuilt = cs.head._4 + cs.tail.map(_._4.drop(10)).mkString
+      assert(rebuilt == original(id), s"doc $id")
+    }
+    assert(chunks.keySet == original.keySet)
+  }
+
+  test("property: tokenBudget keeps a PREFIX of each domain's hash order") {
+    val docs = (1L to 500L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 5L + i % 11)).toDF("id", "dom", "w")
+    val kept = graft.operators.Sampling
+      .tokenBudget(docs, "id", "dom", "w", Map("a" -> 700L), 400L,
+        numPartitions = 6)
+      .select("id", "dom").as[(Long, String)].collect().toSet
+    val order = docs
+      .withColumn("sk", graft.operators.Sampling.sampleKey(col("id"), ""))
+      .select("id", "dom", "sk").as[(Long, String, String)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(r => (r._3, r._1)).map(_._1)).toMap
+    for ((dom, ids) <- order) {
+      val keptIds = ids.filter(id => kept.contains((id, dom)))
+      assert(ids.take(keptIds.length).sameElements(keptIds),
+        s"domain $dom kept set is not a hash-order prefix")
+    }
+  }
 }
