@@ -786,6 +786,11 @@ object SparkEntry {
       Profile.correlationMatrix(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
+    // equi-depth (quantile-bounded) histogram of a skewed column
+    "q_x_eqdepth" -> ((s, d) =>
+      Profile.equiDepthHistogram(t(s, d, "lineitem"),
+        "l_extendedprice", bins = 8)),
+
     // PSI distribution drift between the even- and odd-order halves
     "q_x_psi" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -1502,6 +1507,16 @@ object SparkEntry {
     "q_x_histogram" ->
       ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, max(l_extendedprice)::DOUBLE AS hi FROM lineitem) " +
         "SELECT CASE WHEN hi = lo THEN 0 ELSE least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) END::BIGINT AS bin, count(*) AS n FROM lineitem CROSS JOIN b GROUP BY 1"),
+
+    "q_x_eqdepth" -> {
+      val bounds = (1 until 8).map(i =>
+        s"round(quantile_cont(l_extendedprice, ${i / 8.0}), 6) AS b$i").mkString(", ")
+      val bin = (1 until 8).map(i =>
+        s"CASE WHEN l_extendedprice > b$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"WITH q AS (SELECT $bounds FROM lineitem) " +
+        s"SELECT ($bin)::BIGINT AS bin, count(*) AS n FROM lineitem CROSS JOIN q " +
+        "WHERE l_extendedprice IS NOT NULL GROUP BY 1"
+    },
 
     "q_x_psi" ->
       ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, max(l_extendedprice)::DOUBLE AS hi FROM lineitem WHERE l_orderkey % 2 = 0), " +

@@ -168,6 +168,31 @@ object Profile {
       .drop("__tr", "__tc")
   }
 
+  /** Equi-depth histogram: bucket by QUANTILE boundaries instead of
+    * width, so every bin holds ~n/bins rows regardless of skew (the
+    * histogram a query optimizer or drift monitor actually wants on
+    * heavy-tailed columns). Boundaries are exact percentiles rounded
+    * to 6 dp (engine-portable, same convention as winsorize); a
+    * value lands in bin = number of boundaries strictly below it, so
+    * duplicate boundaries on skewed data yield empty bins rather
+    * than misassignment. One percentile aggregation broadcast onto
+    * one scan. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val boundAggs = (1 until bins).map(i =>
+      round(expr(s"percentile($valueCol, ${i.toDouble / bins}D)"), 6)
+        .as(s"__b$i"))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val bin = (1 until bins).map(i =>
+      when(col(valueCol) > col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
   /** Equi-width histogram of `valueCol`: `bins` buckets over the
     * observed [min, max], bucket = floor((x − min)/width) clamped so
     * max lands in the last bin. Bounds ride a 1-row broadcast; one

@@ -118,6 +118,21 @@ class ProfileSpec extends SparkSpec {
     assert(cm.length == 3 && cm.forall(_._3 == 1.0))
   }
 
+  test("equiDepthHistogram: near-uniform counts on skewed data, nulls excluded") {
+    val skewed = ((1L to 800L).map(_ => 1.0) ++ (1L to 200L).map(i => i * 100.0))
+      .map(Option(_)).padTo(1050, Option.empty[Double]).toDF("v")
+    val got = Profile.equiDepthHistogram(skewed, "v", bins = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 1000L) // 50 nulls excluded
+    // 80% identical values: they all share bin 0 (duplicate bounds
+    // collapse), the tail spreads over the upper bins
+    assert(got(0L) == 800L)
+    // all three bounds collapse to 1.0, so the tail lands in the top
+    // bin and the middle bins are empty — no misassignment
+    assert(got.getOrElse(1L, 0L) == 0L && got.getOrElse(2L, 0L) == 0L)
+    assert(got(3L) == 200L)
+  }
+
   test("psi: identical samples score ~0, shifted sample scores big") {
     val a = (1L to 1000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
     val same = Profile.psi(a, a, "v", bins = 10)
