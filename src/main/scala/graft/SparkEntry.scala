@@ -325,6 +325,15 @@ object SparkEntry {
         .select("event_id", "user_id", "r_event_id", "r_value")
     }),
 
+    // ---- interval algebra (bedtools merge / genomecov siblings) ----
+    "q_j10_merge" -> ((s, d) =>
+      Intervals.mergeOverlaps(segs(s, d), Seq("chrom"), "s_start", "s_end")
+        .select("chrom", "s_start", "s_end", "n_intervals")),
+
+    "q_j11_depth" -> ((s, d) =>
+      Intervals.coverageDepth(segs(s, d), Seq("chrom"), "s_start", "s_end")
+        .select("chrom", "d_start", "d_end", "depth")),
+
     // group-aware null imputation (nulls injected deterministically so
     // the oracle sees the same holes)
     "q_e_impute" -> ((s, d) =>
@@ -1288,6 +1297,20 @@ object SparkEntry {
 
     "q_j9_asof" ->
       "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts >= r.ts",
+
+    "q_j10_merge" ->
+      (s"WITH iv AS ($segsSql), " +
+        "o AS (SELECT chrom, s_start, s_end, max(s_end) OVER (PARTITION BY chrom ORDER BY s_start, s_end ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
+        "f AS (SELECT *, CASE WHEN prev_max IS NULL OR s_start > prev_max THEN 1 ELSE 0 END AS ni FROM o), " +
+        "i AS (SELECT *, sum(ni) OVER (PARTITION BY chrom ORDER BY s_start, s_end ROWS UNBOUNDED PRECEDING) AS island FROM f) " +
+        "SELECT chrom, min(s_start) AS s_start, max(s_end) AS s_end, count(*) AS n_intervals FROM i GROUP BY chrom, island"),
+
+    "q_j11_depth" ->
+      (s"WITH iv AS ($segsSql), " +
+        "ev AS (SELECT chrom, s_start AS pos, 1 AS delta FROM iv UNION ALL SELECT chrom, s_end, -1 FROM iv), " +
+        "c AS (SELECT chrom, pos, sum(delta) AS d FROM ev GROUP BY 1, 2), " +
+        "w AS (SELECT chrom, pos, sum(d) OVER (PARTITION BY chrom ORDER BY pos ROWS UNBOUNDED PRECEDING) AS depth, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos FROM c) " +
+        "SELECT chrom, pos AS d_start, next_pos AS d_end, depth FROM w WHERE next_pos IS NOT NULL AND depth > 0"),
 
     "q_e_rolling" ->
       ("SELECT event_id, user_id, count(value) OVER w AS roll_n, round(sum(value) OVER w, 4) AS roll_sum, round(avg(value) OVER w, 4) AS roll_avg, min(value) OVER w AS roll_min, max(value) OVER w AS roll_max, lag(value, 1) OVER w2 AS lag_1 FROM events " +

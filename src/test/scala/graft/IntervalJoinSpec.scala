@@ -79,4 +79,78 @@ class IntervalJoinSpec extends SparkSpec {
       .select("g_id", "s_id", "overlap_len").collect()
     assert(r.toSeq == Seq(Row(1L, 2L, 500L)))
   }
+
+  // ---- Intervals.mergeOverlaps (bedtools merge semantics) ----
+
+  private def islands = Seq(
+    ("c1", 100L, 200L), // overlaps next
+    ("c1", 150L, 250L),
+    ("c1", 250L, 300L), // bookended: merges at minGap=0
+    ("c1", 320L, 340L), // gap 20: separate at minGap=0, merged at minGap>=20
+    ("c1", 330L, 335L), // nested inside previous
+    ("c2", 100L, 200L)  // other key untouched
+  ).toDF("chrom", "s_start", "s_end")
+
+  test("mergeOverlaps: overlap + bookend merge, gaps split, per key") {
+    val got = graft.operators.Intervals
+      .mergeOverlaps(islands, Seq("chrom"), "s_start", "s_end")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("c1", 100L, 300L, 3L),
+      ("c1", 320L, 340L, 2L),
+      ("c2", 100L, 200L, 1L)))
+  }
+
+  test("mergeOverlaps: minGap bridges small gaps (bedtools -d)") {
+    val got = graft.operators.Intervals
+      .mergeOverlaps(islands, Seq("chrom"), "s_start", "s_end", minGap = 20L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("c1", 100L, 340L, 5L), ("c2", 100L, 200L, 1L)))
+  }
+
+  test("mergeOverlaps: an interval covering everything yields one island") {
+    val df = Seq(("c", 0L, 1000L), ("c", 10L, 20L), ("c", 500L, 600L))
+      .toDF("chrom", "s_start", "s_end")
+    val got = graft.operators.Intervals
+      .mergeOverlaps(df, Seq("chrom"), "s_start", "s_end")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("c", 0L, 1000L, 3L)))
+  }
+
+  // ---- Intervals.coverageDepth (sweep-line) ----
+
+  test("coverageDepth: constant-depth segments, coincident events collapse") {
+    val df = Seq(
+      ("c", 100L, 300L),
+      ("c", 200L, 400L), // depth 2 on [200,300)
+      ("c", 300L, 400L), // end of 1st + start of 3rd coincide at 300
+      ("d", 0L, 10L)
+    ).toDF("chrom", "s_start", "s_end")
+    val got = graft.operators.Intervals
+      .coverageDepth(df, Seq("chrom"), "s_start", "s_end")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("c", 100L, 200L, 1L),
+      ("c", 200L, 300L, 2L),
+      ("c", 300L, 400L, 2L),
+      ("d", 0L, 10L, 1L)))
+  }
+
+  test("coverageDepth: depth returns to zero between islands (gap emitted as nothing)") {
+    val df = Seq(("c", 0L, 10L), ("c", 20L, 30L)).toDF("k", "a", "b")
+    val got = graft.operators.Intervals.coverageDepth(df, Seq("k"), "a", "b")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("c", 0L, 10L, 1L), ("c", 20L, 30L, 1L)))
+  }
+
+  test("coverageDepth total base-depth equals sum of interval lengths") {
+    val df = segs // reuse the join fixture
+    val total = graft.operators.Intervals
+      .coverageDepth(df, Seq("chrom"), "s_start", "s_end")
+      .select(sum((col("d_end") - col("d_start")) * col("depth")))
+      .as[Long].head()
+    val expect = segs.select(sum(col("s_end") - col("s_start")))
+      .as[Long].head()
+    assert(total == expect)
+  }
 }
