@@ -668,6 +668,34 @@ object SparkEntry {
       Merge.cdcDiff(base, upd, Seq("c_custkey"))
     }),
 
+    // SCD Type-2 dimension build: orders as a per-customer status
+    // change log (change compression + validity chain)
+    "q_x_scd2" -> ((s, d) =>
+      Merge.scd2(
+        t(s, d, "orders").select("o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderstatus", "o_orderpriority"),
+        Seq("o_custkey"), "o_orderdate", tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("effective_from"),
+          col("effective_to"), col("is_current").cast("int").as("is_current"))),
+
+    // incremental aggregate maintenance: yesterday's per-customer
+    // (count, cents) state + today's CDC delta == direct recompute
+    "q_x_incragg" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("cents",
+        round(col("o_totalprice") * 100).cast("long"))
+      val baseAgg = o.filter(col("o_orderkey") % 7 =!= 0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_v"))
+      val delta =
+        o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_custkey"), lit("I").as("op"), col("cents"))
+          .unionByName(
+            o.filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 === 0)
+              .select(col("o_custkey"), lit("D").as("op"), col("cents")))
+      Merge.incrementalAgg(baseAgg, delta, Seq("o_custkey"), "cents")
+    }),
+
     // per-group z-score feature scaling
     "q_e_zscore" -> ((s, d) =>
       Features.standardize(t(s, d, "events"), Seq("user_id"), "value")
@@ -1486,6 +1514,23 @@ object SparkEntry {
         "WHEN NOT (b.c_name IS NOT DISTINCT FROM u.c_name AND b.c_nationkey IS NOT DISTINCT FROM u.c_nationkey AND b.c_acctbal IS NOT DISTINCT FROM u.c_acctbal AND b.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment) THEN 'update' " +
         "ELSE 'unchanged' END AS change_type " +
         "FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey"),
+
+    "q_x_scd2" ->
+      ("WITH w AS (SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority, " +
+        "row_number() OVER pk AS rn, lag(o_orderstatus) OVER pk AS ps, lag(o_orderpriority) OVER pk AS pp " +
+        "FROM orders WINDOW pk AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)), " +
+        "f AS (SELECT *, CASE WHEN rn = 1 OR NOT (o_orderstatus IS NOT DISTINCT FROM ps AND o_orderpriority IS NOT DISTINCT FROM pp) THEN 1 ELSE 0 END AS nv FROM w), " +
+        "r AS (SELECT *, sum(nv) OVER (PARTITION BY o_custkey ORDER BY rn ROWS UNBOUNDED PRECEDING) AS run FROM f), " +
+        "g AS (SELECT o_custkey, run, min(o_orderdate) AS effective_from, min(rn) AS from_rn, min(o_orderstatus) AS o_orderstatus, min(o_orderpriority) AS o_orderpriority FROM r GROUP BY 1, 2) " +
+        "SELECT o_custkey, o_orderstatus, o_orderpriority, effective_from, " +
+        "lead(effective_from) OVER v AS effective_to, " +
+        "CASE WHEN lead(effective_from) OVER v IS NULL THEN 1 ELSE 0 END AS is_current " +
+        "FROM g WINDOW v AS (PARTITION BY o_custkey ORDER BY from_rn)"),
+
+    "q_x_incragg" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT o_custkey, count(*) AS cnt, sum(cents) AS sum_v FROM o " +
+        "WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0) GROUP BY 1"),
 
     "q_x_bloomsemi" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 450000.0)",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental-merge operators: key-based upsert and CDC diff — the
@@ -47,5 +48,78 @@ object Merge {
         .when(col("__in_b").isNull, "insert")
         .when(differs, "update")
         .otherwise("unchanged").as("change_type"): _*)
+  }
+
+  /** Slowly-changing-dimension Type 2: collapse an observed change log
+    * into versioned rows with validity ranges.
+    *
+    * Input: one row per observation — keys + `ts` (+ `tieBreak`
+    * columns making the per-key order total) + attribute columns
+    * (everything else). Consecutive observations with identical
+    * attributes compress into one version (change compression);
+    * each version carries `effective_from` (first observation),
+    * `effective_to` (next version's from; null while current) and
+    * `is_current`.
+    *
+    * One shuffle (the per-key window); the collapse groupBy reuses the
+    * same key partitioning. Version ordering is anchored on the first
+    * row's position (`row_number`), not on min(ts) alone, so same-ts
+    * observations with different attributes still produce a
+    * deterministic version chain.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], ts: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val attrs = changes.columns
+      .filterNot(c => keys.contains(c) || c == ts || tieBreak.contains(c))
+      .toSeq
+    require(attrs.nonEmpty, "scd2 needs at least one attribute column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+    val differs = attrs.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val rn = row_number().over(w)
+    val runs = changes
+      .withColumn("__rn", rn)
+      .withColumn("__new", when(col("__rn") === 1 || differs, 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val versions = runs.groupBy((keys.map(col) :+ col("__run")): _*)
+      .agg(min(col(ts)).as("effective_from"),
+        min(col("__rn")).as("__from_rn") +:
+          attrs.map(a => min(col(a)).as(a)): _*) // attrs constant per run
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("__from_rn"))
+    versions
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wk))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("__run", "__from_rn")
+  }
+
+  /** Incremental aggregate maintenance: apply a CDC delta to a
+    * pre-aggregated per-key (count, sum) state WITHOUT rescanning the
+    * base table — the only affordable way to keep a 100 TB rollup
+    * fresh. An update is modeled as delete(old) + insert(new).
+    *
+    * `baseAgg` carries keys + `cnt` + `sum_v`; `delta` carries keys +
+    * `opCol` ('I'/'D') + `valueCol`. The delta collapses map-side to
+    * one row per touched key, then one broadcast-or-shuffle join
+    * against the state; keys whose count reaches zero disappear.
+    * Exactness: use an integer-scaled value column (e.g. cents) when
+    * bit-identical maintenance across engines matters.
+    */
+  def incrementalAgg(baseAgg: DataFrame, delta: DataFrame,
+                     keys: Seq[String], valueCol: String,
+                     opCol: String = "op"): DataFrame = {
+    val sign = when(col(opCol) === "I", lit(1L)).otherwise(lit(-1L))
+    val d = delta.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("__dcnt"),
+        sum(sign * col(valueCol)).as("__dsum"))
+    baseAgg.join(d, keys, "full_outer")
+      .select(keys.map(col) :+
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L)))
+          .as("cnt") :+
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dsum"), lit(0L)))
+          .as("sum_v"): _*)
+      .filter(col("cnt") > 0)
   }
 }

@@ -37,4 +37,91 @@ class MergeSpec extends SparkSpec {
       3L -> "unchanged",    // null name on both sides
       4L -> "insert"))
   }
+
+  // ---- scd2 ----
+
+  test("scd2: change compression, validity chain, is_current") {
+    val log = Seq(
+      (1L, 10L, 100L, "gold"),
+      (1L, 20L, 101L, "gold"),   // same state: compressed away
+      (1L, 30L, 102L, "silver"), // change
+      (1L, 40L, 103L, "gold"),   // back to gold: NEW version, not merged
+      (2L, 10L, 104L, "bronze")
+    ).toDF("k", "ts", "seq", "tier")
+    val got = Merge.scd2(log, Seq("k"), "ts", tieBreak = Seq("seq"))
+      .select("k", "tier", "effective_from", "effective_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "gold", 10L, Some(30L), false),
+      (1L, "silver", 30L, Some(40L), false),
+      (1L, "gold", 40L, None, true),
+      (2L, "bronze", 10L, None, true)))
+  }
+
+  test("scd2: same-ts observations stay deterministic via tieBreak") {
+    val log = Seq(
+      (1L, 10L, 1L, "a"),
+      (1L, 10L, 2L, "b"), // same ts, later seq: separate version AFTER 'a'
+      (1L, 20L, 3L, "b")
+    ).toDF("k", "ts", "seq", "v")
+    val got = Merge.scd2(log, Seq("k"), "ts", tieBreak = Seq("seq"))
+      .select("v", "effective_from", "is_current")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(got == Set(("a", 10L, false), ("b", 10L, true)))
+  }
+
+  test("scd2: null attributes compare null-safe (no phantom versions)") {
+    val log = Seq(
+      (1L, 10L, None: Option[String]),
+      (1L, 20L, None: Option[String]),
+      (1L, 30L, Some("x"))
+    ).toDF("k", "ts", "v")
+    val got = Merge.scd2(log, Seq("k"), "ts")
+      .select("v", "effective_from").as[(Option[String], Long)]
+      .collect().toSet
+    assert(got == Set((None, 10L), (Some("x"), 30L)))
+  }
+
+  // ---- incrementalAgg ----
+
+  private lazy val state = Seq(
+    (1L, 2L, 300L), // two rows summing 300
+    (2L, 1L, 50L)
+  ).toDF("k", "cnt", "sum_v")
+
+  test("incrementalAgg: insert, delete, key birth and key death") {
+    val delta = Seq(
+      (1L, "I", 100L),  // k1 grows
+      (2L, "D", 50L),   // k2 count hits zero: disappears
+      (3L, "I", 7L)     // new key
+    ).toDF("k", "op", "v")
+    val got = Merge.incrementalAgg(state, delta, Seq("k"), "v")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 400L), (3L, 1L, 7L)))
+  }
+
+  test("incrementalAgg: update as delete+insert pair, untouched keys kept") {
+    val delta = Seq((1L, "D", 200L), (1L, "I", 250L)).toDF("k", "op", "v")
+    val got = Merge.incrementalAgg(state, delta, Seq("k"), "v")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 350L), (2L, 1L, 50L)))
+  }
+
+  test("incrementalAgg equals full recompute on a replayed partition") {
+    val rows = (1L to 200L).map(i => (i % 7, i))
+    val full = rows.toDF("k", "v")
+    val baseRows = rows.filter(_._2 % 3 != 0)
+    val baseAgg = baseRows.toDF("k", "v").groupBy("k")
+      .agg(org.apache.spark.sql.functions.count("*").as("cnt"),
+        org.apache.spark.sql.functions.sum("v").as("sum_v"))
+    val delta = rows.filter(_._2 % 3 == 0).map { case (k, v) => (k, "I", v) }
+      .toDF("k", "op", "v")
+    val got = Merge.incrementalAgg(baseAgg, delta, Seq("k"), "v")
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = full.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count("*").as("cnt"),
+        org.apache.spark.sql.functions.sum("v").as("sum_v"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
 }
