@@ -696,6 +696,19 @@ object SparkEntry {
       Merge.incrementalAgg(baseAgg, delta, Seq("o_custkey"), "cents")
     }),
 
+    // declarative expectation suite (one scan for the row rules, one
+    // key shuffle per uniqueness rule); in_range is intentionally
+    // tight so the report shows real violations
+    "q_x_expect" -> ((s, d) =>
+      Validate.expectations(t(s, d, "orders"),
+        rules = Seq(
+          Validate.notNull("o_custkey"),
+          Validate.inRange("o_totalprice", 0.0, 1000.0),
+          Validate.inSet("o_orderstatus", Seq("O", "F", "P")),
+          Validate.matches("o_orderpriority", "^[1-5]-")),
+        unique = Seq(("unique(o_orderkey)", Seq("o_orderkey")),
+          ("unique(o_custkey)", Seq("o_custkey"))))),
+
     // per-group z-score feature scaling
     "q_e_zscore" -> ((s, d) =>
       Features.standardize(t(s, d, "events"), Seq("user_id"), "value")
@@ -1531,6 +1544,22 @@ object SparkEntry {
       ("WITH o AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT o_custkey, count(*) AS cnt, sum(cents) AS sum_v FROM o " +
         "WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0) GROUP BY 1"),
+
+    "q_x_expect" ->
+      ("WITH t AS (SELECT count(*) AS total, " +
+        "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1, " +
+        "sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 1000.0 THEN 1 ELSE 0 END) AS v2, " +
+        "sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v3, " +
+        "sum(CASE WHEN o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS v4 FROM orders), " +
+        "u1 AS (SELECT coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS v, coalesce(sum(n), 0) AS total FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)), " +
+        "u2 AS (SELECT coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS v, coalesce(sum(n), 0) AS total FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)), " +
+        "r AS (SELECT 'not_null(o_custkey)' AS rule, v1 AS violations, total FROM t " +
+        "UNION ALL SELECT 'in_range(o_totalprice)', v2, total FROM t " +
+        "UNION ALL SELECT 'in_set(o_orderstatus)', v3, total FROM t " +
+        "UNION ALL SELECT 'matches(o_orderpriority)', v4, total FROM t " +
+        "UNION ALL SELECT 'unique(o_orderkey)', v, total FROM u1 " +
+        "UNION ALL SELECT 'unique(o_custkey)', v, total FROM u2) " +
+        "SELECT rule, violations, total, CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass FROM r"),
 
     "q_x_bloomsemi" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 450000.0)",

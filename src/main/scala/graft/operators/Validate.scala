@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Transfer/contract validation (SURVEY.md §5 item 1): the md5 check
@@ -46,4 +46,54 @@ object Validate {
                   keys: Seq[String]): DataFrame =
     expected.join(existing.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
+
+  // ---- declarative expectations (generalizing the reference's P8
+  // input-contract checks, cnv.py:32-52 / pedmatch:26-46, into a
+  // rule-driven report instead of hand-placed asserts) ----
+
+  /** A row-level rule: `violatedWhen` flags the bad rows. */
+  def notNull(c: String): (String, Column) =
+    (s"not_null($c)", col(c).isNull)
+  def inRange(c: String, lo: Double, hi: Double): (String, Column) =
+    (s"in_range($c)", col(c).isNull || col(c) < lo || col(c) > hi)
+  def inSet(c: String, values: Seq[String]): (String, Column) =
+    (s"in_set($c)", col(c).isNull || !col(c).isin(values: _*))
+  def matches(c: String, regex: String): (String, Column) =
+    (s"matches($c)", col(c).isNull || !col(c).rlike(regex))
+
+  /** Evaluate a declarative expectation suite in ONE aggregation pass
+    * (all row-level rules share a single scan; each violation counter
+    * is a conditional sum with map-side partial aggregation), plus one
+    * key-shuffle per uniqueness rule — never a per-rule table scan.
+    *
+    * Returns one row per rule: `rule`, `violations`, `total`, `pass`.
+    * Uniqueness counts every row whose key tuple occurs more than
+    * once (both copies of a duplicate are violations).
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)],
+                   unique: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rules.nonEmpty || unique.nonEmpty, "empty expectation suite")
+    val rowPart: Option[DataFrame] = if (rules.isEmpty) None else {
+      val aggCols = count(lit(1)).as("__total") +:
+        rules.zipWithIndex.map { case ((_, pred), i) =>
+          coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(s"__v$i")
+        }
+      val one = df.agg(aggCols.head, aggCols.tail: _*)
+      val entries = rules.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("rule"), col(s"__v$i").as("violations"),
+          col("__total").as("total"))
+      }
+      Some(one.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.rule"), col("e.violations"), col("e.total")))
+    }
+    val uniqueParts = unique.map { case (n, keys) =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L))
+          .as("violations"),
+          coalesce(sum(col("__n")), lit(0L)).as("total"))
+        .select(lit(n).as("rule"), col("violations"), col("total"))
+    }
+    (rowPart.toSeq ++ uniqueParts).reduce(_ unionByName _)
+      .withColumn("pass", (col("violations") === 0L).cast("int"))
+  }
 }

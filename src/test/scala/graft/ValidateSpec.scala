@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import graft.operators.Validate
 
 class ValidateSpec extends SparkSpec {
@@ -46,6 +47,44 @@ class ValidateSpec extends SparkSpec {
     val got = Validate.pendingWork(expected, existing, Seq("file"))
       .select("file").as[String].collect().toSet
     assert(got == Set("f1", "f3"))
+  }
+
+  test("expectations: one pass of row rules + uniqueness, pass flags") {
+    val df = Seq(
+      (1L, Some("a@x.io"), 10.0, "O"),
+      (2L, None: Option[String], 20.0, "O"),   // null email
+      (2L, Some("c@x.io"), -5.0, "F"),         // dup key + out of range
+      (3L, Some("nope"), 30.0, "Z")            // bad regex + bad set
+    ).toDF("k", "email", "bal", "status")
+    val got = Validate.expectations(df,
+      rules = Seq(
+        Validate.notNull("email"),
+        Validate.inRange("bal", 0.0, 100.0),
+        Validate.inSet("status", Seq("O", "F")),
+        Validate.matches("email", "^[^@]+@[^@]+$")),
+      unique = Seq(("unique(k)", Seq("k"))))
+      .select("rule", "violations", "total", "pass")
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "not_null(email)" -> ((1L, 4L, 0)),
+      "in_range(bal)" -> ((1L, 4L, 0)),
+      "in_set(status)" -> ((1L, 4L, 0)),
+      // null email counts as a regex violation too (can't match)
+      "matches(email)" -> ((2L, 4L, 0)),
+      "unique(k)" -> ((2L, 4L, 0))))
+  }
+
+  test("expectations: clean table passes every rule; empty table is 0/0 pass") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val r1 = Validate.expectations(clean,
+      Seq(Validate.notNull("v")), Seq(("u", Seq("k"))))
+      .select("pass").as[Int].collect()
+    assert(r1.forall(_ == 1))
+    val empty = clean.filter(col("k") < 0)
+    val r2 = Validate.expectations(empty, Seq(Validate.notNull("v")))
+      .select("violations", "total", "pass").as[(Long, Long, Int)].collect()
+    assert(r2.toSeq == Seq((0L, 0L, 1)))
   }
 
   test("GraftSession.local applies the engine profile") {
