@@ -445,6 +445,16 @@ object SparkEntry {
     "q_t_tfidf" -> ((s, d) =>
       Tfidf.topTerms(t(s, d, "documents"), "text", "doc_id", k = 3)),
 
+    // unigram LM perplexity filter: trained on the even-doc_id half,
+    // scored over everything (odd docs exercise OOV smoothing);
+    // per-term log-probs are integer micro-nats so document sums are
+    // exact long arithmetic in both engines
+    "q_t_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      LangModel.scoreDocs(docs, "text", "doc_id",
+        LangModel.unigramCounts(docs.filter(col("doc_id") % 2 === 0), "text"))
+    }),
+
     // the COMPOSED corpus-cleaning pass: screens (length/language/
     // quality/repetition) -> exact dedup -> LSH near-dedup, with
     // per-document drop attribution — both the survivors and the
@@ -1104,6 +1114,19 @@ object SparkEntry {
         "n AS (SELECT count(*) AS nn FROM documents), " +
         "sc AS (SELECT doc_id, term, round(tf * (ln((nn + 1)::DOUBLE / (df + 1)) + 1), 4) AS tfidf FROM tf JOIN dfq USING (term) CROSS JOIN n) " +
         "SELECT doc_id, term, tfidf, rank FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc) WHERE rank <= 3"),
+
+    "q_t_lm" ->
+      (s"WITH tr AS (SELECT unnest($toksSql) AS term FROM documents WHERE doc_id % 2 = 0), " +
+        "cnt AS (SELECT term, count(*) AS c FROM tr GROUP BY 1), " +
+        "tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt), " +
+        "lp AS (SELECT term, CAST(round(ln((c + 1)::DOUBLE / (n + v + 1)::DOUBLE) * 1e6) AS BIGINT) AS lpm FROM cnt CROSS JOIN tot), " +
+        "oov AS (SELECT CAST(round(ln(1.0 / (n + v + 1)::DOUBLE) * 1e6) AS BIGINT) AS olpm FROM tot), " +
+        s"tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents), " +
+        "sc AS (SELECT tk.doc_id, count(*) AS n_tokens, sum(coalesce(lp.lpm, oov.olpm)) AS s FROM tk LEFT JOIN lp USING (term) CROSS JOIN oov GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, " +
+        "round(sc.s / sc.n_tokens / 1e6, 6) AS avg_logprob, " +
+        "round(exp(-(sc.s::DOUBLE) / sc.n_tokens / 1e6), 4) AS ppl " +
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
 
     "q_t_clean" ->
       (s"WITH RECURSIVE $cleanPrefixSql, " +

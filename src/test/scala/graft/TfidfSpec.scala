@@ -43,6 +43,39 @@ class TfidfSpec extends SparkSpec {
       "common" -> ((3L, Seq(1L, 2L, 3L)))))
   }
 
+  test("langmodel: Laplace log-probs, OOV smoothing, empty doc") {
+    import graft.operators.LangModel
+    val train = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c"), (11L, "")).toDF("doc_id", "text")
+    val counts = LangModel.unigramCounts(train, "text")
+    assert(counts.as[(String, Long)].collect().toSet ==
+      Set(("a", 2L), ("b", 1L)))
+    val got = LangModel.scoreDocs(score, "text", "doc_id", counts)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // N=3, V=2, denom=6: p(a)=3/6, p(b)=2/6, oov=1/6 — micro-nat ints
+    val lpm = Seq(3.0 / 6, 2.0 / 6, 1.0 / 6)
+      .map(p => Math.round(Math.log(p) * 1e6)).sum
+    val avg = BigDecimal(lpm / 3.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ppl = BigDecimal(Math.exp(-lpm / 3.0 / 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((3L, Some(avg), Some(ppl))))
+    assert(got(11L) == ((0L, None, None)))
+  }
+
+  test("langmodel: in-vocabulary docs score higher than OOV docs") {
+    import graft.operators.LangModel
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val counts = LangModel.unigramCounts(train, "text")
+    val got = LangModel.scoreDocs(
+      Seq((1L, "the cat"), (2L, "zzz qqq")).toDF("doc_id", "text"),
+      "text", "doc_id", counts)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r._3.get).toMap
+    assert(got(1L) > got(2L))
+  }
+
   test("cooccurrence: pair counts and PMI sign") {
     val got = Tfidf.cooccurrence(docs, "text", "doc_id", minPairs = 2L)
       .as[(String, String, Long, Double)].collect()
