@@ -609,6 +609,15 @@ object SparkEntry {
       Sampling.hashSample(t(s, d, "orders"), "o_orderkey", 0.25)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
 
+    // weighted sample without replacement (ES keys, longer docs more
+    // likely): top-k runs as TakeOrderedAndProject, no global sort
+    "q_x_weighted" -> ((s, d) =>
+      Sampling.weightedSample(
+        t(s, d, "documents")
+          .withColumn("wt", length(col("text")).cast("double") + 1.0),
+        "doc_id", "wt", k = 100, salt = "ws")
+        .select("doc_id")),
+
     "q_x_split" -> ((s, d) =>
       Sampling.assignSplit(t(s, d, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1511,6 +1520,11 @@ object SparkEntry {
 
     "q_x_sample" ->
       s"SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE substr(md5(o_orderkey::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.25)}'",
+
+    "q_x_weighted" ->
+      ("WITH w AS (SELECT doc_id, length(text)::DOUBLE + 1.0 AS wt, ('0x' || substr(md5('ws' || doc_id::VARCHAR), 1, 8))::BIGINT AS h FROM documents), " +
+        "e AS (SELECT doc_id, round(ln((h + 1)::DOUBLE / 4294967297.0) / wt, 9) AS es FROM w) " +
+        "SELECT doc_id FROM e ORDER BY es DESC, doc_id LIMIT 100"),
 
     "q_x_split" ->
       s"SELECT doc_id, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents",

@@ -210,4 +210,43 @@ object Sampling {
     df.withColumn("__srn", row_number().over(w))
       .filter(col("__srn") <= k).drop("__srn")
   }
+
+  /** Efraimidis–Spirakis key for weighted sampling without
+    * replacement: rank = ln(u) / w with u = (hash32+1)/(2^32+1) — the
+    * top-k rows by this key are a weight-proportional sample. Rounded
+    * to 9 dp BEFORE ranking (ln is not IEEE-correctly-rounded; the
+    * unrounded last ulp must not decide membership) with `idCol` as
+    * the tie-break. Deterministic in (salt, id, weight) like every
+    * Sampling op, so appends/retries/engines agree on the draw. */
+  def esKey(id: Column, weight: Column, salt: String): Column =
+    round(log((conv(sampleKey(id, salt), 16, 10).cast("long") + 1)
+      .cast("double") / 4294967297.0) / weight, 9)
+
+  /** Weighted sample WITHOUT replacement: the `k` rows with the
+    * largest ES keys. Rows with weight <= 0 or null are excluded
+    * (probability zero). Physically a TakeOrderedAndProject — per-
+    * partition top-k then a k-sized merge on the driver side of the
+    * exchange; no global sort, no single-task window. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es", esKey(col(idCol), col(weightCol), salt))
+      .orderBy(col("__es").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__es")
+  }
+
+  /** Per-group weighted sample: `k` rows per key group by ES key (one
+    * window shuffle; groups smaller than k keep everything). */
+  def weightedSamplePerKey(df: DataFrame, keyCols: Seq[String],
+                           idCol: String, weightCol: String, k: Int,
+                           salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(esKey(col(idCol), col(weightCol), salt).desc, col(idCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wrn", row_number().over(w))
+      .filter(col("__wrn") <= k).drop("__wrn")
+  }
 }

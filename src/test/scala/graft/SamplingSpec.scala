@@ -183,4 +183,61 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(other != got.toMap)
   }
+
+  // ---- weightedSample (Efraimidis–Spirakis) ----
+
+  private lazy val weighted = (1L to 500L)
+    .map(i => (i, if (i <= 5) 10000.0 else 1.0))
+    .toDF("id", "w")
+
+  test("weightedSample: deterministic, partitioning-independent, k-bounded") {
+    val a = Sampling.weightedSample(weighted, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(weighted.repartition(13), "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 50)
+  }
+
+  test("weightedSample: heavy weights dominate the draw") {
+    val got = Sampling.weightedSample(weighted, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    // 5 items carry 10000x weight: all of them make a 10% sample
+    assert((1L to 5L).forall(got.contains))
+  }
+
+  test("weightedSample: nonpositive and null weights are excluded") {
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0))
+      .toDF("id", "w")
+      .unionByName(Seq(Tuple1(4L)).toDF("id")
+        .withColumn("w", lit(null).cast("double")))
+    val got = Sampling.weightedSample(df, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("weightedSample: raising a row's weight never hurts its rank") {
+    val base = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    def rankOf(df: org.apache.spark.sql.DataFrame, id: Long): Int = {
+      val ordered = df
+        .withColumn("__es", Sampling.esKey(col("id"), col("w"), ""))
+        .orderBy(col("__es").desc, col("id").asc)
+        .select("id").as[Long].collect()
+      ordered.indexOf(id)
+    }
+    val before = rankOf(base, 42L)
+    val boosted = (1L to 100L).map(i => (i, if (i == 42L) 50.0 else 1.0))
+      .toDF("id", "w")
+    val after = rankOf(boosted, 42L)
+    assert(after <= before)
+  }
+
+  test("weightedSamplePerKey: k per group, groups smaller than k intact") {
+    val df = (1L to 100L).map(i => (i % 4, i, 1.0 + i)).toDF("g", "id", "w")
+    val got = Sampling.weightedSamplePerKey(df, Seq("g"), "id", "w", k = 5)
+      .groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 5L))
+    val tiny = Seq((0L, 1L, 1.0), (0L, 2L, 2.0)).toDF("g", "id", "w")
+    assert(Sampling.weightedSamplePerKey(tiny, Seq("g"), "id", "w", 5)
+      .count() == 2L)
+  }
 }
