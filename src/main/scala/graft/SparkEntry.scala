@@ -618,6 +618,16 @@ object SparkEntry {
         "doc_id", "wt", k = 100, salt = "ws")
         .select("doc_id")),
 
+    // count-min sketch: build over the lineitem supplier stream,
+    // point-estimate every supplier (width 256 forces collisions, so
+    // the one-sided overcount is visible and oracle-replayed exactly)
+    "q_x_cms" -> ((s, d) =>
+      Sketch.estimate(
+        Sketch.countMin(t(s, d, "lineitem"), "l_suppkey",
+          depth = 4, width = 256),
+        t(s, d, "supplier").select(col("s_suppkey")), "s_suppkey",
+        depth = 4, width = 256)),
+
     "q_x_split" -> ((s, d) =>
       Sampling.assignSplit(t(s, d, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1525,6 +1535,13 @@ object SparkEntry {
       ("WITH w AS (SELECT doc_id, length(text)::DOUBLE + 1.0 AS wt, ('0x' || substr(md5('ws' || doc_id::VARCHAR), 1, 8))::BIGINT AS h FROM documents), " +
         "e AS (SELECT doc_id, round(ln((h + 1)::DOUBLE / 4294967297.0) / wt, 9) AS es FROM w) " +
         "SELECT doc_id FROM e ORDER BY es DESC, doc_id LIMIT 100"),
+
+    "q_x_cms" ->
+      ("WITH js AS (SELECT unnest(range(0, 4)) AS j), " +
+        "e AS (SELECT j, ('0x' || substr(md5('cms' || j::VARCHAR || ':' || l_suppkey::VARCHAR), 1, 15))::BIGINT % 256 AS b FROM lineitem CROSS JOIN js), " +
+        "sk AS (SELECT j, b, count(*) AS c FROM e GROUP BY 1, 2), " +
+        "q AS (SELECT s_suppkey, j, ('0x' || substr(md5('cms' || j::VARCHAR || ':' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 256 AS b FROM supplier CROSS JOIN js) " +
+        "SELECT s_suppkey, min(coalesce(sk.c, 0)) AS est FROM q LEFT JOIN sk USING (j, b) GROUP BY 1"),
 
     "q_x_split" ->
       s"SELECT doc_id, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents",
