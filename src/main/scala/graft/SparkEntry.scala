@@ -417,6 +417,13 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // prefix-filtering exact similarity self-join: recall-1.0 near-dup
+    // pairs at Jaccard >= 0.6 (the oracle replays the prefix filter
+    // under ITS OWN token order — the final pair set is order-free)
+    "q_d_prefix" -> ((s, d) =>
+      Dedup.prefixFilterPairs(t(s, d, "documents"), "text", "doc_id", 0.6)
+        .select("id_a", "id_b", "jaccard")),
+
     // PII format screens on constructed payloads (email/url/phone
     // injected per doc so counts and the redaction are exercised);
     // redacted text compared via md5 — byte-for-byte parity
@@ -1456,6 +1463,18 @@ object SparkEntry {
 
     "q_d_jaccard" ->
       s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), d AS (SELECT doc_id, $shinglesSql AS sh FROM t) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard FROM d a JOIN d b ON b.doc_id = a.doc_id + 1",
+
+    "q_d_prefix" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        s"d AS (SELECT doc_id, $shinglesSql AS sh FROM t), " +
+        "dd AS (SELECT doc_id, sh, len(sh) AS sz FROM d), " +
+        "e AS (SELECT doc_id, sz, unnest(sh) AS g FROM dd), " +
+        "dfq AS (SELECT g, count(*) AS dfc FROM e GROUP BY 1), " +
+        "r AS (SELECT e.doc_id, e.sz, e.g, row_number() OVER (PARTITION BY e.doc_id ORDER BY dfc, e.g) AS rn FROM e JOIN dfq USING (g)), " +
+        "p AS (SELECT doc_id, g FROM r WHERE rn <= sz - ceil(0.6 * sz) + 1), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT id_a, id_b, CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) END AS j FROM cand JOIN dd a ON a.doc_id = cand.id_a JOIN dd b ON b.doc_id = cand.id_b) " +
+        "SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= 0.6"),
 
     "q_s_brute" ->
       s"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",

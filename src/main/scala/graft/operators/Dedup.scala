@@ -376,6 +376,45 @@ object Dedup {
           .otherwise(col("inter").cast("double") / col("union")))
       .drop("set_a", "set_b")
 
+  /** Prefix-filtering set-similarity self-join (PPJoin-style): EXACT
+    * all-pairs n-gram Jaccard at `threshold` — the no-missed-pairs
+    * alternative to MinHash-LSH when recall must be 1.0.
+    *
+    * Each document's shingle set is ordered globally by document
+    * frequency (rarest first, hash tie-break); only the first
+    * |s| − ⌈t·|s|⌉ + 1 tokens (the prefix) generate candidates — any
+    * pair with J ≥ t must share a prefix token under a consistent
+    * global order, so verification over the shared-prefix pairs loses
+    * nothing. Rare-first ordering is what bounds the candidate
+    * buckets: frequent shingles fall outside prefixes, so no
+    * stop-shingle hot bucket forms. No cap, no drop report — exactness
+    * is the contract (use `minhashLshCandidates` when an approximate
+    * answer is acceptable and t is low).
+    *
+    * Returns (id_a, id_b, inter, union, jaccard) with id_a < id_b and
+    * jaccard ≥ threshold (rounded to 6 dp after the filter).
+    */
+  def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
+                        threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
+    val sets = shingleSets(docs, textCol, idCol, n)
+    val e = sets.select(col("__id"), size(col("__set")).as("__sz"),
+      explode(col("__set")).as("__g"))
+    val dfreq = e.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
+    val prefixes = e.join(dfreq, Seq("__g"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__id"), col("__g"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    ngramJaccardOnSets(cand, sets)
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
   /** N-gram duplication census — the substring-level dedup signal
     * ("Deduplicating Training Data Makes Language Models Better":
     * repeated ~50-token spans, here word n-grams): every hashed

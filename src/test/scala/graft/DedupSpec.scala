@@ -276,4 +276,47 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 0L, 0.0), (2L, 0L, 0.0)))
   }
+
+  test("prefixFilterPairs: exact — equals brute-force all-pairs Jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (4L, "completely different words in this one entirely"),
+      (5L, "another unrelated document with its own content"),
+      (6L, "the quick brown fox leaps over the lazy dog"),  // near-dup of 1
+      (7L, "short one"),
+      (8L, "")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup.prefixFilterPairs(docs, "text", "doc_id", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force: every pair, exact Jaccard, same threshold
+      val ids = docs.select("doc_id").as[Long].collect().sorted
+      val allPairs = (for {
+        a <- ids; b <- ids if a < b
+      } yield (a, b)).toSeq.toDF("id_a", "id_b")
+      val expect = Dedup.ngramJaccardOnSets(allPairs,
+          Dedup.shingleSets(docs, "text", "doc_id"))
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"threshold $t")
+      if (t == 0.8) assert(got.contains((1L, 3L))) // the planted exact dup
+    }
+  }
+
+  test("prefixFilterPairs: frequent shingles stay out of prefixes at high t") {
+    // every doc shares the frequent head; only 1/2 are real near-dups
+    val docs = Seq(
+      (1L, "common common common common alpha beta gamma delta"),
+      (2L, "common common common common alpha beta gamma epsilon"),
+      (3L, "common common common common zeta eta theta iota"),
+      (4L, "common common common common kappa lambda mu nu")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 >= 0.5)
+  }
 }
