@@ -180,10 +180,16 @@ object Profile {
   def equiDepthHistogram(df: DataFrame, valueCol: String,
                          bins: Int = 10): DataFrame = {
     require(bins >= 2, s"need >= 2 bins, got $bins")
-    val boundAggs = (1 until bins).map(i =>
-      round(expr(s"percentile($valueCol, ${i.toDouble / bins}D)"), 6)
-        .as(s"__b$i"))
-    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    // ONE array-percentile aggregate: the exact percentile buffers the
+    // whole column, so bins-1 separate calls would hold bins-1 copies
+    // of it (measured 11.5 s vs 2 s at sf0.1 for 8 bins)
+    val pcts = (1 until bins).map(i => i.toDouble / bins)
+      .mkString("array(", "D, ", "D)")
+    val boundsArr = df.agg(
+      expr(s"percentile($valueCol, $pcts)").as("__bs"))
+    val bounds = boundsArr.select(
+      (1 until bins).map(i =>
+        round(element_at(col("__bs"), i), 6).as(s"__b$i")): _*)
     val bin = (1 until bins).map(i =>
       when(col(valueCol) > col(s"__b$i"), 1L).otherwise(0L))
       .reduce(_ + _)

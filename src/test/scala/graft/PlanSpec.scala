@@ -184,4 +184,56 @@ class PlanSpec extends SparkSpec {
     // for train and once for bench, never a third time for the counts
     assert(count(plan, "graft_ngram_hashes") <= 2, plan)
   }
+
+  test("interval merge + scd2: one exchange each (groupBy/windows reuse the key partitioning)") {
+    // parquet scans, not LocalRelations — local inputs plan without
+    // exchanges at all and the assertion would be vacuous
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val iv = orders.select((col("o_orderkey") % 23).as("chrom"),
+      (col("o_orderkey") * 53 % 100000).as("s"),
+      (col("o_orderkey") * 53 % 100000 + 100).as("e"))
+    // executedPlan: exchanges exist only after EnsureRequirements
+    val mergePlan = graft.operators.Intervals
+      .mergeOverlaps(iv, Seq("chrom"), "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(count(mergePlan, "Exchange hashpartitioning") == 1, mergePlan)
+    val scd2Plan = graft.operators.Merge.scd2(
+      orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"),
+      Seq("o_custkey"), "o_orderdate", tieBreak = Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(count(scd2Plan, "Exchange hashpartitioning") == 1, scd2Plan)
+  }
+
+  test("prefix-filter pairs: no cartesian; candidates deduped before the verify join") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val qe = Dedup.prefixFilterPairs(docs, "text", "doc_id", 0.6)
+      .queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // the distinct() on (id_a, id_b) sits in the optimized plan as an
+    // Aggregate BELOW the set-verification joins
+    val opt = qe.optimizedPlan.toString
+    assert(opt.contains("Aggregate [id_a"), opt)
+  }
+
+  test("count-min estimate broadcasts the sketch, never shuffles the queries") {
+    val stream = (1L to 2000L).map(i => i % 50).toDF("k")
+    val sk = graft.operators.Sketch.countMin(stream, "k", 4, 64)
+    val plan = graft.operators.Sketch
+      .estimate(sk, stream.distinct(), "k", 4, 64)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("weighted sample is a TakeOrdered, not a global sort") {
+    val df = (1L to 2000L).map(i => (i, 1.0 + i)).toDF("id", "w")
+    val plan = graft.operators.Sampling
+      .weightedSample(df, "id", "w", k = 10)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), plan) // no full-sort operator
+  }
 }
