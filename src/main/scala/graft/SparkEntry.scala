@@ -635,6 +635,11 @@ object SparkEntry {
         t(s, d, "supplier").select(col("s_suppkey")), "s_suppkey",
         depth = 4, width = 256)),
 
+    // KMV distinct-count sketch over the lineitem part keys
+    "q_x_kmv" -> ((s, d) =>
+      Sketch.kmvEstimate(
+        Sketch.kmv(t(s, d, "lineitem"), "l_partkey", k = 256), k = 256)),
+
     "q_x_split" -> ((s, d) =>
       Sampling.assignSplit(t(s, d, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1561,6 +1566,11 @@ object SparkEntry {
         "sk AS (SELECT j, b, count(*) AS c FROM e GROUP BY 1, 2), " +
         "q AS (SELECT s_suppkey, j, ('0x' || substr(md5('cms' || j::VARCHAR || ':' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 256 AS b FROM supplier CROSS JOIN js) " +
         "SELECT s_suppkey, min(coalesce(sk.c, 0)) AS est FROM q LEFT JOIN sk USING (j, b) GROUP BY 1"),
+
+    "q_x_kmv" ->
+      ("WITH h AS (SELECT DISTINCT ('0x' || substr(md5('kmv' || l_partkey::VARCHAR), 1, 15))::BIGINT AS hv FROM lineitem), " +
+        "s AS (SELECT hv FROM h ORDER BY hv LIMIT 256) " +
+        "SELECT count(*) AS n, max(hv) AS kth, round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE ELSE 255.0 * 1152921504606846976.0 / max(hv) END, 2) AS est FROM s"),
 
     "q_x_split" ->
       s"SELECT doc_id, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents",

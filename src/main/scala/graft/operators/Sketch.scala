@@ -60,4 +60,47 @@ object Sketch {
       .join(broadcast(sketch), Seq("j", "b"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  // ---- KMV (k-minimum-values) distinct-count sketch ----
+
+  private val H60_SPACE = 1152921504606846976.0 // 2^60
+
+  /** Build a KMV sketch of `keyCol`'s distinct count: the k smallest
+    * DISTINCT 60-bit md5 hashes, as a k-row frame (`hv`).
+    *
+    * Mergeable (union → re-take k smallest) and engine-portable (md5
+    * hashes, so shards sketched by different systems combine). The
+    * build is a distinct aggregation + TakeOrdered; the shuffle
+    * carries one row per distinct hash. When a coarse upper bound on
+    * the true count is known, pass `prefilterBound` = k/D_lower ·
+    * 2^60: hashes above it cannot be among the k minima, and the
+    * filter prunes them BEFORE the shuffle (the 100 TB lever).
+    */
+  def kmv(df: DataFrame, keyCol: String, k: Int = 256,
+          salt: String = "kmv",
+          prefilterBound: Option[Long] = None): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hv = graft.functions.ColumnFns
+      .hash60(concat(lit(salt), col(keyCol).cast("string"))).as("hv")
+    val hashes = df.select(hv)
+    val pruned = prefilterBound
+      .map(b => hashes.filter(col("hv") < b)).getOrElse(hashes)
+    pruned.distinct().orderBy(col("hv").asc).limit(k)
+  }
+
+  /** Merge KMV sketches built with the same salt: k smallest of the
+    * union of survivors. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
+    a.unionByName(b).distinct().orderBy(col("hv").asc).limit(k)
+
+  /** Distinct-count estimate from a KMV sketch: exact (= n) while the
+    * sketch holds fewer than k hashes (every distinct value is in it);
+    * otherwise the classic (k−1) / (kth-min / 2^60). One row:
+    * (n, kth, est). */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame =
+    sketch.agg(count(lit(1)).as("n"), max(col("hv")).as("kth"))
+      .select(col("n"), col("kth"),
+        round(when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * H60_SPACE / col("kth")), 2)
+          .as("est"))
 }

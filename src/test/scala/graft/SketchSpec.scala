@@ -41,6 +41,47 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  // ---- KMV ----
+
+  test("kmv: exact below k, within 15% above k (fixed salt, deterministic)") {
+    val small = (1L to 100L).toDF("k")
+    val se = Sketch.kmvEstimate(Sketch.kmv(small, "k", k = 256), k = 256)
+      .as[(Long, Long, Double)].head()
+    assert(se._1 == 100L && se._3 == 100.0) // exact: sketch holds all
+    val big = (1L to 20000L).toDF("k")
+    val be = Sketch.kmvEstimate(Sketch.kmv(big, "k", k = 512), k = 512)
+      .as[(Long, Long, Double)].head()
+    assert(math.abs(be._3 - 20000.0) / 20000.0 < 0.15, s"est ${be._3}")
+  }
+
+  test("kmv: duplicates don't inflate the estimate") {
+    val dups = (1L to 5000L).flatMap(i => Seq(i % 50)).toDF("k")
+    val e = Sketch.kmvEstimate(Sketch.kmv(dups, "k", k = 256), k = 256)
+      .as[(Long, Long, Double)].head()
+    assert(e._1 == 50L && e._3 == 50.0)
+  }
+
+  test("kmv: merge of shard sketches == sketch of the union") {
+    val all = (1L to 10000L).toDF("k")
+    val a = all.filter(col("k") % 2 === 0)
+    val b = all.filter(col("k") % 3 =!= 1) // overlapping shards
+    val merged = Sketch.kmvMerge(
+      Sketch.kmv(a, "k", 128), Sketch.kmv(b, "k", 128), 128)
+      .as[Long].collect().toSet
+    val whole = Sketch.kmv(a.unionByName(b), "k", 128)
+      .as[Long].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("kmv: prefilter bound never changes the sketch when conservative") {
+    val df = (1L to 5000L).toDF("k")
+    val plain = Sketch.kmv(df, "k", 64).as[Long].collect().toSet
+    val kth = plain.max
+    val pruned = Sketch.kmv(df, "k", 64,
+      prefilterBound = Some(kth + 1)).as[Long].collect().toSet
+    assert(pruned == plain)
+  }
+
   test("sketch size is bounded by depth x width regardless of stream size") {
     val sk = Sketch.countMin(stream, "k", depth = 3, width = 8)
     assert(sk.count() <= 3L * 8L)
