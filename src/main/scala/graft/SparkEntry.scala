@@ -278,6 +278,20 @@ object SparkEntry {
         st => split(st, " ").getItem(0), maxDist = 3)),
 
     // integer-micro PageRank (3 iterations) on the order->part graph
+    // per-node triangle counts on an md5-randomized 150-node graph
+    // derived from orders (degree-ordered orientation bounds the
+    // wedge fan-out; oracle counts a<b<c closures directly)
+    "q_g_triangles" -> ((s, d) =>
+      Graph.triangles(
+        t(s, d, "orders").select(
+          (conv(substring(md5(concat(lit("ta"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 150).as("x"),
+          (conv(substring(md5(concat(lit("tb"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 150).as("y")),
+        "x", "y")),
+
     "q_g_pagerank" -> ((s, d) =>
       Graph.pageRankInt(
         t(s, d, "lineitem").select(
@@ -1348,6 +1362,13 @@ object SparkEntry {
       ("WITH v AS (SELECT p_name AS s, count(*) AS cnt, string_split(p_name, ' ')[1] AS blk FROM part GROUP BY 1) " +
         "SELECT a.s AS s_a, b.s AS s_b, a.cnt * b.cnt AS n_pairs, levenshtein(a.s, b.s) AS dist " +
         "FROM v a JOIN v b ON a.blk = b.blk AND a.s < b.s WHERE levenshtein(a.s, b.s) <= 3"),
+
+    "q_g_triangles" ->
+      ("WITH raw AS (SELECT ('0x' || substr(md5('ta' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS x, ('0x' || substr(md5('tb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS y FROM orders), " +
+        "c AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM c e1 JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "u AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) " +
+        "SELECT node, count(*) AS n_triangles FROM u GROUP BY 1"),
 
     "q_g_pagerank" -> {
       def hop(prev: String, out: String) =

@@ -69,4 +69,53 @@ object Graph {
     }
     RankResult(pr, Seq(e, nodes, withDeg))
   }
+
+  /** Per-node triangle counts via degree-ordered orientation — the
+    * standard distributed form: orient every undirected edge from the
+    * lower (degree, node) rank to the higher, so each triangle has
+    * EXACTLY one node with both out-edges (its rank-minimum). The
+    * wedge self-join then fans out by ORIENTED out-degree, which the
+    * orientation bounds by O(√m) on any graph (a hub of degree d
+    * contributes wedges only toward its ≤√m higher-ranked neighbors,
+    * not d²) — the reason this survives power-law graphs where a
+    * naive neighbor self-join explodes.
+    *
+    * Input edges may be directed/duplicated/self-looped; they are
+    * canonicalized first. Returns (node, n_triangles), nodes in no
+    * triangle omitted.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, node) rank; carry the head's rank for wedge order
+    val annotated = canon
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"),
+        Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"),
+        Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = annotated.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    // closure edge between v1,v2 is oriented v1→v2 (rank(v1) < rank(v2))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("v1").as("node")))
+      .unionAll(tri.select(col("v2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{greatest, least}
 import graft.operators.Graph
 
 class GraphSpec extends SparkSpec {
@@ -29,5 +30,47 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got(1L) == 150000L) // no in-edges: base only
     assert(got(3L) > got(2L))  // two in-paths beat one
+  }
+
+  // ---- triangles ----
+
+  test("triangles: K4 has 4, every node in 3; squares have none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "t")
+    val got = Graph.triangles(k4, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "t")
+    assert(Graph.triangles(square, "s", "t").count() == 0L)
+  }
+
+  test("triangles: duplicates, reversed edges, and self-loops are canonicalized") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L)).toDF("s", "t")
+    val got = Graph.triangles(messy, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: matches brute force on a pseudo-random graph") {
+    val edges = (1L to 2000L).map(i => (i % 60, (i * 13) % 60)).toDF("s", "t")
+    val got = Graph.triangles(edges, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    // brute force over canonical adjacency in local scala
+    val canon = edges.select(least($"s", $"t").as("a"),
+        greatest($"s", $"t").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2))
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val sortedNodes = nodes.toSeq.sorted
+    for {
+      x <- sortedNodes; y <- sortedNodes if y > x && canon((x, y))
+      z <- sortedNodes if z > y && canon((x, z)) && canon((y, z))
+    } {
+      triCount(x) += 1; triCount(y) += 1; triCount(z) += 1
+    }
+    assert(got == triCount.toMap)
   }
 }
