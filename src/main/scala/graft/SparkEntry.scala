@@ -751,6 +751,20 @@ object SparkEntry {
       Merge.incrementalAgg(baseAgg, delta, Seq("o_custkey"), "cents")
     }),
 
+    // golden-record survivorship over synthetic dup clusters (nulls
+    // injected deterministically; fields survive from different
+    // members by recency priority)
+    "q_x_golden" -> ((s, d) => {
+      val c = t(s, d, "customer").select(
+        (col("c_custkey") % 500).as("cluster"),
+        col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit(null))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 5 === 0, lit(null))
+          .otherwise(col("c_acctbal")).as("bal"))
+      Merge.goldenRecord(c, "cluster", Seq(col("c_custkey").desc))
+    }),
+
     // declarative expectation suite (one scan for the row rules, one
     // key shuffle per uniqueness rule); in_range is intentionally
     // tight so the report shows real violations
@@ -1648,6 +1662,16 @@ object SparkEntry {
       ("WITH o AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
         "SELECT o_custkey, count(*) AS cnt, sum(cents) AS sum_v FROM o " +
         "WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0) GROUP BY 1"),
+
+    "q_x_golden" ->
+      ("WITH src AS (SELECT c_custkey % 500 AS cluster, c_custkey, CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS name, CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal FROM customer), " +
+        "g AS (SELECT cluster, row_number() OVER w AS rn, count(*) OVER pw AS n_members, " +
+        "first_value(c_custkey IGNORE NULLS) OVER pw AS c_custkey, " +
+        "first_value(name IGNORE NULLS) OVER pw AS name, " +
+        "first_value(bal IGNORE NULLS) OVER pw AS bal " +
+        "FROM src WINDOW w AS (PARTITION BY cluster ORDER BY c_custkey DESC), " +
+        "pw AS (PARTITION BY cluster ORDER BY c_custkey DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) " +
+        "SELECT cluster, c_custkey, name, bal, n_members FROM g WHERE rn = 1"),
 
     "q_x_expect" ->
       ("WITH t AS (SELECT count(*) AS total, " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,39 @@ object Merge {
       .withColumn("effective_to", lead(col("effective_from"), 1).over(wk))
       .withColumn("is_current", col("effective_to").isNull)
       .drop("__run", "__from_rn")
+  }
+
+  /** Golden-record survivorship: collapse each duplicate cluster to
+    * ONE record where every attribute takes its first NON-NULL value
+    * in priority order (`orderCols` — e.g. freshest source first).
+    * This is the merge step after entity resolution (`Dedup`'s
+    * clustering produces the clusters; this op writes the master
+    * record), and the attribute-level fill is what a plain keep-first
+    * dedup cannot do: the surviving record may combine fields from
+    * DIFFERENT members.
+    *
+    * One shuffle (the cluster window); every attribute is a
+    * first-ignore-nulls over the same sorted frame, so all attributes
+    * resolve in a single Window operator. Returns one row per cluster:
+    * clusterCol + attributes + `n_members`.
+    */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+                   orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "goldenRecord needs a priority order")
+    val attrs = df.columns.filterNot(_ == clusterCol).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol)).orderBy(orderCols: _*)
+    val whole = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val resolved = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(whole))
+    val golden = attrs.foldLeft(resolved) { (acc, a) =>
+      acc.withColumn(a, first(col(a), ignoreNulls = true).over(whole))
+    }
+    golden.filter(col("__rn") === 1)
+      .select(col(clusterCol) +: attrs.map(col) :+
+        col("__n").as("n_members"): _*)
   }
 
   /** Incremental aggregate maintenance: apply a CDC delta to a

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.Merge
 
 class MergeSpec extends SparkSpec {
@@ -80,6 +81,37 @@ class MergeSpec extends SparkSpec {
       .select("v", "effective_from").as[(Option[String], Long)]
       .collect().toSet
     assert(got == Set((None, 10L), (Some("x"), 30L)))
+  }
+
+  // ---- goldenRecord ----
+
+  test("goldenRecord: attributes survive from different members by priority") {
+    val dupes = Seq(
+      // cluster 1: freshest (ts 30) lacks email; ts 20 lacks phone
+      (1L, 30L, None: Option[String], Some("555-1")),
+      (1L, 20L, Some("a@x.io"), None: Option[String]),
+      (1L, 10L, Some("old@x.io"), Some("555-old")),
+      // cluster 2: single member, nulls stay null
+      (2L, 10L, None: Option[String], Some("555-2"))
+    ).toDF("cluster", "ts", "email", "phone")
+    val got = Merge.goldenRecord(dupes, "cluster",
+      Seq(col("ts").desc))
+      .select("cluster", "email", "phone", "n_members")
+      .as[(Long, Option[String], Option[String], Long)].collect().toSet
+    assert(got == Set(
+      (1L, Some("a@x.io"), Some("555-1"), 3L), // email from #2, phone from #1
+      (2L, None, Some("555-2"), 1L)))
+  }
+
+  test("goldenRecord: all-null attribute stays null; ts itself survives") {
+    val dupes = Seq(
+      (1L, 2L, None: Option[String]),
+      (1L, 1L, None: Option[String])
+    ).toDF("cluster", "ts", "v")
+    val got = Merge.goldenRecord(dupes, "cluster", Seq(col("ts").desc))
+      .select("cluster", "ts", "v")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set((1L, 2L, None)))
   }
 
   // ---- incrementalAgg ----
