@@ -160,6 +160,18 @@ object SparkEntry {
       Pivots.continuous(agg, "l_suppkey", "pcol", "v", widePivotCols)
     }),
 
+    // V4: melt the V1 matrix back to long — the published-matrix
+    // reader path; map-only Expand, round-trips to the long agg
+    "q_v4_melt" -> ((s, d) => {
+      val agg = t(s, d, "lineitem").groupBy("l_suppkey", "l_returnflag")
+        .agg(round(sum(col("l_quantity")), 4).as("v"))
+      Pivots.melt(
+        Pivots.continuous(agg, "l_suppkey", "l_returnflag", "v",
+          Seq("A", "N", "R")),
+        Seq("l_suppkey"), Seq("A", "N", "R"),
+        varName = "flag", valueName = "sum_qty")
+    }),
+
     // ---- §2.7 scalar functions ----
     "q_f_strings" -> ((s, d) =>
       t(s, d, "orders").select(
@@ -1313,6 +1325,9 @@ object SparkEntry {
 
     "q_v2_pivot_discrete" ->
       "SELECT l_suppkey, CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS INTEGER) AS \"A\", CAST(count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS INTEGER) AS \"N\", CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS INTEGER) AS \"R\" FROM lineitem GROUP BY l_suppkey",
+
+    "q_v4_melt" ->
+      "SELECT l_suppkey, l_returnflag AS flag, round(sum(l_quantity), 4) AS sum_qty FROM lineitem GROUP BY 1, 2",
 
     "q_v3_wide" -> {
       val cases = widePivotCols.zipWithIndex.map { case (name, i) =>

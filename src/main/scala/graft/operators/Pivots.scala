@@ -47,6 +47,22 @@ object Pivots {
     df.groupBy(idxCol).agg(cells.head, cells.tail: _*)
   }
 
+  /** Wide→long melt — the inverse of V1/V2, for reading a published
+    * cBio matrix back into the long form every other operator speaks.
+    * Map-only (one Expand pass — no shuffle, no per-column scan);
+    * `dropNulls = true` drops empty cells so melt(pivot(x)) == x for
+    * a duplicate-free long input (the round-trip law, property-
+    * tested). All value columns must share one type — cast upstream
+    * (the matrix writers emit uniform cells anyway). */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "variable", valueName: String = "value",
+           dropNulls: Boolean = true): DataFrame = {
+    require(valueCols.nonEmpty, "melt: empty value-column list")
+    val long = df.unpivot(idCols.map(col).toArray,
+      valueCols.map(col).toArray, varName, valueName)
+    if (dropNulls) long.filter(col(valueName).isNotNull) else long
+  }
+
   /** V2: discrete (GISTIC-like) matrix — nulls→0, all int
     * (cnv.py:670-679). */
   def discrete(df: DataFrame, idxCol: String, colCol: String,

@@ -35,6 +35,20 @@ class OperatorsSpec extends SparkSpec {
     assert(wide.count() == 20)
   }
 
+  test("melt: inverse of the continuous pivot (round-trip law)") {
+    val long = Seq(("g1", "s1", 1.5), ("g1", "s2", -0.5), ("g2", "s1", 0.25))
+      .toDF("gene", "sample", "v")
+    val wide = Pivots.continuous(long, "gene", "sample", "v", Seq("s1", "s2"))
+    val back = Pivots.melt(wide, Seq("gene"), Seq("s1", "s2"),
+      varName = "sample", valueName = "v")
+      .as[(String, String, Double)].collect().toSet
+    assert(back == long.as[(String, String, Double)].collect().toSet)
+    // dropNulls=false keeps the empty g2/s2 cell
+    val withNull = Pivots.melt(wide, Seq("gene"), Seq("s1", "s2"),
+      varName = "sample", valueName = "v", dropNulls = false)
+    assert(withNull.count() == 4L)
+  }
+
   test("duplicatePairs catches pandas-pivot ValueError case (cnv.py:657)") {
     val df = Seq(("g1", "s1", 1.0), ("g1", "s1", 2.0), ("g2", "s1", 3.0))
       .toDF("gene", "sample", "v")
