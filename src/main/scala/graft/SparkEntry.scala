@@ -360,6 +360,15 @@ object SparkEntry {
       Intervals.coverageDepth(segs(s, d), Seq("chrom"), "s_start", "s_end")
         .select("chrom", "d_start", "d_end", "depth")),
 
+    "q_j12_subtract" -> ((s, d) =>
+      Intervals.subtract(genes(s, d), segs(s, d), Seq("chrom"),
+        "g_id", "g_start", "g_end", "s_start", "s_end")
+        .select("g_id", "chrom", "sub_start", "sub_end")),
+
+    "q_j13_closest" -> ((s, d) =>
+      Intervals.closest(genes(s, d), segs(s, d), Seq("chrom"),
+        "g_id", "g_start", "g_end", "s_id", "s_start", "s_end")),
+
     // group-aware null imputation (nulls injected deterministically so
     // the oracle sees the same holes)
     "q_e_impute" -> ((s, d) =>
@@ -1456,6 +1465,26 @@ object SparkEntry {
         "c AS (SELECT chrom, pos, sum(delta) AS d FROM ev GROUP BY 1, 2), " +
         "w AS (SELECT chrom, pos, sum(d) OVER (PARTITION BY chrom ORDER BY pos ROWS UNBOUNDED PRECEDING) AS depth, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos FROM c) " +
         "SELECT chrom, pos AS d_start, next_pos AS d_end, depth FROM w WHERE next_pos IS NOT NULL AND depth > 0"),
+
+    "q_j12_subtract" ->
+      (s"WITH g AS ($genesSql), iv AS ($segsSql), " +
+        "o AS (SELECT chrom, s_start, s_end, max(s_end) OVER (PARTITION BY chrom ORDER BY s_start, s_end ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
+        "f AS (SELECT *, CASE WHEN prev_max IS NULL OR s_start > prev_max THEN 1 ELSE 0 END AS ni FROM o), " +
+        "ii AS (SELECT *, sum(ni) OVER (PARTITION BY chrom ORDER BY s_start, s_end ROWS UNBOUNDED PRECEDING) AS island FROM f), " +
+        "i AS (SELECT chrom, min(s_start) AS istart, max(s_end) AS iend FROM ii GROUP BY chrom, island), " +
+        "p AS (SELECT g.g_id, g.chrom, g.g_start, g.g_end, i.istart, i.iend FROM g JOIN i ON g.chrom = i.chrom AND g.g_start < i.iend AND i.istart < g.g_end), " +
+        "r AS (SELECT *, lag(iend) OVER (PARTITION BY g_id ORDER BY istart) AS prev_end FROM p), " +
+        "f1 AS (SELECT g_id, chrom, greatest(g_start, coalesce(prev_end, g_start)) AS sub_start, least(g_end, istart) AS sub_end FROM r), " +
+        "f2 AS (SELECT g_id, chrom, greatest(g_start, max(iend)) AS sub_start, g_end AS sub_end FROM r GROUP BY g_id, chrom, g_start, g_end), " +
+        "f3 AS (SELECT g_id, chrom, g_start AS sub_start, g_end AS sub_end FROM g WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.chrom = g.chrom AND g.g_start < i.iend AND i.istart < g.g_end)), " +
+        "u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3) " +
+        "SELECT g_id, chrom, sub_start, sub_end FROM u WHERE sub_start < sub_end"),
+
+    "q_j13_closest" ->
+      (s"WITH g AS ($genesSql), s AS ($segsSql), " +
+        "p AS (SELECT g.g_id, s.s_id, CASE WHEN g.g_start < s.s_end AND s.s_start < g.g_end THEN 0 ELSE greatest(s.s_start - g.g_end, g.g_start - s.s_end) END AS dist FROM g JOIN s ON g.chrom = s.chrom), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY g_id ORDER BY dist, s_id) AS rn FROM p) " +
+        "SELECT g.g_id, r.s_id AS closest_id, r.dist FROM g LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON g.g_id = r.g_id"),
 
     "q_e_rolling" ->
       ("SELECT event_id, user_id, count(value) OVER w AS roll_n, round(sum(value) OVER w, 4) AS roll_sum, round(avg(value) OVER w, 4) AS roll_avg, min(value) OVER w AS roll_min, max(value) OVER w AS roll_max, lag(value, 1) OVER w2 AS lag_1 FROM events " +

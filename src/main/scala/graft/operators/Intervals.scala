@@ -54,6 +54,101 @@ object Intervals {
       .drop("__island")
   }
 
+  /** Interval subtraction (`bedtools subtract`): the fragments of each
+    * A interval left after carving out everything B covers.
+    *
+    * B is first collapsed to disjoint islands (so fragments are
+    * computed against at most one covering run at a time), then one
+    * overlap join + one per-A window produce the between-island
+    * fragments, a groupBy produces each A's tail fragment, and an
+    * anti join passes untouched A rows through whole. A rows fully
+    * covered by B vanish. `aId` must identify A rows uniquely.
+    *
+    * Output: aId + keys + `sub_start`, `sub_end`.
+    */
+  def subtract(a: DataFrame, b: DataFrame, keys: Seq[String], aId: String,
+               aStart: String, aEnd: String,
+               bStart: String, bEnd: String): DataFrame = {
+    val kc = keys.map(col)
+    // island keys renamed so the join output has ONE copy of each key
+    val islands = mergeOverlaps(b, keys, bStart, bEnd)
+      .select(keys.map(k => col(k).as(s"__k_$k")) :+
+        col(bStart).as("__is") :+ col(bEnd).as("__ie"): _*)
+    val cond = (keys.map(k => a(k) === islands(s"__k_$k")) :+
+      (a(aStart) < islands("__ie")) :+
+      (islands("__is") < a(aEnd))).reduce(_ && _)
+    val pairs = a.join(islands, cond)
+      .select(a.columns.map(a(_)).toSeq :+
+        islands("__is") :+ islands("__ie"): _*)
+    val w = Window.partitionBy(col(aId)).orderBy(col("__is"))
+    val seq = pairs.withColumn("__prev", lag(col("__ie"), 1).over(w))
+    val between = seq.select(col(aId) +: kc :+
+        greatest(col(aStart), coalesce(col("__prev"), col(aStart)))
+          .as("sub_start") :+
+        least(col(aEnd), col("__is")).as("sub_end"): _*)
+      .filter(col("sub_start") < col("sub_end"))
+    val tails = seq.groupBy(col(aId) +: kc :+ col(aStart) :+ col(aEnd): _*)
+      .agg(max(col("__ie")).as("__last"))
+      .select(col(aId) +: kc :+
+        greatest(col(aStart), col("__last")).as("sub_start") :+
+        col(aEnd).as("sub_end"): _*)
+      .filter(col("sub_start") < col("sub_end"))
+    val untouched = a.join(islands, cond, "left_anti")
+      .select(col(aId) +: kc :+ col(aStart).as("sub_start") :+
+        col(aEnd).as("sub_end"): _*)
+    between.unionByName(tails).unionByName(untouched)
+  }
+
+  /** Closest B interval per A interval (`bedtools closest`): distance
+    * 0 for overlap or bookended adjacency, else the gap length; ties
+    * break to the smallest B id. Left-outer: A rows whose key has no
+    * B at all keep a null neighbor.
+    *
+    * Scale shape: NOT a per-key cross join. The two disjoint
+    * directions each reduce to an as-of alignment (nearest preceding
+    * B end / nearest following B start — one shuffle each, state one
+    * row per key in the union-sort form), and only genuinely
+    * overlapping pairs enumerate. Equal-boundary B rows are
+    * pre-reduced to their smallest id so every leg is deterministic.
+    */
+  def closest(a: DataFrame, b: DataFrame, keys: Seq[String],
+              aId: String, aStart: String, aEnd: String,
+              bId: String, bStart: String, bEnd: String): DataFrame = {
+    val kc = keys.map(col)
+    val overlapLeg = IntervalJoin.overlap(a, b, keys,
+      aStart, aEnd, bStart, bEnd)
+      .select(col(aId), col(bId).as("__bid"), lit(0L).as("dist"))
+    // nearest preceding: max bEnd <= aStart. Equal-boundary B rows
+    // collapse to min bId BEFORE the as-of so the pick is total; the
+    // boundary rides along as payload for the distance arithmetic.
+    val bBack = b.groupBy((kc :+ col(bEnd).as("__t")): _*)
+      .agg(min(col(bId)).as("__bid_r"))
+      .withColumn("__bt_r", col("__t"))
+    val back = AsOfJoin.backward(
+      a.select((kc :+ col(aId) :+ col(aStart).as("__t")): _*),
+      bBack, keys, "__t", Seq("__bid_r", "__bt_r"))
+      .filter(col("__bid_r").isNotNull)
+      .select(col(aId), col("__bid_r").as("__bid"),
+        (col("__t") - col("__bt_r")).as("dist"))
+    // nearest following: min bStart >= aEnd
+    val bFwd = b.groupBy((kc :+ col(bStart).as("__t")): _*)
+      .agg(min(col(bId)).as("__bid_r"))
+      .withColumn("__bt_r", col("__t"))
+    val fwd = AsOfJoin.forward(
+      a.select((kc :+ col(aId) :+ col(aEnd).as("__t")): _*),
+      bFwd, keys, "__t", Seq("__bid_r", "__bt_r"))
+      .filter(col("__bid_r").isNotNull)
+      .select(col(aId), col("__bid_r").as("__bid"),
+        (col("__bt_r") - col("__t")).as("dist"))
+    val legs = overlapLeg.unionByName(back).unionByName(fwd)
+    val w = Window.partitionBy(col(aId))
+      .orderBy(col("dist").asc, col("__bid").asc)
+    val best = legs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(aId), col("__bid").as("closest_id"), col("dist"))
+    a.select(col(aId)).join(best, Seq(aId), "left")
+  }
+
   /** Sweep-line coverage depth: for each key, the segments of constant
     * positive depth (how many intervals cover each base).
     *

@@ -143,6 +143,71 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set(("c", 0L, 10L, 1L), ("c", 20L, 30L, 1L)))
   }
 
+  // ---- Intervals.subtract (bedtools subtract) ----
+
+  test("subtract: between-fragments, tail, full-cover vanishes, untouched survives") {
+    val a = Seq(
+      (1L, "c", 100L, 200L), // two holes -> three fragments
+      (2L, "c", 300L, 320L), // fully covered -> vanishes
+      (3L, "c", 500L, 600L), // tail covered -> head fragment
+      (4L, "d", 0L, 50L)     // no B on d -> whole
+    ).toDF("g_id", "chrom", "g_start", "g_end")
+    val b = Seq(
+      ("c", 120L, 140L), ("c", 160L, 170L),
+      ("c", 290L, 330L),
+      ("c", 550L, 650L)
+    ).toDF("chrom", "s_start", "s_end")
+    val got = graft.operators.Intervals.subtract(a, b, Seq("chrom"),
+      "g_id", "g_start", "g_end", "s_start", "s_end")
+      .select("g_id", "sub_start", "sub_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 100L, 120L), (1L, 140L, 160L), (1L, 170L, 200L),
+      (3L, 500L, 550L),
+      (4L, 0L, 50L)))
+  }
+
+  test("subtract: overlapping B inputs merge before carving") {
+    val a = Seq((1L, "c", 0L, 100L)).toDF("g_id", "chrom", "g_start", "g_end")
+    val b = Seq(("c", 10L, 30L), ("c", 20L, 40L), ("c", 40L, 50L))
+      .toDF("chrom", "s_start", "s_end") // one island [10,50)
+    val got = graft.operators.Intervals.subtract(a, b, Seq("chrom"),
+      "g_id", "g_start", "g_end", "s_start", "s_end")
+      .select("g_id", "sub_start", "sub_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 10L), (1L, 50L, 100L)))
+  }
+
+  // ---- Intervals.closest (bedtools closest) ----
+
+  test("closest: overlap wins at 0, gaps measured, adjacency is 0, ties to min id") {
+    val a = Seq(
+      (1L, "c", 100L, 200L), // overlaps b10
+      (2L, "c", 300L, 310L), // between b10(end 220) and b11(start 400): dists 80 vs 90
+      (3L, "c", 220L, 230L), // bookended after b10 -> dist 0
+      (4L, "e", 0L, 10L)     // no B on key e -> null
+    ).toDF("g_id", "chrom", "g_start", "g_end")
+    val b = Seq(
+      (10L, "c", 150L, 220L),
+      (11L, "c", 400L, 500L),
+      (12L, "c", 400L, 500L)  // same span as 11: tie resolves to 11
+    ).toDF("s_id", "chrom", "s_start", "s_end")
+    val got = graft.operators.Intervals.closest(a, b, Seq("chrom"),
+      "g_id", "g_start", "g_end", "s_id", "s_start", "s_end")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, Some(10L), Some(0L)),
+      (2L, Some(10L), Some(80L)),
+      (3L, Some(10L), Some(0L)),
+      (4L, None, None)))
+    // pure forward tie: A before both twins
+    val a2 = Seq((5L, "c", 0L, 10L)).toDF("g_id", "chrom", "g_start", "g_end")
+    val t = graft.operators.Intervals.closest(a2, b, Seq("chrom"),
+      "g_id", "g_start", "g_end", "s_id", "s_start", "s_end")
+      .as[(Long, Option[Long], Option[Long])].head()
+    assert(t == ((5L, Some(10L), Some(140L))))
+  }
+
   test("coverageDepth total base-depth equals sum of interval lengths") {
     val df = segs // reuse the join fixture
     val total = graft.operators.Intervals
