@@ -378,6 +378,17 @@ object SparkEntry {
         Seq("user_id"), "value", stat = "mean")
         .select("event_id", "user_id", "value_filled", "value_imputed")),
 
+    // quantile normalization over a 10-sample x 100-gene cents matrix
+    // (exact integer rank sums -> engine-exact rank means)
+    "q_e_qnorm" -> ((s, d) => {
+      val m = t(s, d, "lineitem")
+        .groupBy((col("l_suppkey") % 10).as("sample_id"),
+          (col("l_partkey") % 100).as("gene"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+      Features.quantileNormalize(m, "sample_id", "gene", "v")
+        .select("sample_id", "gene", "qn_rank", "qn_value")
+    }),
+
     // ---- per-key rolling + lag features (feature engineering) ----
     "q_e_rolling" -> ((s, d) =>
       Features.lagFeatures(
@@ -1485,6 +1496,12 @@ object SparkEntry {
         "p AS (SELECT g.g_id, s.s_id, CASE WHEN g.g_start < s.s_end AND s.s_start < g.g_end THEN 0 ELSE greatest(s.s_start - g.g_end, g.g_start - s.s_end) END AS dist FROM g JOIN s ON g.chrom = s.chrom), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY g_id ORDER BY dist, s_id) AS rn FROM p) " +
         "SELECT g.g_id, r.s_id AS closest_id, r.dist FROM g LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON g.g_id = r.g_id"),
+
+    "q_e_qnorm" ->
+      ("WITH m AS (SELECT l_suppkey % 10 AS sample_id, l_partkey % 100 AS gene, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v FROM lineitem GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY sample_id ORDER BY v, gene) AS rn FROM m), " +
+        "mm AS (SELECT rn, round(sum(v) * 1.0 / count(*), 6) AS qn_value FROM r GROUP BY 1) " +
+        "SELECT sample_id, gene, r.rn AS qn_rank, mm.qn_value FROM r JOIN mm USING (rn)"),
 
     "q_e_rolling" ->
       ("SELECT event_id, user_id, count(value) OVER w AS roll_n, round(sum(value) OVER w, 4) AS roll_sum, round(avg(value) OVER w, 4) AS roll_avg, min(value) OVER w AS roll_min, max(value) OVER w AS roll_max, lag(value, 1) OVER w2 AS lag_1 FROM events " +

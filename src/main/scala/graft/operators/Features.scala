@@ -90,4 +90,31 @@ object Features {
       acc.withColumn(c, coalesce(col(c), d))
     }
   }
+
+  /** Quantile normalization — the cross-sample distribution aligner of
+    * expression-matrix pipelines (the cBio matrices this engine's
+    * pivots build are exactly its input shape): rank values within
+    * each sample, average each rank across samples, substitute the
+    * rank mean back. Deterministic variant: ranks are a TOTAL order
+    * via the `idCol` tie-break (classic tie-averaging is a documented
+    * departure point), and the rank mean is an exact integer sum ÷
+    * count when `valueCol` is integral — engine-exact; float inputs
+    * carry the usual last-ulp-then-round(6) caveat.
+    *
+    * Shapes: one window per sample (keyed shuffle), one rank-keyed
+    * aggregation (cardinality = genes-per-sample), one skew-free join
+    * back on the rank. Samples missing some ranks contribute to the
+    * means they have — document-or-impute upstream if the matrix is
+    * ragged. Output: input columns + `qn_rank`, `qn_value`.
+    */
+  def quantileNormalize(df: DataFrame, sampleCol: String, idCol: String,
+                        valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(sampleCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val ranked = df.withColumn("qn_rank", row_number().over(w))
+    val rankMeans = ranked.groupBy("qn_rank")
+      .agg(round(sum(col(valueCol)) * lit(1.0) / count(lit(1)), 6)
+        .as("qn_value"))
+    ranked.join(rankMeans, Seq("qn_rank"))
+  }
 }

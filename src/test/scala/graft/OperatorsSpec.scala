@@ -49,6 +49,25 @@ class OperatorsSpec extends SparkSpec {
     assert(withNull.count() == 4L)
   }
 
+  test("quantileNormalize: rank means substituted, samples end up identical") {
+    import graft.operators.Features
+    val m = Seq(
+      ("s1", "g1", 2L), ("s1", "g2", 4L), ("s1", "g3", 6L),
+      ("s2", "g1", 3L), ("s2", "g2", 1L), ("s2", "g3", 5L)
+    ).toDF("sample_id", "gene", "v")
+    val got = Features.quantileNormalize(m, "sample_id", "gene", "v")
+      .select("sample_id", "gene", "qn_rank", "qn_value")
+      .as[(String, String, Int, Double)].collect()
+    val byKey = got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(byKey(("s1", "g1")) == ((1, 1.5))) // rank1 mean of (2,1)
+    assert(byKey(("s2", "g2")) == ((1, 1.5)))
+    assert(byKey(("s1", "g2")) == ((2, 3.5)))
+    assert(byKey(("s2", "g3")) == ((3, 5.5)))
+    // post-normalization the samples have IDENTICAL value multisets
+    val dists = got.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq)
+    assert(dists("s1") == dists("s2"))
+  }
+
   test("duplicatePairs catches pandas-pivot ValueError case (cnv.py:657)") {
     val df = Seq(("g1", "s1", 1.0), ("g1", "s1", 2.0), ("g2", "s1", 3.0))
       .toDF("gene", "sample", "v")
