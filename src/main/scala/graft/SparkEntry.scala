@@ -408,6 +408,12 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TF.qualityScore(col("text")).as("quality"))),
 
+    // character-distribution entropy screen (map-only, no shuffle)
+    "q_t_entropy" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TF.charEntropy(col("text")).as("entropy"))),
+
     // Gopher-style repetition screens (word-level): the drop-before-
     // training filters a 100 TB corpus pass runs first. Tokenize once
     // per row (own projection), score three screens off the bound array.
@@ -497,6 +503,11 @@ object SparkEntry {
     // noise can't decide order — ties break by term in both engines)
     "q_t_tfidf" -> ((s, d) =>
       Tfidf.topTerms(t(s, d, "documents"), "text", "doc_id", k = 3)),
+
+    // BM25 relevance for a fixed 3-term query over the corpus
+    "q_t_bm25" -> ((s, d) =>
+      Tfidf.bm25(t(s, d, "documents"), "text", "doc_id",
+        Seq("spark", "join", "vector"))),
 
     // unigram LM perplexity filter: trained on the even-doc_id half,
     // scored over everything (odd docs exercise OOV smoothing);
@@ -1206,6 +1217,14 @@ object SparkEntry {
         "sc AS (SELECT doc_id, term, round(tf * (ln((nn + 1)::DOUBLE / (df + 1)) + 1), 4) AS tfidf FROM tf JOIN dfq USING (term) CROSS JOIN n) " +
         "SELECT doc_id, term, tfidf, rank FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc) WHERE rank <= 3"),
 
+    "q_t_bm25" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "st AS (SELECT count(*) AS nn, sum(len(tk)) * 1.0 / count(*) AS avglen FROM t), " +
+        "tf AS (SELECT doc_id, l, term, count(*) AS tf FROM (SELECT doc_id, len(tk) AS l, unnest(tk) AS term FROM t) WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT doc_id, ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * l / avglen)) AS s FROM tf JOIN dfq USING (term) CROSS JOIN st) " +
+        "SELECT doc_id, count(*) AS n_matched, round(sum(s), 6) AS score FROM sc GROUP BY 1"),
+
     "q_t_lm" ->
       (s"WITH tr AS (SELECT unnest($toksSql) AS term FROM documents WHERE doc_id % 2 = 0), " +
         "cnt AS (SELECT term, count(*) AS c FROM tr GROUP BY 1), " +
@@ -1518,6 +1537,14 @@ object SparkEntry {
 
     "q_t_quality" ->
       s"WITH q AS (SELECT doc_id, len($toksSql)::DOUBLE AS nw, len(list_filter($toksSql, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, $punctSql AS pr FROM documents) SELECT doc_id, round((least(nw / 100.0, 1.0) + least(hits / greatest(nw, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS quality FROM q",
+
+    "q_t_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c FROM documents), " +
+        "cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2), " +
+        "ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * CAST(round(ln(k) * 1e6) AS BIGINT)) AS BIGINT) AS s FROM cnt GROUP BY 1) " +
+        "SELECT d.doc_id, length(d.text)::BIGINT AS n_chars, " +
+        "CASE WHEN ag.n IS NULL THEN 0.0 ELSE round((ag.n * CAST(round(ln(ag.n) * 1e6) AS BIGINT) - ag.s) / (ag.n * 1e6), 6) END AS entropy " +
+        "FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id"),
 
     "q_t_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)

@@ -190,6 +190,30 @@ object TextFns {
         urlPattern, "<URL>"),
       phonePattern, "<PHONE>")
 
+  /** Shannon entropy (nats, 6 dp) of the CHARACTER distribution — the
+    * gibberish / keyboard-mash / base64-blob screen that complements
+    * the word-level repetition filters (low entropy = one repeated
+    * glyph, high = uniform noise; prose sits in a stable band).
+    *
+    * Engine-exact via the LangModel integer trick: entropy
+    * = (n·ln n − Σ_c k_c·ln k_c)/n, with each ln rounded to integer
+    * micro-nats FIRST so the sum is exact long arithmetic and the
+    * only float op is the final division. Pure Column HOFs — fuses
+    * into the scan projection, no shuffle. 0.0 for empty documents;
+    * cost O(len · distinct-chars) per row (alphabet-bounded). */
+  def charEntropy(c: Column): Column = {
+    val chs = filter(split(c, ""), ch => ch =!= "")
+    val n = size(chs).cast("long")
+    def lmicro(x: Column) =
+      round(log(x.cast("double")) * 1e6).cast("long")
+    val s = aggregate(
+      transform(array_distinct(chs),
+        ch => size(filter(chs, x => x === ch)).cast("long")),
+      lit(0L), (acc, k) => acc + k * lmicro(k))
+    when(n === 0, 0.0).otherwise(
+      round((n * lmicro(n) - s).cast("double") / (n.cast("double") * 1e6), 6))
+  }
+
   // ---- repetition screens (Gopher-style, Rae et al. 2021 §A1.1) ----
   // Training corpora drop boilerplate/repetitive docs before anything
   // else touches them; at word level these are pure Column HOFs — no

@@ -95,4 +95,45 @@ object Tfidf {
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tfidf", "rank")
   }
+
+  /** BM25 relevance of every document for a fixed query-term set —
+    * the ranking function behind the `postings` index (Robertson
+    * idf with the Lucene +1 inside the log, so idf stays positive for
+    * terms in over half the corpus).
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+    * with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Shapes: ONE tokenize pass; per-doc term frequencies only for the
+    * |query|-sized term set (the isin filter drops everything else
+    * before the aggregation); df/avglen/N ride as broadcast frames.
+    * Only matching documents return (score > 0): (idCol, n_matched,
+    * score). */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.tokens(col(textCol)).as("__tk"))
+    val lens = toks.select(col("doc_id"), size(col("__tk")).as("__len"))
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      (sum(col("__len")) * lit(1.0) / count(lit(1))).as("__avglen"))
+    val tf = toks.select(col("doc_id"), size(col("__tk")).as("__len"),
+        explode(col("__tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "__len", "term").agg(count(lit(1)).as("tf"))
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = termDf.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+          .as("__idf"),
+        col("__avglen"))
+    tf.join(broadcast(idf), Seq("term"))
+      .withColumn("__s", col("__idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("__len") / col("__avglen"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("__s")), 6).as("score"))
+  }
 }

@@ -129,6 +129,28 @@ class ColumnFnsSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: hand-computed nats with integer-micro-nat rounding") {
+    def expected(s: String): Double = {
+      if (s.isEmpty) 0.0
+      else {
+        def lm(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+        val ks = s.groupBy(identity).values.map(_.length.toLong)
+        val n = s.length.toLong
+        val micro = (n * lm(n) - ks.map(k => k * lm(k)).sum).toDouble / (n * 1e6)
+        BigDecimal(micro).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val inputs = Seq("aaaa", "abab", "abcd", "mississippi", "", "a")
+    val got = inputs.toDF("t")
+      .select(TF.charEntropy(col("t")).as("e")).as[Double].collect().toSeq
+    inputs.zip(got).foreach { case (s, g) =>
+      assert(g == expected(s), s"entropy('$s')")
+    }
+    // order sanity: uniform > skewed > constant
+    assert(got(2) > got(1) || got(1) == got(2))
+    assert(got(1) > got(0) && got(0) == 0.0)
+  }
+
   test("langGuess picks the marker-heavy language") {
     val df = Seq(
       "the cat and the dog of the house is big",

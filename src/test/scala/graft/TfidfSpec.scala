@@ -76,6 +76,28 @@ class TfidfSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("bm25: hand-computed scores, non-matching docs absent") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "delta")
+    ).toDF("doc_id", "text")
+    val got = Tfidf.bm25(corpus, "text", "doc_id", Seq("apple", "banana"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // N=3, avglen=2, df(apple)=1, df(banana)=2
+    val idfA = math.log(1.0 + (3 - 1 + 0.5) / 1.5)
+    val idfB = math.log(1.0 + (3 - 2 + 0.5) / 2.5)
+    def s(idf: Double, tf: Long, len: Long): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len / 2.0))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L, r6(s(idfA, 2, 3) + s(idfB, 1, 3)))))
+    assert(got(2L) == ((1L, r6(s(idfB, 1, 2)))))
+    assert(!got.contains(3L))
+    assert(got(1L)._2 > got(2L)._2) // more matched terms ranks higher
+  }
+
   test("cooccurrence: pair counts and PMI sign") {
     val got = Tfidf.cooccurrence(docs, "text", "doc_id", minPairs = 2L)
       .as[(String, String, Long, Double)].collect()
