@@ -414,6 +414,12 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_chars"),
         TF.charEntropy(col("text")).as("entropy"))),
 
+    // MOSS winnowing fingerprints (map-only; window min over 3-gram
+    // hashes, rightmost tie, per-doc distinct before the explode)
+    "q_t_winnow" -> ((s, d) =>
+      Dedup.winnowFingerprints(t(s, d, "documents"), "text", "doc_id",
+        n = 3, w = 4)),
+
     // Gopher-style repetition screens (word-level): the drop-before-
     // training filters a 100 TB corpus pass runs first. Tokenize once
     // per row (own projection), score three screens off the bound array.
@@ -1537,6 +1543,16 @@ object SparkEntry {
 
     "q_t_quality" ->
       s"WITH q AS (SELECT doc_id, len($toksSql)::DOUBLE AS nw, len(list_filter($toksSql, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, $punctSql AS pr FROM documents) SELECT doc_id, round((least(nw / 100.0, 1.0) + least(hits / greatest(nw, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS quality FROM q",
+
+    "q_t_winnow" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "h AS (SELECT doc_id, list_transform(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END, " +
+        "x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs FROM t), " +
+        "w AS (SELECT doc_id, hs, unnest(CASE WHEN len(hs) = 0 THEN []::BIGINT[] WHEN len(hs) < 4 THEN [0] ELSE range(0, len(hs) - 3) END) AS i FROM h), " +
+        "p AS (SELECT doc_id, i, list_slice(hs, i + 1, i + 4) AS win FROM w), " +
+        "q AS (SELECT doc_id, i, win, list_min(win) AS fp FROM p), " +
+        "r AS (SELECT doc_id, i, fp, list_max(list_transform(range(1, len(win) + 1), j -> CASE WHEN win[j] = fp THEN j ELSE 0 END)) AS jmax FROM q) " +
+        "SELECT DISTINCT doc_id, CAST(i + jmax - 1 AS BIGINT) AS pos, fp FROM r"),
 
     "q_t_entropy" ->
       ("WITH ch AS (SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c FROM documents), " +

@@ -467,6 +467,42 @@ object Dedup {
         .otherwise(round(col("covered") / col("n_tokens"), 6)))
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): slide a window of `w` consecutive n-gram
+    * hashes and keep the window minimum (rightmost on ties), giving a
+    * position-bearing fingerprint set with the guarantee that any
+    * shared token run of at least w+n−1 tokens shares a fingerprint —
+    * the robust upgrade of a single whole-doc rolling hash for
+    * partial-overlap / clone detection.
+    *
+    * Scale shape: entirely MAP-ONLY — the compiled n-gram kernel plus
+    * integer HOFs fuse into the scan projection, per-doc dedup via
+    * array_distinct happens before the explode, and no shuffle exists
+    * at all (downstream joins on `fp` are the consumer's choice).
+    * Documents shorter than one window still emit their single best
+    * fingerprint (standard MOSS behavior); sub-n-token docs emit none.
+    * Output: (doc_id, pos, fp) where pos indexes the n-gram start. */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, "winnow: n and w must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFns.ngramHashesNative(col(textCol), n).as("__hs"))
+    val m = size(col("__hs"))
+    val starts = when(m === 0, array().cast("array<int>"))
+      .when(m < w, array(lit(0)))
+      .otherwise(sequence(lit(0), m - w))
+    val picks = transform(starts, i => {
+      val win = slice(col("__hs"), i + 1, lit(w))
+      val minv = array_min(win)
+      val jmax = array_max(transform(sequence(lit(1), size(win)),
+        j => when(element_at(win, j) === minv, j).otherwise(0)))
+      struct((i + jmax - 1).cast("long").as("pos"), minv.as("fp"))
+    })
+    base.select(col("doc_id"),
+        explode(array_distinct(picks)).as("__p"))
+      .select(col("doc_id"), col("__p.pos").as("pos"), col("__p.fp").as("fp"))
+  }
+
   /** `dedupByLsh` result: the deduplicated docs plus the oversize-
     * bucket accounting from the candidate stage (recall loss is a
     * caller-visible fact, end to end — not just in the pair stage). */

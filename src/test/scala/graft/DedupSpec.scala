@@ -254,6 +254,47 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (_, nd, nt) => nd == 2 && nt == 2 })
   }
 
+  test("winnowFingerprints: matches a Scala reference winnow over the same hashes") {
+    import graft.functions.TextFns
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),                 // 8 3-grams, 5 windows
+      (2L, "x y z w x y z w x y z"),               // repeated grams → ties
+      (3L, "short doc here"),                      // exactly one 3-gram
+      (4L, "one two"),                             // below n → no fingerprints
+      (5L, "p q r s t"))                           // 3 grams < w → one window
+      .toDF("doc_id", "text")
+    // reference: winnow in plain Scala over the engine's own hash arrays
+    val hs = docs.select(col("doc_id"),
+        TextFns.ngramHashesNative(col("text"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val w = 4
+    val expected = hs.toSeq.flatMap { case (id, h) =>
+      val starts =
+        if (h.isEmpty) Seq.empty
+        else if (h.length < w) Seq(0)
+        else 0 to (h.length - w)
+      starts.map { i =>
+        val win = h.slice(i, i + w)
+        val minv = win.min
+        val jmax = win.lastIndexWhere(_ == minv)
+        (id, (i + jmax).toLong, minv)
+      }.distinct
+    }.toSet
+    val got = Dedup.winnowFingerprints(docs, "text", "doc_id", n = 3, w = w)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(!got.exists(_._1 == 4L))
+    // guarantee: docs sharing a run >= w+n-1 = 6 tokens share a fingerprint
+    val shared = Seq((10L, "alpha beta gamma delta epsilon zeta junk1"),
+      (11L, "junk2 junk3 alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(shared, "text", "doc_id", n = 3, w = w)
+      .as[(Long, Long, Long)].collect()
+    val common = fps.filter(_._1 == 10L).map(_._3).toSet
+      .intersect(fps.filter(_._1 == 11L).map(_._3).toSet)
+    assert(common.nonEmpty)
+  }
+
   test("ngramSpanCoverage: covered positions counted once, zero for clean docs") {
     val docs = Seq(
       (1L, "a b c d e f"),   // 5-grams: "a b c d e", "b c d e f" — both shared
