@@ -525,6 +525,16 @@ object SparkEntry {
         LangModel.unigramCounts(docs.filter(col("doc_id") % 2 === 0), "text"))
     }),
 
+    // bigram LM with add-one smoothing: seen-pair -> seen-context ->
+    // OOV coalesce chain, all log-probs integer micro-nats
+    "q_t_lm2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      LangModel.scoreDocsBigram(docs, "text", "doc_id",
+        LangModel.unigramCounts(train, "text"),
+        LangModel.bigramCounts(train, "text"))
+    }),
+
     // the COMPOSED corpus-cleaning pass: screens (length/language/
     // quality/repetition) -> exact dedup -> LSH near-dedup, with
     // per-document drop attribution — both the survivors and the
@@ -1242,6 +1252,25 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, " +
         "round(sc.s / sc.n_tokens / 1e6, 6) AS avg_logprob, " +
         "round(exp(-(sc.s::DOUBLE) / sc.n_tokens / 1e6), 4) AS ppl " +
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+
+    "q_t_lm2" ->
+      (s"WITH tr AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 2 = 0), " +
+        "uni AS (SELECT term, count(*) AS cu FROM (SELECT unnest(tk) AS term FROM tr) GROUP BY 1), " +
+        "vv AS (SELECT count(*) AS v FROM uni), " +
+        "trb AS (SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS p FROM tr), " +
+        "big AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS cb FROM trb GROUP BY 1, 2), " +
+        "ctx AS (SELECT term AS w1, cu + v + 1 AS denom FROM uni CROSS JOIN vv), " +
+        "plp AS (SELECT w1, w2, CAST(round(ln((cb + 1)::DOUBLE / denom) * 1e6) AS BIGINT) AS plpm FROM big JOIN ctx USING (w1)), " +
+        "clp AS (SELECT w1, CAST(round(ln(1.0 / denom) * 1e6) AS BIGINT) AS clpm FROM ctx), " +
+        "oov AS (SELECT CAST(round(ln(1.0 / (v + 1)) * 1e6) AS BIGINT) AS olpm FROM vv), " +
+        s"dtk AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "dp AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS p FROM dtk), " +
+        "dpw AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM dp), " +
+        "sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(coalesce(plpm, clpm, olpm)) AS s FROM dpw LEFT JOIN plp USING (w1, w2) LEFT JOIN clp USING (w1) CROSS JOIN oov GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, " +
+        "round(sc.s / sc.n_bigrams / 1e6, 6) AS avg_logprob, " +
+        "round(exp(-(sc.s::DOUBLE) / sc.n_bigrams / 1e6), 4) AS ppl " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
 
     "q_t_clean" ->

@@ -60,4 +60,64 @@ object LangModel {
         round(col("__s") / col("n_tokens") / 1e6, 6).as("avg_logprob"),
         round(exp(-col("__s") / col("n_tokens") / 1e6), 4).as("ppl"))
   }
+
+  /** Bigram counts of the training corpus: (w1, w2, cnt) over
+    * consecutive token pairs. Pair extraction is a zip of the token
+    * array with its own tail — no window function, no self-join. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val tk = TextFns.tokens(col(textCol))
+    docs.select(arrays_zip(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("__z"))
+      .select(explode(col("__z")).as("__p"))
+      .select(col("__p.0").as("w1"), col("__p.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Score documents under an add-one-smoothed bigram model:
+    * p(b|a) = (c(a,b)+1)/(c(a)+V+1), where V is the training
+    * vocabulary size; an unseen context a (c(a)=0) degrades to
+    * 1/(V+1). Same determinism contract as `scoreDocs`: every
+    * distinct (pair | context | OOV) log-prob is rounded to integer
+    * micro-nats on the model tables — vocabulary-sized, never per
+    * occurrence — so per-document sums are exact long arithmetic.
+    *
+    * Scale shape: doc bigrams join the pair table on (w1,w2) and the
+    * context table on w1 — both model-sized (broadcast for word-level
+    * vocabularies); the fallback chain is one coalesce. Documents
+    * with fewer than 2 tokens keep n_bigrams = 0 with null scores.
+    * Output: idCol, n_bigrams, avg_logprob (6 dp), ppl (4 dp). */
+  def scoreDocsBigram(docs: DataFrame, textCol: String, idCol: String,
+                      uni: DataFrame, big: DataFrame): DataFrame = {
+    val v = uni.agg(count(lit(1)).as("__v"))
+    val ctx = uni.crossJoin(broadcast(v))
+      .select(col("term").as("w1"),
+        (col("cnt") + col("__v") + 1).as("__denom"))
+    val pairLp = big.join(ctx, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log((col("cnt") + 1).cast("double") / col("__denom")) * 1e6)
+          .cast("long").as("__plpm"))
+    val ctxLp = ctx.select(col("w1"),
+      round(log(lit(1.0) / col("__denom")) * 1e6).cast("long").as("__clpm"))
+    val oov = v.select(
+      round(log(lit(1.0) / (col("__v") + 1)) * 1e6).cast("long").as("__oov"))
+    val tk = TextFns.tokens(col(textCol))
+    val docPairs = docs.select(col(idCol), arrays_zip(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("__z"))
+      .select(col(idCol), explode(col("__z")).as("__p"))
+      .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
+    val scored = docPairs
+      .join(broadcast(pairLp), Seq("w1", "w2"), "left")
+      .join(broadcast(ctxLp), Seq("w1"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__plpm"), col("__clpm"), col("__oov"))).as("__s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__s") / col("n_bigrams") / 1e6, 6).as("avg_logprob"),
+        round(exp(-col("__s") / col("n_bigrams") / 1e6), 4).as("ppl"))
+  }
 }

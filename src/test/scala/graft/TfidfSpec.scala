@@ -76,6 +76,32 @@ class TfidfSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("bigram LM: hand-computed pair/context/oov fallback chain") {
+    import graft.operators.LangModel
+    val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(train, "text")
+    val big = LangModel.bigramCounts(train, "text")
+    assert(big.as[(String, String, Long)].collect().toSet ==
+      Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)))
+    val score = Seq(
+      (10L, "a b c"),   // seen pairs: p(b|a)=3/6, p(c|b)=2/6
+      (11L, "a c"),     // unseen pair, seen ctx a: 1/6
+      (12L, "z z"),     // unseen ctx: 1/(V+1)=1/4
+      (13L, "solo")     // < 2 tokens: no bigrams
+    ).toDF("doc_id", "text")
+    val got = LangModel.scoreDocsBigram(score, "text", "doc_id", uni, big)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def lpm(p: Double) = Math.round(Math.log(p) * 1e6)
+    def avg(s: Long, n: Int) = BigDecimal(s.toDouble / n / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // V=3; denom(a)=2+4=6, denom(b)=6, denom(c)=5
+    assert(got(10L) == ((2L, Some(avg(lpm(3.0 / 6) + lpm(2.0 / 6), 2)))))
+    assert(got(11L) == ((1L, Some(avg(lpm(1.0 / 6), 1)))))
+    assert(got(12L) == ((1L, Some(avg(lpm(1.0 / 4), 1)))))
+    assert(got(13L) == ((0L, None)))
+  }
+
   test("bm25: hand-computed scores, non-matching docs absent") {
     val corpus = Seq(
       (1L, "apple banana apple"),
