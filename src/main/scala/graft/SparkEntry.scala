@@ -557,6 +557,12 @@ object SparkEntry {
       Dedup.ngramSpanCoverage(t(s, d, "documents"), "text", "doc_id",
         n = 5, minDocs = 2)),
 
+    // the ExactSubstr TRANSFORM the coverage report audits: rebuild
+    // text with every cross-doc 5-gram span removed
+    "q_d_trimspans" -> ((s, d) =>
+      Dedup.trimDuplicatedSpans(t(s, d, "documents"), "text", "doc_id",
+        n = 5, minDocs = 2)),
+
     // inverted index over the corpus vocabulary (df >= 3)
     "q_t_postings" -> ((s, d) =>
       Tfidf.postings(t(s, d, "documents"), "text", "doc_id", minDf = 3L)),
@@ -1313,6 +1319,17 @@ object SparkEntry {
         "pos AS (SELECT doc_id, unnest(range(gpos, gpos + 5)) AS p FROM h JOIN dup USING (ngram_hash)), " +
         "cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM pos GROUP BY 1) " +
         "SELECT t.doc_id, len(tk) AS n_tokens, coalesce(covered, 0) AS covered, CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(coalesce(covered, 0) / len(tk), 6) END AS coverage FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id"),
+
+    "q_d_trimspans" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        s"g AS (SELECT doc_id, unnest(ng) AS g, generate_subscripts(ng, 1) AS gpos FROM (SELECT doc_id, $ngram5Sql AS ng FROM t)), " +
+        s"h AS (SELECT doc_id, gpos, ${h60Sql("g")} AS ngram_hash FROM g), " +
+        "dup AS (SELECT ngram_hash FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
+        "pos AS (SELECT doc_id, unnest(range(gpos, gpos + 5)) AS p FROM h JOIN dup USING (ngram_hash)), " +
+        "cov AS (SELECT doc_id, count(DISTINCT p) AS nrem, list(DISTINCT p) AS cl FROM pos GROUP BY 1) " +
+        "SELECT t.doc_id, len(tk)::BIGINT AS n_tokens, coalesce(nrem, 0)::BIGINT AS n_removed, " +
+        "coalesce(array_to_string(list_filter(tk, (x, i) -> cl IS NULL OR NOT list_contains(cl, i)), ' '), '') AS text_clean " +
+        "FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id"),
 
     "q_x_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

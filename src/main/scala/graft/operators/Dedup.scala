@@ -467,6 +467,46 @@ object Dedup {
         .otherwise(round(col("covered") / col("n_tokens"), 6)))
   }
 
+  /** ExactSubstr-style span trimming (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): REMOVE every token
+    * position covered by an n-gram that `duplicatedNgrams` flagged as
+    * appearing in ≥ `minDocs` documents, and rebuild the text — the
+    * transform the coverage report (`ngramSpanCoverage`) is the
+    * audit for. (This trims the span everywhere it appears, the
+    * conservative variant; keep-one-copy needs a global occurrence
+    * order and is a policy layered on top.)
+    *
+    * Scale shape: flagged hashes are the ONLY shuffled rows (60-bit
+    * longs, hash-aggregated); covered positions collapse per doc in
+    * one aggregation; the rebuild is an indexed filter HOF over the
+    * token array — no second tokenize, no window. Per-row rebuild
+    * cost is O(tokens · covered): fine for chunk-bounded documents,
+    * quadratic only for a fully-duplicated long doc (which this pass
+    * exists to delete anyway).
+    * Output: (doc_id, n_tokens, n_removed, text_clean). */
+  def trimDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                          n: Int, minDocs: Int = 2): DataFrame = {
+    val flagged = duplicatedNgrams(df, textCol, idCol, n, minDocs)
+      .select("ngram_hash")
+    val grams = df.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.ngramHashesNative(col(textCol), n))
+        .as(Seq("__gpos", "ngram_hash")))
+    val cov = grams.join(flagged, Seq("ngram_hash"))
+      .select(col("doc_id"),
+        explode(sequence(col("__gpos") + 1, col("__gpos") + n)).as("__pos"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("__pos")).as("__cov"))
+    df.select(col(idCol).as("doc_id"),
+        TextFns.tokens(col(textCol)).as("__tk"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("__tk"),
+          (t, i) => col("__cov").isNull ||
+            !array_contains(col("__cov"), i + 1))).as("text_clean"))
+  }
+
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 —
     * the MOSS algorithm): slide a window of `w` consecutive n-gram
     * hashes and keep the window minimum (rightmost on ties), giving a

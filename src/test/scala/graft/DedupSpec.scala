@@ -254,6 +254,24 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (_, nd, nt) => nd == 2 && nt == 2 })
   }
 
+  test("trimDuplicatedSpans: shared spans removed everywhere, clean docs untouched") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),       // shares 5-gram run with 2
+      (2L, "the cat sat on the mat tomorrow"),
+      (3L, "aa bb cc dd ee aa bb cc dd ee"),      // self-repeat only: kept
+      (4L, "completely different words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.trimDuplicatedSpans(docs, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1+2 share "the cat sat on the mat" (positions 1-6 via the
+    // two overlapping flagged 5-grams); the differing last token stays
+    assert(got(1L) == ((7L, 6L, "today")))
+    assert(got(2L) == ((7L, 6L, "tomorrow")))
+    assert(got(3L) == ((10L, 0L, "aa bb cc dd ee aa bb cc dd ee")))
+    assert(got(4L) == ((5L, 0L, "completely different words here now")))
+  }
+
   test("winnowFingerprints: matches a Scala reference winnow over the same hashes") {
     import graft.functions.TextFns
     val docs = Seq(
