@@ -515,6 +515,12 @@ object SparkEntry {
       Tfidf.bm25(t(s, d, "documents"), "text", "doc_id",
         Seq("spark", "join", "vector"))),
 
+    // Fightin' Words: per-source distinctive terms, corpus-prior
+    // log-odds z-scores, top 5 per group
+    "q_t_keyterms" -> ((s, d) =>
+      Tfidf.distinctiveTerms(t(s, d, "documents"), "text", "source",
+        k = 5)),
+
     // unigram LM perplexity filter: trained on the even-doc_id half,
     // scored over everything (odd docs exercise OOV smoothing);
     // per-term log-probs are integer micro-nats so document sums are
@@ -1259,6 +1265,17 @@ object SparkEntry {
         "round(sc.s / sc.n_tokens / 1e6, 6) AS avg_logprob, " +
         "round(exp(-(sc.s::DOUBLE) / sc.n_tokens / 1e6), 4) AS ppl " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+
+    "q_t_keyterms" ->
+      (s"WITH tok AS (SELECT source AS grp, unnest($toksSql) AS term FROM documents), " +
+        "yst AS (SELECT grp, term, count(*) AS yg FROM tok GROUP BY 1, 2), " +
+        "yt AS (SELECT term, sum(yg) AS y FROM yst GROUP BY 1), " +
+        "ns AS (SELECT grp, sum(yg) AS ng FROM yst GROUP BY 1), " +
+        "tot AS (SELECT sum(yg) AS n FROM yst), " +
+        "j AS (SELECT yst.grp, yst.term, yg, ng, 100.0 * y / n AS a, y - yg AS yr, n - ng AS nr FROM yst JOIN yt USING (term) JOIN ns USING (grp) CROSS JOIN tot), " +
+        "dd AS (SELECT grp, term, yg, a, yr, ln((yg + a) / (ng + 100.0 - yg - a)) - ln((yr + a) / (nr + 100.0 - yr - a)) AS d FROM j), " +
+        "sc AS (SELECT grp, term, round(d, 6) AS delta, round(d / sqrt(1.0 / (yg + a) + 1.0 / (yr + a)), 6) AS z FROM dd) " +
+        "SELECT grp, term, delta, z, rank FROM (SELECT sc.*, row_number() OVER (PARTITION BY grp ORDER BY z DESC, term) AS rank FROM sc) WHERE rank <= 5"),
 
     "q_t_lm2" ->
       (s"WITH tr AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 2 = 0), " +

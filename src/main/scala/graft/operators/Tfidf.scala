@@ -96,6 +96,56 @@ object Tfidf {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** Distinctive terms per group — Monroe/Colaresi/Quinn "Fightin'
+    * Words" log-odds with an informative Dirichlet prior drawn from
+    * the whole corpus (prior mass `a0`, spread across terms in
+    * proportion to corpus frequency). For each group g and term
+    * present in g:
+    *
+    *   δ = ln((y_g+a)/(n_g+a0−y_g−a)) − ln((y_r+a)/(n_r+a0−y_r−a))
+    *   z = δ / sqrt(1/(y_g+a) + 1/(y_r+a)),  a = a0·y/n
+    *
+    * where r is the rest of the corpus. The corpus prior shrinks
+    * rare-term noise that raw log-odds or tf-idf over-rank.
+    *
+    * Shapes: one tokenize+explode pass feeds every count; the term
+    * and group marginals are vocabulary-/group-sized broadcast
+    * frames; the only wide shuffle is the (group, term) count. δ and
+    * z are ROUNDED to 6 dp before the per-group rank window so tie
+    * order is engine-identical. Output: (grp, term, delta, z, rank),
+    * top `k` by z per group. */
+  def distinctiveTerms(docs: DataFrame, textCol: String, groupCol: String,
+                       k: Int = 5, a0: Double = 100.0): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val yst = tok.groupBy("grp", "term").agg(count(lit(1)).as("y_g"))
+    val yt = yst.groupBy("term").agg(sum(col("y_g")).as("y"))
+    val ns = yst.groupBy("grp").agg(sum(col("y_g")).as("n_g"))
+    val tot = yst.agg(sum(col("y_g")).as("n"))
+    val scored = yst
+      .join(broadcast(yt), Seq("term"))
+      .join(broadcast(ns), Seq("grp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__a", lit(a0) * col("y") / col("n"))
+      .withColumn("__yr", col("y") - col("y_g"))
+      .withColumn("__nr", col("n") - col("n_g"))
+      .withColumn("__d",
+        log((col("y_g") + col("__a")) /
+          (col("n_g") + a0 - col("y_g") - col("__a"))) -
+        log((col("__yr") + col("__a")) /
+          (col("__nr") + a0 - col("__yr") - col("__a"))))
+      .withColumn("__z", col("__d") /
+        sqrt(lit(1.0) / (col("y_g") + col("__a")) +
+          lit(1.0) / (col("__yr") + col("__a"))))
+      .select(col("grp"), col("term"),
+        round(col("__d"), 6).as("delta"), round(col("__z"), 6).as("z"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("z").desc, col("term"))))
+      .filter(col("rank") <= k)
+  }
+
   /** BM25 relevance of every document for a fixed query-term set —
     * the ranking function behind the `postings` index (Robertson
     * idf with the Lucene +1 inside the log, so idf stays positive for

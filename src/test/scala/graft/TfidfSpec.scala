@@ -76,6 +76,35 @@ class TfidfSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("distinctiveTerms: Scala-computed log-odds z, exclusive term ranks first") {
+    val docs = Seq(
+      (1L, "apple apple banana", "A"),
+      (2L, "cherry banana banana", "B")
+    ).toDF("doc_id", "text", "source")
+    val a0 = 100.0
+    // corpus: apple 2 (A only), banana 3 (1 A, 2 B), cherry 1 (B only); n=6
+    def z(yg: Long, y: Long, ng: Long, n: Long): (Double, Double) = {
+      val a = a0 * y / n
+      val (yr, nr) = (y - yg, n - ng)
+      val d = math.log((yg + a) / (ng + a0 - yg - a)) -
+        math.log((yr + a) / (nr + a0 - yr - a))
+      val zz = d / math.sqrt(1.0 / (yg + a) + 1.0 / (yr + a))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(d), r6(zz))
+    }
+    val got = Tfidf.distinctiveTerms(docs, "text", "source", k = 5)
+      .as[(String, String, Double, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val (dA, zA) = z(2, 2, 3, 6)   // apple in A
+    assert(got(("A", "apple")) == ((dA, zA, 1)))
+    val (dC, zC) = z(1, 1, 3, 6)   // cherry in B
+    assert(got(("B", "cherry"))._1 == dC && got(("B", "cherry"))._2 == zC)
+    // exclusive terms outrank the shared one in both groups
+    assert(got(("A", "apple"))._3 < got(("A", "banana"))._3)
+    assert(got(("B", "cherry"))._3 < got(("B", "banana"))._3)
+  }
+
   test("bigram LM: hand-computed pair/context/oov fallback chain") {
     import graft.operators.LangModel
     val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
