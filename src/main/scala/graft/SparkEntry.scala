@@ -590,6 +590,13 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // contrastive hard negatives: top-5 nearest with a DIFFERENT label
+    "q_s_hardneg" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     "q_s_threshold" -> ((s, d) =>
       Similarity.thresholdPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 200),
@@ -1685,6 +1692,9 @@ object SparkEntry {
 
     "q_s_brute" ->
       s"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",
+
+    "q_s_hardneg" ->
+      s"WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.label <> c.label) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",
 
     "q_s_threshold" ->
       s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id) SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2",

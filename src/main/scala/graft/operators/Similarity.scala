@@ -60,6 +60,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-k most-cosine-similar corpus vectors with a DIFFERENT
+    * label — the negatives that actually move an embedding model.
+    *
+    * Scale shape: anchors broadcast against the corpus (map-side, no
+    * corpus shuffle); the per-anchor top-k rides the rank-filter
+    * window Spark rewrites to WindowGroupLimit (bounded per-partition
+    * heaps, same shape as `bruteForceTopK`). Exact over the full
+    * corpus — for anchor sets too big to broadcast, compose the LSH
+    * path instead: `lshBucketedMultiProbe` pairs, filter label
+    * inequality, then this same rank window; `recallReport` measures
+    * what the buckets lose. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), asDouble(col(vecCol)).as("__cv"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), asDouble(col(vecCol)).as("__qv"))
+    val scored = c.join(broadcast(q), col("__nl") =!= col("__ql"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** All pairs above a cosine threshold (id_a < id_b) — threshold
     * form is robust to float rounding at the margin, unlike top-k. */
   def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -124,6 +124,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((2L, 1), (3L, 2)))
   }
 
+  test("hardNegatives: only other-label neighbors, nearest first") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.05f), 0),   // same label as anchor: excluded
+      (3L, Array(1.0f, 0.2f), 1),    // hard negative (closest other-label)
+      (4L, Array(0.0f, 1.0f), 1))    // easy negative
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.filter(col("vec_id") === 1),
+      "vec_id", "embedding", "label", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(got == Set((3L, 1), (4L, 2)))
+  }
+
   test("thresholdPairs symmetric set, id_a < id_b") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
