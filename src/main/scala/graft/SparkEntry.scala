@@ -261,6 +261,12 @@ object SparkEntry {
         .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))),
 
+    // hourly OHLC bars per event type: one hash aggregation, opens and
+    // closes via lexicographic struct min/max (no window, no sort)
+    "q_e_ohlc" -> ((s, d) =>
+      Features.ohlcBars(t(s, d, "events"), Seq("event_type"), "ts",
+        "event_id", "value", bucket = 3600000000000L)),
+
     // ordered funnel: view -> click -> purchase, first-touch strict
     "q_e_funnel" -> ((s, d) =>
       Funnel.reached(t(s, d, "events"), "user_id", "ts", "event_type",
@@ -1486,6 +1492,13 @@ object SparkEntry {
 
     "q_e_hourly" ->
       "SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1, 2",
+
+    "q_e_ohlc" ->
+      ("SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type, " +
+        "min({'t': epoch_ns(ts), 'i': event_id, 'v': value}).v AS open, " +
+        "max(value) AS high, min(value) AS low, " +
+        "max({'t': epoch_ns(ts), 'i': event_id, 'v': value}).v AS close, " +
+        "count(*) AS n FROM events GROUP BY 1, 2"),
 
     "q_e_funnel" ->
       ("WITH u AS (SELECT DISTINCT user_id FROM events), " +

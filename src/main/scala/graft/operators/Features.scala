@@ -117,4 +117,36 @@ object Features {
         .as("qn_value"))
     ranked.join(rankMeans, Seq("qn_rank"))
   }
+
+  /** OHLC downsampling bars — the time-series compaction pass
+    * (finance candles, metric rollups): per key and time bucket,
+    * the first (open) / max (high) / min (low) / last (close) value
+    * plus the row count.
+    *
+    * Open/close ride struct-ordered min/max aggregates — (order,
+    * tiebreak, value) tuples compared lexicographically — so the
+    * whole bar is ONE hash aggregation with map-side partials: no
+    * window, no sort, one shuffle on (key, bucket). `tieCol` makes
+    * same-timestamp opens/closes deterministic; raw row values (not
+    * sums) mean no float-order concerns. */
+  def ohlcBars(df: DataFrame, keys: Seq[String], orderCol: String,
+               tieCol: String, valueCol: String, bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val v = col(valueCol)
+    // `div`, not `/`: Column./ on longs is DOUBLE division, and
+    // nanosecond timestamps exceed 2^53 — floor(double) would bucket
+    // wrong. Backquotes keep arbitrary column names safe in the expr.
+    val tagged = df.withColumn("__bucket",
+      expr(s"`$orderCol` div $bucket"))
+    tagged.groupBy(col("__bucket").as("bucket") +:
+        keys.map(col): _*)
+      .agg(
+        min(struct(col(orderCol), col(tieCol), v)).getField(valueCol)
+          .as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max(struct(col(orderCol), col(tieCol), v)).getField(valueCol)
+          .as("close"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -92,4 +92,22 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(got == Set(("a", 0L, 1L), ("a", 5L, 0L), ("a", 7L, 7L)))
   }
+
+  test("ohlcBars: open/close by (ts, tie) order, one bar per key-bucket") {
+    // bucket=10: key a rows at ts 1,9,9 (tie broken by id: close is
+    // id 3's value), second bucket single row; key b separate bar
+    val df = Seq(
+      ("a", 1L, 1L, 5.0), ("a", 9L, 2L, 9.0), ("a", 9L, 3L, 2.0),
+      ("a", 15L, 4L, 7.0),
+      ("b", 3L, 5L, 4.0))
+      .toDF("k", "ts", "id", "value")
+    val got = graft.operators.Features
+      .ohlcBars(df, Seq("k"), "ts", "id", "value", bucket = 10L)
+      .select("k", "bucket", "open", "high", "low", "close", "n")
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a", 0L)) == (("a", 0L, 5.0, 9.0, 2.0, 2.0, 3L)))
+    assert(got(("a", 1L)) == (("a", 1L, 7.0, 7.0, 7.0, 7.0, 1L)))
+    assert(got(("b", 0L)) == (("b", 0L, 4.0, 4.0, 4.0, 4.0, 1L)))
+  }
 }
