@@ -481,6 +481,15 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // one-sided containment for the same adjacent-id candidate pairs:
+    // the quote/excerpt signal Jaccard dilutes
+    "q_d_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramContainment(pairs, docs, "text", "doc_id", 3)
+    }),
+
     // prefix-filtering exact similarity self-join: recall-1.0 near-dup
     // pairs at Jaccard >= 0.6 (the oracle replays the prefix filter
     // under ITS OWN token order — the final pair set is order-free)
@@ -574,6 +583,11 @@ object SparkEntry {
     "q_d_trimspans" -> ((s, d) =>
       Dedup.trimDuplicatedSpans(t(s, d, "documents"), "text", "doc_id",
         n = 5, minDocs = 2)),
+
+    // ingestion-order novelty: fraction of a doc's 5-grams first seen
+    // in this doc (low novelty = recycled content)
+    "q_d_novelty" -> ((s, d) =>
+      Dedup.ngramNovelty(t(s, d, "documents"), "text", "doc_id", n = 5)),
 
     // inverted index over the corpus vocabulary (df >= 3)
     "q_t_postings" -> ((s, d) =>
@@ -1350,6 +1364,15 @@ object SparkEntry {
         "cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM pos GROUP BY 1) " +
         "SELECT t.doc_id, len(tk) AS n_tokens, coalesce(covered, 0) AS covered, CASE WHEN len(tk) = 0 THEN 0.0 ELSE round(coalesce(covered, 0) / len(tk), 6) END AS coverage FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id"),
 
+    "q_d_novelty" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        s"g AS (SELECT DISTINCT doc_id, ${h60Sql("g")} AS h FROM (SELECT doc_id, unnest($ngram5Sql) AS g FROM t)), " +
+        "f AS (SELECT h, min(doc_id) AS first FROM g GROUP BY 1), " +
+        "per AS (SELECT doc_id, count(*) AS n_grams, sum(CASE WHEN first = doc_id THEN 1 ELSE 0 END) AS n_novel FROM g JOIN f USING (h) GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams, coalesce(n_novel, 0)::BIGINT AS n_novel, " +
+        "CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0 ELSE round(n_novel / n_grams, 6) END AS novelty " +
+        "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"),
+
     "q_d_trimspans" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
         s"g AS (SELECT doc_id, unnest(ng) AS g, generate_subscripts(ng, 1) AS gpos FROM (SELECT doc_id, $ngram5Sql AS ng FROM t)), " +
@@ -1690,6 +1713,13 @@ object SparkEntry {
 
     "q_d_jaccard" ->
       s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), d AS (SELECT doc_id, $shinglesSql AS sh FROM t) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard FROM d a JOIN d b ON b.doc_id = a.doc_id + 1",
+
+    "q_d_containment" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), d AS (SELECT doc_id, $shinglesSql AS sh FROM t) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CASE WHEN len(a.sh) = 0 THEN 0.0 ELSE round(len(list_intersect(a.sh, b.sh)) / len(a.sh), 6) END AS containment_a, " +
+        "CASE WHEN len(b.sh) = 0 THEN 0.0 ELSE round(len(list_intersect(a.sh, b.sh)) / len(b.sh), 6) END AS containment_b " +
+        "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1"),
 
     "q_d_prefix" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +

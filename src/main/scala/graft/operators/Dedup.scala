@@ -362,6 +362,33 @@ object Dedup {
                    idCol: String, n: Int = 3): DataFrame =
     ngramJaccardOnSets(pairsDf, shingleSets(docs, textCol, idCol, n))
 
+  /** One-sided n-gram CONTAINMENT for candidate pairs:
+    * |A∩B|/|A| and |A∩B|/|B| — the quote / excerpt / subset-dup
+    * signal Jaccard under-scores when a short document sits inside a
+    * long one (Jaccard dilutes by the union; containment of the short
+    * side stays ≈1). Same hashed-set frame as `ngramJaccard`:
+    * cardinalities are hash-invariant, so an oracle replays them over
+    * string shingles. Empty sides score 0. */
+  def ngramContainment(pairsDf: DataFrame, docs: DataFrame,
+                       textCol: String, idCol: String,
+                       n: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n)
+    pairsDf
+      .join(sets.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__set", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__set", "set_b"), Seq("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("set_a"), col("set_b"))))
+      .select(col("id_a"), col("id_b"),
+        when(size(col("set_a")) === 0, 0.0)
+          .otherwise(round(col("__i") / size(col("set_a")), 6))
+          .as("containment_a"),
+        when(size(col("set_b")) === 0, 0.0)
+          .otherwise(round(col("__i") / size(col("set_b")), 6))
+          .as("containment_b"))
+  }
+
   /** Jaccard over precomputed hashed shingle sets `(__id, __set)`. */
   def ngramJaccardOnSets(pairsDf: DataFrame, sets: DataFrame): DataFrame =
     pairsDf
@@ -465,6 +492,36 @@ object Dedup {
       .withColumn("covered", coalesce(col("covered"), lit(0L)))
       .withColumn("coverage", when(col("n_tokens") === 0, lit(0.0))
         .otherwise(round(col("covered") / col("n_tokens"), 6)))
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * n-grams whose first corpus occurrence (by ascending doc id —
+    * ingestion order) is this document. The mirror image of the
+    * duplication census: a streaming-ingest quality gate drops or
+    * down-weights low-novelty documents (mostly-recycled content)
+    * without needing pairwise comparisons at all.
+    *
+    * Scale shape: only 60-bit hashes shuffle — one min-aggregation
+    * for first occurrence, one equi-join back, one per-doc count.
+    * Output: (doc_id, n_grams, n_novel, novelty). */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFns.ngramHashesNative(col(textCol), n)))
+        .as("h"))
+    val first = grams.groupBy("h").agg(min(col("doc_id")).as("__first"))
+    val per = grams.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 0.0)
+          .otherwise(round(col("n_novel") / col("n_grams"), 6))
+          .as("novelty"))
   }
 
   /** ExactSubstr-style span trimming (Lee et al. 2021, "Deduplicating

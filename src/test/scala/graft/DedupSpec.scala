@@ -254,6 +254,39 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (_, nd, nt) => nd == 2 && nt == 2 })
   }
 
+  test("ngramContainment: short-inside-long scores 1.0 on the short side") {
+    val docs = Seq(
+      (1L, "a b c d"),                       // 3-grams: {abc, bcd}
+      (2L, "a b c d e f g h"),               // superset of doc 1's grams
+      (3L, "x y z w"))                       // disjoint
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramContainment(pairs, docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // doc1 fully contained in doc2 (2 of its 2 grams); doc2 has 6 grams
+    assert(got((1L, 2L)) == ((1.0, BigDecimal(2.0 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got((1L, 3L)) == ((0.0, 0.0)))
+  }
+
+  test("ngramNovelty: first occurrence by doc order wins") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // 2 distinct 5-grams, all first here
+      (2L, "a b c d e f"),      // identical: zero novel
+      (3L, "a b c d e zz"),     // 1 gram shared with doc1, 0 novel... the
+                                // gram 'b c d e zz' IS new
+      (4L, "one two"))          // below n: no grams
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 1L, 0.5)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("trimDuplicatedSpans: shared spans removed everywhere, clean docs untouched") {
     val docs = Seq(
       (1L, "the cat sat on the mat today"),       // shares 5-gram run with 2
