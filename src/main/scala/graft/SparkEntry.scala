@@ -267,6 +267,17 @@ object SparkEntry {
       Features.ohlcBars(t(s, d, "events"), Seq("event_type"), "ts",
         "event_id", "value", bucket = 3600000000000L)),
 
+    // recency-weighted engagement: 7-day half-life against a FIXED
+    // reference instant, per-row micro-unit rounding keeps sums exact
+    "q_e_decay" -> ((s, d) =>
+      Features.decayedSum(t(s, d, "events"), Seq("user_id"), "ts",
+        "value", halfLife = 604800000000000L,
+        refTs = 1767225600000000000L)),
+
+    // robust dispersion: exact median + MAD per event type
+    "q_e_mad" -> ((s, d) =>
+      Profile.madStats(t(s, d, "events"), Seq("event_type"), "value")),
+
     // ordered funnel: view -> click -> purchase, first-touch strict
     "q_e_funnel" -> ((s, d) =>
       Funnel.reached(t(s, d, "events"), "user_id", "ts", "event_type",
@@ -608,6 +619,29 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
+    }),
+
+    // exact label centroids: micro-unit sums, order-independent
+    "q_s_meanpool" -> ((s, d) =>
+      Similarity.meanPool(t(s, d, "embeddings"), "embedding", "label")),
+
+    // hybrid retrieval: BM25 lexical top-20 fused with cosine top-20
+    // (doc_id ≡ vec_id in the synthetic corpus) via reciprocal-rank
+    // fusion, nano-unit integer scores
+    "q_s_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexical = Tfidf.bm25(t(s, d, "documents"), "text", "doc_id",
+          Seq("spark", "join", "vector"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = t(s, d, "embeddings")
+      val vector = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 1), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(lexical, vector), "id", "rank",
+        k = 60, topN = 10)
     }),
 
     // contrastive hard negatives: top-5 nearest with a DIFFERENT label
@@ -1139,6 +1173,15 @@ object SparkEntry {
   private val P = "1000000007"
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+  /** BM25 pipeline CTEs (shared by q_t_bm25 and the q_s_rrf fusion):
+    * ends at `sc` = per-(doc, query-term) partial scores. */
+  private lazy val bm25Ctes =
+    s"t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+      "st AS (SELECT count(*) AS nn, sum(len(tk)) * 1.0 / count(*) AS avglen FROM t), " +
+      "tf AS (SELECT doc_id, l, term, count(*) AS tf FROM (SELECT doc_id, len(tk) AS l, unnest(tk) AS term FROM t) WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "sc AS (SELECT doc_id, ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * l / avglen)) AS s FROM tf JOIN dfq USING (term) CROSS JOIN st)"
+
   private val punctSql =
     "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text) END"
   /** 3-word shingles of `tk`, distinct. */
@@ -1273,12 +1316,21 @@ object SparkEntry {
         "SELECT doc_id, term, tfidf, rank FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc) WHERE rank <= 3"),
 
     "q_t_bm25" ->
-      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
-        "st AS (SELECT count(*) AS nn, sum(len(tk)) * 1.0 / count(*) AS avglen FROM t), " +
-        "tf AS (SELECT doc_id, l, term, count(*) AS tf FROM (SELECT doc_id, len(tk) AS l, unnest(tk) AS term FROM t) WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3), " +
-        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
-        "sc AS (SELECT doc_id, ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * l / avglen)) AS s FROM tf JOIN dfq USING (term) CROSS JOIN st) " +
+      (s"WITH $bm25Ctes " +
         "SELECT doc_id, count(*) AS n_matched, round(sum(s), 6) AS score FROM sc GROUP BY 1"),
+
+    "q_s_rrf" ->
+      (s"WITH $bm25Ctes, " +
+        "bm AS (SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1), " +
+        "br AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm), " +
+        "ce AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cq AS (SELECT v FROM ce WHERE vec_id = 1), " +
+        s"cs AS (SELECT ce.vec_id, ${cosSql("cq.v", "ce.v")} AS cos FROM ce CROSS JOIN cq WHERE ce.vec_id <> 1), " +
+        "cr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r FROM cs), " +
+        "u AS (SELECT id, CAST(round(1e9 / (r + 60)) AS BIGINT) AS c FROM br WHERE r <= 20 " +
+        "UNION ALL SELECT id, CAST(round(1e9 / (r + 60)) AS BIGINT) FROM cr WHERE r <= 20), " +
+        "f AS (SELECT id, count(*) AS n_lists, CAST(sum(c) AS BIGINT) AS rrf_micro FROM u GROUP BY 1) " +
+        "SELECT id, n_lists, rrf_micro, rank FROM (SELECT f.*, row_number() OVER (ORDER BY rrf_micro DESC, id) AS rank FROM f) WHERE rank <= 10"),
 
     "q_t_lm" ->
       (s"WITH tr AS (SELECT unnest($toksSql) AS term FROM documents WHERE doc_id % 2 = 0), " +
@@ -1516,6 +1568,11 @@ object SparkEntry {
     "q_e_hourly" ->
       "SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1, 2",
 
+    "q_e_decay" ->
+      ("SELECT user_id, count(*) AS n, " +
+        "round(sum(CAST(round(value * exp(-ln(2) * ((1767225600000000000 - epoch_ns(ts))::DOUBLE) / 604800000000000.0) * 1e6) AS BIGINT))::DOUBLE / 1e6, 4) AS decayed_sum " +
+        "FROM events GROUP BY 1"),
+
     "q_e_ohlc" ->
       ("SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type, " +
         "min({'t': epoch_ns(ts), 'i': event_id, 'v': value}).v AS open, " +
@@ -1533,6 +1590,12 @@ object SparkEntry {
 
     "q_e_pctl" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    "q_e_mad" ->
+      ("WITH m AS (SELECT event_type, count(*) AS n, round(quantile_cont(value, 0.5), 6) AS median FROM events GROUP BY 1) " +
+        "SELECT e.event_type, max(n)::BIGINT AS n, max(median) AS median, " +
+        "round(quantile_cont(abs(value - median), 0.5), 6) AS mad " +
+        "FROM events e JOIN m USING (event_type) GROUP BY 1"),
 
     "q_e_anomaly" ->
       ("WITH q AS (SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1) " +
@@ -1735,6 +1798,11 @@ object SparkEntry {
 
     "q_s_brute" ->
       s"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",
+
+    "q_s_meanpool" ->
+      ("WITH p AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
+        "a AS (SELECT label, pos, sum(CAST(round(x * 1e6) AS BIGINT)) AS s, count(*) AS n FROM p GROUP BY 1, 2) " +
+        "SELECT label, max(n)::BIGINT AS n, list(round(s::DOUBLE / n / 1e6, 6) ORDER BY pos) AS centroid FROM a GROUP BY 1"),
 
     "q_s_hardneg" ->
       s"WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.label <> c.label) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",

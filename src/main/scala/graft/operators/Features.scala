@@ -118,6 +118,26 @@ object Features {
     ranked.join(rankMeans, Seq("qn_rank"))
   }
 
+  /** Exponentially time-decayed sum per key — the recency-weighted
+    * engagement/importance score (half-life semantics: a value
+    * `halfLife` old counts half). Each row's weighted value is
+    * rounded to integer micro-units BEFORE the sum, so the aggregate
+    * is exact long arithmetic — order-independent across partitions
+    * and engines — and one division restores the scale. One hash
+    * aggregation with map-side partials; `refTs` is an explicit
+    * constant (never wall-clock) so reruns are reproducible. */
+  def decayedSum(df: DataFrame, keys: Seq[String], orderCol: String,
+                 valueCol: String, halfLife: Long, refTs: Long): DataFrame = {
+    require(halfLife > 0, s"halfLife must be positive, got $halfLife")
+    val age = (lit(refTs) - col(orderCol).cast("long")).cast("double")
+    val w = exp(lit(-math.log(2.0)) * age / lit(halfLife.toDouble))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(valueCol) * w * 1e6).cast("long")).as("__s"))
+      .select(keys.map(col) :+ col("n") :+
+        round(col("__s").cast("double") / 1e6, 4).as("decayed_sum"): _*)
+  }
+
   /** OHLC downsampling bars — the time-series compaction pass
     * (finance candles, metric rollups): per key and time bucket,
     * the first (open) / max (high) / min (low) / last (close) value

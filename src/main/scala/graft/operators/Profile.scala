@@ -259,4 +259,22 @@ object Profile {
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Robust per-group dispersion: exact median and MAD (median
+    * absolute deviation) — the outlier scale that a few wild values
+    * cannot drag the way stddev-based z-scores can. Two grouped
+    * exact-percentile aggregations (median, then median of |x−med|
+    * after a broadcast-back join); both round to 6 dp so the stats
+    * are engine-comparable. Output: (groups..., n, median, mad). */
+  def madStats(df: DataFrame, groupCols: Seq[String],
+               valueCol: String): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(expr(s"percentile($valueCol, 0.5D)"), 6).as("median"))
+    df.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col(valueCol) - col("median")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("n")).as("n"), max(col("median")).as("median"),
+        round(expr("percentile(__dev, 0.5D)"), 6).as("mad"))
+  }
 }

@@ -60,6 +60,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the
+    * standard hybrid-retrieval combiner for lexical (BM25) and vector
+    * (cosine) rankings: score(d) = Σ_lists 1/(k + rank_d), summed
+    * over the lists d appears in.
+    *
+    * Per-list contributions are rounded to integer NANO-units
+    * (round(1e9/(k+rank))) so fused scores are exact long sums with
+    * engine-identical ties, broken by id. Inputs are top-k lists, so
+    * every frame here is list-sized — the global rank window rides
+    * Spark's WindowGroupLimit rewrite, not a full sort of anything
+    * corpus-sized. Output: (id, n_lists, rrf_micro, rank). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int = 60, topN: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(k >= 0 && topN > 0, s"rrfFuse: bad k=$k topN=$topN")
+    val all = rankings.map(_.select(col(idCol).as("id"),
+        round(lit(1e9) / (col(rankCol) + k)).cast("long").as("__c")))
+      .reduce(_ unionByName _)
+    all.groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_micro"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("id"))))
+      .filter(col("rank") <= topN)
+  }
+
+  /** Exact mean vector per group (label centroids, chunk→document
+    * pooling): element values scale to integer micro-units
+    * (round(x·1e6)) BEFORE summation, so per-position sums are exact
+    * long arithmetic — order-independent across partitions AND
+    * engines (float addition is not associative; this is the
+    * PageRank/LangModel determinism trick applied element-wise) —
+    * then divide back once.
+    *
+    * Scale shape: posexplode → ONE (group, pos) hash aggregation with
+    * map-side partials → per-group reassembly via sort_array over a
+    * dimension-sized list. Shuffled rows = groups × dims, never
+    * corpus × dims twice. Output: (groupCol, n, centroid). */
+  def meanPool(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val pos = df.select(col(groupCol).as("grp"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "__x")))
+      .groupBy("grp", "pos")
+      .agg(sum(round(col("__x") * 1e6).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+    pos.groupBy(col("grp").as(groupCol))
+      .agg(max(col("__n")).as("n"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("__s"), col("__n")))),
+          e => round(e.getField("__s").cast("double") /
+            e.getField("__n") / 1e6, 6)).as("centroid"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor,
     * the top-k most-cosine-similar corpus vectors with a DIFFERENT
     * label — the negatives that actually move an embedding model.

@@ -93,6 +93,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set(("a", 0L, 1L), ("a", 5L, 0L), ("a", 7L, 7L)))
   }
 
+  test("decayedSum: half-life weighting, hand-computed micro-unit sum") {
+    val df = Seq(
+      ("u1", 100L, 8.0),   // age 0 at ref=100: weight 1
+      ("u1", 90L, 8.0),    // age 10 = one half-life: weight 0.5
+      ("u2", 80L, 4.0))    // age 20 = two half-lives: weight 0.25
+      .toDF("user_id", "ts", "value")
+    val got = graft.operators.Features
+      .decayedSum(df, Seq("user_id"), "ts", "value",
+        halfLife = 10L, refTs = 100L)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    def micro(v: Double, age: Long) = Math.round(
+      v * math.exp(-math.log(2.0) * age.toDouble / 10.0) * 1e6)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("u1") == ((2L, r4((micro(8.0, 0) + micro(8.0, 10)).toDouble / 1e6))))
+    assert(got("u2") == ((1L, r4(micro(4.0, 20).toDouble / 1e6))))
+    assert(got("u1")._2 == 12.0 && got("u2")._2 == 1.0)
+  }
+
   test("ohlcBars: open/close by (ts, tie) order, one bar per key-bucket") {
     // bucket=10: key a rows at ts 1,9,9 (tie broken by id: close is
     // id 3's value), second bucket single row; key b separate bar

@@ -124,6 +124,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((2L, 1), (3L, 2)))
   }
 
+  test("rrfFuse: nano-unit sums, doc in both lists outranks single-list docs") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", "rank", k = 60, topN = 10)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    def c(r: Int) = Math.round(1e9 / (r + 60))
+    assert(got(20L) == ((20L, 2L, c(2) + c(1), 1)))
+    assert(got(10L) == ((10L, 1L, c(1), 2)))
+    assert(got(40L) == ((40L, 1L, c(2), 3)))
+    assert(got(30L) == ((30L, 1L, c(3), 4)))
+  }
+
+  test("meanPool: exact micro-unit centroids per label") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(0.25f, 0.75f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.meanPool(df, "embedding", "label")
+      .as[(Int, Long, Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0) == ((2L, Seq(0.5, 0.5))))
+    assert(got(1) == ((1L, Seq(0.25, 0.75))))
+  }
+
   test("hardNegatives: only other-label neighbors, nearest first") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0),

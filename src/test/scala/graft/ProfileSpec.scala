@@ -150,4 +150,18 @@ class ProfileSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == 1000L)
     assert(rows.map(_.getLong(2)).sum == 1000L)
   }
+
+  test("madStats: exact median and MAD, robust to one wild value") {
+    val df = (Seq.tabulate(9)(i => ("a", (i + 1).toDouble)) :+
+      (("a", 1000.0)) :+ (("b", 5.0)))
+      .toDF("k", "value")
+    val got = Profile.madStats(df, Seq("k"), "value")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a: values 1..9 + 1000 → median 5.5 (interpolated), devs
+    // {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} → MAD 2.5; the
+    // 1000 outlier does not move MAD at all
+    assert(got("a") == ((10L, 5.5, 2.5)))
+    assert(got("b") == ((1L, 5.0, 0.0)))
+  }
 }
