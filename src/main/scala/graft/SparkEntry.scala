@@ -462,6 +462,11 @@ object SparkEntry {
         expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
           .as("n_tokens"))),
 
+    // true BPE merge induction: 5 merges learned over the corpus
+    // vocabulary (driver argmax per step — one metadata-sized row)
+    "q_t_bpemerges" -> ((s, d) =>
+      Bpe.learnMerges(t(s, d, "documents"), "text", k = 5)),
+
     // ---- dedup at scale (documents) ----
     "q_d_exact" -> ((s, d) =>
       Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id")),
@@ -1182,6 +1187,36 @@ object SparkEntry {
       "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
       "sc AS (SELECT doc_id, ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * l / avglen)) AS s FROM tf JOIN dfq USING (term) CROSS JOIN st)"
 
+  /** Unrolled 5-step BPE oracle: greedy left-to-right pair merge ==
+    * mark (l,r) positions, split runs of CONSECUTIVE marks (only
+    * possible when l==r), merge odd run-positions, drop the symbol
+    * after each merge. Generated per step so the SQL replays the
+    * driver loop exactly. */
+  private lazy val bpeSql: String = {
+    val k = 5
+    val sb = new StringBuilder
+    sb.append("WITH w0 AS (SELECT term AS w, count(*) AS freq, " +
+      s"list_filter(string_split(term, ''), x -> x <> '') AS ss " +
+      s"FROM (SELECT unnest($toksSql) AS term FROM documents) GROUP BY 1), ")
+    for (i <- 1 to k) {
+      val p = s"w${i - 1}"
+      sb.append(s"p$i AS (SELECT l, r, sum(freq) AS cnt FROM (SELECT freq, ss[i] AS l, ss[i + 1] AS r FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i FROM $p)) GROUP BY 1, 2), ")
+      sb.append(s"b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1), ")
+      sb.append(s"e$i AS (SELECT w, freq, pos, ss[pos] AS s, ss[pos + 1] AS s2, len(ss) AS n FROM (SELECT w, freq, ss, unnest(range(1, len(ss) + 1)) AS pos FROM $p)), ")
+      sb.append(s"m$i AS (SELECT e$i.*, (s = b$i.l AND pos < n AND s2 = b$i.r) AS mk FROM e$i CROSS JOIN b$i), ")
+      sb.append(s"g$i AS (SELECT *, pos - (CASE WHEN mk THEN row_number() OVER (PARTITION BY w, mk ORDER BY pos) END) AS grp FROM m$i), ")
+      sb.append(s"f$i AS (SELECT *, mk AND (row_number() OVER (PARTITION BY w, grp, mk ORDER BY pos) % 2 = 1) AS mg FROM g$i), ")
+      sb.append(s"d$i AS (SELECT *, coalesce(lag(mg) OVER (PARTITION BY w ORDER BY pos), false) AS dropped FROM f$i), ")
+      sb.append(s"w$i AS (SELECT w, max(freq) AS freq, list(CASE WHEN mg THEN s || s2 ELSE s END ORDER BY pos) AS ss FROM d$i WHERE NOT dropped GROUP BY 1), ")
+    }
+    sb.setLength(sb.length - 2)
+    sb.append(" ")
+    sb.append((1 to k).map(i =>
+      s"""SELECT $i AS step, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS cnt FROM b$i""")
+      .mkString(" UNION ALL "))
+    sb.toString
+  }
+
   private val punctSql =
     "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text) END"
   /** 3-word shingles of `tk`, distinct. */
@@ -1344,6 +1379,8 @@ object SparkEntry {
         "round(sc.s / sc.n_tokens / 1e6, 6) AS avg_logprob, " +
         "round(exp(-(sc.s::DOUBLE) / sc.n_tokens / 1e6), 4) AS ppl " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+
+    "q_t_bpemerges" -> bpeSql,
 
     "q_t_keyterms" ->
       (s"WITH tok AS (SELECT source AS grp, unnest($toksSql) AS term FROM documents), " +
