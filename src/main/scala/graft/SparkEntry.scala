@@ -467,6 +467,13 @@ object SparkEntry {
     "q_t_bpemerges" -> ((s, d) =>
       Bpe.learnMerges(t(s, d, "documents"), "text", k = 5)),
 
+    // the encode side: every corpus token segmented by those merges
+    "q_t_bpeencode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Bpe.encode(docs, "text", "doc_id",
+        Bpe.learnMerges(docs, "text", k = 5))
+    }),
+
     // ---- dedup at scale (documents) ----
     "q_d_exact" -> ((s, d) =>
       Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id")),
@@ -1192,10 +1199,16 @@ object SparkEntry {
     * possible when l==r), merge odd run-positions, drop the symbol
     * after each merge. Generated per step so the SQL replays the
     * driver loop exactly. */
-  private lazy val bpeSql: String = {
+  private lazy val bpeSql: String =
+    s"WITH $bpeCtes " +
+      (1 to 5).map(i =>
+        s"""SELECT $i AS step, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS cnt FROM b$i""")
+        .mkString(" UNION ALL ")
+
+  private lazy val bpeCtes: String = {
     val k = 5
     val sb = new StringBuilder
-    sb.append("WITH w0 AS (SELECT term AS w, count(*) AS freq, " +
+    sb.append("w0 AS (SELECT term AS w, count(*) AS freq, " +
       s"list_filter(string_split(term, ''), x -> x <> '') AS ss " +
       s"FROM (SELECT unnest($toksSql) AS term FROM documents) GROUP BY 1), ")
     for (i <- 1 to k) {
@@ -1210,10 +1223,6 @@ object SparkEntry {
       sb.append(s"w$i AS (SELECT w, max(freq) AS freq, list(CASE WHEN mg THEN s || s2 ELSE s END ORDER BY pos) AS ss FROM d$i WHERE NOT dropped GROUP BY 1), ")
     }
     sb.setLength(sb.length - 2)
-    sb.append(" ")
-    sb.append((1 to k).map(i =>
-      s"""SELECT $i AS step, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS cnt FROM b$i""")
-      .mkString(" UNION ALL "))
     sb.toString
   }
 
@@ -1381,6 +1390,12 @@ object SparkEntry {
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
 
     "q_t_bpemerges" -> bpeSql,
+
+    "q_t_bpeencode" ->
+      (s"WITH $bpeCtes " +
+        s"SELECT d.doc_id, d.term AS w, w5.ss AS pieces " +
+        s"FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) d " +
+        "JOIN w5 ON d.term = w5.w"),
 
     "q_t_keyterms" ->
       (s"WITH tok AS (SELECT source AS grp, unnest($toksSql) AS term FROM documents), " +
