@@ -437,6 +437,11 @@ object SparkEntry {
       Dedup.winnowFingerprints(t(s, d, "documents"), "text", "doc_id",
         n = 3, w = 4)),
 
+    // fingerprint-join candidate pairs with the boilerplate-fp cap
+    "q_d_winnowpairs" -> ((s, d) =>
+      Dedup.winnowPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 3, w = 4, minShared = 2, maxFp = 100)),
+
     // Gopher-style repetition screens (word-level): the drop-before-
     // training filters a 100 TB corpus pass runs first. Tokenize once
     // per row (own projection), score three screens off the bound array.
@@ -567,6 +572,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       LangModel.scoreDocs(docs, "text", "doc_id",
         LangModel.unigramCounts(docs.filter(col("doc_id") % 2 === 0), "text"))
+    }),
+
+    // per-source domain-shift report: cross-entropy of each source
+    // under the whole-corpus unigram LM
+    "q_t_srcxent" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      LangModel.crossEntropyByGroup(docs, "text", "source",
+        LangModel.unigramCounts(docs, "text"))
     }),
 
     // bigram LM with add-one smoothing: seen-pair -> seen-context ->
@@ -1199,6 +1212,18 @@ object SparkEntry {
     * possible when l==r), merge odd run-positions, drop the symbol
     * after each merge. Generated per step so the SQL replays the
     * driver loop exactly. */
+  /** Winnowing CTE chain (3-gram hashes, window w=4, rightmost-tie
+    * min) ending at `r` = per-window picks; shared by q_t_winnow and
+    * the pair-candidate query. */
+  private lazy val winnowCtes: String =
+    s"t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+      "h AS (SELECT doc_id, list_transform(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END, " +
+      "x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs FROM t), " +
+      "w AS (SELECT doc_id, hs, unnest(CASE WHEN len(hs) = 0 THEN []::BIGINT[] WHEN len(hs) < 4 THEN [0] ELSE range(0, len(hs) - 3) END) AS i FROM h), " +
+      "p AS (SELECT doc_id, i, list_slice(hs, i + 1, i + 4) AS win FROM w), " +
+      "q AS (SELECT doc_id, i, win, list_min(win) AS fp FROM p), " +
+      "r AS (SELECT doc_id, i, fp, list_max(list_transform(range(1, len(win) + 1), j -> CASE WHEN win[j] = fp THEN j ELSE 0 END)) AS jmax FROM q)"
+
   private lazy val bpeSql: String =
     s"WITH $bpeCtes " +
       (1 to 5).map(i =>
@@ -1407,6 +1432,18 @@ object SparkEntry {
         "dd AS (SELECT grp, term, yg, a, yr, ln((yg + a) / (ng + 100.0 - yg - a)) - ln((yr + a) / (nr + 100.0 - yr - a)) AS d FROM j), " +
         "sc AS (SELECT grp, term, round(d, 6) AS delta, round(d / sqrt(1.0 / (yg + a) + 1.0 / (yr + a)), 6) AS z FROM dd) " +
         "SELECT grp, term, delta, z, rank FROM (SELECT sc.*, row_number() OVER (PARTITION BY grp ORDER BY z DESC, term) AS rank FROM sc) WHERE rank <= 5"),
+
+    "q_t_srcxent" ->
+      (s"WITH tr AS (SELECT unnest($toksSql) AS term FROM documents), " +
+        "cnt AS (SELECT term, count(*) AS c FROM tr GROUP BY 1), " +
+        "tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt), " +
+        "lp AS (SELECT term, CAST(round(ln((c + 1)::DOUBLE / (n + v + 1)::DOUBLE) * 1e6) AS BIGINT) AS lpm FROM cnt CROSS JOIN tot), " +
+        "oov AS (SELECT CAST(round(ln(1.0 / (n + v + 1)::DOUBLE) * 1e6) AS BIGINT) AS olpm FROM tot), " +
+        s"tk AS (SELECT source AS grp, unnest($toksSql) AS term FROM documents) " +
+        "SELECT grp, count(*) AS n_tokens, " +
+        "round(-sum(coalesce(lpm, olpm)) / count(*) / 1e6, 6) AS cross_entropy, " +
+        "round(exp(-(sum(coalesce(lpm, olpm))::DOUBLE) / count(*) / 1e6), 4) AS ppl " +
+        "FROM tk LEFT JOIN lp USING (term) CROSS JOIN oov GROUP BY 1"),
 
     "q_t_lm2" ->
       (s"WITH tr AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 2 = 0), " +
@@ -1766,14 +1803,17 @@ object SparkEntry {
       s"WITH q AS (SELECT doc_id, len($toksSql)::DOUBLE AS nw, len(list_filter($toksSql, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, $punctSql AS pr FROM documents) SELECT doc_id, round((least(nw / 100.0, 1.0) + least(hits / greatest(nw, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS quality FROM q",
 
     "q_t_winnow" ->
-      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
-        "h AS (SELECT doc_id, list_transform(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END, " +
-        "x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs FROM t), " +
-        "w AS (SELECT doc_id, hs, unnest(CASE WHEN len(hs) = 0 THEN []::BIGINT[] WHEN len(hs) < 4 THEN [0] ELSE range(0, len(hs) - 3) END) AS i FROM h), " +
-        "p AS (SELECT doc_id, i, list_slice(hs, i + 1, i + 4) AS win FROM w), " +
-        "q AS (SELECT doc_id, i, win, list_min(win) AS fp FROM p), " +
-        "r AS (SELECT doc_id, i, fp, list_max(list_transform(range(1, len(win) + 1), j -> CASE WHEN win[j] = fp THEN j ELSE 0 END)) AS jmax FROM q) " +
+      (s"WITH $winnowCtes " +
         "SELECT DISTINCT doc_id, CAST(i + jmax - 1 AS BIGINT) AS pos, fp FROM r"),
+
+    "q_d_winnowpairs" ->
+      (s"WITH $winnowCtes, " +
+        "wf AS (SELECT DISTINCT doc_id, fp FROM r), " +
+        "fdf AS (SELECT fp, count(*) AS c FROM wf GROUP BY 1), " +
+        "el AS (SELECT wf.doc_id, wf.fp FROM wf JOIN fdf USING (fp) WHERE c BETWEEN 2 AND 100) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+        "FROM el a JOIN el b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
 
     "q_t_entropy" ->
       ("WITH ch AS (SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c FROM documents), " +

@@ -600,6 +600,30 @@ object Dedup {
       .select(col("doc_id"), col("__p.pos").as("pos"), col("__p.fp").as("fp"))
   }
 
+  /** Candidate pairs from shared winnowing fingerprints — the
+    * partial-overlap dedup generator (clone detection, long shared
+    * passages) that LSH-over-whole-doc signatures misses by design.
+    * Fingerprints appearing in more than `maxFp` documents are
+    * dropped before the self-join (the boilerplate-fingerprint
+    * guard — same discipline as the LSH bucket cap: a corpus-wide
+    * header would otherwise quadratically explode one hash bucket);
+    * pairs need ≥ `minShared` shared fingerprints. Only (doc_id,
+    * 60-bit fp) rows ever shuffle. */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3, w: Int = 4, minShared: Int = 2,
+                  maxFp: Int = 100): DataFrame = {
+    val fps = winnowFingerprints(docs, textCol, idCol, n, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val fdf = fps.groupBy("fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c").between(2, maxFp)).select("fp")
+    val el = fps.join(fdf, Seq("fp"))
+    el.as("a").join(el.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** `dedupByLsh` result: the deduplicated docs plus the oversize-
     * bucket accounting from the candidate stage (recall loss is a
     * caller-visible fact, end to end — not just in the pair stage). */

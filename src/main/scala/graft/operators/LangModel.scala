@@ -61,6 +61,37 @@ object LangModel {
         round(exp(-col("__s") / col("n_tokens") / 1e6), 4).as("ppl"))
   }
 
+  /** Per-GROUP cross-entropy against a trained unigram model — the
+    * domain-shift report: score every token under `counts` (Laplace
+    * smoothing, OOV as in `scoreDocs`) and aggregate by group instead
+    * of by document. A source whose cross-entropy sits far above the
+    * corpus norm is distributionally atypical — the dashboard row a
+    * mixture-rebalancing pass reads. Integer micro-nat log-probs on
+    * the vocabulary table keep the group sums exact.
+    * Output: (grp, n_tokens, cross_entropy nats 6 dp, ppl 4 dp). */
+  def crossEntropyByGroup(docs: DataFrame, textCol: String,
+                          groupCol: String, counts: DataFrame): DataFrame = {
+    val totals = counts.agg(sum(col("cnt")).as("__n"),
+      count(lit(1)).as("__v"))
+    val denom = col("__n") + col("__v") + 1
+    val lp = counts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log((col("cnt") + 1).cast("double") / denom) * 1e6)
+          .cast("long").as("__lpm"))
+    val oov = totals.select(
+      round(log(lit(1.0) / denom) * 1e6).cast("long").as("__oov"))
+    docs.select(col(groupCol).as("grp"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .join(broadcast(lp), Seq("term"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__lpm"), col("__oov"))).as("__s"))
+      .select(col("grp"), col("n_tokens"),
+        round(-col("__s") / col("n_tokens") / 1e6, 6).as("cross_entropy"),
+        round(exp(-col("__s") / col("n_tokens") / 1e6), 4).as("ppl"))
+  }
+
   /** Bigram counts of the training corpus: (w1, w2, cnt) over
     * consecutive token pairs. Pair extraction is a zip of the token
     * array with its own tail — no window function, no self-join. */

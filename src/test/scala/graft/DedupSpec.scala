@@ -254,6 +254,25 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (_, nd, nt) => nd == 2 && nt == 2 })
   }
 
+  test("winnowPairs: shared-passage docs pair, ubiquitous fp capped out") {
+    // docs 1+2 share a 7-token run (>= w+n-1 = 6 guarantees shared
+    // fingerprints); doc 3 is unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"$base one two three"),
+      (2L, s"zero $base nine"),
+      (3L, "completely different words in this document here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, "text", "doc_id", n = 3, w = 4,
+      minShared = 2, maxFp = 100)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L)
+    assert(got.head._3 >= 2L)
+    // with maxFp = 1 every fingerprint is dropped: no pairs at all
+    assert(Dedup.winnowPairs(docs, "text", "doc_id", n = 3, w = 4,
+      minShared = 1, maxFp = 1).count() == 0L)
+  }
+
   test("ngramContainment: short-inside-long scores 1.0 on the short side") {
     val docs = Seq(
       (1L, "a b c d"),                       // 3-grams: {abc, bcd}

@@ -105,6 +105,27 @@ class TfidfSpec extends SparkSpec {
     assert(got(("B", "cherry"))._3 < got(("B", "banana"))._3)
   }
 
+  test("crossEntropyByGroup: atypical source scores higher") {
+    import graft.operators.LangModel
+    val docs = Seq(
+      (1L, "the cat the dog", "A"),
+      (2L, "the cat the cat", "A"),
+      (3L, "zz qq ww rr", "B"))   // all OOV-ish rare terms
+      .toDF("doc_id", "text", "source")
+    val got = LangModel.crossEntropyByGroup(docs, "text", "source",
+      LangModel.unigramCounts(docs, "text"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._2 == 8L && got("B")._2 == 4L)
+    assert(got("B")._3 > got("A")._3)  // rare-term source: higher xent
+    // exact value for B: N=12, V=7 (the,cat,dog,zz,qq,ww,rr), denom
+    // 12+7+1 = 20; each B term has count 1 → p = 2/20
+    val lpm = Math.round(math.log(2.0 / 20) * 1e6)
+    val exp6 = BigDecimal(-(lpm * 4).toDouble / 4 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("B")._3 == exp6)
+  }
+
   test("bigram LM: hand-computed pair/context/oov fallback chain") {
     import graft.operators.LangModel
     val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
