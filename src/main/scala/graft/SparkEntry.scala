@@ -832,6 +832,12 @@ object SparkEntry {
       Sampling.deterministicShuffle(t(s, d, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")),
 
+    // proportional source interleave: integer midpoint-fraction order
+    // key, no global window
+    "q_x_interleave" -> ((s, d) =>
+      Sampling.interleaveByGroup(t(s, d, "documents"), "doc_id", "source")
+        .select("doc_id", "source", "rank_in_group", "progress_micro")),
+
     // bloom-pruned exact joins: the bitset prunes the probe side
     // before its shuffle; FPs are re-checked, so results match the
     // plain semi/anti SQL exactly. Deliberately small filter (2^16
@@ -2001,6 +2007,13 @@ object SparkEntry {
 
     "q_x_shuffle" ->
       "SELECT doc_id, row_number() OVER (ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS shuffle_rank FROM documents",
+
+    "q_x_interleave" ->
+      ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rank_in_group FROM documents), " +
+        "c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1) " +
+        "SELECT doc_id, source, rank_in_group::BIGINT AS rank_in_group, " +
+        "((2 * rank_in_group - 1) * 1000000000000) // (2 * c) AS progress_micro " +
+        "FROM r JOIN c USING (source)"),
 
     "q_x_zorder" -> {
       val terms = (0 until 8).map(i =>

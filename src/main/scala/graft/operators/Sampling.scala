@@ -249,4 +249,29 @@ object Sampling {
       .withColumn("__wrn", row_number().over(w))
       .filter(col("__wrn") <= k).drop("__wrn")
   }
+
+  /** Proportional source interleave — the curriculum/mixing read
+    * order: every domain spreads evenly through the epoch instead of
+    * clumping (a size-biased round-robin). Each row gets its
+    * deterministic hash rank r within its group (count c), and the
+    * global order key is the INTEGER midpoint fraction
+    * ((2r−1)·10^12) div (2c) — rank r of a group of c sits at
+    * progress (r−½)/c, so groups of any size interleave
+    * proportionally; ties break by (group, id).
+    *
+    * Scale shape: one group-partitioned rank window + a broadcast of
+    * group counts; NO global window — the key is sort-ready for a
+    * range-partitioned write (same skeleton as deterministicShuffle).
+    * Re-salt for a fresh epoch. */
+  def interleaveByGroup(df: DataFrame, idCol: String, groupCol: String,
+                        salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(sampleKey(col(idCol), salt).asc, col(idCol).asc)
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__c"))
+    df.withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(groupCol))
+      .withColumn("progress_micro",
+        expr("((2 * rank_in_group - 1) * 1000000000000) div (2 * __c)"))
+      .drop("__c")
+  }
 }

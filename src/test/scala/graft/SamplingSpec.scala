@@ -240,4 +240,22 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedSamplePerKey(tiny, Seq("g"), "id", "w", 5)
       .count() == 2L)
   }
+
+  test("interleaveByGroup: proportional spread, big group fills gaps evenly") {
+    // group a: 8 rows, group b: 2 rows → sorting by progress_micro
+    // must spread the b's through the epoch, never all-a-then-all-b
+    val df = (Seq.tabulate(8)(i => (i.toLong, "a")) ++
+      Seq((100L, "b"), (101L, "b"))).toDF("doc_id", "source")
+    val got = Sampling.interleaveByGroup(df, "doc_id", "source")
+      .orderBy(col("progress_micro"), col("source"), col("doc_id"))
+      .select("source").as[String].collect().toSeq
+    assert(got.count(_ == "a") == 8 && got.count(_ == "b") == 2)
+    assert(got.indexOf("b") >= 1 && got.indexOf("b") <= 4)
+    assert(got.lastIndexOf("b") >= 5 && got.lastIndexOf("b") <= 8)
+    // midpoint keys for ranks 1,2 of a 2-row group: (2r-1)/4 * 1e12
+    val keys = Sampling.interleaveByGroup(df, "doc_id", "source")
+      .filter(col("source") === "b")
+      .select("progress_micro").as[Long].collect().toSet
+    assert(keys == Set(250000000000L, 750000000000L))
+  }
 }
