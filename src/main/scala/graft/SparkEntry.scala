@@ -256,6 +256,13 @@ object SparkEntry {
         "user_id", "ts_us",
         gapNs = 1800000000L, tiebreak = Seq(col("event_id")))),
 
+    // top-10 session paths: ordered event-type sequences by frequency
+    "q_e_paths" -> ((s, d) =>
+      Sessionize.topPaths(
+        t(s, d, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_type",
+        gapNs = 1800000000L, tiebreak = Seq(col("event_id")), k = 10)),
+
     "q_e_hourly" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
@@ -482,6 +489,14 @@ object SparkEntry {
     // ---- dedup at scale (documents) ----
     "q_d_exact" -> ((s, d) =>
       Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id")),
+
+    // normalization-aware exact dedup: case/punct/whitespace variants
+    // collapse to one canonical form before hashing (C4 convention)
+    "q_d_normdedup" -> ((s, d) =>
+      Dedup.exactByContent(
+        t(s, d, "documents").withColumn("__norm",
+          TF.normalizeText(col("text"))),
+        "__norm", "doc_id")),
 
     "q_d_minhash" -> ((s, d) =>
       Dedup.minhashSignature(t(s, d, "documents").select("doc_id", "text"),
@@ -1660,6 +1675,14 @@ object SparkEntry {
     "q_e_session" ->
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), g AS (SELECT user_id, event_id, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events, min(tsn) AS t_start, max(tsn) AS t_end FROM s GROUP BY 1, 2",
 
+    "q_e_paths" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn FROM events), " +
+        "g AS (SELECT user_id, event_id, event_type, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), " +
+        "s AS (SELECT user_id, event_id, event_type, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), " +
+        "p AS (SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY tsn, event_id) AS path FROM s GROUP BY 1, 2), " +
+        "tp AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1) " +
+        "SELECT path, n_sessions, rank FROM (SELECT tp.*, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank FROM tp) WHERE rank <= 10"),
+
     "q_e_hourly" ->
       "SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1, 2",
 
@@ -1848,6 +1871,9 @@ object SparkEntry {
 
     "q_d_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    "q_d_normdedup" ->
+      "SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
 
     "q_d_minhash" -> {
       val mh = (0 until 4).map { i =>

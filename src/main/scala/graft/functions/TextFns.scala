@@ -190,6 +190,14 @@ object TextFns {
         urlPattern, "<URL>"),
       phonePattern, "<PHONE>")
 
+  /** Canonical text form for normalization-aware exact dedup (the C4
+    * convention: case, punctuation, and whitespace variants of the
+    * same content are duplicates): lowercase, every non-alphanumeric
+    * run becomes one space, trimmed. Pure codegen'd expression; stays
+    * in the Java∩RE2 regex subset so oracles replay it. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
   /** Shannon entropy (nats, 6 dp) of the CHARACTER distribution — the
     * gibberish / keyboard-mash / base64-blob screen that complements
     * the word-level repetition filters (low entropy = one repeated

@@ -39,4 +39,31 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("t_start"),
         max(col(tsCol)).as("t_end"))
+
+  /** Top ordered event-type paths — the "what do sessions actually
+    * do" report (the path/flow analysis sitting one level above
+    * funnels: funnels check a FIXED sequence, paths surface the
+    * sequences that exist). Each session's path is its event types
+    * joined in (ts, tiebreak) order; paths are ranked by session
+    * count, ties by path string.
+    *
+    * Scale shape: the per-session path rides the session window's
+    * existing user-key partitioning (collect_list + array_sort over
+    * session-sized structs — no second shuffle beyond the path
+    * count), and the final top-k is a rank-filter window over the
+    * path-count table (WindowGroupLimit). */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, gapNs: Long, tiebreak: Seq[Column],
+               k: Int = 10): DataFrame = {
+    val perSession = sessionize(df, userCol, tsCol, gapNs, tiebreak)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col(tsCol) +: tiebreak :+
+          col(typeCol).as("__t"): _*))),
+        e => e.getField("__t"))).as("path"))
+    perSession.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -129,6 +129,18 @@ class ColumnFnsSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText: case/punct/whitespace variants collapse") {
+    val df = Seq(
+      "Hello,   World!", "hello world", "  HELLO--world  ", "h e l l o",
+      "").toDF("t")
+    val got = df.select(TF.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(got(0) == "hello world" && got(1) == "hello world" &&
+      got(2) == "hello world")
+    assert(got(3) == "h e l l o")
+    assert(got(4) == "")
+  }
+
   test("charEntropy: hand-computed nats with integer-micro-nat rounding") {
     def expected(s: String): Double = {
       if (s.isEmpty) 0.0

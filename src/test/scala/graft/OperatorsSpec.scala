@@ -112,6 +112,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("topPaths: event order inside sessions, frequency rank") {
+    val m = 60000000000L
+    val df = Seq(
+      (1L, 0 * m, 1L, "view"), (1L, 1 * m, 2L, "click"),   // view>click
+      (2L, 0 * m, 3L, "view"), (2L, 2 * m, 4L, "click"),   // view>click
+      (3L, 0 * m, 5L, "view"),                             // view
+      (1L, 99 * m, 6L, "buy"))                             // new session: buy
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.topPaths(df, "user_id", "ts", "event_type",
+      gapNs = 30 * m, tiebreak = Seq(col("event_id")), k = 10)
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("view>click", 2L, 1), ("buy", 1L, 2), ("view", 1L, 3)))
+  }
+
   // ---- Similarity ----
 
   test("bruteForceTopK: exact cosine ranking, self excluded") {
