@@ -684,6 +684,20 @@ object SparkEntry {
         k = 60, topN = 10)
     }),
 
+    // embedding-space cluster quality: assign every vector to its
+    // nearest label centroid, report the label x assigned confusion
+    "q_s_confusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.meanPool(emb, "embedding", "label")
+        .select(col("label").cast("long").as("centroid_id"),
+          col("centroid").as("cvec"))
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "centroid_id")
+        .join(emb.select("vec_id", "label"), Seq("vec_id"))
+        .groupBy(col("label"), col("centroid_id").as("assigned"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // contrastive hard negatives: top-5 nearest with a DIFFERENT label
     "q_s_hardneg" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1927,6 +1941,15 @@ object SparkEntry {
       ("WITH p AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
         "a AS (SELECT label, pos, sum(CAST(round(x * 1e6) AS BIGINT)) AS s, count(*) AS n FROM p GROUP BY 1, 2) " +
         "SELECT label, max(n)::BIGINT AS n, list(round(s::DOUBLE / n / 1e6, 6) ORDER BY pos) AS centroid FROM a GROUP BY 1"),
+
+    "q_s_confusion" ->
+      (s"WITH p AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
+        "a AS (SELECT label, pos, sum(CAST(round(x * 1e6) AS BIGINT)) AS s, count(*) AS n FROM p GROUP BY 1, 2), " +
+        "cent AS (SELECT label AS cid, list(round(s::DOUBLE / n / 1e6, 6) ORDER BY pos) AS cvec FROM a GROUP BY 1), " +
+        "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"scn AS (SELECT e.vec_id, e.label, cent.cid, ${cosRawSql("e.v", "cent.cvec")} AS sim FROM e CROSS JOIN cent), " +
+        "asg AS (SELECT vec_id, label, cid FROM (SELECT scn.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM scn) WHERE rn = 1) " +
+        "SELECT label, cid::BIGINT AS assigned, count(*) AS n FROM asg GROUP BY 1, 2"),
 
     "q_s_hardneg" ->
       s"WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10), s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q.v", "c.v")} AS cos FROM c CROSS JOIN q WHERE q.label <> c.label) SELECT query_id, neighbor_id, cos, rank FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5",
