@@ -94,10 +94,13 @@ object Bpe {
   }
 
   /** Apply a learned merge table to new text: the ENCODE side of the
-    * tokenizer. Merges apply in step order (the BPE contract); each
-    * application is the same map-only fold. Output: (idCol, pieces).
-    * `merges` must be small (vocabulary-sized) — it is collected to
-    * drive plan construction, exactly like the learn loop. */
+    * tokenizer. Merges apply in step order (the BPE contract). The
+    * fold chain runs once per DISTINCT word — vocabulary-sized, the
+    * withAnnotationsDistinct budget trick — and token occurrences
+    * join back against that small frame (AQE broadcasts it), so
+    * encode cost scales with the vocabulary, not the token count.
+    * Output: (idCol, w, pieces). `merges` must be small (it is
+    * collected to drive plan construction, like the learn loop). */
   def encode(docs: DataFrame, textCol: String, idCol: String,
              merges: DataFrame): DataFrame = {
     val ordered = merges.select("step", "left", "right")
@@ -107,6 +110,8 @@ object Bpe {
       explode(TextFns.tokens(col(textCol))).as("w"))
     val init = filter(split(col("w"), ""), ch => ch =!= "")
     val sym = ordered.foldLeft(init) { case (c, (l, r)) => mergeOnce(c, l, r) }
-    toks.select(col(idCol), col("w"), sym.as("pieces"))
+    val vocab = toks.select("w").distinct()
+      .withColumn("pieces", sym)
+    toks.join(vocab, Seq("w")).select(col(idCol), col("w"), col("pieces"))
   }
 }

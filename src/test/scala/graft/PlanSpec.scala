@@ -236,4 +236,58 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Sort ["), plan) // no full-sort operator
   }
+
+  test("winnowing fingerprints are map-only: no exchange in the plan") {
+    val docs = (1L to 50L).map(i => (i, s"a b c d e f g $i"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.winnowFingerprints(docs, "text", "doc_id", 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("OHLC bars: exactly one exchange, no window") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val plan = graft.operators.Features
+      .ohlcBars(events, Seq("event_type"), "ts", "event_id", "value",
+        3600000000000L)
+      .queryExecution.executedPlan.toString
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("hard negatives broadcast the anchors, never shuffle the corpus twice") {
+    val df = (1L to 500L).map(i =>
+      (i, Array(i.toFloat, 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Similarity.hardNegatives(df, df.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", 5)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("meanPool shuffles groups x dims, not the corpus twice") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = Similarity.meanPool(emb, "embedding", "label")
+      .queryExecution.executedPlan.toString
+    // (label,pos) aggregation + per-label reassembly: two exchanges,
+    // both with map-side partials; no window anywhere
+    assert(count(plan, "Exchange hashpartitioning") == 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("BM25: query-term filter sits below the first aggregation") {
+    val docs = (1L to 200L).map(i => (i, s"spark join vector doc $i"))
+      .toDF("doc_id", "text")
+    val optimized = graft.operators.Tfidf
+      .bm25(docs, "text", "doc_id", Seq("spark", "join"))
+      .queryExecution.optimizedPlan.toString
+    // the membership filter on exploded terms survives optimization
+    // (it must prune before the tf aggregation, not after)
+    assert(optimized.contains("IN (spark,join)") ||
+      optimized.contains("INSET"), optimized.take(2000))
+  }
 }
