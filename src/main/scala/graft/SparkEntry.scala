@@ -665,6 +665,14 @@ object SparkEntry {
     "q_s_meanpool" -> ((s, d) =>
       Similarity.meanPool(t(s, d, "embeddings"), "embedding", "label")),
 
+    // embedding health: per-dimension profile + vector reject census
+    "q_s_dimprofile" -> ((s, d) =>
+      Similarity.dimProfile(t(s, d, "embeddings"), "embedding")),
+
+    "q_s_hygiene" -> ((s, d) =>
+      Similarity.vectorHygiene(t(s, d, "embeddings"), "embedding",
+        expectedDim = 64)),
+
     // hybrid retrieval: BM25 lexical top-20 fused with cosine top-20
     // (doc_id ≡ vec_id in the synthetic corpus) via reciprocal-rank
     // fusion, nano-unit integer scores
@@ -1941,6 +1949,22 @@ object SparkEntry {
       ("WITH p AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
         "a AS (SELECT label, pos, sum(CAST(round(x * 1e6) AS BIGINT)) AS s, count(*) AS n FROM p GROUP BY 1, 2) " +
         "SELECT label, max(n)::BIGINT AS n, list(round(s::DOUBLE / n / 1e6, 6) ORDER BY pos) AS centroid FROM a GROUP BY 1"),
+
+    "q_s_dimprofile" ->
+      ("WITH p AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings) " +
+        "SELECT pos::INT AS pos, count(*) AS n, " +
+        "CAST(sum(CASE WHEN isnan(x) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan, " +
+        "min(CASE WHEN isnan(x) THEN NULL ELSE x END) AS min_v, " +
+        "max(CASE WHEN isnan(x) THEN NULL ELSE x END) AS max_v, " +
+        "round(CAST(sum(CASE WHEN isnan(x) THEN 0 ELSE CAST(round(x * 1e6) AS BIGINT) END) AS BIGINT)::DOUBLE / sum(CASE WHEN isnan(x) THEN 0 ELSE 1 END) / 1e6, 6) AS mean_v " +
+        "FROM p GROUP BY 1"),
+
+    "q_s_hygiene" ->
+      ("WITH c AS (SELECT CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN 'wrong_dim' " +
+        "WHEN len(list_filter(embedding::DOUBLE[], x -> isnan(x))) > 0 THEN 'has_nan' " +
+        "WHEN len(list_filter(embedding::DOUBLE[], x -> x <> 0.0)) = 0 THEN 'zero_vector' " +
+        "ELSE 'ok' END AS issue FROM embeddings) " +
+        "SELECT issue, count(*) AS n FROM c GROUP BY 1"),
 
     "q_s_confusion" ->
       (s"WITH p AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +

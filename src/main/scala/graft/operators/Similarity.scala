@@ -60,6 +60,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Per-DIMENSION embedding profile — the dead/saturated-dimension
+    * health check run before any ANN index build: for each position,
+    * n, min, max, and the exact micro-unit mean. A dimension whose
+    * min == max is dead weight in every distance computation; one
+    * far out of scale dominates them. NaNs are excluded from the
+    * stats and surfaced as their own count. One posexplode + one
+    * (pos) aggregation — dims-sized output. */
+  def dimProfile(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "__x")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(when(isnan(col("__x")), 1L).otherwise(0L)).as("n_nan"),
+        min(when(!isnan(col("__x")), col("__x"))).as("min_v"),
+        max(when(!isnan(col("__x")), col("__x"))).as("max_v"),
+        round(sum(when(isnan(col("__x")), 0L)
+            .otherwise(round(col("__x") * 1e6).cast("long")))
+          .cast("double") /
+          sum(when(isnan(col("__x")), 0L).otherwise(1L)) / 1e6, 6)
+          .as("mean_v"))
+
+  /** Vector-level hygiene census — the reject report before vectors
+    * enter an index: each vector classified by its FIRST failing
+    * check (wrong_dim → has_nan → zero_vector → ok, the expectations
+    * convention) and counted. Map-only per row, one tiny aggregate. */
+  def vectorHygiene(df: DataFrame, vecCol: String,
+                    expectedDim: Int): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val issue = when(col(vecCol).isNull || size(v) =!= expectedDim,
+        "wrong_dim")
+      .when(exists(v, x => isnan(x)), "has_nan")
+      .when(forall(v, x => x === 0.0), "zero_vector")
+      .otherwise("ok")
+    df.select(issue.as("issue"))
+      .groupBy("issue").agg(count(lit(1)).as("n"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the
     * standard hybrid-retrieval combiner for lexical (BM25) and vector
     * (cosine) rankings: score(d) = Σ_lists 1/(k + rank_d), summed

@@ -138,6 +138,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((2L, 1), (3L, 2)))
   }
 
+  test("dimProfile and vectorHygiene: dead dim, NaN, zero, wrong-dim flags") {
+    val df = Seq(
+      (1L, Array(1.0f, 5.0f)),
+      (2L, Array(1.0f, -3.0f)),
+      (3L, Array(1.0f, Float.NaN)),
+      (4L, Array(0.0f, 0.0f)),
+      (5L, Array(9.9f)))
+      .toDF("vec_id", "embedding")
+    val prof = Similarity.dimProfile(df.filter(col("vec_id") <= 4), "embedding")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // dim 0: values 1,1,1,0 → min 0, max 1, mean 0.75, no NaN
+    assert(prof(0) == ((0, 4L, 0L, 0.0, 1.0, 0.75)))
+    // dim 1: 5,-3,NaN,0 → NaN excluded from stats, counted
+    assert(prof(1) == ((1, 4L, 1L, -3.0, 5.0,
+      BigDecimal((5.0 - 3.0 + 0.0) / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val hyg = Similarity.vectorHygiene(df, "embedding", expectedDim = 2)
+      .as[(String, Long)].collect().toMap
+    assert(hyg == Map("ok" -> 2L, "has_nan" -> 1L, "zero_vector" -> 1L,
+      "wrong_dim" -> 1L))
+  }
+
   test("rrfFuse: nano-unit sums, doc in both lists outranks single-list docs") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
