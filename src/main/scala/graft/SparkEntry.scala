@@ -579,6 +579,11 @@ object SparkEntry {
       Tfidf.distinctiveTerms(t(s, d, "documents"), "text", "source",
         k = 5)),
 
+    // adjacent-bigram collocations: top 20 by PMI at support >= 5
+    "q_t_colloc" -> ((s, d) =>
+      Tfidf.collocations(t(s, d, "documents"), "text",
+        minCount = 5L, k = 20)),
+
     // unigram LM perplexity filter: trained on the even-doc_id half,
     // scored over everything (odd docs exercise OOV smoothing);
     // per-term log-probs are integer micro-nats so document sums are
@@ -1487,6 +1492,15 @@ object SparkEntry {
         "round(-sum(coalesce(lpm, olpm)) / count(*) / 1e6, 6) AS cross_entropy, " +
         "round(exp(-(sum(coalesce(lpm, olpm))::DOUBLE) / count(*) / 1e6), 4) AS ppl " +
         "FROM tk LEFT JOIN lp USING (term) CROSS JOIN oov GROUP BY 1"),
+
+    "q_t_colloc" ->
+      (s"WITH t AS (SELECT $toksSql AS tk FROM documents), " +
+        "u AS (SELECT term, count(*) AS c FROM (SELECT unnest(tk) AS term FROM t) GROUP BY 1), " +
+        "b AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12 FROM (SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS p FROM t) GROUP BY 1, 2), " +
+        "n1 AS (SELECT sum(c) AS n1 FROM u), n2 AS (SELECT sum(c12) AS n2 FROM b), " +
+        "sc AS (SELECT w1, w2, c12, round(ln((c12::DOUBLE / n2) / ((u1.c::DOUBLE / n1) * (u2.c::DOUBLE / n1))), 6) AS pmi " +
+        "FROM b JOIN u u1 ON b.w1 = u1.term JOIN u u2 ON b.w2 = u2.term CROSS JOIN n1 CROSS JOIN n2 WHERE c12 >= 5) " +
+        "SELECT w1, w2, c12, pmi, rank FROM (SELECT sc.*, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM sc) WHERE rank <= 20"),
 
     "q_t_lm2" ->
       (s"WITH tr AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 2 = 0), " +

@@ -96,6 +96,36 @@ object Tfidf {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** Adjacent-bigram collocations by pointwise mutual information —
+    * the multi-word-expression miner ("new york", "machine learning")
+    * that document-level co-occurrence PMI (`cooccurrence`) washes
+    * out: PMI = ln((c12/N2) / ((c1/N1)·(c2/N1))) over CONSECUTIVE
+    * pairs only. `minCount` suppresses the rare-pair PMI explosion;
+    * ties and float noise are handled the tfidf way — rounded to
+    * 6 dp BEFORE the rank window. Marginals ride as broadcast
+    * frames; output: (w1, w2, c12, pmi, rank) top `k`. */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val uni = LangModel.unigramCounts(docs, textCol)
+    val big = LangModel.bigramCounts(docs, textCol)
+    val n1 = uni.agg(sum(col("cnt")).as("__n1"))
+    val n2 = big.agg(sum(col("cnt")).as("__n2"))
+    val scored = big.filter(col("cnt") >= minCount)
+      .join(broadcast(uni.select(col("term").as("w1"),
+        col("cnt").as("__c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("term").as("w2"),
+        col("cnt").as("__c2"))), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi", round(log(
+        (col("cnt").cast("double") / col("__n2")) /
+          ((col("__c1").cast("double") / col("__n1")) *
+            (col("__c2").cast("double") / col("__n1")))), 6))
+      .select(col("w1"), col("w2"), col("cnt").as("c12"), col("pmi"))
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Distinctive terms per group — Monroe/Colaresi/Quinn "Fightin'
     * Words" log-odds with an informative Dirichlet prior drawn from
     * the whole corpus (prior mass `a0`, spread across terms in

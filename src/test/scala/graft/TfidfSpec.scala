@@ -105,6 +105,25 @@ class TfidfSpec extends SparkSpec {
     assert(got(("B", "cherry"))._3 < got(("B", "banana"))._3)
   }
 
+  test("collocations: fixed phrase outranks incidental adjacency") {
+    // "new york" always adjacent; "the" is everywhere (low PMI)
+    val docs = Seq(
+      (1L, "new york the best the worst"),
+      (2L, "new york the city"),
+      (3L, "new york the")).toDF("doc_id", "text")
+    val got = Tfidf.collocations(docs, "text", minCount = 3L, k = 5)
+      .as[(String, String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ny = got(("new", "york"))
+    assert(ny._3 == 3L && ny._5 == 1)
+    // exact PMI: c12=3, N2 = 5+3+2 = 10 bigrams, c(new)=c(york)=3,
+    // N1 = 6+4+3 = 13 tokens
+    val exp = BigDecimal(math.log((3.0 / 10) / ((3.0 / 13) * (3.0 / 13))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ny._4 == exp)
+    assert(!got.contains(("york", "the")) || got(("york", "the"))._4 < ny._4)
+  }
+
   test("crossEntropyByGroup: atypical source scores higher") {
     import graft.operators.LangModel
     val docs = Seq(
