@@ -674,6 +674,11 @@ object SparkEntry {
     "q_s_dimprofile" -> ((s, d) =>
       Similarity.dimProfile(t(s, d, "embeddings"), "embedding")),
 
+    // the one distributed pass PCA needs: exact upper-triangle
+    // covariance (micro-int products, one (i,j) aggregation)
+    "q_s_cov" -> ((s, d) =>
+      Similarity.covarianceMatrix(t(s, d, "embeddings"), "embedding")),
+
     "q_s_hygiene" -> ((s, d) =>
       Similarity.vectorHygiene(t(s, d, "embeddings"), "embedding",
         expectedDim = 64)),
@@ -1963,6 +1968,15 @@ object SparkEntry {
       ("WITH p AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
         "a AS (SELECT label, pos, sum(CAST(round(x * 1e6) AS BIGINT)) AS s, count(*) AS n FROM p GROUP BY 1, 2) " +
         "SELECT label, max(n)::BIGINT AS n, list(round(s::DOUBLE / n / 1e6, 6) ORDER BY pos) AS centroid FROM a GROUP BY 1"),
+
+    "q_s_cov" ->
+      ("WITH y AS (SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS y FROM embeddings), " +
+        "tri AS (SELECT t.i AS i, t.j AS j, t.p AS p FROM (SELECT unnest(flatten(list_transform(range(0, len(y)), i -> list_transform(range(i, len(y)), j -> struct_pack(i := i, j := j, p := y[i + 1] * y[j + 1]))))) AS t FROM y)), " +
+        "ag AS (SELECT i, j, count(*) AS n, sum(p) AS spp FROM tri GROUP BY 1, 2), " +
+        "s AS (SELECT pos - 1 AS pos, sum(v) AS sv FROM (SELECT generate_subscripts(y, 1) AS pos, unnest(y) AS v FROM y) GROUP BY 1) " +
+        "SELECT i::INT AS i, j::INT AS j, n, " +
+        "round((spp::DOUBLE - si.sv::DOUBLE * sj.sv / n) / (n - 1) / 1e12, 6) + 0 AS cov " +
+        "FROM ag JOIN s si ON ag.i = si.pos JOIN s sj ON ag.j = sj.pos"),
 
     "q_s_dimprofile" ->
       ("WITH p AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings) " +

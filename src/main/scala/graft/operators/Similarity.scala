@@ -60,6 +60,99 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Upper-triangle covariance matrix of an embedding column — the
+    * one distributed pass PCA/whitening needs. Element values go to
+    * integer micro-units first, so the Σyᵢyⱼ accumulations are exact
+    * long arithmetic (products ~1e12 · rows: exact to ~9e18 — switch
+    * the product column to decimal(38,0) beyond ~1e6 rows); the
+    * final cov = (Σyᵢyⱼ − ΣyᵢΣyⱼ/n)/(n−1) is identical IEEE double
+    * ops on identical integers in both engines, rounded to 6 dp.
+    *
+    * Scale shape: one flatten of the dims(dims+1)/2 upper triangle
+    * per row feeding ONE (i,j) hash aggregation; per-dimension sums
+    * ride back as a dims-sized broadcast. Output: (i, j, n, cov),
+    * i ≤ j, 0-based. */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val y = transform(v, x => round(x * lit(1e6)).cast("long"))
+    val base = df.select(y.as("__y"))
+    val tri = base.select(explode(flatten(transform(
+        sequence(lit(0), size(col("__y")) - 1),
+        i => transform(sequence(i, size(col("__y")) - 1),
+          j => struct(i.as("i"), j.as("j"),
+            (element_at(col("__y"), i + 1) *
+              element_at(col("__y"), j + 1)).as("p")))))).as("__t"))
+      .select(col("__t.i").as("i"), col("__t.j").as("j"),
+        col("__t.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("__spp"))
+    val sums = base.select(posexplode(col("__y")).as(Seq("pos", "__yy")))
+      .groupBy("pos").agg(sum(col("__yy")).as("__s"))
+    tri
+      .join(broadcast(sums.select(col("pos").as("i"),
+        col("__s").as("__si"))), Seq("i"))
+      .join(broadcast(sums.select(col("pos").as("j"),
+        col("__s").as("__sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        // + 0.0 canonicalizes IEEE −0.0 (engines differ on whether
+        // round() preserves the sign of zero)
+        (round((col("__spp").cast("double") -
+          col("__si").cast("double") * col("__sj") / col("n")) /
+          (col("n") - 1) / 1e12, 6) + lit(0.0)).as("cov"))
+  }
+
+  /** Top-`k` principal components via driver-side power iteration
+    * with deflation over the COLLECTED covariance matrix (dims² is
+    * metadata-sized — the Lloyd/BPE license; the corpus-sized work
+    * is `covarianceMatrix`'s single pass). Fixed iteration count and
+    * a fixed start vector keep it deterministic. Returns the
+    * components as (component, pos, weight) rows. */
+  def pcaComponents(cov: DataFrame, dims: Int, k: Int = 2,
+                    iters: Int = 50): DataFrame = {
+    val spark = cov.sparkSession
+    import spark.implicits._
+    val c = Array.ofDim[Double](dims, dims)
+    cov.select("i", "j", "cov").collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val comps = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (_ <- 1 to k) {
+      var v = Array.tabulate(dims)(i => 1.0 / math.sqrt(dims.toDouble))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dims)(i =>
+          (0 until dims).map(j => c(i)(j) * v(j)).sum)
+        // deflate: remove projections onto found components
+        comps.foreach { p =>
+          val d = (0 until dims).map(i => w(i) * p(i)).sum
+          (0 until dims).foreach(i => w(i) -= d * p(i))
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = if (nrm == 0.0) v else w.map(_ / nrm)
+      }
+      comps += v
+    }
+    comps.zipWithIndex.flatMap { case (p, ci) =>
+      p.zipWithIndex.map { case (wt, pos) => (ci, pos, wt) }
+    }.toSeq.toDF("component", "pos", "weight")
+  }
+
+  /** Project vectors onto collected components — map-only. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 components: DataFrame): DataFrame = {
+    val comps = components.collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (ci, rows) =>
+        ci -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val v = asDouble(col(vecCol))
+    val projCols = comps.map { case (ci, w) =>
+      aggregate(zip_with(v, lit(w), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x).as(s"pc$ci")
+    }
+    df.select(col(idCol) +: projCols: _*)
+  }
+
   /** Per-DIMENSION embedding profile — the dead/saturated-dimension
     * health check run before any ANN index build: for each position,
     * n, min, max, and the exact micro-unit mean. A dimension whose

@@ -138,6 +138,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((2L, 1), (3L, 2)))
   }
 
+  test("covariance + PCA: exact cov vs Scala reference, components orthonormal") {
+    // strongly correlated dims 0,1; independent dim 2
+    val rows = (1 to 40).map { i =>
+      (i.toLong, Array(i.toFloat, (2 * i).toFloat, (i % 3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cov = Similarity.covarianceMatrix(df, "embedding")
+    val got = cov.as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // Scala reference with the same micro-int pipeline
+    def micro(x: Double) = Math.round(x * 1e6)
+    val ys = rows.map(_._2.map(f => micro(f.toDouble)))
+    def ref(i: Int, j: Int): Double = {
+      val n = ys.length
+      val spp = ys.map(y => y(i) * y(j)).sum
+      val (si, sj) = (ys.map(_(i)).sum, ys.map(_(j)).sum)
+      BigDecimal((spp.toDouble - si.toDouble * sj / n) / (n - 1) / 1e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (i <- 0 until 3; j <- i until 3)
+      assert(got((i, j)) == ref(i, j), s"cov($i,$j)")
+    // power iteration: pc1 dominated by the correlated dims, and the
+    // two components are orthonormal
+    val comps = Similarity.pcaComponents(cov, dims = 3, k = 2, iters = 60)
+    val byComp = comps.as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (c, rs) =>
+        c -> rs.sortBy(_._2).map(_._3) }
+    val (p1, p2) = (byComp(0), byComp(1))
+    assert(math.abs(p1.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(p2.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(p1.zip(p2).map { case (a, b) => a * b }.sum) < 1e-6)
+    assert(math.abs(p1(1)) > math.abs(p1(2))) // variance-heavy dim wins
+    // projection is map-only and reproducible
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", comps)
+    assert(proj.columns.toSeq == Seq("vec_id", "pc0", "pc1"))
+    assert(proj.count() == 40L)
+  }
+
   test("dimProfile and vectorHygiene: dead dim, NaN, zero, wrong-dim flags") {
     val df = Seq(
       (1L, Array(1.0f, 5.0f)),
