@@ -256,6 +256,13 @@ object SparkEntry {
         "user_id", "ts_us",
         gapNs = 1800000000L, tiebreak = Seq(col("event_id")))),
 
+    // debounce: drop same-user same-type events within 60s of the
+    // previous one (double-click / duplicate-beacon filter)
+    "q_e_debounce" -> ((s, d) =>
+      Sessionize.debounce(t(s, d, "events"), Seq("user_id", "event_type"),
+          "ts", Seq(col("event_id")), minGapNs = 60000000000L)
+        .select("event_id", "user_id", "event_type")),
+
     // top-10 session paths: ordered event-type sequences by frequency
     "q_e_paths" -> ((s, d) =>
       Sessionize.topPaths(
@@ -678,6 +685,10 @@ object SparkEntry {
     // covariance (micro-int products, one (i,j) aggregation)
     "q_s_cov" -> ((s, d) =>
       Similarity.covarianceMatrix(t(s, d, "embeddings"), "embedding")),
+
+    // diagonal whitening: dims-sized stats collected, map-only apply
+    "q_s_whiten" -> ((s, d) =>
+      Similarity.whiten(t(s, d, "embeddings"), "vec_id", "embedding")),
 
     "q_s_hygiene" -> ((s, d) =>
       Similarity.vectorHygiene(t(s, d, "embeddings"), "embedding",
@@ -1201,6 +1212,20 @@ object SparkEntry {
                GROUP BY c_mktsegment, o_orderpriority""")
     }),
 
+    // five-table chain: region and nation are broadcast tiers, the
+    // orders-lineitem spine shuffles once — the join-reorder stressor
+    "q_sql_join5" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT r_name, o_orderpriority,
+               count(*) AS n_items, sum(l_quantity) AS qty
+               FROM region
+               JOIN nation ON n_regionkey = r_regionkey
+               JOIN customer ON c_nationkey = n_nationkey
+               JOIN orders ON o_custkey = c_custkey
+               JOIN lineitem ON l_orderkey = o_orderkey
+               GROUP BY r_name, o_orderpriority""")
+    }),
+
     // ---- F16: HGVS extraction cascade on constructed payloads ----
     "q_f16_hgvs" -> ((s, d) => {
       val hp = when(col("doc_id") % 3 === 0, lit("Not Reported"))
@@ -1716,6 +1741,10 @@ object SparkEntry {
     "q_e_session" ->
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), g AS (SELECT user_id, event_id, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events, min(tsn) AS t_start, max(tsn) AS t_end FROM s GROUP BY 1, 2",
 
+    "q_e_debounce" ->
+      ("SELECT event_id, user_id, event_type FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn, lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id) AS prev FROM events) " +
+        "WHERE prev IS NULL OR tsn - prev > 60000000000"),
+
     "q_e_paths" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn FROM events), " +
         "g AS (SELECT user_id, event_id, event_type, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), " +
@@ -1977,6 +2006,13 @@ object SparkEntry {
         "SELECT i::INT AS i, j::INT AS j, n, " +
         "round((spp::DOUBLE - si.sv::DOUBLE * sj.sv / n) / (n - 1) / 1e12, 6) + 0 AS cov " +
         "FROM ag JOIN s si ON ag.i = si.pos JOIN s sj ON ag.j = sj.pos"),
+
+    "q_s_whiten" ->
+      ("WITH y AS (SELECT vec_id, embedding::DOUBLE[] AS v, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS yy FROM embeddings), " +
+        "st AS (SELECT pos, count(*) AS n, sum(v) AS sv, sum(v * v) AS spp FROM (SELECT generate_subscripts(yy, 1) AS pos, unnest(yy) AS v FROM y) GROUP BY 1), " +
+        "ms AS (SELECT list(sv::DOUBLE / n / 1e6 ORDER BY pos) AS ml, list(sqrt(greatest((spp::DOUBLE - sv::DOUBLE * sv / n) / (n - 1) / 1e12, 0.0)) ORDER BY pos) AS sl FROM st) " +
+        "SELECT vec_id, list_transform(range(1, len(v) + 1), i -> CASE WHEN sl[i] = 0.0 THEN 0.0 ELSE round((v[i] - ml[i]) / sl[i], 6) + 0 END) AS whitened " +
+        "FROM y CROSS JOIN ms"),
 
     "q_s_dimprofile" ->
       ("WITH p AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings) " +
@@ -2255,6 +2291,9 @@ object SparkEntry {
 
     "q_sql_join3" ->
       "SELECT c_mktsegment, o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_totalprice > 500.0 GROUP BY c_mktsegment, o_orderpriority",
+
+    "q_sql_join5" ->
+      "SELECT r_name, o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey GROUP BY r_name, o_orderpriority",
 
     "q_a3_distinct" ->
       "SELECT DISTINCT event_type FROM events",

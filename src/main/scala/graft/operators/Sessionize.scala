@@ -40,6 +40,24 @@ object Sessionize {
         min(col(tsCol)).as("t_start"),
         max(col(tsCol)).as("t_end"))
 
+  /** Throttle-dedup ("debounce") for telemetry streams: keep an
+    * event only when the PREVIOUS event with the same keys is at
+    * least `minGapNs` older (or absent) — the double-click / retry /
+    * duplicate-beacon filter. Lag form, not a recursive debounce:
+    * the survivor set is a pure function of each row and its
+    * predecessor, so it replays identically everywhere. One shuffle
+    * on the keys; the window reuses that partitioning. */
+  def debounce(df: DataFrame, keys: Seq[String], tsCol: String,
+               tiebreak: Seq[Column], minGapNs: Long): DataFrame = {
+    require(minGapNs > 0, s"minGapNs must be positive, got $minGapNs")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tiebreak: _*)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNull ||
+        col(tsCol) - col("__prev") > minGapNs)
+      .drop("__prev")
+  }
+
   /** Top ordered event-type paths — the "what do sessions actually
     * do" report (the path/flow analysis sitting one level above
     * funnels: funnels check a FIXED sequence, paths surface the

@@ -101,6 +101,40 @@ object Similarity {
           (col("n") - 1) / 1e12, 6) + lit(0.0)).as("cov"))
   }
 
+  /** Per-dimension standardization (diagonal whitening): every
+    * dimension centered and scaled to unit variance — the
+    * preprocessing that stops one out-of-scale dimension from
+    * dominating every distance. The dims-sized (Σy, Σy², n) stats
+    * collect to the driver (metadata license) and come back as
+    * literal arrays, so the transform itself is MAP-ONLY — the
+    * corpus never shuffles at all. Zero-variance dimensions map to
+    * 0.0. Output: (idCol, whitened), elements rounded to 6 dp. */
+  def whiten(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val y = transform(asDouble(col(vecCol)),
+      x => round(x * lit(1e6)).cast("long"))
+    val stats = df.select(posexplode(y).as(Seq("pos", "__yy")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("__yy")).as("sv"),
+        sum(col("__yy") * col("__yy")).as("spp"))
+      .collect().map { r =>
+        val (pos, n, sv, spp) =
+          (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val mean = sv.toDouble / n / 1e6
+        val variance = (spp.toDouble - sv.toDouble * sv / n) / (n - 1) / 1e12
+        (pos, mean, math.sqrt(math.max(variance, 0.0)))
+      }.sortBy(_._1)
+    val means = lit(stats.map(_._2))
+    val stds = lit(stats.map(_._3))
+    val v = asDouble(col(vecCol))
+    val whitened = transform(sequence(lit(1), size(v)), i => {
+      val m = element_at(means, i)
+      val s = element_at(stds, i)
+      when(s === 0.0, 0.0)
+        .otherwise(round((element_at(v, i) - m) / s, 6) + lit(0.0))
+    })
+    df.select(col(idCol), whitened.as("whitened"))
+  }
+
   /** Top-`k` principal components via driver-side power iteration
     * with deflation over the COLLECTED covariance matrix (dims² is
     * metadata-sized — the Lloyd/BPE license; the corpus-sized work

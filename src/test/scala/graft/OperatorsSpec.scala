@@ -112,6 +112,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("debounce: survivor is a function of each row and its predecessor") {
+    val s = 1000000000L // 1s in ns
+    val df = Seq(
+      (1L, 0 * s, 1L, "click"),
+      (1L, 2 * s, 2L, "click"),    // 2s after kept event: dropped
+      (1L, 7 * s, 3L, "click"),    // 5s after event 2 (lag form): kept
+      (1L, 7 * s, 4L, "view"),     // different type: kept
+      (2L, 8 * s, 5L, "click"))    // different user: kept
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.debounce(df, Seq("user_id", "event_type"), "ts",
+      Seq(col("event_id")), minGapNs = 4 * s)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("whiten: unit variance per dim, zero-variance dim maps to 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 7.0f)), (2L, Array(3.0f, 7.0f)),
+      (3L, Array(5.0f, 7.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.whiten(df, "vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().map(r => r._1 -> r._2).toMap
+    // dim0: mean 3, std 2 → z in {-1, 0, 1}; dim1 constant → 0
+    assert(got(1L) == Seq(-1.0, 0.0))
+    assert(got(2L) == Seq(0.0, 0.0))
+    assert(got(3L) == Seq(1.0, 0.0))
+  }
+
   test("topPaths: event order inside sessions, frequency rank") {
     val m = 60000000000L
     val df = Seq(
