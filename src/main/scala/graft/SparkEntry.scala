@@ -292,6 +292,17 @@ object SparkEntry {
     "q_e_mad" -> ((s, d) =>
       Profile.madStats(t(s, d, "events"), Seq("event_type"), "value")),
 
+    // smoothed target encoding of event_type against value
+    "q_x_target" -> ((s, d) =>
+      Features.targetEncode(t(s, d, "events"), Seq("event_type"),
+        "value", m = 10.0)),
+
+    // leakage-safe temporal split: 2024-01-21 cut, 1-day embargo
+    "q_x_embargo" -> ((s, d) =>
+      Features.embargoSplit(t(s, d, "events"), "ts",
+          splitTs = 1705795200000000000L, embargoNs = 86400000000000L)
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
     // ordered funnel: view -> click -> purchase, first-touch strict
     "q_e_funnel" -> ((s, d) =>
       Funnel.reached(t(s, d, "events"), "user_id", "ts", "event_type",
@@ -496,6 +507,10 @@ object SparkEntry {
     // ---- dedup at scale (documents) ----
     "q_d_exact" -> ((s, d) =>
       Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id")),
+
+    // cross-source duplicate overlap matrix (mirror/syndication map)
+    "q_d_srcoverlap" -> ((s, d) =>
+      Dedup.sourceOverlap(t(s, d, "documents"), "text", "source")),
 
     // normalization-aware exact dedup: case/punct/whitespace variants
     // collapse to one canonical form before hashing (C4 convention)
@@ -1779,6 +1794,16 @@ object SparkEntry {
     "q_e_pctl" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
 
+    "q_x_target" ->
+      ("WITH per AS (SELECT event_type, count(*) AS n, sum(CAST(round(value * 1e6) AS BIGINT)) AS s FROM events GROUP BY 1), " +
+        "g AS (SELECT count(*) AS gn, sum(CAST(round(value * 1e6) AS BIGINT)) AS gs FROM events) " +
+        "SELECT event_type, n, round((s::DOUBLE + 10.0 * (gs::DOUBLE / gn)) / (n + 10.0) / 1e6, 6) AS enc FROM per CROSS JOIN g"),
+
+    "q_x_embargo" ->
+      ("SELECT CASE WHEN epoch_ns(ts) < 1705795200000000000 - 86400000000000 THEN 'train' " +
+        "WHEN epoch_ns(ts) > 1705795200000000000 THEN 'test' ELSE 'embargo' END AS split, count(*) AS n " +
+        "FROM events GROUP BY 1"),
+
     "q_e_mad" ->
       ("WITH m AS (SELECT event_type, count(*) AS n, round(quantile_cont(value, 0.5), 6) AS median FROM events GROUP BY 1) " +
         "SELECT e.event_type, max(n)::BIGINT AS n, max(median) AS median, " +
@@ -1944,6 +1969,11 @@ object SparkEntry {
 
     "q_d_normdedup" ->
       "SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    "q_d_srcoverlap" ->
+      ("WITH hs AS (SELECT DISTINCT md5(text) AS h, source AS src FROM documents) " +
+        "SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared " +
+        "FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2"),
 
     "q_d_minhash" -> {
       val mh = (0 until 4).map { i =>

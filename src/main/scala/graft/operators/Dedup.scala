@@ -600,6 +600,22 @@ object Dedup {
       .select(col("doc_id"), col("__p.pos").as("pos"), col("__p.fp").as("fp"))
   }
 
+  /** Cross-source duplicate overlap matrix — the provenance report
+    * behind a mixture decision: for every source pair, how many
+    * distinct contents appear in BOTH (mirrored crawls, syndicated
+    * feeds, vendor overlap). Distinct (hash, source) rows first, so
+    * within-source duplication doesn't inflate the count; the join
+    * key is the content hash. Output: (src_a < src_b, n_shared). */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+                    srcCol: String): DataFrame = {
+    val hs = docs.select(md5(col(textCol)).as("h"),
+      col(srcCol).as("src")).distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Candidate pairs from shared winnowing fingerprints — the
     * partial-overlap dedup generator (clone detection, long shared
     * passages) that LSH-over-whole-doc signatures misses by design.

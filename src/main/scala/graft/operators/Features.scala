@@ -138,6 +138,42 @@ object Features {
         round(col("__s").cast("double") / 1e6, 4).as("decayed_sum"): _*)
   }
 
+  /** Smoothed target encoding — the categorical featurization that
+    * replaces a category with its target mean, shrunk toward the
+    * global mean by pseudo-count `m` (the leakage-prone op done
+    * right: explicit smoothing, no per-row leave-one-out here — fit
+    * on train, apply elsewhere): enc = (Σy + m·μ)/(n + m). Per-row
+    * micro-unit target rounding keeps every sum exact; the global
+    * mean rides as a broadcast 1-row frame. Output: (category cols…,
+    * n, enc 6 dp). */
+  def targetEncode(df: DataFrame, cats: Seq[String], targetCol: String,
+                   m: Double = 10.0): DataFrame = {
+    val y = round(col(targetCol) * 1e6).cast("long")
+    val per = df.groupBy(cats.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(y).as("__s"))
+    val glob = df.agg(count(lit(1)).as("__gn"), sum(y).as("__gs"))
+    per.crossJoin(broadcast(glob))
+      .select(cats.map(col) :+ col("n") :+
+        round((col("__s").cast("double") +
+          lit(m) * (col("__gs").cast("double") / col("__gn"))) /
+          (col("n") + m) / 1e6, 6).as("enc"): _*)
+  }
+
+  /** Time-ordered train/test split with an EMBARGO gap — the
+    * leakage-safe temporal split: train strictly before `splitTs −
+    * embargo`, test strictly after `splitTs`, the embargo band
+    * in between excluded so boundary-straddling windows can't leak
+    * future information into training features. Map-only labeling. */
+  def embargoSplit(df: DataFrame, tsCol: String, splitTs: Long,
+                   embargoNs: Long): DataFrame = {
+    require(embargoNs >= 0, s"embargo must be >= 0, got $embargoNs")
+    val ts = col(tsCol).cast("long")
+    df.withColumn("split",
+      when(ts < splitTs - embargoNs, "train")
+        .when(ts > splitTs, "test")
+        .otherwise("embargo"))
+  }
+
   /** OHLC downsampling bars — the time-series compaction pass
     * (finance candles, metric rollups): per key and time bucket,
     * the first (open) / max (high) / min (low) / last (close) value

@@ -93,6 +93,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set(("a", 0L, 1L), ("a", 5L, 0L), ("a", 7L, 7L)))
   }
 
+  test("targetEncode: shrinks small categories toward the global mean") {
+    val df = (Seq.fill(100)(("big", 10.0)) :+ (("rare", 1000.0)))
+      .toDF("cat", "value")
+    val got = graft.operators.Features
+      .targetEncode(df, Seq("cat"), "value", m = 10.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // global mean ≈ 19.8; rare's raw mean is 1000 but n=1, m=10 →
+    // enc pulled heavily toward the global mean
+    assert(got("rare") < 200.0 && got("rare") > got("big"))
+    assert(math.abs(got("big") - 10.0) < 1.5)
+  }
+
+  test("embargoSplit: strict boundaries, embargo band excluded from both") {
+    val df = Seq((1L, 0L), (2L, 89L), (3L, 90L), (4L, 100L), (5L, 101L))
+      .toDF("id", "ts")
+    val got = graft.operators.Features
+      .embargoSplit(df, "ts", splitTs = 100L, embargoNs = 10L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "embargo", 5L -> "test"))
+  }
+
   test("decayedSum: half-life weighting, hand-computed micro-unit sum") {
     val df = Seq(
       ("u1", 100L, 8.0),   // age 0 at ref=100: weight 1

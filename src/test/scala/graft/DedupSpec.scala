@@ -254,6 +254,18 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (_, nd, nt) => nd == 2 && nt == 2 })
   }
 
+  test("sourceOverlap: within-source dups don't inflate, pairs ordered") {
+    val docs = Seq(
+      (1L, "same content", "A"), (2L, "same content", "B"),
+      (3L, "same content", "B"),   // within-B dup: counts once
+      (4L, "other content", "A"), (5L, "other content", "C"),
+      (6L, "unique", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("A", "B", 1L), ("A", "C", 1L)))
+  }
+
   test("winnowPairs: shared-passage docs pair, ubiquitous fp capped out") {
     // docs 1+2 share a 7-token run (>= w+n-1 = 6 guarantees shared
     // fingerprints); doc 3 is unrelated
