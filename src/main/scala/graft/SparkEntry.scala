@@ -263,6 +263,14 @@ object SparkEntry {
           "ts", Seq(col("event_id")), minGapNs = 60000000000L)
         .select("event_id", "user_id", "event_type")),
 
+    // market-basket rules: sessions as baskets, event types as items
+    "q_e_basket" -> ((s, d) =>
+      Sessionize.basketRules(
+        t(s, d, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_type",
+        gapNs = 1800000000L, tiebreak = Seq(col("event_id")),
+        minSupport = 2L)),
+
     // top-10 session paths: ordered event-type sequences by frequency
     "q_e_paths" -> ((s, d) =>
       Sessionize.topPaths(
@@ -291,6 +299,11 @@ object SparkEntry {
     // robust dispersion: exact median + MAD per event type
     "q_e_mad" -> ((s, d) =>
       Profile.madStats(t(s, d, "events"), Seq("event_type"), "value")),
+
+    // lag-1 autocorrelation of value per event type (ts, id order)
+    "q_e_autocorr" -> ((s, d) =>
+      Features.autocorrelation(t(s, d, "events"), Seq("event_type"),
+        "ts", "value", Seq(col("event_id")))),
 
     // smoothed target encoding of event_type against value
     "q_x_target" -> ((s, d) =>
@@ -1760,6 +1773,20 @@ object SparkEntry {
       ("SELECT event_id, user_id, event_type FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn, lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id) AS prev FROM events) " +
         "WHERE prev IS NULL OR tsn - prev > 60000000000"),
 
+    "q_e_basket" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn FROM events), " +
+        "g AS (SELECT user_id, event_id, event_type, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), " +
+        "s AS (SELECT user_id, event_type, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), " +
+        "bk AS (SELECT DISTINCT user_id::VARCHAR || '#' || session_id::VARCHAR AS basket, event_type AS item FROM s), " +
+        "nb AS (SELECT count(DISTINCT basket) AS nb FROM bk), " +
+        "si AS (SELECT item, count(*) AS sc FROM bk GROUP BY 1), " +
+        "p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS support FROM bk a JOIN bk b ON a.basket = b.basket AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT item_a, item_b, support, " +
+        "round(support::DOUBLE / sa.sc, 6) AS conf_a_b, " +
+        "round(support::DOUBLE / sb.sc, 6) AS conf_b_a, " +
+        "round(support::DOUBLE * nb / (sa.sc::DOUBLE * sb.sc), 6) AS lift " +
+        "FROM p JOIN si sa ON p.item_a = sa.item JOIN si sb ON p.item_b = sb.item CROSS JOIN nb"),
+
     "q_e_paths" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn FROM events), " +
         "g AS (SELECT user_id, event_id, event_type, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), " +
@@ -1793,6 +1820,14 @@ object SparkEntry {
 
     "q_e_pctl" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    "q_e_autocorr" ->
+      ("WITH y AS (SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS y, epoch_ns(ts) AS tsn, event_id FROM events), " +
+        "p AS (SELECT event_type, y, lag(y) OVER (PARTITION BY event_type ORDER BY tsn, event_id) AS yl FROM y), " +
+        "ag AS (SELECT event_type, count(*) AS n_pairs, CAST(sum(y) AS BIGINT) AS sx, CAST(sum(yl) AS BIGINT) AS sy, CAST(sum(y * yl) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS sxx, CAST(sum(yl * yl) AS BIGINT) AS syy FROM p WHERE yl IS NOT NULL GROUP BY 1) " +
+        "SELECT event_type, n_pairs, CASE WHEN n_pairs < 3 OR n_pairs::DOUBLE * sxx - sx::DOUBLE * sx <= 0.0 OR n_pairs::DOUBLE * syy - sy::DOUBLE * sy <= 0.0 THEN NULL " +
+        "ELSE round((n_pairs::DOUBLE * sxy - sx::DOUBLE * sy) / sqrt((n_pairs::DOUBLE * sxx - sx::DOUBLE * sx) * (n_pairs::DOUBLE * syy - sy::DOUBLE * sy)), 6) + 0 END AS r1 " +
+        "FROM ag"),
 
     "q_x_target" ->
       ("WITH per AS (SELECT event_type, count(*) AS n, sum(CAST(round(value * 1e6) AS BIGINT)) AS s FROM events GROUP BY 1), " +

@@ -138,6 +138,46 @@ object Features {
         round(col("__s").cast("double") / 1e6, 4).as("decayed_sum"): _*)
   }
 
+  /** Lag-1 autocorrelation per key — the "is this series momentum or
+    * noise" screen (seasonality/trend detection, anomaly-model
+    * selection). Pearson r between consecutive (xₜ, xₜ₋₁) pairs in
+    * (order, tiebreak) sequence. Values go to integer MILLI-units so
+    * every moment sum is exact long arithmetic (products ~1e11 ·
+    * rows — exact to ~1e7 rows per key; scale the unit down past
+    * that); the closed-form r is then identical IEEE doubles in both
+    * engines, rounded to 6 dp with −0.0 canonicalized. One shuffle:
+    * the lag window and the aggregation share the key partitioning.
+    * Keys with < 3 pairs or a constant side return null r. */
+  def autocorrelation(df: DataFrame, keys: Seq[String], orderCol: String,
+                      valueCol: String,
+                      tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol) +: tiebreak: _*)
+    val y = round(col(valueCol) * 1e3).cast("long")
+    val paired = df.withColumn("__y", y)
+      .withColumn("__yl", lag(col("__y"), 1).over(w))
+      .filter(col("__yl").isNotNull)
+    val n = count(lit(1))
+    paired.groupBy(keys.map(col): _*)
+      .agg(n.as("n_pairs"),
+        sum(col("__y")).as("__sx"), sum(col("__yl")).as("__sy"),
+        sum(col("__y") * col("__yl")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__sxx"),
+        sum(col("__yl") * col("__yl")).as("__syy"))
+      .select(keys.map(col) :+ col("n_pairs") :+ {
+        val num = col("n_pairs").cast("double") * col("__sxy") -
+          col("__sx").cast("double") * col("__sy")
+        val dx = col("n_pairs").cast("double") * col("__sxx") -
+          col("__sx").cast("double") * col("__sx")
+        val dy = col("n_pairs").cast("double") * col("__syy") -
+          col("__sy").cast("double") * col("__sy")
+        when(col("n_pairs") < 3 || dx <= 0.0 || dy <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(num / sqrt(dx * dy), 6) + lit(0.0))
+          .as("r1")
+      }: _*)
+  }
+
   /** Smoothed target encoding — the categorical featurization that
     * replaces a category with its target mean, shrunk toward the
     * global mean by pseudo-count `m` (the leakage-prone op done

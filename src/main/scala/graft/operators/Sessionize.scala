@@ -40,6 +40,51 @@ object Sessionize {
         min(col(tsCol)).as("t_start"),
         max(col(tsCol)).as("t_end"))
 
+  /** Market-basket association rules with sessions as baskets and
+    * event types as items: for every unordered item pair, support
+    * (baskets containing both), per-direction confidence
+    * (supp(a,b)/supp(a)), and lift (confidence over the consequent's
+    * base rate). The exactness discipline: counts stay integers until
+    * the final divisions, rounded to 6 dp.
+    *
+    * Scale shape: distinct (basket, item) first (within-basket
+    * repeats must not inflate support), pair generation is an
+    * in-basket self-join on the basket key (bounded by items² per
+    * basket, not corpus²), item marginals ride back as a broadcast.
+    * `minSupport` prunes the tail before the join-back. */
+  def basketRules(df: DataFrame, userCol: String, tsCol: String,
+                  itemCol: String, gapNs: Long, tiebreak: Seq[Column],
+                  minSupport: Long = 2L): DataFrame = {
+    val baskets = sessionize(df, userCol, tsCol, gapNs, tiebreak)
+      .select(col(userCol).cast("string").as("__u"),
+        col("session_id"), col(itemCol).as("item"))
+      .select(concat_ws("#", col("__u"), col("session_id")).as("basket"),
+        col("item")).distinct()
+    val nBaskets = baskets.select("basket").distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val itemSupp = baskets.groupBy("item").agg(count(lit(1)).as("__si"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.basket") === col("b.basket") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(broadcast(itemSupp.select(col("item").as("item_a"),
+        col("__si").as("__sa"))), Seq("item_a"))
+      .join(broadcast(itemSupp.select(col("item").as("item_b"),
+        col("__si").as("__sb"))), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") / col("__sa"), 6)
+          .as("conf_a_b"),
+        round(col("support").cast("double") / col("__sb"), 6)
+          .as("conf_b_a"),
+        round(col("support").cast("double") * col("__nb") /
+          (col("__sa").cast("double") * col("__sb")), 6).as("lift"))
+  }
+
   /** Throttle-dedup ("debounce") for telemetry streams: keep an
     * event only when the PREVIOUS event with the same keys is at
     * least `minGapNs` older (or absent) — the double-click / retry /

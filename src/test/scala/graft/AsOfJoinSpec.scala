@@ -93,6 +93,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set(("a", 0L, 1L), ("a", 5L, 0L), ("a", 7L, 7L)))
   }
 
+  test("autocorrelation: trending series near +1, alternating near -1") {
+    val trend = (1 to 50).map(i => ("up", i.toLong, i.toLong, i.toDouble))
+    val alt = (1 to 50).map(i =>
+      ("alt", i.toLong, i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val const = (1 to 10).map(i => ("const", i.toLong, i.toLong, 7.0))
+    val df = (trend ++ alt ++ const).toDF("k", "ts", "id", "value")
+    val got = graft.operators.Features
+      .autocorrelation(df, Seq("k"), "ts", "value", Seq(col("id")))
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got("up").get > 0.99)
+    assert(got("alt").get < -0.99)
+    assert(got("const").isEmpty) // zero variance → null
+  }
+
   test("targetEncode: shrinks small categories toward the global mean") {
     val df = (Seq.fill(100)(("big", 10.0)) :+ (("rare", 1000.0)))
       .toDF("cat", "value")

@@ -139,6 +139,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == Seq(1.0, 0.0))
   }
 
+  test("basketRules: support/confidence/lift hand-computed, repeats collapse") {
+    val m = 60000000000L
+    // u1 s1: {view, click, click(dup)}, u1 s2: {view}, u2 s1: {view, click}
+    val df = Seq(
+      (1L, 0 * m, 1L, "view"), (1L, 1 * m, 2L, "click"),
+      (1L, 2 * m, 3L, "click"),
+      (1L, 99 * m, 4L, "view"),
+      (2L, 0 * m, 5L, "view"), (2L, 1 * m, 6L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.basketRules(df, "user_id", "ts", "event_type",
+      gapNs = 30 * m, tiebreak = Seq(col("event_id")), minSupport = 2L)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val r = got.head
+    // 3 baskets; supp(click,view)=2, supp(click)=2, supp(view)=3
+    assert((r._1, r._2, r._3) == (("click", "view", 2L)))
+    assert(r._4 == 1.0)                       // click → view always
+    assert(r._5 == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r._6 == 1.0)                       // lift 2*3/(2*3) = 1
+  }
+
   test("topPaths: event order inside sessions, frequency rank") {
     val m = 60000000000L
     val df = Seq(
