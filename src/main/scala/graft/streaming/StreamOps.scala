@@ -56,6 +56,30 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of `Sessionize.debounce`: per (user, type) the
+    * state is ONE long — the ts of the last event SEEN (kept or not,
+    * the lag semantics of the batch operator) — so state size is
+    * O(active keys), not O(events). Within a batch events replay in
+    * (ts, id) order; cross-batch the state carries the boundary. */
+  def debounceStream(events: Dataset[Event],
+                     minGapNs: Long): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Event]
+          sorted.foreach { e =>
+            if (last == Long.MinValue || e.ts - last > minGapNs) out += e
+            last = e.ts
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** Funnel progress state: furthest step index completed and the ts
     * of that completion (first-touch chain). */
   final case class FunnelState(step: Int, lastT: Long)

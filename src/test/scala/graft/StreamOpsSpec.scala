@@ -331,4 +331,36 @@ class StreamOpsSpec extends SparkSpec {
       assert(latest == batch)
     } finally q.stop()
   }
+
+  test("debounceStream: cross-batch gap state matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.debounceStream(input.toDS(), minGapNs = 30 * M)
+      .writeStream.format("memory").queryName("deb")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1L, 0 * M, 1L, "click", 1.0),
+        Event(1L, 10 * M, 2L, "click", 1.0),   // 10 min after 1: dropped
+        Event(1L, 45 * M, 3L, "click", 1.0))   // 35 after 2: kept
+      q.processAllAvailable()
+      // batch 2 starts 10 min after the last SEEN event (3): dropped
+      // even though the drop decision crosses the batch boundary
+      input.addData(Event(1L, 55 * M, 4L, "click", 1.0),
+        Event(1L, 99 * M, 5L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("deb").select("event_id")
+        .as[Long].collect().toSet
+      val all = Seq(
+        (1L, 0 * M, 1L, "click"), (1L, 10 * M, 2L, "click"),
+        (1L, 45 * M, 3L, "click"), (1L, 55 * M, 4L, "click"),
+        (1L, 99 * M, 5L, "click"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val batch = graft.operators.Sessionize.debounce(all,
+        Seq("user_id", "event_type"), "ts",
+        Seq(col("event_id")), minGapNs = 30 * M)
+        .select("event_id").as[Long].collect().toSet
+      assert(got == batch && got == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
 }
