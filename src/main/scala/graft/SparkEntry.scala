@@ -300,6 +300,18 @@ object SparkEntry {
     "q_e_mad" -> ((s, d) =>
       Profile.madStats(t(s, d, "events"), Seq("event_type"), "value")),
 
+    // per-user inter-arrival gap distribution (sessionization evidence)
+    "q_e_gaps" -> ((s, d) =>
+      Profile.groupedPercentiles(
+        Features.interArrival(t(s, d, "events"), Seq("user_id"), "ts",
+          Seq(col("event_id"))),
+        Seq("user_id"), "gap", Seq(0.5, 0.95))),
+
+    // daily new vs returning users (86400000000000 ns = 1 day)
+    "q_e_newusers" -> ((s, d) =>
+      Funnel.newVsReturning(t(s, d, "events"), "user_id", "ts",
+        bucket = 86400000000000L)),
+
     // lag-1 autocorrelation of value per event type (ts, id order)
     "q_e_autocorr" -> ((s, d) =>
       Features.autocorrelation(t(s, d, "events"), Seq("event_type"),
@@ -1820,6 +1832,17 @@ object SparkEntry {
 
     "q_e_pctl" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    "q_e_gaps" ->
+      ("WITH g AS (SELECT user_id, epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS gap FROM events) " +
+        "SELECT user_id, round(quantile_cont(gap, 0.5), 6) AS p50, round(quantile_cont(gap, 0.95), 6) AS p95 FROM g WHERE gap IS NOT NULL GROUP BY 1"),
+
+    "q_e_newusers" ->
+      ("WITH a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS bucket FROM events), " +
+        "f AS (SELECT user_id, min(bucket) AS first FROM a GROUP BY 1) " +
+        "SELECT bucket, sum(CASE WHEN bucket = first THEN 1 ELSE 0 END) AS n_new, " +
+        "sum(CASE WHEN bucket <> first THEN 1 ELSE 0 END) AS n_returning " +
+        "FROM a JOIN f USING (user_id) GROUP BY 1"),
 
     "q_e_autocorr" ->
       ("WITH y AS (SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS y, epoch_ns(ts) AS tsn, event_id FROM events), " +

@@ -138,6 +138,22 @@ object Features {
         round(col("__s").cast("double") / 1e6, 4).as("decayed_sum"): _*)
   }
 
+  /** Per-key inter-arrival gaps: (keys…, gap) rows for every
+    * consecutive event pair in (order, tiebreak) sequence — feed to
+    * `Profile.groupedPercentiles` for the gap distribution that
+    * justifies a sessionization threshold, or to anomaly screens for
+    * dead/bursty sources. One shuffle on the keys. */
+  def interArrival(df: DataFrame, keys: Seq[String], orderCol: String,
+                   tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol) +: tiebreak: _*)
+    df.withColumn("gap",
+        col(orderCol).cast("long") -
+          lag(col(orderCol).cast("long"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(keys.map(col) :+ col("gap"): _*)
+  }
+
   /** Lag-1 autocorrelation per key — the "is this series momentum or
     * noise" screen (seasonality/trend detection, anomaly-model
     * selection). Pearson r between consecutive (xₜ, xₜ₋₁) pairs in

@@ -67,6 +67,25 @@ object Funnel {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** New-vs-returning split per time bucket — the growth dashboard's
+    * first chart: a user is "new" in the bucket of their first-ever
+    * activity, "returning" in every later active bucket. Two
+    * aggregations over distinct (user, bucket) rows plus a join on
+    * the user key; all integers. */
+  def newVsReturning(df: DataFrame, userCol: String, tsCol: String,
+                     bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val bk = expr(s"$tsCol div $bucket")
+    val first = df.groupBy(userCol).agg(min(bk).as("__first"))
+    val active = df.select(col(userCol), bk.as("bucket")).distinct()
+    active.join(first, Seq(userCol))
+      .groupBy("bucket")
+      .agg(sum(when(col("bucket") === col("__first"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("bucket") =!= col("__first"), 1L).otherwise(0L))
+          .as("n_returning"))
+  }
+
   /** Funnel summary: users reaching at least each step (the classic
     * decreasing bar chart), from one `reached` pass. */
   def counts(df: DataFrame, userCol: String, tsCol: String,

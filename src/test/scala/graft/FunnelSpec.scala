@@ -49,4 +49,16 @@ class FunnelSpec extends SparkSpec {
     assert(got.map(_._3).sameElements(Array(4L, 3L, 2L)))
     assert(got.map(_._2).sameElements(Array("view", "click", "purchase")))
   }
+
+  test("newVsReturning: first bucket is new, later active buckets return") {
+    val df = Seq(
+      (1L, 0L), (1L, 5L),      // u1: new in bucket 0, same bucket twice
+      (1L, 10L),               // u1: returning in bucket 1
+      (2L, 10L),               // u2: new in bucket 1
+      (2L, 25L))               // u2: returning in bucket 2
+      .toDF("user_id", "ts")
+    val got = Funnel.newVsReturning(df, "user_id", "ts", bucket = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 0L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
 }
