@@ -537,6 +537,26 @@ object SparkEntry {
     "q_d_srcoverlap" -> ((s, d) =>
       Dedup.sourceOverlap(t(s, d, "documents"), "text", "source")),
 
+    // referential-integrity report over the TPC-H FK edges
+    "q_x_fk" -> ((s, d) =>
+      Validate.fkReport(Seq(
+        ("lineitem_orders", t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey"),
+        ("orders_customer", t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey"),
+        ("customer_nation", t(s, d, "customer"), "c_nationkey",
+          t(s, d, "nation"), "n_nationkey")))),
+
+    // duplication concentration: dup-group deciles by copy count
+    "q_d_dupconc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id")
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("dup_count").desc, col("content_hash"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_groups"), sum(col("dup_count")).as("n_docs"))
+    }),
+
     // normalization-aware exact dedup: case/punct/whitespace variants
     // collapse to one canonical form before hashing (C4 convention)
     "q_d_normdedup" -> ((s, d) =>
@@ -2032,6 +2052,16 @@ object SparkEntry {
       ("WITH hs AS (SELECT DISTINCT md5(text) AS h, source AS src FROM documents) " +
         "SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared " +
         "FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2"),
+
+    "q_x_fk" ->
+      ("SELECT 'lineitem_orders' AS fk, (SELECT count(*) FROM lineitem) AS n_child, (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans, (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null " +
+        "UNION ALL SELECT 'orders_customer', (SELECT count(*) FROM orders), (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), (SELECT count(*) FROM orders WHERE o_custkey IS NULL) " +
+        "UNION ALL SELECT 'customer_nation', (SELECT count(*) FROM customer), (SELECT count(*) FROM customer c WHERE c_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)), (SELECT count(*) FROM customer WHERE c_nationkey IS NULL)"),
+
+    "q_d_dupconc" ->
+      ("WITH g AS (SELECT md5(text) AS content_hash, count(*) AS dup_count FROM documents GROUP BY 1), " +
+        "d AS (SELECT dup_count, ntile(10) OVER (ORDER BY dup_count DESC, content_hash) AS decile FROM g) " +
+        "SELECT decile, count(*) AS n_groups, sum(dup_count) AS n_docs FROM d GROUP BY 1"),
 
     "q_d_minhash" -> {
       val mh = (0 until 4).map { i =>

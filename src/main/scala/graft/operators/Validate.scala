@@ -96,4 +96,27 @@ object Validate {
     (rowPart.toSeq ++ uniqueParts).reduce(_ unionByName _)
       .withColumn("pass", (col("violations") === 0L).cast("int"))
   }
+
+  /** Referential-integrity report for declared FK edges: for each
+    * (name, child, childKey, parent, parentKey), the child row count
+    * and the orphan count (child keys with no parent — a LEFT ANTI
+    * join, null FKs counted separately since SQL null never matches).
+    * The per-edge scans are independent aggregations unioned into one
+    * report frame; AQE broadcasts the smaller side of each anti. */
+  def fkReport(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+  : DataFrame = {
+    require(edges.nonEmpty, "fkReport: no edges")
+    edges.map { case (name, child, ck, parent, pk) =>
+      val nonNull = child.filter(col(ck).isNotNull)
+      val orphans = nonNull.join(
+        parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
+      val nulls = child.filter(col(ck).isNull)
+        .agg(count(lit(1)).as("__nn"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .crossJoin(nulls)
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+          col("__nn").as("n_null"))
+    }.reduce(_ unionByName _)
+  }
 }

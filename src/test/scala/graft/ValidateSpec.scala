@@ -94,4 +94,15 @@ class ValidateSpec extends SparkSpec {
     assert(b != null)
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
+
+  test("fkReport: orphans and null FKs counted separately") {
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
+    val child = Seq(
+      (10L, Some(1L)), (11L, Some(1L)), (12L, Some(9L)),  // 9 = orphan
+      (13L, None)).toDF("id", "fk_col")
+    val got = graft.operators.Validate.fkReport(Seq(
+      ("c_p", child, "fk_col", parent, "pk")))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == (("c_p", 4L, 1L, 1L)))
+  }
 }
