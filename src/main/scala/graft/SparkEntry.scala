@@ -300,6 +300,29 @@ object SparkEntry {
     "q_e_mad" -> ((s, d) =>
       Profile.madStats(t(s, d, "events"), Seq("event_type"), "value")),
 
+    // last-touch attribution: each purchase credited to the latest
+    // strictly-earlier non-purchase event within 7 days (as-of join
+    // composition; nulls = organic purchases)
+    "q_e_attrib" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      // one touch row per (user, instant): max type breaks the tie a
+      // same-timestamp pair would otherwise leave nondeterministic
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_type")).as("touch_type"))
+        .withColumn("touch_ts", col("ts").cast("long"))
+      AsOfJoin.backward(purchases, touches, Seq("user_id"), "ts",
+          Seq("touch_type", "touch_ts"), strict = true)
+        .withColumn("attributed",
+          when(col("touch_ts").isNotNull &&
+            col("ts").cast("long") - col("touch_ts") <= 604800000000000L,
+            col("touch_type")))
+        .groupBy("attributed")
+        .agg(count(lit(1)).as("n_purchases"))
+    }),
+
     // per-user inter-arrival gap distribution (sessionization evidence)
     "q_e_gaps" -> ((s, d) =>
       Profile.groupedPercentiles(
@@ -646,6 +669,10 @@ object SparkEntry {
       Tfidf.distinctiveTerms(t(s, d, "documents"), "text", "source",
         k = 5)),
 
+    // lexical diversity per source: TTR + hapax fraction
+    "q_t_ttr" -> ((s, d) =>
+      Tfidf.lexicalDiversity(t(s, d, "documents"), "text", "source")),
+
     // adjacent-bigram collocations: top 20 by PMI at support >= 5
     "q_t_colloc" -> ((s, d) =>
       Tfidf.collocations(t(s, d, "documents"), "text",
@@ -928,6 +955,12 @@ object SparkEntry {
     "q_x_kmv" -> ((s, d) =>
       Sketch.kmvEstimate(
         Sketch.kmv(t(s, d, "lineitem"), "l_partkey", k = 256), k = 256)),
+
+    // per-group mergeable distinct sketch: parts per return flag
+    "q_x_kmvgrp" -> ((s, d) =>
+      Sketch.kmvEstimateGrouped(
+        Sketch.kmvGrouped(t(s, d, "lineitem"), "l_returnflag",
+          "l_partkey", k = 128), k = 128)),
 
     "q_x_split" -> ((s, d) =>
       Sampling.assignSplit(t(s, d, "documents"), "doc_id",
@@ -1583,6 +1616,14 @@ object SparkEntry {
         "round(exp(-(sum(coalesce(lpm, olpm))::DOUBLE) / count(*) / 1e6), 4) AS ppl " +
         "FROM tk LEFT JOIN lp USING (term) CROSS JOIN oov GROUP BY 1"),
 
+    "q_t_ttr" ->
+      (s"WITH tc AS (SELECT source AS grp, term, count(*) AS c FROM (SELECT source, unnest($toksSql) AS term FROM documents) GROUP BY 1, 2) " +
+        "SELECT grp, sum(c) AS n_tokens, count(*) AS n_types, " +
+        "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax, " +
+        "round(count(*)::DOUBLE / sum(c), 6) AS ttr, " +
+        "round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS hapax_frac " +
+        "FROM tc GROUP BY 1"),
+
     "q_t_colloc" ->
       (s"WITH t AS (SELECT $toksSql AS tk FROM documents), " +
         "u AS (SELECT term, count(*) AS c FROM (SELECT unnest(tk) AS term FROM t) GROUP BY 1), " +
@@ -1852,6 +1893,12 @@ object SparkEntry {
 
     "q_e_pctl" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    "q_e_attrib" ->
+      ("WITH p AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, epoch_ns(ts) AS tsn, max(event_type) AS touch_type FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2), " +
+        "j AS (SELECT p.user_id, p.tsn, t.touch_type, t.tsn AS touch_ts FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.tsn > t.tsn) " +
+        "SELECT CASE WHEN touch_ts IS NOT NULL AND tsn - touch_ts <= 604800000000000 THEN touch_type END AS attributed, count(*) AS n_purchases FROM j GROUP BY 1"),
 
     "q_e_gaps" ->
       ("WITH g AS (SELECT user_id, epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS gap FROM events) " +
@@ -2247,6 +2294,12 @@ object SparkEntry {
       ("WITH h AS (SELECT DISTINCT ('0x' || substr(md5('kmv' || l_partkey::VARCHAR), 1, 15))::BIGINT AS hv FROM lineitem), " +
         "s AS (SELECT hv FROM h ORDER BY hv LIMIT 256) " +
         "SELECT count(*) AS n, max(hv) AS kth, round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE ELSE 255.0 * 1152921504606846976.0 / max(hv) END, 2) AS est FROM s"),
+
+    "q_x_kmvgrp" ->
+      ("WITH h AS (SELECT DISTINCT l_returnflag AS grp, ('0x' || substr(md5('kmv' || l_partkey::VARCHAR), 1, 15))::BIGINT AS hv FROM lineitem), " +
+        "r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h), " +
+        "s AS (SELECT grp, hv FROM r WHERE rn <= 128) " +
+        "SELECT grp, count(*) AS n, max(hv) AS kth, round(CASE WHEN count(*) < 128 THEN count(*)::DOUBLE ELSE 127.0 * 1152921504606846976.0 / max(hv) END, 2) AS est FROM s GROUP BY 1"),
 
     "q_x_split" ->
       s"SELECT doc_id, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents",

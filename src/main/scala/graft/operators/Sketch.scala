@@ -88,6 +88,31 @@ object Sketch {
     pruned.distinct().orderBy(col("hv").asc).limit(k)
   }
 
+  /** Per-GROUP KMV sketches: the k smallest distinct hashes within
+    * each group — one distinct pass plus a rank window that rides the
+    * group partitioning (WindowGroupLimit bounds per-partition
+    * state). Same salt/merge contract as the global sketch. */
+  def kmvGrouped(df: DataFrame, groupCol: String, keyCol: String,
+                 k: Int = 256, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hv = graft.functions.ColumnFns
+      .hash60(concat(lit(salt), col(keyCol).cast("string"))).as("hv")
+    df.select(col(groupCol).as("grp"), hv).distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("hv").asc)))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-group distinct-count estimates from `kmvGrouped` output. */
+  def kmvEstimateGrouped(sketch: DataFrame, k: Int = 256): DataFrame =
+    sketch.groupBy("grp")
+      .agg(count(lit(1)).as("n"), max(col("hv")).as("kth"))
+      .select(col("grp"), col("n"), col("kth"),
+        round(when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * H60_SPACE / col("kth")), 2)
+          .as("est"))
+
   /** Merge KMV sketches built with the same salt: k smallest of the
     * union of survivors. */
   def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =

@@ -96,6 +96,27 @@ object Tfidf {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** Lexical diversity per group — type-token ratio and hapax
+    * fraction, the corpus-health numbers that catch template spam
+    * (TTR collapses) and OCR noise (hapax explodes) per source.
+    * One (group, term) aggregation feeds both statistics; integers
+    * until the final divisions. */
+  def lexicalDiversity(docs: DataFrame, textCol: String,
+                       groupCol: String): DataFrame = {
+    val tc = docs.select(col(groupCol).as("grp"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("__c"))
+    tc.groupBy("grp").agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_frac"))
+  }
+
   /** Adjacent-bigram collocations by pointwise mutual information —
     * the multi-word-expression miner ("new york", "machine learning")
     * that document-level co-occurrence PMI (`cooccurrence`) washes

@@ -90,4 +90,32 @@ class SketchSpec extends SparkSpec {
       .select("m").as[Long].collect()
     assert(mass.forall(_ == stream.count()))
   }
+
+  test("kmvGrouped: below-k groups are exact, sketch bounded at k") {
+    import graft.operators.Sketch
+    val df = ((1 to 50).map(i => ("big", i)) ++
+      (1 to 5).map(i => ("small", i))).toDF("g", "v")
+    val sk = Sketch.kmvGrouped(df, "g", "v", k = 16)
+    val sizes = sk.groupBy("grp").count().as[(String, Long)]
+      .collect().toMap
+    assert(sizes == Map("big" -> 16L, "small" -> 5L))
+    val est = Sketch.kmvEstimateGrouped(sk, k = 16)
+      .select("grp", "n", "est").as[(String, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(est("small") == (("small", 5L, 5.0)))  // exact below k
+    assert(est("big")._3 > 20.0 && est("big")._3 < 200.0)
+  }
+
+  test("lexicalDiversity: hand-computed TTR and hapax fraction") {
+    val docs = Seq(
+      (1L, "a a a b", "s1"),     // tokens 4, types {a,b}, hapax {b}
+      (2L, "c d", "s2"))         // tokens 2, types 2, hapax 2
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Tfidf
+      .lexicalDiversity(docs, "text", "source")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 4L, 2L, 1L, 0.5, 0.5)))
+    assert(got("s2") == (("s2", 2L, 2L, 2L, 1.0, 1.0)))
+  }
 }
