@@ -673,6 +673,23 @@ object SparkEntry {
     "q_t_ttr" -> ((s, d) =>
       Tfidf.lexicalDiversity(t(s, d, "documents"), "text", "source")),
 
+    // Zipf rank-frequency slope over the top-1000 terms
+    "q_t_zipf" -> ((s, d) =>
+      Tfidf.zipfSlope(t(s, d, "documents"), "text", topN = 1000)),
+
+    // daily bounce rate: 1-event sessions / sessions, day of t_start
+    "q_e_bounce" -> ((s, d) =>
+      Sessionize.sessionStats(
+          t(s, d, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us",
+          gapNs = 1800000000L, tiebreak = Seq(col("event_id")))
+        .groupBy(expr("t_start div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounce"))
+        .withColumn("bounce_rate",
+          round(col("n_bounce") / col("n_sessions"), 6))),
+
     // adjacent-bigram collocations: top 20 by PMI at support >= 5
     "q_t_colloc" -> ((s, d) =>
       Tfidf.collocations(t(s, d, "documents"), "text",
@@ -1615,6 +1632,24 @@ object SparkEntry {
         "round(-sum(coalesce(lpm, olpm)) / count(*) / 1e6, 6) AS cross_entropy, " +
         "round(exp(-(sum(coalesce(lpm, olpm))::DOUBLE) / count(*) / 1e6), 4) AS ppl " +
         "FROM tk LEFT JOIN lp USING (term) CROSS JOIN oov GROUP BY 1"),
+
+    "q_t_zipf" ->
+      (s"WITH f AS (SELECT term, count(*) AS freq FROM (SELECT unnest($toksSql) AS term FROM documents) GROUP BY 1), " +
+        "r AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x, CAST(round(ln(freq) * 1e6) AS BIGINT) AS y FROM (SELECT freq, term, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM f) WHERE rank <= 1000), " +
+        "a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx FROM r) " +
+        "SELECT n AS n_terms, " +
+        "round((n::DOUBLE * sxy - sx::DOUBLE * sy) / (n::DOUBLE * sxx - sx::DOUBLE * sx), 6) AS slope, " +
+        "round((sy::DOUBLE - (n::DOUBLE * sxy - sx::DOUBLE * sy) / (n::DOUBLE * sxx - sx::DOUBLE * sx) * sx) / n / 1e6, 6) AS intercept FROM a"),
+
+    "q_e_bounce" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), " +
+        "g AS (SELECT user_id, event_id, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), " +
+        "s AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), " +
+        "ses AS (SELECT user_id, session_id, count(*) AS n_events, min(tsn) AS t_start FROM s GROUP BY 1, 2) " +
+        "SELECT t_start // 86400000000 AS day, count(*) AS n_sessions, " +
+        "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounce, " +
+        "round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS bounce_rate " +
+        "FROM ses GROUP BY 1"),
 
     "q_t_ttr" ->
       (s"WITH tc AS (SELECT source AS grp, term, count(*) AS c FROM (SELECT source, unnest($toksSql) AS term FROM documents) GROUP BY 1, 2) " +

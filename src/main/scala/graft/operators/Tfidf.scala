@@ -96,6 +96,43 @@ object Tfidf {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** Zipf fit over the top-`topN` terms: least-squares slope of
+    * ln(freq) against ln(rank) — natural corpora sit near −1;
+    * template spam flattens the head, noise steepens the tail. The
+    * regression inputs are integer micro-nats (round(ln·1e6)) so the
+    * moment sums are exact long arithmetic; the closed-form slope /
+    * intercept are then identical IEEE doubles in both engines.
+    * Ranking ties break by term. Output: one row (n_terms, slope,
+    * intercept), 6 dp. */
+  def zipfSlope(docs: DataFrame, textCol: String,
+                topN: Int = 1000): DataFrame = {
+    val ranked = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term"))))
+      .filter(col("rank") <= topN)
+      .select(round(log(col("rank").cast("double")) * 1e6)
+          .cast("long").as("__x"),
+        round(log(col("freq").cast("double")) * 1e6)
+          .cast("long").as("__y"))
+    ranked.agg(count(lit(1)).as("n_terms"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("n_terms"),
+        round((col("n_terms").cast("double") * col("__sxy") -
+          col("__sx").cast("double") * col("__sy")) /
+          (col("n_terms").cast("double") * col("__sxx") -
+            col("__sx").cast("double") * col("__sx")), 6).as("slope"),
+        round((col("__sy").cast("double") -
+          (col("n_terms").cast("double") * col("__sxy") -
+            col("__sx").cast("double") * col("__sy")) /
+          (col("n_terms").cast("double") * col("__sxx") -
+            col("__sx").cast("double") * col("__sx")) * col("__sx")) /
+          col("n_terms") / 1e6, 6).as("intercept"))
+  }
+
   /** Lexical diversity per group — type-token ratio and hapax
     * fraction, the corpus-health numbers that catch template spam
     * (TTR collapses) and OCR noise (hapax explodes) per source.

@@ -105,6 +105,19 @@ class TfidfSpec extends SparkSpec {
     assert(got(("B", "cherry"))._3 < got(("B", "banana"))._3)
   }
 
+  test("zipfSlope: skewed corpus slopes negative, uniform near zero") {
+    val skew = Seq((1L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim))
+      .toDF("doc_id", "text")
+    val flat = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val s1 = Tfidf.zipfSlope(skew, "text", 10)
+      .as[(Long, Double, Double)].collect().head
+    val s2 = Tfidf.zipfSlope(flat, "text", 10)
+      .as[(Long, Double, Double)].collect().head
+    assert(s1._1 == 4L && s2._1 == 4L)
+    assert(s1._2 < -0.9)          // ~ -1.5 for the 8/4/2/1 ladder
+    assert(math.abs(s2._2) < 1e-6) // uniform: flat line
+  }
+
   test("collocations: fixed phrase outranks incidental adjacency") {
     // "new york" always adjacent; "the" is everywhere (low PMI)
     val docs = Seq(
