@@ -255,4 +255,37 @@ class PropertySpec extends SparkSpec {
         s"domain $dom kept set is not a hash-order prefix")
     }
   }
+
+  test("property: winnow guarantee — shared run of w+n-1 tokens shares a fingerprint") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def randTokens(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val sharedRun = randTokens(6) // w + n - 1 = 4 + 3 - 1 = 6
+    val docs = (1L to 20L).map { i =>
+      // the shared run embedded at a random position in random noise
+      val pre = randTokens(rnd.nextInt(5))
+      val post = randTokens(rnd.nextInt(5))
+      (i, (pre ++ sharedRun ++ post).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fps = graft.operators.Dedup
+      .winnowFingerprints(docs, "text", "doc_id", n = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val common = (1L to 20L).map(fps(_)).reduce(_ intersect _)
+    assert(common.nonEmpty,
+      "guaranteed shared fingerprint missing for a 6-token shared run")
+  }
+
+  test("property: debounce is idempotent") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 300).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 7L, i.toLong, "t")
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val once = graft.operators.Sessionize.debounce(df,
+      Seq("user_id", "event_type"), "ts", Seq(col("event_id")), 50L)
+    val twice = graft.operators.Sessionize.debounce(once,
+      Seq("user_id", "event_type"), "ts", Seq(col("event_id")), 50L)
+    assert(once.select("event_id").as[Long].collect().toSet ==
+      twice.select("event_id").as[Long].collect().toSet)
+  }
 }
