@@ -628,11 +628,15 @@ object Dedup {
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
                   n: Int = 3, w: Int = 4, minShared: Int = 2,
                   maxFp: Int = 100): DataFrame = {
-    val fps = winnowFingerprints(docs, textCol, idCol, n, w)
+    import org.apache.spark.sql.expressions.Window
+    // frequency gate as a WINDOW over the fp partitioning (not a
+    // groupBy + join-back): the eligible frame is then one identical
+    // subtree on both sides of the self-join, so the shuffle is
+    // reused and the winnow kernel runs ONCE, not three times
+    val el = winnowFingerprints(docs, textCol, idCol, n, w)
       .select(col("doc_id"), col("fp")).distinct()
-    val fdf = fps.groupBy("fp").agg(count(lit(1)).as("__c"))
-      .filter(col("__c").between(2, maxFp)).select("fp")
-    val el = fps.join(fdf, Seq("fp"))
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__c").between(2, maxFp)).drop("__c")
     el.as("a").join(el.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
