@@ -335,6 +335,16 @@ object SparkEntry {
       Funnel.newVsReturning(t(s, d, "events"), "user_id", "ts",
         bucket = 86400000000000L)),
 
+    // source x lang independence: chi-square statistic + dof
+    "q_x_chi2" -> ((s, d) =>
+      Profile.chiSquare(t(s, d, "documents"), "source", "lang")),
+
+    // rank-normalize value to [0,1] within each event type
+    "q_e_prank" -> ((s, d) =>
+      Features.percentRank(t(s, d, "events"), Seq("event_type"),
+          "value", Seq(col("event_id")))
+        .select("event_id", "event_type", "prank")),
+
     // lag-1 autocorrelation of value per event type (ts, id order)
     "q_e_autocorr" -> ((s, d) =>
       Features.autocorrelation(t(s, d, "events"), Seq("event_type"),
@@ -1945,6 +1955,19 @@ object SparkEntry {
         "SELECT bucket, sum(CASE WHEN bucket = first THEN 1 ELSE 0 END) AS n_new, " +
         "sum(CASE WHEN bucket <> first THEN 1 ELSE 0 END) AS n_returning " +
         "FROM a JOIN f USING (user_id) GROUP BY 1"),
+
+    "q_x_chi2" ->
+      ("WITH obs AS (SELECT source AS a, lang AS b, count(*) AS o FROM documents GROUP BY 1, 2), " +
+        "ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1), " +
+        "rb AS (SELECT b, sum(o) AS rb FROM obs GROUP BY 1), " +
+        "tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM obs), " +
+        "grid AS (SELECT a, b, ra, rb, coalesce(o, 0) AS o FROM ra CROSS JOIN rb LEFT JOIN obs USING (a, b)), " +
+        "t AS (SELECT CAST(round((o - e) * (o - e) / e * 1e6) AS BIGINT) AS tm, n, ka, kb FROM (SELECT o, ra::DOUBLE * rb / n AS e, n, ka, kb FROM grid CROSS JOIN tot)) " +
+        "SELECT CAST(max(n) AS BIGINT) AS n, CAST(max((ka - 1) * (kb - 1)) AS BIGINT) AS dof, round(CAST(sum(tm) AS BIGINT)::DOUBLE / 1e6, 6) AS chi2 FROM t"),
+
+    "q_e_prank" ->
+      ("SELECT event_id, event_type, CASE WHEN n = 1 THEN 0.0 ELSE round((rk - 1)::DOUBLE / (n - 1), 6) END AS prank FROM " +
+        "(SELECT event_id, event_type, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk, count(*) OVER (PARTITION BY event_type) AS n FROM events)"),
 
     "q_e_autocorr" ->
       ("WITH y AS (SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS y, epoch_ns(ts) AS tsn, event_id FROM events), " +

@@ -138,6 +138,26 @@ object Features {
         round(col("__s").cast("double") / 1e6, 4).as("decayed_sum"): _*)
   }
 
+  /** Per-group percent-rank transform — rank-normalize a column to
+    * [0, 1] within each group (the uniform-marginal feature
+    * transform; also the copula trick's first step). Exact rational
+    * (rank−1)/(n−1) on integer window ranks, ties broken by
+    * `tiebreak` so the rank is total; single-member groups map to
+    * 0.0. One shuffle on the keys. */
+  def percentRank(df: DataFrame, keys: Seq[String], valueCol: String,
+                  tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol) +: tiebreak: _*)
+    val n = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", n)
+      .withColumn("prank",
+        when(col("__n") === 1, 0.0)
+          .otherwise(round((col("__rk") - 1).cast("double") /
+            (col("__n") - 1), 6)))
+      .drop("__rk", "__n")
+  }
+
   /** Per-key inter-arrival gaps: (keys…, gap) rows for every
     * consecutive event pair in (order, tiebreak) sequence — feed to
     * `Profile.groupedPercentiles` for the gap distribution that

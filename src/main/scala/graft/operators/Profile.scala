@@ -260,6 +260,39 @@ object Profile {
       .filter(col("rank") <= k)
   }
 
+  /** Chi-square test of independence for two categorical columns —
+    * the "is source independent of language" check behind stratified
+    * sampling decisions. Observed counts are one exact aggregation;
+    * expected = row·col/n from broadcast marginals; the statistic
+    * Σ(o−e)²/e is identical IEEE doubles on identical integers in
+    * both engines. Output: one row (n, dof, chi2 6 dp) — compare
+    * chi2 against the critical value for dof externally (no p-value:
+    * the CDF is not engine-portable). */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val obs = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("a").agg(sum(col("o")).as("__ra"))
+    val rb = obs.groupBy("b").agg(sum(col("o")).as("__rb"))
+    val tot = obs.agg(sum(col("o")).as("__n"),
+      countDistinct(col("a")).as("__ka"),
+      countDistinct(col("b")).as("__kb"))
+    // densify: ZERO cells belong in the statistic ((0−e)²/e is not
+    // zero) — build the ka×kb grid from the marginals, left-join the
+    // observed counts onto it
+    ra.crossJoin(rb)
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__rb") / col("__n"))
+      .withColumn("__t", round(
+        (col("o") - col("__e")) * (col("o") - col("__e")) / col("__e")
+          * 1e6).cast("long"))
+      .agg(max(col("__n")).as("n"),
+        max((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
+        round(sum(col("__t")).cast("double") / 1e6, 6).as("chi2"))
+  }
+
   /** Robust per-group dispersion: exact median and MAD (median
     * absolute deviation) — the outlier scale that a few wild values
     * cannot drag the way stddev-based z-scores can. Two grouped

@@ -93,6 +93,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set(("a", 0L, 1L), ("a", 5L, 0L), ("a", 7L, 7L)))
   }
 
+  test("percentRank: endpoints 0 and 1, singleton group 0") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 4L, 5.0)).toDF("k", "id", "value")
+    val got = graft.operators.Features
+      .percentRank(df, Seq("k"), "value", Seq(col("id")))
+      .select("id", "prank").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 0.0))
+  }
+
   test("autocorrelation: trending series near +1, alternating near -1") {
     val trend = (1 to 50).map(i => ("up", i.toLong, i.toLong, i.toDouble))
     val alt = (1 to 50).map(i =>

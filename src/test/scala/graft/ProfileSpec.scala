@@ -151,6 +151,21 @@ class ProfileSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == 1000L)
   }
 
+  test("chiSquare: perfectly dependent columns score high, independent near 0") {
+    // dependent: b == a
+    val dep = (Seq.fill(50)(("x", "x")) ++ Seq.fill(50)(("y", "y")))
+      .toDF("c1", "c2")
+    val gotDep = Profile.chiSquare(dep, "c1", "c2")
+      .as[(Long, Long, Double)].collect().head
+    assert(gotDep == ((100L, 1L, 100.0))) // chi2 = n for a perfect 2x2
+    // independent: all four cells equal
+    val ind = (Seq.fill(25)(("x", "p")) ++ Seq.fill(25)(("x", "q")) ++
+      Seq.fill(25)(("y", "p")) ++ Seq.fill(25)(("y", "q"))).toDF("c1", "c2")
+    val gotInd = Profile.chiSquare(ind, "c1", "c2")
+      .as[(Long, Long, Double)].collect().head
+    assert(gotInd == ((100L, 1L, 0.0)))
+  }
+
   test("madStats: exact median and MAD, robust to one wild value") {
     val df = (Seq.tabulate(9)(i => ("a", (i + 1).toDouble)) :+
       (("a", 1000.0)) :+ (("b", 5.0)))
