@@ -313,4 +313,25 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_val"))
+
+  /** Streaming twin of `Features.ohlcBars`: the same lexicographic
+    * struct min/max aggregates under a watermark + tumbling window —
+    * no custom state at all, the bar IS an algebraic aggregate, so
+    * late data within the watermark revises the bar and the final
+    * emission matches the batch operator exactly. */
+  def ohlcStream(events: DataFrame, watermark: String = "2 hours")
+  : DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
 }

@@ -130,6 +130,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ohlcStream: windowed bars match the batch ohlcBars, late revision applied") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000000000L
+    val input = MemoryStream[Event]
+    val q = StreamOps.ohlcStream(input.toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1L, H / 4, 1L, "click", 5.0),
+        Event(1L, H / 2, 2L, "click", 9.0))
+      q.processAllAvailable()
+      // late-but-in-watermark event EARLIER than the current open:
+      // the bar must revise its open
+      input.addData(Event(2L, H / 8, 3L, "click", 2.0))
+      q.processAllAvailable()
+      val latest = spark.table("ohlc")
+        .groupBy("hour_start", "event_type")
+        .agg(max(struct("n", "open", "high", "low", "close")).as("s"))
+        .select(col("event_type"), col("s.open"), col("s.high"),
+          col("s.low"), col("s.close"), col("s.n"))
+        .as[(String, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      assert(latest == Set(("click", 2.0, 9.0, 2.0, 9.0, 3L)))
+      // parity with the batch operator on the same rows
+      val all = Seq((H / 4, 1L, "click", 5.0), (H / 2, 2L, "click", 9.0),
+        (H / 8, 3L, "click", 2.0)).toDF("ts", "event_id", "event_type", "value")
+      val batch = graft.operators.Features.ohlcBars(all, Seq("event_type"),
+        "ts", "event_id", "value", bucket = H)
+        .select("event_type", "open", "high", "low", "close", "n")
+        .as[(String, Double, Double, Double, Double, Long)].collect().toSet
+      assert(batch == latest)
+    } finally q.stop()
+  }
+
   test("simhashDedupBatchStep: near-dups dropped across batches via the store") {
     implicit val sqlCtx = spark.sqlContext
     val dirs = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
