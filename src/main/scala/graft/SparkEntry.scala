@@ -323,11 +323,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"))
     }),
 
-    // per-user inter-arrival gap distribution (sessionization evidence)
+    // per-user inter-arrival gap distribution (sessionization evidence).
+    // Gaps are in integer MILLISECONDS on both engine and oracle sides:
+    // Spark reads the raw ns longs while DuckDB's TIMESTAMP truncates to
+    // µs, so any sub-ms unit makes the two gap multisets (and therefore
+    // the interpolated percentiles) genuinely different, not just noisy.
     "q_e_gaps" -> ((s, d) =>
       Profile.groupedPercentiles(
-        Features.interArrival(t(s, d, "events"), Seq("user_id"), "ts",
-          Seq(col("event_id"))),
+        Features.interArrival(
+          t(s, d, "events").withColumn("ts_ms", expr("ts div 1000000")),
+          Seq("user_id"), "ts_ms", Seq(col("event_id"))),
         Seq("user_id"), "gap", Seq(0.5, 0.95))),
 
     // daily new vs returning users (86400000000000 ns = 1 day)
@@ -555,11 +560,15 @@ object SparkEntry {
     "q_t_bpemerges" -> ((s, d) =>
       Bpe.learnMerges(t(s, d, "documents"), "text", k = 5)),
 
-    // the encode side: every corpus token segmented by those merges
+    // the encode side: every corpus token segmented by those merges.
+    // Pieces posexplode to scalar (pos, piece) rows — the driver's
+    // comparator can't sort array-typed columns.
     "q_t_bpeencode" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Bpe.encode(docs, "text", "doc_id",
         Bpe.learnMerges(docs, "text", k = 5))
+        .select(col("doc_id"), col("w"), posexplode(col("pieces")))
+        .withColumnRenamed("col", "piece")
     }),
 
     // ---- dedup at scale (documents) ----
@@ -585,7 +594,8 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id")
         .withColumn("decile", ntile(10).over(
-          Window.orderBy(col("dup_count").desc, col("content_hash"))))
+            Window.orderBy(col("dup_count").desc, col("content_hash")))
+          .cast("long"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_groups"), sum(col("dup_count")).as("n_docs"))
     }),
@@ -679,9 +689,16 @@ object SparkEntry {
       Tfidf.distinctiveTerms(t(s, d, "documents"), "text", "source",
         k = 5)),
 
-    // lexical diversity per source: TTR + hapax fraction
+    // lexical diversity per source: TTR + hapax fraction. Ratios go to
+    // integer PPM (round(a/b*1e6) as long) so the cross-engine compare
+    // is exact long arithmetic, not low-order double bits.
     "q_t_ttr" -> ((s, d) =>
-      Tfidf.lexicalDiversity(t(s, d, "documents"), "text", "source")),
+      Tfidf.lexicalDiversity(t(s, d, "documents"), "text", "source")
+        .select(col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens") * 1e6)
+            .cast("long").as("ttr_ppm"),
+          round(col("n_hapax").cast("double") / col("n_types") * 1e6)
+            .cast("long").as("hapax_ppm"))),
 
     // Zipf rank-frequency slope over the top-1000 terms
     "q_t_zipf" -> ((s, d) =>
@@ -697,8 +714,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"),
           sum(when(col("n_events") === 1, 1L).otherwise(0L))
             .as("n_bounce"))
-        .withColumn("bounce_rate",
-          round(col("n_bounce") / col("n_sessions"), 6))),
+        .withColumn("bounce_ppm",
+          round(col("n_bounce") / col("n_sessions") * 1e6).cast("long"))),
 
     // adjacent-bigram collocations: top 20 by PMI at support >= 5
     "q_t_colloc" -> ((s, d) =>
@@ -766,9 +783,12 @@ object SparkEntry {
     "q_d_novelty" -> ((s, d) =>
       Dedup.ngramNovelty(t(s, d, "documents"), "text", "doc_id", n = 5)),
 
-    // inverted index over the corpus vocabulary (df >= 3)
+    // inverted index over the corpus vocabulary (df >= 3); the postings
+    // list posexplodes to scalar (pos, posting) rows for the driver gate
     "q_t_postings" -> ((s, d) =>
-      Tfidf.postings(t(s, d, "documents"), "text", "doc_id", minDf = 3L)),
+      Tfidf.postings(t(s, d, "documents"), "text", "doc_id", minDf = 3L)
+        .select(col("term"), col("df"), posexplode(col("postings")))
+        .withColumnRenamed("col", "posting")),
 
     // benchmark decontamination: per-train-doc n-gram overlap vs a
     // held-out benchmark slice (doc_id % 97 == 0)
@@ -787,9 +807,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
-    // exact label centroids: micro-unit sums, order-independent
+    // exact label centroids: micro-unit sums, order-independent; the
+    // centroid array posexplodes to scalar (pos, value) rows, with +0.0
+    // canonicalizing any IEEE -0.0 the per-dim rounding produced
     "q_s_meanpool" -> ((s, d) =>
-      Similarity.meanPool(t(s, d, "embeddings"), "embedding", "label")),
+      Similarity.meanPool(t(s, d, "embeddings"), "embedding", "label")
+        .select(col("label"), col("n"), posexplode(col("centroid")))
+        .select(col("label"), col("n"), col("pos"),
+          (col("col") + lit(0.0)).as("value"))),
 
     // embedding health: per-dimension profile + vector reject census
     "q_s_dimprofile" -> ((s, d) =>
@@ -800,9 +825,12 @@ object SparkEntry {
     "q_s_cov" -> ((s, d) =>
       Similarity.covarianceMatrix(t(s, d, "embeddings"), "embedding")),
 
-    // diagonal whitening: dims-sized stats collected, map-only apply
+    // diagonal whitening: dims-sized stats collected, map-only apply;
+    // the whitened vector posexplodes to scalar (pos, value) rows
     "q_s_whiten" -> ((s, d) =>
-      Similarity.whiten(t(s, d, "embeddings"), "vec_id", "embedding")),
+      Similarity.whiten(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("whitened")))
+        .withColumnRenamed("col", "value")),
 
     "q_s_hygiene" -> ((s, d) =>
       Similarity.vectorHygiene(t(s, d, "embeddings"), "embedding",
@@ -1616,7 +1644,7 @@ object SparkEntry {
 
     "q_t_bpeencode" ->
       (s"WITH $bpeCtes " +
-        s"SELECT d.doc_id, d.term AS w, w5.ss AS pieces " +
+        s"SELECT d.doc_id, d.term AS w, (generate_subscripts(w5.ss, 1) - 1)::INT AS pos, unnest(w5.ss) AS piece " +
         s"FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) d " +
         "JOIN w5 ON d.term = w5.w"),
 
@@ -1657,16 +1685,16 @@ object SparkEntry {
         "s AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g), " +
         "ses AS (SELECT user_id, session_id, count(*) AS n_events, min(tsn) AS t_start FROM s GROUP BY 1, 2) " +
         "SELECT t_start // 86400000000 AS day, count(*) AS n_sessions, " +
-        "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounce, " +
-        "round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS bounce_rate " +
+        "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, " +
+        "CAST(round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS bounce_ppm " +
         "FROM ses GROUP BY 1"),
 
     "q_t_ttr" ->
       (s"WITH tc AS (SELECT source AS grp, term, count(*) AS c FROM (SELECT source, unnest($toksSql) AS term FROM documents) GROUP BY 1, 2) " +
-        "SELECT grp, sum(c) AS n_tokens, count(*) AS n_types, " +
-        "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax, " +
-        "round(count(*)::DOUBLE / sum(c), 6) AS ttr, " +
-        "round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS hapax_frac " +
+        "SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "CAST(round(count(*)::DOUBLE / sum(c) * 1e6) AS BIGINT) AS ttr_ppm, " +
+        "CAST(round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS hapax_ppm " +
         "FROM tc GROUP BY 1"),
 
     "q_t_colloc" ->
@@ -1946,14 +1974,14 @@ object SparkEntry {
         "SELECT CASE WHEN touch_ts IS NOT NULL AND tsn - touch_ts <= 604800000000000 THEN touch_type END AS attributed, count(*) AS n_purchases FROM j GROUP BY 1"),
 
     "q_e_gaps" ->
-      ("WITH g AS (SELECT user_id, epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS gap FROM events) " +
+      ("WITH g AS (SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events) " +
         "SELECT user_id, round(quantile_cont(gap, 0.5), 6) AS p50, round(quantile_cont(gap, 0.95), 6) AS p95 FROM g WHERE gap IS NOT NULL GROUP BY 1"),
 
     "q_e_newusers" ->
       ("WITH a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS bucket FROM events), " +
         "f AS (SELECT user_id, min(bucket) AS first FROM a GROUP BY 1) " +
-        "SELECT bucket, sum(CASE WHEN bucket = first THEN 1 ELSE 0 END) AS n_new, " +
-        "sum(CASE WHEN bucket <> first THEN 1 ELSE 0 END) AS n_returning " +
+        "SELECT bucket, CAST(sum(CASE WHEN bucket = first THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(sum(CASE WHEN bucket <> first THEN 1 ELSE 0 END) AS BIGINT) AS n_returning " +
         "FROM a JOIN f USING (user_id) GROUP BY 1"),
 
     "q_x_chi2" ->
@@ -2011,7 +2039,7 @@ object SparkEntry {
 
     "q_g_pagerank" -> {
       def hop(prev: String, out: String) =
-        s"c_$out AS (SELECT dst, sum(pr // outdeg) AS insum FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src GROUP BY 1), " +
+        s"c_$out AS (SELECT dst, CAST(sum(pr // outdeg) AS BIGINT) AS insum FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src GROUP BY 1), " +
           s"$out AS (SELECT node, 150000 + 850000 * coalesce(insum, 0) // 1000000 AS pr FROM n LEFT JOIN c_$out ON node = dst)"
       "WITH e AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem), " +
         "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
@@ -2047,8 +2075,9 @@ object SparkEntry {
 
     "q_t_postings" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
-        "u AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(tk) AS term FROM t)) " +
-        "SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings FROM u GROUP BY 1 HAVING count(*) >= 3"),
+        "u AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(tk) AS term FROM t)), " +
+        "f AS (SELECT term, count(*) AS df FROM u GROUP BY 1 HAVING count(*) >= 3) " +
+        "SELECT u.term, f.df, (row_number() OVER (PARTITION BY u.term ORDER BY u.doc_id) - 1)::INT AS pos, u.doc_id AS posting FROM u JOIN f USING (term)"),
 
     "q_j9_asof" ->
       "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts >= r.ts",
@@ -2063,8 +2092,8 @@ object SparkEntry {
     "q_j11_depth" ->
       (s"WITH iv AS ($segsSql), " +
         "ev AS (SELECT chrom, s_start AS pos, 1 AS delta FROM iv UNION ALL SELECT chrom, s_end, -1 FROM iv), " +
-        "c AS (SELECT chrom, pos, sum(delta) AS d FROM ev GROUP BY 1, 2), " +
-        "w AS (SELECT chrom, pos, sum(d) OVER (PARTITION BY chrom ORDER BY pos ROWS UNBOUNDED PRECEDING) AS depth, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos FROM c) " +
+        "c AS (SELECT chrom, pos, CAST(sum(delta) AS BIGINT) AS d FROM ev GROUP BY 1, 2), " +
+        "w AS (SELECT chrom, pos, CAST(sum(d) OVER (PARTITION BY chrom ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos FROM c) " +
         "SELECT chrom, pos AS d_start, next_pos AS d_end, depth FROM w WHERE next_pos IS NOT NULL AND depth > 0"),
 
     "q_j12_subtract" ->
@@ -2166,7 +2195,7 @@ object SparkEntry {
     "q_d_dupconc" ->
       ("WITH g AS (SELECT md5(text) AS content_hash, count(*) AS dup_count FROM documents GROUP BY 1), " +
         "d AS (SELECT dup_count, ntile(10) OVER (ORDER BY dup_count DESC, content_hash) AS decile FROM g) " +
-        "SELECT decile, count(*) AS n_groups, sum(dup_count) AS n_docs FROM d GROUP BY 1"),
+        "SELECT decile, count(*) AS n_groups, CAST(sum(dup_count) AS BIGINT) AS n_docs FROM d GROUP BY 1"),
 
     "q_d_minhash" -> {
       val mh = (0 until 4).map { i =>
@@ -2218,8 +2247,9 @@ object SparkEntry {
 
     "q_s_meanpool" ->
       ("WITH p AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
-        "a AS (SELECT label, pos, sum(CAST(round(x * 1e6) AS BIGINT)) AS s, count(*) AS n FROM p GROUP BY 1, 2) " +
-        "SELECT label, max(n)::BIGINT AS n, list(round(s::DOUBLE / n / 1e6, 6) ORDER BY pos) AS centroid FROM a GROUP BY 1"),
+        "a AS (SELECT label, pos, CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS s, count(*) AS n FROM p GROUP BY 1, 2), " +
+        "m AS (SELECT label, max(n) AS n FROM a GROUP BY 1) " +
+        "SELECT a.label, m.n AS n, (a.pos - 1)::INT AS pos, round(a.s::DOUBLE / a.n / 1e6, 6) + 0 AS value FROM a JOIN m USING (label)"),
 
     "q_s_cov" ->
       ("WITH y AS (SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS y FROM embeddings), " +
@@ -2231,11 +2261,11 @@ object SparkEntry {
         "FROM ag JOIN s si ON ag.i = si.pos JOIN s sj ON ag.j = sj.pos"),
 
     "q_s_whiten" ->
-      ("WITH y AS (SELECT vec_id, embedding::DOUBLE[] AS v, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS yy FROM embeddings), " +
-        "st AS (SELECT pos, count(*) AS n, sum(v) AS sv, sum(v * v) AS spp FROM (SELECT generate_subscripts(yy, 1) AS pos, unnest(yy) AS v FROM y) GROUP BY 1), " +
-        "ms AS (SELECT list(sv::DOUBLE / n / 1e6 ORDER BY pos) AS ml, list(sqrt(greatest((spp::DOUBLE - sv::DOUBLE * sv / n) / (n - 1) / 1e12, 0.0)) ORDER BY pos) AS sl FROM st) " +
-        "SELECT vec_id, list_transform(range(1, len(v) + 1), i -> CASE WHEN sl[i] = 0.0 THEN 0.0 ELSE round((v[i] - ml[i]) / sl[i], 6) + 0 END) AS whitened " +
-        "FROM y CROSS JOIN ms"),
+      ("WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
+        "st AS (SELECT pos, count(*) AS n, sum(y) AS sv, sum(y * y) AS spp FROM (SELECT pos, CAST(round(x * 1e6) AS BIGINT) AS y FROM e) GROUP BY 1), " +
+        "ms AS (SELECT pos, sv::DOUBLE / n / 1e6 AS m, sqrt(greatest((spp::DOUBLE - sv::DOUBLE * sv / n) / (n - 1) / 1e12, 0.0)) AS sd FROM st) " +
+        "SELECT e.vec_id, (e.pos - 1)::INT AS pos, CASE WHEN ms.sd = 0.0 THEN 0.0 ELSE round((e.x - ms.m) / ms.sd, 6) + 0 END AS value " +
+        "FROM e JOIN ms USING (pos)"),
 
     "q_s_dimprofile" ->
       ("WITH p AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings) " +
@@ -2419,7 +2449,7 @@ object SparkEntry {
 
     "q_x_incragg" ->
       ("WITH o AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
-        "SELECT o_custkey, count(*) AS cnt, sum(cents) AS sum_v FROM o " +
+        "SELECT o_custkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_v FROM o " +
         "WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0) GROUP BY 1"),
 
     "q_x_golden" ->
@@ -2434,12 +2464,12 @@ object SparkEntry {
 
     "q_x_expect" ->
       ("WITH t AS (SELECT count(*) AS total, " +
-        "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1, " +
-        "sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 1000.0 THEN 1 ELSE 0 END) AS v2, " +
-        "sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v3, " +
-        "sum(CASE WHEN o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS v4 FROM orders), " +
-        "u1 AS (SELECT coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS v, coalesce(sum(n), 0) AS total FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)), " +
-        "u2 AS (SELECT coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS v, coalesce(sum(n), 0) AS total FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)), " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1, " +
+        "CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS v2, " +
+        "CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v3, " +
+        "CAST(sum(CASE WHEN o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v4 FROM orders), " +
+        "u1 AS (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS v, CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)), " +
+        "u2 AS (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS v, CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)), " +
         "r AS (SELECT 'not_null(o_custkey)' AS rule, v1 AS violations, total FROM t " +
         "UNION ALL SELECT 'in_range(o_totalprice)', v2, total FROM t " +
         "UNION ALL SELECT 'in_set(o_orderstatus)', v3, total FROM t " +
