@@ -558,7 +558,7 @@ object SparkEntry {
     // true BPE merge induction: 5 merges learned over the corpus
     // vocabulary (driver argmax per step — one metadata-sized row)
     "q_t_bpemerges" -> ((s, d) =>
-      Bpe.learnMerges(t(s, d, "documents"), "text", k = 5)),
+      Bpe.learnMerges(t(s, d, "documents"), "text", k = 100)),
 
     // the encode side: every corpus token segmented by those merges.
     // Pieces posexplode to scalar (pos, piece) rows — the driver's
@@ -566,7 +566,7 @@ object SparkEntry {
     "q_t_bpeencode" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Bpe.encode(docs, "text", "doc_id",
-        Bpe.learnMerges(docs, "text", k = 5))
+        Bpe.learnMerges(docs, "text", k = 100))
         .select(col("doc_id"), col("w"), posexplode(col("pieces")))
         .withColumnRenamed("col", "piece")
     }),
@@ -1450,16 +1450,25 @@ object SparkEntry {
       "q AS (SELECT doc_id, i, win, list_min(win) AS fp FROM p), " +
       "r AS (SELECT doc_id, i, fp, list_max(list_transform(range(1, len(win) + 1), j -> CASE WHEN win[j] = fp THEN j ELSE 0 END)) AS jmax FROM q)"
 
+  /** Merge-step count for the BPE oracle queries — matches the k the
+    * Spark queries learn. 100 exercises the adaptive local learn loop
+    * and the compiled encode kernel well past toy depth. */
+  private val bpeK = 100
+
   private lazy val bpeSql: String =
     s"WITH $bpeCtes " +
-      (1 to 5).map(i =>
+      (1 to bpeK).map(i =>
         s"""SELECT $i AS step, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS cnt FROM b$i""")
         .mkString(" UNION ALL ")
 
   private lazy val bpeCtes: String = {
-    val k = 5
+    val k = bpeK
     val sb = new StringBuilder
-    sb.append("w0 AS (SELECT term AS w, count(*) AS freq, " +
+    // every w_i is referenced twice (pair counts + position explode);
+    // MATERIALIZED stops DuckDB from inlining the subtree into both,
+    // which at k=100 compounds into an exponential scan fan-out that
+    // exhausts file descriptors before it exhausts patience
+    sb.append("w0 AS MATERIALIZED (SELECT term AS w, count(*) AS freq, " +
       s"list_filter(string_split(term, ''), x -> x <> '') AS ss " +
       s"FROM (SELECT unnest($toksSql) AS term FROM documents) GROUP BY 1), ")
     for (i <- 1 to k) {
@@ -1467,11 +1476,15 @@ object SparkEntry {
       sb.append(s"p$i AS (SELECT l, r, sum(freq) AS cnt FROM (SELECT freq, ss[i] AS l, ss[i + 1] AS r FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i FROM $p)) GROUP BY 1, 2), ")
       sb.append(s"b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1), ")
       sb.append(s"e$i AS (SELECT w, freq, pos, ss[pos] AS s, ss[pos + 1] AS s2, len(ss) AS n FROM (SELECT w, freq, ss, unnest(range(1, len(ss) + 1)) AS pos FROM $p)), ")
-      sb.append(s"m$i AS (SELECT e$i.*, (s = b$i.l AND pos < n AND s2 = b$i.r) AS mk FROM e$i CROSS JOIN b$i), ")
+      // LEFT JOIN (not CROSS): when the pair space exhausts before k,
+      // b_i is EMPTY and a cross join would wipe the vocabulary; the
+      // null-safe mk=false instead carries words through unchanged,
+      // matching the learn loop's early stop
+      sb.append(s"m$i AS (SELECT e$i.*, coalesce(s = b$i.l AND pos < n AND s2 = b$i.r, false) AS mk FROM e$i LEFT JOIN b$i ON true), ")
       sb.append(s"g$i AS (SELECT *, pos - (CASE WHEN mk THEN row_number() OVER (PARTITION BY w, mk ORDER BY pos) END) AS grp FROM m$i), ")
       sb.append(s"f$i AS (SELECT *, mk AND (row_number() OVER (PARTITION BY w, grp, mk ORDER BY pos) % 2 = 1) AS mg FROM g$i), ")
       sb.append(s"d$i AS (SELECT *, coalesce(lag(mg) OVER (PARTITION BY w ORDER BY pos), false) AS dropped FROM f$i), ")
-      sb.append(s"w$i AS (SELECT w, max(freq) AS freq, list(CASE WHEN mg THEN s || s2 ELSE s END ORDER BY pos) AS ss FROM d$i WHERE NOT dropped GROUP BY 1), ")
+      sb.append(s"w$i AS MATERIALIZED (SELECT w, max(freq) AS freq, list(CASE WHEN mg THEN s || s2 ELSE s END ORDER BY pos) AS ss FROM d$i WHERE NOT dropped GROUP BY 1), ")
     }
     sb.setLength(sb.length - 2)
     sb.toString
@@ -1644,9 +1657,9 @@ object SparkEntry {
 
     "q_t_bpeencode" ->
       (s"WITH $bpeCtes " +
-        s"SELECT d.doc_id, d.term AS w, (generate_subscripts(w5.ss, 1) - 1)::INT AS pos, unnest(w5.ss) AS piece " +
+        s"SELECT d.doc_id, d.term AS w, (generate_subscripts(wk.ss, 1) - 1)::INT AS pos, unnest(wk.ss) AS piece " +
         s"FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) d " +
-        "JOIN w5 ON d.term = w5.w"),
+        s"JOIN w$bpeK wk ON d.term = wk.w"),
 
     "q_t_keyterms" ->
       (s"WITH tok AS (SELECT source AS grp, unnest($toksSql) AS term FROM documents), " +

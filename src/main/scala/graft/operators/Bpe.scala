@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.functions.TextFns
+import graft.plans.{BpeEncodePieces, BpeTable}
 
 /** BPE merge induction — the tokenizer-vocabulary learning pass of an
   * LLM data pipeline (Sennrich et al. 2016), run corpus-scale: count
@@ -12,17 +14,24 @@ import graft.functions.TextFns
   *
   * Scale shape: the corpus is tokenized ONCE into a vocabulary-sized
   * (word, freq, symbols) frame — every subsequent step runs on that
-  * vocabulary frame, never the corpus. Per step: one pair-count
-  * aggregation + an argmax of ONE collected row (metadata-sized, the
-  * same license as IVF's Lloyd loop) + a map-only merge fold. Each
-  * step's frame is persisted and the predecessor released, so lineage
-  * stays flat across k steps.
+  * vocabulary frame, never the corpus. The merge loop itself is
+  * ADAPTIVE (the same license as `Dedup.dupClusters`' local
+  * union-find): when the vocabulary fits under `localSymbolCap` total
+  * symbols it is collected ONCE and the k merges run driver-side with
+  * incrementally-maintained pair counts — O(total merges · affected
+  * words), no per-step Spark job, so a 32k-merge vocabulary costs two
+  * Spark actions total instead of 64k. Above the cap it falls back to
+  * the distributed loop: one pair-count aggregation + a one-row argmax
+  * + a map-only merge fold per step, with each step's frame persisted
+  * and its predecessor released so lineage stays flat. Both paths are
+  * bit-identical (BpeSpec parity test).
   *
   * Determinism: ties in the argmax break lexicographically on
-  * (left, right); the merge fold is a pure function of the symbol
-  * array. Both are replayed exactly by the SQL oracle (greedy merge =
-  * mark positions, split runs of consecutive marks, merge the odd
-  * run-positions — equivalent to the left-to-right fold).
+  * (left, right) in both paths; the merge fold is a pure function of
+  * the symbol array. Both are replayed exactly by the SQL oracle
+  * (greedy merge = mark positions, split runs of consecutive marks,
+  * merge the odd run-positions — equivalent to the left-to-right
+  * fold).
   */
 object Bpe {
 
@@ -50,6 +59,23 @@ object Bpe {
           array(acc.getField("pend")))))
   }
 
+  /** The local mirror of [[mergeOnce]] — same fold, same output. */
+  private[graft] def mergeOnceLocal(syms: Array[String], l: String,
+                                    r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var pend: String = null
+    var i = 0
+    while (i < syms.length) {
+      val s = syms(i)
+      if (pend == null) pend = s
+      else if (pend == l && s == r) { out += (l + r); pend = null }
+      else { out += pend; pend = s }
+      i += 1
+    }
+    if (pend != null) out += pend
+    out.toArray
+  }
+
   /** The vocabulary frame BPE iterates on: one corpus pass. */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
@@ -58,12 +84,99 @@ object Bpe {
         filter(split(col("w"), ""), ch => ch =!= "").as("ss"))
 
   /** Learn `k` merges. Output: (step, left, right, cnt) — the ordered
-    * merge table a tokenizer ships. */
-  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    * merge table a tokenizer ships.
+    *
+    * `localSymbolCap`: vocabularies whose TOTAL symbol count (sum of
+    * word lengths) fits under the cap are collected and merged
+    * driver-side (see object doc); the default 32M symbols is a few
+    * hundred MB of driver heap. Set it to 0 to force the distributed
+    * path. */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int,
+                  localSymbolCap: Long = 32L * 1024 * 1024): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = wordFreqs(docs, textCol).persist()
+    val words = wordFreqs(docs, textCol).persist()
+    val totalSymbols = words
+      .agg(coalesce(sum(size(col("ss"))), lit(0L))).as[Long].head()
+    val merges =
+      if (totalSymbols <= localSymbolCap) {
+        val vocab = words.select(col("freq"), col("ss"))
+          .as[(Long, Array[String])].collect()
+        words.unpersist()
+        learnMergesLocal(vocab, k)
+      } else learnMergesDistributed(words, k)
+    merges.toDF("step", "left", "right", "cnt")
+  }
+
+  /** Driver-side merge loop with incrementally-maintained pair counts
+    * and a (count desc, left, right)-ordered candidate set: each step
+    * touches only the words that contain the chosen pair. Exactly the
+    * distributed semantics — the candidate ordering IS the distributed
+    * `orderBy(cnt desc, l, r).limit(1)`, and per-word merging is the
+    * same greedy fold. */
+  private[graft] def learnMergesLocal(
+      vocab: Array[(Long, Array[String])],
+      k: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = vocab.map(_._2.clone())
+    val freqs = vocab.map(_._1)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair -> (word index -> occurrences in that word)
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashMap[Int, Int]]
+    // candidates ordered best-first: count DESC, then (l, r) ASC
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val tree = mutable.TreeSet.empty[(Long, String, String)]
+
+    def addWord(wi: Int, sign: Int): Unit = {
+      val s = syms(wi)
+      val f = freqs(wi) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val old = counts.getOrElse(p, 0L)
+        if (old != 0L) tree.remove((old, p._1, p._2))
+        val next = old + f
+        if (next == 0L) counts.remove(p)
+        else { counts(p) = next; tree.add((next, p._1, p._2)) }
+        val m = occ.getOrElseUpdate(p, mutable.HashMap.empty)
+        val oc = m.getOrElse(wi, 0) + sign
+        if (oc == 0) { m.remove(wi); if (m.isEmpty) occ.remove(p) }
+        else m(wi) = oc
+        i += 1
+      }
+    }
+
+    var wi = 0
+    while (wi < syms.length) { addWord(wi, +1); wi += 1 }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= k && tree.nonEmpty) {
+      val (cnt, l, r) = tree.head
+      merges += ((step, l, r, cnt))
+      val affected = occ.get((l, r)).map(_.keysIterator.toArray)
+        .getOrElse(Array.emptyIntArray)
+      var j = 0
+      while (j < affected.length) {
+        val w = affected(j)
+        addWord(w, -1)
+        syms(w) = mergeOnceLocal(syms(w), l, r)
+        addWord(w, +1)
+        j += 1
+      }
+      step += 1
+    }
+    merges.toSeq
+  }
+
+  /** The distributed fallback for vocabularies above the local cap:
+    * one pair-count aggregation + a one-row argmax + a map-only merge
+    * fold per step. */
+  private def learnMergesDistributed(
+      words0: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
     var done = false
@@ -81,28 +194,53 @@ object Bpe {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, l, r, c))
+        // localCheckpoint (eager) TRUNCATES lineage — a persist chain
+        // keeps every predecessor's cached plan nested inside the
+        // current one, and those plan strings grow super-linearly in
+        // step count (OOMs the driver before the data ever would)
         val next = words.withColumn("ss", mergeOnce(col("ss"), l, r))
-          .persist()
-        next.count() // materialize before releasing the parent
+          .localCheckpoint()
         words.unpersist()
         words = next
         step += 1
       }
     }
     words.unpersist()
-    merges.toSeq.toDF("step", "left", "right", "cnt")
+    merges.toSeq
   }
 
   /** Apply a learned merge table to new text: the ENCODE side of the
     * tokenizer. Merges apply in step order (the BPE contract). The
-    * fold chain runs once per DISTINCT word — vocabulary-sized, the
-    * withAnnotationsDistinct budget trick — and token occurrences
-    * join back against that small frame (AQE broadcasts it), so
-    * encode cost scales with the vocabulary, not the token count.
-    * Output: (idCol, w, pieces). `merges` must be small (it is
-    * collected to drive plan construction, like the learn loop). */
+    * segmentation runs as ONE compiled kernel call per DISTINCT word
+    * (graft.plans.BpeEncodePieces — the MinhashSignature pattern), not
+    * a k-deep fold of Column expressions, so a 32k-merge vocabulary
+    * costs the same plan as k=5 and per-word work scales with merges
+    * actually applied. Token occurrences join back against the
+    * vocabulary-sized frame (AQE broadcasts it), so encode cost scales
+    * with the vocabulary, not the token count. Output: (idCol, w,
+    * pieces). `merges` must be small (it is collected into the plan,
+    * like the learn loop). */
   def encode(docs: DataFrame, textCol: String, idCol: String,
              merges: DataFrame): DataFrame = {
+    val ordered = merges.select("step", "left", "right")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val table = new BpeTable(ordered)
+    val toks = docs.select(col(idCol),
+      explode(TextFns.tokens(col(textCol))).as("w"))
+    val sym = ColumnBridge.column(
+      BpeEncodePieces(ColumnBridge.expression(col("w")), table))
+    val vocab = toks.select("w").distinct()
+      .withColumn("pieces", sym)
+    toks.join(vocab, Seq("w")).select(col(idCol), col("w"), col("pieces"))
+  }
+
+  /** The pre-kernel encode path — a `mergeOnce` fold per merge step —
+    * kept as the parity baseline for BpeSpec (it IS the declared
+    * semantics; the kernel must match it bit-for-bit). */
+  private[graft] def encodeFoldChain(docs: DataFrame, textCol: String,
+                                     idCol: String,
+                                     merges: DataFrame): DataFrame = {
     val ordered = merges.select("step", "left", "right")
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))

@@ -37,4 +37,49 @@ class BpeSpec extends SparkSpec {
     assert(enc("low") == Seq("low"))
     assert(enc("slow") == Seq("s", "low"))
   }
+
+  // sf0.001 documents give a real vocabulary with plenty of argmax
+  // ties and overlapping-pair words — the adversarial surface for
+  // both parity claims below.
+  private def corpus = {
+    // deep fold-chain / iterative plans render huge EXPLAIN strings
+    // under AQE; cap them so the suite measures compute, not printing
+    spark.conf.set("spark.sql.maxPlanStringLength", 64 * 1024)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  }
+
+  test("learnMerges: local path == distributed path, k=20") {
+    val local = Bpe.learnMerges(corpus, "text", k = 20)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = Bpe.learnMerges(corpus, "text", k = 20,
+        localSymbolCap = 0L)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist)
+  }
+
+  test("encode: compiled kernel == mergeOnce fold chain, k=25") {
+    val merges = Bpe.learnMerges(corpus, "text", k = 25)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Seq[String])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val kernel = rows(Bpe.encode(corpus, "text", "doc_id", merges))
+    val fold = rows(Bpe.encodeFoldChain(corpus, "text", "doc_id", merges))
+    assert(kernel.size == fold.size)
+    assert(kernel == fold)
+  }
+
+  test("learnMerges at k=100 stays fast on the local path") {
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMerges(corpus, "text", k = 100)
+      .as[(Int, String, String, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the sf0.001 vocabulary exhausts its pair space before 100 —
+    // learning stops when no adjacent pair remains, like the
+    // distributed path's empty-argmax stop
+    assert(merges.length >= 60 && merges.length <= 100)
+    // counts strictly positive and steps contiguous
+    assert(merges.map(_._1).sorted.toSeq == (1 to merges.length))
+    assert(merges.forall(_._4 > 0))
+    assert(secs < 60.0, s"k=100 learn took ${secs}s — scale path broken?")
+  }
 }
