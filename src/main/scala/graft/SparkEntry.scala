@@ -107,6 +107,57 @@ object SparkEntry {
           round(coalesce(col("af_val"), lit(-1.0)), 2).as("vaf"))
     }),
 
+    // J6 indicator form: germline subtraction that ANNOTATES instead
+    // of dropping (left join + boolean flag)
+    "q_j6_indicator" -> ((s, d) =>
+      VariantOps.subtractGermline(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), keepFlag = true)),
+
+    // J8: tumor/normal full-outer merge on the variant key, every
+    // non-key column side-prefixed, INFO/QUAL re-exposed tumor-first —
+    // replayed over VCF-shaped frames built from orders
+    "q_j8_merge" -> ((s, d) => {
+      def vcfish(m: Long, tag: String) =
+        t(s, d, "orders").filter(col("o_orderkey") % m === 0).select(
+          concat(lit("chr"), (col("o_orderkey") % 5).cast("string"))
+            .as("CHROM"),
+          col("o_orderkey").as("POS"),
+          lit("A").as("REF"),
+          col("o_orderstatus").as("ALT"),
+          concat(lit(tag), col("o_orderpriority")).as("INFO"),
+          round(col("o_totalprice"), 2).as("QUAL"),
+          concat_ws(":", lit("0/1"), col("o_custkey").cast("string"))
+            .as("S1"))
+      VariantOps.mergeTumorNormal(
+        vcfish(2, "T;PRI="), vcfish(3, "N;PRI="), "S1")
+    }),
+
+    // G4: FT injection — FORMAT gains ":FT", the packed sample column
+    // gains the row FILTER
+    "q_g4_ft" -> ((s, d) =>
+      VariantOps.injectFt(
+        t(s, d, "events").select(
+          col("event_id"),
+          lit("GT:DP").as("FORMAT"),
+          when(col("value") > 0.5, "PASS").otherwise("q10").as("FILTER"),
+          concat_ws(":", lit("0/1"), col("user_id").cast("string"))
+            .as("S1")),
+        "S1")),
+
+    // A8: horizontal column-bind as a same-row struct (no positional
+    // zip); the verify projection re-extracts scalar fields
+    "q_a8_colbind" -> ((s, d) =>
+      graft.flows.ClinicalMergeFlow.bindAnnotations(
+        t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        struct(upper(col("c_name")).as("uname"),
+          round(col("c_acctbal") * 2, 2).as("dbl")))
+        .select(col("c_custkey"),
+          col("annotation.uname").as("uname"),
+          col("annotation.dbl").as("dbl"))),
+
     // ---- §2.4 aggregation / dedup ----
     "q_a5_dedup_first" -> ((s, d) =>
       Dedup.keepFirst(t(s, d, "lineitem"), Seq("l_orderkey"),
@@ -1866,6 +1917,26 @@ object SparkEntry {
     "q_j7_lookup" ->
       "WITH af AS (SELECT l_partkey, min(l_extendedprice) AS af_val FROM lineitem GROUP BY l_partkey) SELECT p_partkey, round(coalesce(af_val, -1.0), 2) AS vaf FROM part LEFT JOIN af ON p_partkey = l_partkey",
 
+    "q_j6_indicator" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice, coalesce(o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0), false) AS germline FROM orders",
+
+    "q_j8_merge" ->
+      ("WITH t AS (SELECT 'chr' || (o_orderkey % 5) AS CHROM, o_orderkey AS POS, 'A' AS REF, o_orderstatus AS ALT, 'T;PRI=' || o_orderpriority AS INFO, round(o_totalprice, 2) AS QUAL, concat_ws(':', '0/1', o_custkey) AS S1 FROM orders WHERE o_orderkey % 2 = 0), " +
+        "n AS (SELECT 'chr' || (o_orderkey % 5) AS CHROM, o_orderkey AS POS, 'A' AS REF, o_orderstatus AS ALT, 'N;PRI=' || o_orderpriority AS INFO, round(o_totalprice, 2) AS QUAL, concat_ws(':', '0/1', o_custkey) AS S1 FROM orders WHERE o_orderkey % 3 = 0) " +
+        "SELECT coalesce(t.CHROM, n.CHROM) AS CHROM, coalesce(t.POS, n.POS) AS POS, coalesce(t.REF, n.REF) AS REF, coalesce(t.ALT, n.ALT) AS ALT, " +
+        "t.INFO AS tumor_INFO, t.QUAL AS tumor_QUAL, t.S1 AS tumor_S1, " +
+        "n.INFO AS normal_INFO, n.QUAL AS normal_QUAL, n.S1 AS normal_S1, " +
+        "coalesce(t.INFO, n.INFO) AS INFO, coalesce(t.QUAL, n.QUAL) AS QUAL " +
+        "FROM t FULL OUTER JOIN n ON t.CHROM = n.CHROM AND t.POS = n.POS AND t.REF = n.REF AND t.ALT = n.ALT"),
+
+    "q_g4_ft" ->
+      ("SELECT event_id, 'GT:DP:FT' AS FORMAT, " +
+        "CASE WHEN value > 0.5 THEN 'PASS' ELSE 'q10' END AS FILTER, " +
+        "concat_ws(':', '0/1', user_id, CASE WHEN value > 0.5 THEN 'PASS' ELSE 'q10' END) AS S1 FROM events"),
+
+    "q_a8_colbind" ->
+      "SELECT c_custkey, upper(c_name) AS uname, round(c_acctbal * 2, 2) AS dbl FROM customer",
+
     "q_a5_dedup_first" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM (SELECT l_orderkey, l_linenumber, l_quantity, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS rn FROM lineitem) WHERE rn = 1",
 
@@ -1998,7 +2069,7 @@ object SparkEntry {
         "FROM a JOIN f USING (user_id) GROUP BY 1"),
 
     "q_x_chi2" ->
-      ("WITH obs AS (SELECT source AS a, lang AS b, count(*) AS o FROM documents GROUP BY 1, 2), " +
+      ("WITH obs AS (SELECT coalesce(source, '__null__') AS a, coalesce(lang, '__null__') AS b, count(*) AS o FROM documents GROUP BY 1, 2), " +
         "ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1), " +
         "rb AS (SELECT b, sum(o) AS rb FROM obs GROUP BY 1), " +
         "tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM obs), " +

@@ -59,7 +59,7 @@ object Funnel {
   def retention(df: DataFrame, userCol: String, tsCol: String,
                 bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
-    val wk = expr(s"$tsCol div $bucket")
+    val wk = expr(s"`$tsCol` div $bucket")
     val first = df.groupBy(userCol).agg(min(wk).as("cohort"))
     val active = df.select(col(userCol), wk.as("__wk")).distinct()
     active.join(first, Seq(userCol))
@@ -75,7 +75,7 @@ object Funnel {
   def newVsReturning(df: DataFrame, userCol: String, tsCol: String,
                      bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
-    val bk = expr(s"$tsCol div $bucket")
+    val bk = expr(s"`$tsCol` div $bucket")
     val first = df.groupBy(userCol).agg(min(bk).as("__first"))
     val active = df.select(col(userCol), bk.as("bucket")).distinct()
     active.join(first, Seq(userCol))

@@ -120,12 +120,15 @@ object Merge {
     val resolved = df
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(whole))
-    val golden = attrs.foldLeft(resolved) { (acc, a) =>
-      acc.withColumn(a, first(col(a), ignoreNulls = true).over(whole))
-    }
-    golden.filter(col("__rn") === 1)
-      .select(col(clusterCol) +: attrs.map(col) :+
-        col("__n").as("n_members"): _*)
+    // ALL first() projections in ONE select against the unreplaced
+    // frame: a withColumn-per-attribute fold would overwrite any
+    // attribute that also appears in orderCols with its cluster
+    // constant, silently re-ordering every LATER attribute's window
+    val golden = resolved.select(
+      col(clusterCol) +:
+        attrs.map(a => first(col(a), ignoreNulls = true).over(whole).as(a)) :+
+        col("__rn") :+ col("__n").as("n_members"): _*)
+    golden.filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Incremental aggregate maintenance: apply a CDC delta to a

@@ -269,7 +269,14 @@ object Profile {
     * chi2 against the critical value for dof externally (no p-value:
     * the CDF is not engine-portable). */
   def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val obs = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+    // nulls recode to a sentinel CATEGORY before aggregating: SQL null
+    // never equals null, so a null-category row would keep its
+    // marginal contribution while the grid left-join zeroed its
+    // observed count (inflating chi2), and countDistinct would skip it
+    // in dof. As a category it participates consistently in all three.
+    val obs = df.groupBy(
+        coalesce(col(colA).cast("string"), lit("__null__")).as("a"),
+        coalesce(col(colB).cast("string"), lit("__null__")).as("b"))
       .agg(count(lit(1)).as("o"))
     val ra = obs.groupBy("a").agg(sum(col("o")).as("__ra"))
     val rb = obs.groupBy("b").agg(sum(col("o")).as("__rb"))

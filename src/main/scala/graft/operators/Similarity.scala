@@ -112,15 +112,19 @@ object Similarity {
   def whiten(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val y = transform(asDouble(col(vecCol)),
       x => round(x * lit(1e6)).cast("long"))
+    // Σy² accumulates as decimal(38,0): each square is ~1e12 for
+    // unit-scale elements, so a long accumulator silently wraps past
+    // ~9e6 rows — decimal stays exact at any corpus size (and matches
+    // a SQL oracle's HUGEINT sum bit-for-bit after the double cast)
     val stats = df.select(posexplode(y).as(Seq("pos", "__yy")))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"), sum(col("__yy")).as("sv"),
-        sum(col("__yy") * col("__yy")).as("spp"))
+        sum((col("__yy") * col("__yy")).cast("decimal(38,0)")).as("spp"))
       .collect().map { r =>
-        val (pos, n, sv, spp) =
-          (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val (pos, n, sv) = (r.getInt(0), r.getLong(1), r.getLong(2))
+        val spp = r.getDecimal(3).doubleValue
         val mean = sv.toDouble / n / 1e6
-        val variance = (spp.toDouble - sv.toDouble * sv / n) / (n - 1) / 1e12
+        val variance = (spp - sv.toDouble * sv / n) / (n - 1) / 1e12
         (pos, mean, math.sqrt(math.max(variance, 0.0)))
       }.sortBy(_._1)
     val means = lit(stats.map(_._2))

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** Hash-row j's bucket for a key: 60-bit md5 prefix mod width. */
+  /** Hash-row j's bucket for a key: 60-bit md5 prefix mod width —
+    * the composable/spec form; the hot path below uses the compiled
+    * kernel (bit-identical, SketchSpec parity). */
   def cmBucket(key: Column, j: Int, width: Int, salt: String): Column =
     conv(substring(md5(concat(lit(salt), lit(j.toString), lit(":"),
       key.cast("string"))), 1, 15), 16, 10).cast("long") % width
@@ -31,10 +33,11 @@ object Sketch {
   private def expanded(df: DataFrame, keyCol: String, depth: Int,
                        width: Int, salt: String) = {
     require(depth > 0 && width > 0, s"depth=$depth width=$width")
-    val entries = (0 until depth).map(j =>
-      struct(lit(j).as("j"), cmBucket(col(keyCol), j, width, salt).as("b")))
-    df.select(col(keyCol), explode(array(entries: _*)).as("e"))
-      .select(col(keyCol), col("e.j").as("j"), col("e.b").as("b"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val buckets = ColumnBridge.column(graft.plans.CmsBuckets(
+      ColumnBridge.expression(col(keyCol).cast("string")),
+      depth, width, salt))
+    df.select(col(keyCol), posexplode(buckets).as(Seq("j", "b")))
   }
 
   /** Build the sketch: (j, b, c) counter rows. Zero counters are not

@@ -189,6 +189,26 @@ object TextKernels {
     }
     new GenericArrayData(mins)
   }
+
+  /** Count-min bucket row for every hash j: first 60 bits of
+    * md5(prefix_j || keyBytes) mod width, prefixes precomputed by the
+    * caller ([[CmsBuckets]]). */
+  def cmsBuckets(key: UTF8String, prefixes: Array[Array[Byte]],
+                 width: Int): ArrayData = {
+    if (key == null) return null
+    val kb = key.getBytes
+    val out = new Array[Long](prefixes.length)
+    val md = md5Local.get()
+    var j = 0
+    while (j < prefixes.length) {
+      md.reset()
+      md.update(prefixes(j))
+      md.update(kb)
+      out(j) = digest60(md) % width
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_hamming_pairs(members, maxHamming)` over an
@@ -315,6 +335,47 @@ case class MinhashSignature(child: Expression, numHashes: Int,
         |  ${ev.isNull} = (${ev.value} == null);
         |}
       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_cms_buckets(key)` → array<long> of one bucket per hash row:
+  * element j = first 60 bits of md5(salt || j || ":" || key) mod
+  * width — bit-identical to the composable
+  * `conv(substring(md5(concat(...)), 1, 15), 16, 10) % width` chain,
+  * which pays a string concat, a full hex render, and a base-16
+  * re-parse PER ROW PER HASH. Here the salt+j prefixes are built once
+  * at plan time and each row runs `depth` incremental md5 updates in
+  * one compiled call. Null keys return null (the composable chain
+  * kept a null-bucket row; a null bucket can never serve an estimate,
+  * so dropping it changes no query result). */
+case class CmsBuckets(child: Expression, depth: Int, width: Int,
+                      salt: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cms_buckets"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    (0 until depth).map(j =>
+      (salt + j.toString + ":")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.cmsBuckets(input.asInstanceOf[UTF8String], prefixes, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsPrefixes", prefixes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.cmsBuckets($c, $ref, $width);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

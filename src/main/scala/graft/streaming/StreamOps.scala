@@ -58,25 +58,49 @@ object StreamOps {
 
   /** Streaming twin of `Sessionize.debounce`: per (user, type) the
     * state is ONE long — the ts of the last event SEEN (kept or not,
-    * the lag semantics of the batch operator) — so state size is
-    * O(active keys), not O(events). Within a batch events replay in
-    * (ts, id) order; cross-batch the state carries the boundary. */
+    * the lag semantics of the batch operator). State size is O(ACTIVE
+    * keys), not every key ever seen: an EVENT-TIME timeout expires a
+    * key once the watermark passes lastTs + minGap, at which point any
+    * future event that respects the watermark is at least minGap past
+    * the dropped state and would have been kept anyway — eviction
+    * provably cannot flip a survivor decision (only watermark-late
+    * events lose their drop, the standard lateness contract).
+    * Processing-time timeouts are NOT an option here: they keep the
+    * micro-batch engine permanently "due for another batch", so
+    * processAllAvailable never quiesces. Within a batch events replay
+    * in (ts, id) order; cross-batch the state carries the boundary. */
   def debounceStream(events: Dataset[Event],
                      minGapNs: Long): Dataset[Event] = {
     import events.sparkSession.implicits._
-    events.groupByKey(e => (e.user_id, e.event_type))
+    val gapMs = math.max(1L, minGapNs / 1000000L)
+    val withWm = events
+      .withColumn("__evt", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("__evt", "0 seconds")
+      .as[Event]
+    withWm.groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[Long, Event](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         case (_, it, state: GroupState[Long]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
-          var last = state.getOption.getOrElse(Long.MinValue)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Event]
-          sorted.foreach { e =>
-            if (last == Long.MinValue || e.ts - last > minGapNs) out += e
-            last = e.ts
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Event]
+            sorted.foreach { e =>
+              if (last == Long.MinValue || e.ts - last > minGapNs) out += e
+              last = e.ts
+            }
+            state.update(last)
+            // +1ms covers the strict ">" of the batch gap test; the
+            // max() keeps the timeout legal when late data lands with
+            // the watermark already past it
+            state.setTimeoutTimestamp(math.max(
+              last / 1000000L + gapMs + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(last)
-          out.iterator
       }
   }
 

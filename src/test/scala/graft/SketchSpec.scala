@@ -14,6 +14,23 @@ class SketchSpec extends SparkSpec {
   private lazy val truth = stream.groupBy("k")
     .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
 
+  test("compiled bucket kernel == composable cmBucket chain") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val keys = stream.distinct()
+      .union(Seq(-7L, 0L, Long.MaxValue).toDF("k"))
+    val kernel = keys.select(col("k"),
+      posexplode(ColumnBridge.column(graft.plans.CmsBuckets(
+        ColumnBridge.expression(col("k").cast("string")),
+        4, 256, "cms"))).as(Seq("j", "b")))
+      .as[(Long, Int, Long)].collect().toSet
+    val chain = keys.select(col("k"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+          Sketch.cmBucket(col("k"), j, 256, "cms").as("b"))): _*)).as("e"))
+      .select(col("k"), col("e.j"), col("e.b"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(kernel == chain)
+  }
+
   test("estimate never undercounts (one-sided error)") {
     val sk = Sketch.countMin(stream, "k", depth = 4, width = 16) // collides
     val est = Sketch.estimate(sk, stream.distinct(), "k",

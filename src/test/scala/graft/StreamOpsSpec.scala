@@ -374,22 +374,25 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("deb")
       .outputMode(OutputMode.Update()).start()
     try {
+      // ts offsets start at 60 min, not 0: the event-time timeout
+      // defines a watermark, and a row at exactly epoch 0 sits AT the
+      // initial watermark and is late-filtered before the state fn
       input.addData(
-        Event(1L, 0 * M, 1L, "click", 1.0),
-        Event(1L, 10 * M, 2L, "click", 1.0),   // 10 min after 1: dropped
-        Event(1L, 45 * M, 3L, "click", 1.0))   // 35 after 2: kept
+        Event(1L, 60 * M, 1L, "click", 1.0),
+        Event(1L, 70 * M, 2L, "click", 1.0),   // 10 min after 1: dropped
+        Event(1L, 105 * M, 3L, "click", 1.0))  // 35 after 2: kept
       q.processAllAvailable()
       // batch 2 starts 10 min after the last SEEN event (3): dropped
       // even though the drop decision crosses the batch boundary
-      input.addData(Event(1L, 55 * M, 4L, "click", 1.0),
-        Event(1L, 99 * M, 5L, "click", 1.0))
+      input.addData(Event(1L, 115 * M, 4L, "click", 1.0),
+        Event(1L, 159 * M, 5L, "click", 1.0))
       q.processAllAvailable()
       val got = spark.table("deb").select("event_id")
         .as[Long].collect().toSet
       val all = Seq(
-        (1L, 0 * M, 1L, "click"), (1L, 10 * M, 2L, "click"),
-        (1L, 45 * M, 3L, "click"), (1L, 55 * M, 4L, "click"),
-        (1L, 99 * M, 5L, "click"))
+        (1L, 60 * M, 1L, "click"), (1L, 70 * M, 2L, "click"),
+        (1L, 105 * M, 3L, "click"), (1L, 115 * M, 4L, "click"),
+        (1L, 159 * M, 5L, "click"))
         .toDF("user_id", "ts", "event_id", "event_type")
       val batch = graft.operators.Sessionize.debounce(all,
         Seq("user_id", "event_type"), "ts",
