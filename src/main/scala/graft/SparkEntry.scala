@@ -618,7 +618,12 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Bpe.encode(docs, "text", "doc_id",
         Bpe.learnMerges(docs, "text", k = 100))
-        .select(col("doc_id"), col("w"), posexplode(col("pieces")))
+        // posexplode_OUTER + isNotNull, not posexplode:
+        // InferFiltersFromGenerate would push size(pieces)>0 below the
+        // distinct, re-running the encode kernel per token OCCURRENCE
+        // (the q_d_prefix lesson — outer generates are exempt)
+        .select(col("doc_id"), col("w"), posexplode_outer(col("pieces")))
+        .filter(col("pos").isNotNull)
         .withColumnRenamed("col", "piece")
     }),
 
@@ -838,7 +843,8 @@ object SparkEntry {
     // list posexplodes to scalar (pos, posting) rows for the driver gate
     "q_t_postings" -> ((s, d) =>
       Tfidf.postings(t(s, d, "documents"), "text", "doc_id", minDf = 3L)
-        .select(col("term"), col("df"), posexplode(col("postings")))
+        .select(col("term"), col("df"), posexplode_outer(col("postings")))
+        .filter(col("pos").isNotNull)
         .withColumnRenamed("col", "posting")),
 
     // benchmark decontamination: per-train-doc n-gram overlap vs a
@@ -863,7 +869,8 @@ object SparkEntry {
     // canonicalizing any IEEE -0.0 the per-dim rounding produced
     "q_s_meanpool" -> ((s, d) =>
       Similarity.meanPool(t(s, d, "embeddings"), "embedding", "label")
-        .select(col("label"), col("n"), posexplode(col("centroid")))
+        .select(col("label"), col("n"), posexplode_outer(col("centroid")))
+        .filter(col("pos").isNotNull)
         .select(col("label"), col("n"), col("pos"),
           (col("col") + lit(0.0)).as("value"))),
 
@@ -879,8 +886,12 @@ object SparkEntry {
     // diagonal whitening: dims-sized stats collected, map-only apply;
     // the whitened vector posexplodes to scalar (pos, value) rows
     "q_s_whiten" -> ((s, d) =>
+      // outer + isNotNull so the size()>0 filter inference can't
+      // inline the whitening transform into a per-row filter (it was
+      // being evaluated 3x: filter size, filter isnotnull, project)
       Similarity.whiten(t(s, d, "embeddings"), "vec_id", "embedding")
-        .select(col("vec_id"), posexplode(col("whitened")))
+        .select(col("vec_id"), posexplode_outer(col("whitened")))
+        .filter(col("pos").isNotNull)
         .withColumnRenamed("col", "value")),
 
     "q_s_hygiene" -> ((s, d) =>

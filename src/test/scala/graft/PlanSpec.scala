@@ -290,4 +290,48 @@ class PlanSpec extends SparkSpec {
     assert(optimized.contains("IN (spark,join)") ||
       optimized.contains("INSET"), optimized.take(2000))
   }
+
+  test("count-min build runs the compiled bucket kernel, not the hex chain") {
+    val df = (1L to 100L).map(i => Tuple1(i)).toDF("k")
+    val plan = graft.operators.Sketch.countMin(df, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cms_buckets"), plan)
+    assert(!plan.contains("conv("), plan)
+  }
+
+  test("BPE encode: one kernel call on a vocab-sized frame, occurrences join broadcast") {
+    val docs = Seq((1L, "low lower slow"), (2L, "low slow")).toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", k = 5)
+    val qe = graft.operators.Bpe.encode(docs, "text", "doc_id", merges)
+      .queryExecution
+    // the k merges live INSIDE one expression — not a k-deep fold whose
+    // plan grows with the vocabulary size (optimizedPlan: the simple
+    // physical toString elides aggregate result expressions)
+    assert(count(qe.optimizedPlan.toString, "graft_bpe_encode") == 1,
+      qe.optimizedPlan.toString)
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      qe.executedPlan.toString)
+  }
+
+  test("goldenRecord: all attributes resolve in ONE window (one exchange)") {
+    val df = (1L to 50L).map(i => (i % 5, i, s"n$i", i * 1.5))
+      .toDF("cluster", "id", "name", "bal")
+    val plan = graft.operators.Merge.goldenRecord(df, "cluster",
+        Seq(col("id").desc))
+      .queryExecution.executedPlan.toString
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(count(plan, "Window") <= 2, plan) // rn/count + firsts, same key
+  }
+
+  test("tumor/normal merge: full-outer on the variant key, single join") {
+    val mk = (m: Long) => (1L to 40L).filter(_ % m == 0)
+      .map(i => (s"chr${i % 3}", i, "A", "T", s"i$i", i * 1.0, s"s$i"))
+      .toDF("CHROM", "POS", "REF", "ALT", "INFO", "QUAL", "S1")
+    val plan = graft.operators.VariantOps
+      .mergeTumorNormal(mk(2), mk(3), "S1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan)
+    assert(count(plan, "SortMergeJoin") + count(plan, "BroadcastHashJoin")
+      + count(plan, "ShuffledHashJoin") == 1, plan)
+  }
 }
