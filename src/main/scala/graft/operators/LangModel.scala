@@ -25,7 +25,7 @@ object LangModel {
 
   /** Unigram counts of the training corpus: (term, cnt). */
   def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFns.tokens(col(textCol))).as("term"))
+    Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)), "term")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
   /** Score documents against trained `counts`. Laplace smoothing:
@@ -46,8 +46,8 @@ object LangModel {
           .cast("long").as("__lpm"))
     val oov = totals.select(
       round(log(lit(1.0) / denom) * 1e6).cast("long").as("__oov"))
-    val toks = docs.select(col(idCol),
-      explode(TextFns.tokens(col(textCol))).as("term"))
+    val toks = Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)),
+      "term", col(idCol))
     val scored = toks
       .join(broadcast(lp), Seq("term"), "left")
       .crossJoin(broadcast(oov))
@@ -80,8 +80,8 @@ object LangModel {
           .cast("long").as("__lpm"))
     val oov = totals.select(
       round(log(lit(1.0) / denom) * 1e6).cast("long").as("__oov"))
-    docs.select(col(groupCol).as("grp"),
-        explode(TextFns.tokens(col(textCol))).as("term"))
+    Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)), "term",
+        col(groupCol).as("grp"))
       .join(broadcast(lp), Seq("term"), "left")
       .crossJoin(broadcast(oov))
       .groupBy("grp")
@@ -97,10 +97,9 @@ object LangModel {
     * array with its own tail — no window function, no self-join. */
   def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
     val tk = TextFns.tokens(col(textCol))
-    docs.select(arrays_zip(
+    Explodes.nonEmpty(docs, arrays_zip(
         slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
-        slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("__z"))
-      .select(explode(col("__z")).as("__p"))
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))), "__p")
       .select(col("__p.0").as("w1"), col("__p.1").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
   }
@@ -133,10 +132,10 @@ object LangModel {
     val oov = v.select(
       round(log(lit(1.0) / (col("__v") + 1)) * 1e6).cast("long").as("__oov"))
     val tk = TextFns.tokens(col(textCol))
-    val docPairs = docs.select(col(idCol), arrays_zip(
+    val docPairs = Explodes.nonEmpty(docs, arrays_zip(
         slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
-        slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("__z"))
-      .select(col(idCol), explode(col("__z")).as("__p"))
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))), "__p",
+        col(idCol))
       .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
     val scored = docPairs
       .join(broadcast(pairLp), Seq("w1", "w2"), "left")

@@ -76,17 +76,17 @@ object Similarity {
     val v = asDouble(col(vecCol))
     val y = transform(v, x => round(x * lit(1e6)).cast("long"))
     val base = df.select(y.as("__y"))
-    val tri = base.select(explode(flatten(transform(
+    val tri = Explodes.nonEmpty(base, flatten(transform(
         sequence(lit(0), size(col("__y")) - 1),
         i => transform(sequence(i, size(col("__y")) - 1),
           j => struct(i.as("i"), j.as("j"),
             (element_at(col("__y"), i + 1) *
-              element_at(col("__y"), j + 1)).as("p")))))).as("__t"))
+              element_at(col("__y"), j + 1)).as("p"))))), "__t")
       .select(col("__t.i").as("i"), col("__t.j").as("j"),
         col("__t.p").as("p"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("p")).as("__spp"))
-    val sums = base.select(posexplode(col("__y")).as(Seq("pos", "__yy")))
+    val sums = Explodes.posNonEmpty(base, col("__y"), "pos", "__yy")
       .groupBy("pos").agg(sum(col("__yy")).as("__s"))
     tri
       .join(broadcast(sums.select(col("pos").as("i"),
@@ -116,7 +116,7 @@ object Similarity {
     // unit-scale elements, so a long accumulator silently wraps past
     // ~9e6 rows — decimal stays exact at any corpus size (and matches
     // a SQL oracle's HUGEINT sum bit-for-bit after the double cast)
-    val stats = df.select(posexplode(y).as(Seq("pos", "__yy")))
+    val stats = Explodes.posNonEmpty(df, y, "pos", "__yy")
       .groupBy("pos")
       .agg(count(lit(1)).as("n"), sum(col("__yy")).as("sv"),
         sum((col("__yy") * col("__yy")).cast("decimal(38,0)")).as("spp"))

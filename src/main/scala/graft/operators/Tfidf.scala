@@ -24,8 +24,8 @@ object Tfidf {
 
   /** (term, df): number of documents containing each term. */
   def docFreq(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(array_distinct(TextFns.tokens(col(textCol))))
-        .as("term"))
+    Explodes.nonEmpty(docs,
+        array_distinct(TextFns.tokens(col(textCol))), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
 
   /** Inverted index: per term, document frequency and the SORTED
@@ -36,8 +36,9 @@ object Tfidf {
     * terms above a df ceiling before writing at web scale). */
   def postings(docs: DataFrame, textCol: String, idCol: String,
                minDf: Long = 2L): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFns.tokens(col(textCol)))).as("term"))
+    Explodes.nonEmpty(docs,
+        array_distinct(TextFns.tokens(col(textCol))), "term",
+        col(idCol).as("doc_id"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
@@ -53,8 +54,9 @@ object Tfidf {
     * before the self-join (stopwords dominate the pair space). */
   def cooccurrence(docs: DataFrame, textCol: String, idCol: String,
                    minPairs: Long = 2L): DataFrame = {
-    val td = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextFns.tokens(col(textCol)))).as("term"))
+    val td = Explodes.nonEmpty(docs,
+      array_distinct(TextFns.tokens(col(textCol))), "term",
+      col(idCol).as("doc_id"))
     val pairs = td.as("a").join(td.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
       .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
@@ -77,8 +79,8 @@ object Tfidf {
   def topTerms(docs: DataFrame, textCol: String, idCol: String,
                k: Int): DataFrame = {
     require(k > 0)
-    val tf = docs.select(col(idCol).as("doc_id"),
-        explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)),
+        "term", col(idCol).as("doc_id"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = docs.agg(count(lit(1)).as("__n"))
     // df derived from tf (one row per (doc, term) already) — no second
@@ -106,8 +108,8 @@ object Tfidf {
     * intercept), 6 dp. */
   def zipfSlope(docs: DataFrame, textCol: String,
                 topN: Int = 1000): DataFrame = {
-    val ranked = docs
-      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+    val ranked = Explodes
+      .nonEmpty(docs, TextFns.tokens(col(textCol)), "term")
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("freq").desc, col("term"))))
@@ -140,8 +142,8 @@ object Tfidf {
     * until the final divisions. */
   def lexicalDiversity(docs: DataFrame, textCol: String,
                        groupCol: String): DataFrame = {
-    val tc = docs.select(col(groupCol).as("grp"),
-        explode(TextFns.tokens(col(textCol))).as("term"))
+    val tc = Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)),
+        "term", col(groupCol).as("grp"))
       .groupBy("grp", "term").agg(count(lit(1)).as("__c"))
     tc.groupBy("grp").agg(
         sum(col("__c")).as("n_tokens"),
@@ -204,8 +206,8 @@ object Tfidf {
     * top `k` by z per group. */
   def distinctiveTerms(docs: DataFrame, textCol: String, groupCol: String,
                        k: Int = 5, a0: Double = 100.0): DataFrame = {
-    val tok = docs.select(col(groupCol).as("grp"),
-      explode(TextFns.tokens(col(textCol))).as("term"))
+    val tok = Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)),
+      "term", col(groupCol).as("grp"))
     val yst = tok.groupBy("grp", "term").agg(count(lit(1)).as("y_g"))
     val yt = yst.groupBy("term").agg(sum(col("y_g")).as("y"))
     val ns = yst.groupBy("grp").agg(sum(col("y_g")).as("n_g"))
@@ -256,8 +258,8 @@ object Tfidf {
     val lens = toks.select(col("doc_id"), size(col("__tk")).as("__len"))
     val stats = lens.agg(count(lit(1)).as("__n"),
       (sum(col("__len")) * lit(1.0) / count(lit(1))).as("__avglen"))
-    val tf = toks.select(col("doc_id"), size(col("__tk")).as("__len"),
-        explode(col("__tk")).as("term"))
+    val tf = Explodes.nonEmpty(toks, col("__tk"), "term",
+        col("doc_id"), size(col("__tk")).as("__len"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "__len", "term").agg(count(lit(1)).as("tf"))
     val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
