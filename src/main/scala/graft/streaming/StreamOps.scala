@@ -104,6 +104,48 @@ object StreamOps {
       }
   }
 
+  /** Watermarked stream-stream WINDOWED JOIN — the streaming twin of
+    * the attribution range join: each left event (e.g. a purchase)
+    * pairs with every right event (e.g. a marketing touch) of the
+    * same user whose time falls in [left.ts − windowNs, left.ts).
+    * Unmatched left events survive with null touch columns.
+    *
+    * Scale shape: both sides carry a watermark and the join carries a
+    * time-range condition, which is exactly what lets Spark BOUND the
+    * join state — right-side rows evict once the watermark passes
+    * their ts + windowNs, left-side unmatched rows emit (with nulls)
+    * once no future right row could match them. Without the range
+    * condition the state grows forever; with it, state is O(events in
+    * one window), independent of stream length.
+    *
+    * On a BATCH Dataset the same function degrades gracefully —
+    * withWatermark is a no-op and the join is a plain range join — so
+    * the batch-parity test runs the SAME code on both engines. */
+  def windowedJoinStream(left: Dataset[Event], right: Dataset[Event],
+                         windowNs: Long): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    val windowUs = math.max(1L, windowNs / 1000L)
+    val l = left
+      .withColumn("__lts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("__lts", "0 seconds")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("__lts"))
+    val r = right
+      .withColumn("__rts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("__rts", "0 seconds")
+      .select(col("user_id").as("__ruser"),
+        col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"), col("__rts"))
+    l.join(r,
+        col("user_id") === col("__ruser") &&
+          col("__rts") >= col("__lts") - expr(s"INTERVAL $windowUs MICROSECOND") &&
+          col("__rts") < col("__lts"),
+        "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("touch_id"), col("touch_type"), col("touch_ts"))
+  }
+
   /** Funnel progress state: furthest step index completed and the ts
     * of that completion (first-touch chain). */
   final case class FunnelState(step: Int, lastT: Long)

@@ -401,4 +401,42 @@ class StreamOpsSpec extends SparkSpec {
       assert(got == batch && got == Set(1L, 3L, 5L))
     } finally q.stop()
   }
+
+  test("windowedJoinStream: stream-stream range join matches the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val touches = MemoryStream[Event]
+    val q = StreamOps.windowedJoinStream(purchases.toDS(), touches.toDS(),
+        windowNs = 30 * M)
+      .writeStream.format("memory").queryName("wjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val touchRows = Seq(
+        Event(1L, 60 * M, 101L, "ad", 1.0),     // 15 min before purchase: in
+        Event(1L, 40 * M, 102L, "email", 1.0),  // 35 min before: out
+        Event(2L, 70 * M, 103L, "ad", 1.0))     // other user
+      val purchaseRows = Seq(
+        Event(1L, 75 * M, 1L, "purchase", 1.0),
+        Event(2L, 75 * M, 2L, "purchase", 1.0),
+        Event(3L, 76 * M, 3L, "purchase", 1.0)) // no touches: null row
+      touches.addData(touchRows: _*)
+      purchases.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      // push both watermarks far past every event so unmatched-left
+      // rows (user 3) are emitted and join state is evicted
+      touches.addData(Event(99L, 1000 * M, 998L, "ad", 1.0))
+      purchases.addData(Event(99L, 1000 * M, 999L, "purchase", 1.0))
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("user_id") =!= 99L)
+        .select(col("purchase_id"), col("touch_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      val got = rows(spark.table("wjoin"))
+      // the SAME function on batch frames: watermark is a no-op there
+      val batch = rows(StreamOps.windowedJoinStream(
+        purchaseRows.toDS(), touchRows.toDS(), windowNs = 30 * M))
+      assert(got == batch)
+      assert(got == Set((1L, Some(101L)), (2L, Some(103L)), (3L, None)))
+    } finally q.stop()
+  }
 }
