@@ -1237,6 +1237,20 @@ object SparkEntry {
         budget = 5000L)
         .select("doc_id", "n_chars", "pack")),
 
+    // GPT-style EXACT sequence packing: the corpus as one virtual
+    // token stream cut every 512 tokens, docs SPLIT across cuts —
+    // one (doc, sequence) span row each
+    "q_p11_packexact" -> ((s, d) =>
+      Batching.packExact(t(s, d, "documents"), "doc_id", "n_chars",
+        seqLen = 512L)),
+
+    // temperature-scaled language mixing (alpha=0.5): rare languages
+    // upweighted toward sqrt-proportional shares of a 300-doc target
+    "q_x_tempmix" -> ((s, d) =>
+      Sampling.temperatureMix(t(s, d, "documents"), "doc_id", "lang",
+        alpha = 0.5, targetTotal = 300L)
+        .select("doc_id", "lang", "source")),
+
     // ---- §2.2 P9: deterministic batching — scalable range-partitioned
     //      form (identical output to ntile(10) OVER (ORDER BY ...),
     //      which the oracle uses; no single-task global window) ----
@@ -2588,6 +2602,19 @@ object SparkEntry {
 
     "q_p10_pack" ->
       "SELECT doc_id, n_chars, floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) / 5000)::BIGINT AS pack FROM documents",
+
+    "q_x_tempmix" ->
+      ("WITH c AS (SELECT lang, count(*) AS n, CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS w FROM documents GROUP BY 1), " +
+        "z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM c), " +
+        "r AS (SELECT lang, CAST(round(least(1.0, 300.0 * w / z / n) * 4294967296.0) AS BIGINT) AS thr FROM c CROSS JOIN z) " +
+        "SELECT doc_id, lang, source FROM documents JOIN r USING (lang) WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < thr"),
+
+    "q_p11_packexact" ->
+      ("WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w, CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM documents WHERE n_chars > 0), " +
+        "s AS (SELECT doc_id, w, cum - w AS strt, unnest(range((cum - w) // 512, (cum - 1) // 512 + 1)) AS seq_id FROM c) " +
+        "SELECT doc_id, w AS n_tokens, seq_id, greatest(seq_id * 512 - strt, 0) AS span_start, " +
+        "least((seq_id + 1) * 512, strt + w) - strt AS span_end, " +
+        "greatest(strt - seq_id * 512, 0) AS seq_off FROM s"),
 
     // q_s_ivf with nProbe = number of centroids searches every bucket,
     // so the exact brute-force top-k is the correct oracle

@@ -97,6 +97,48 @@ object Batching {
       .drop("__pid", "__offset", "__cum")
   }
 
+  /** GPT-style EXACT sequence packing — the pretraining batch
+    * construction that `packByBudget` approximates: the corpus is one
+    * virtual token stream in `orderCol` order, cut every `seqLen`
+    * tokens, and a document that spans a cut is SPLIT across the
+    * adjacent sequences (no padding, no overflow). Emits one row per
+    * (document, sequence) span: `seq_id`, the doc-local token range
+    * [`span_start`, `span_end`) that lands there, and `seq_off` — the
+    * write offset inside the sequence. Zero/null-weight rows emit
+    * nothing.
+    *
+    * Scale shape: the same range-repartition + per-partition-offsets
+    * skeleton (driver collect is one row per partition); the span
+    * explode is inference-safe and bounded by ceil(w/seqLen)+1 rows
+    * per document. The oracle is the plain one-window cumsum. */
+  def packExact(df: DataFrame, orderCol: String, weightCol: String,
+                seqLen: Long, numPartitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val wcol = coalesce(col(weightCol).cast("long"), lit(0L))
+    val (withPid, offsetDf, _) = partitionOffsets(df, Seq(col(orderCol)),
+      coalesce(sum(wcol), lit(0L)), numPartitions)
+    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based = withPid
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("__cum",
+        col("__offset") + coalesce(sum(wcol).over(w), lit(0L)))
+      .filter(wcol > 0)
+      .withColumn("__start", col("__cum") - wcol)
+    Explodes.nonEmpty(based,
+        sequence(expr(s"__start div $seqLen"),
+          expr(s"(__cum - 1) div $seqLen")), "seq_id",
+        col(orderCol), wcol.as("n_tokens"), col("__start"))
+      .select(col(orderCol), col("n_tokens"), col("seq_id"),
+        greatest(col("seq_id") * seqLen - col("__start"), lit(0L))
+          .as("span_start"),
+        (least((col("seq_id") + 1) * seqLen,
+          col("__start") + col("n_tokens")) - col("__start"))
+          .as("span_end"),
+        greatest(col("__start") - col("seq_id") * seqLen, lit(0L))
+          .as("seq_off"))
+  }
+
   /** Scalable twin of `globalNtile`: identical `batch` column, no
     * single-task window. `orderCol` must be a total order (unique) for
     * a deterministic result — same caveat as any rank-based batching.

@@ -53,6 +53,40 @@ object Sampling {
                  salt: String = ""): DataFrame =
     df.filter(sampleKey(col(idCol), salt) < lit(thresholdHex(fraction)))
 
+  /** Temperature-scaled source mixing (the mT5 recipe): resample so
+    * source i contributes in proportion to n_i^alpha — alpha < 1
+    * upweights the tail sources a raw-proportional mix would drown.
+    * Keep rate_i = min(1, target · w_i / Σw / n_i) with
+    * w_i = round(n_i^alpha · 1e6) — integer weights so the Σw
+    * accumulation is exact long arithmetic (a double sum would be
+    * partition-order dependent and break the cross-engine replay).
+    * The per-doc gate is the same deterministic md5 threshold as
+    * `hashSample`, compared numerically against the per-source
+    * 2^32-scaled rate. Source cardinality is metadata-sized: rates
+    * ride a broadcast join, the corpus never shuffles. alpha = 0.5
+    * routes through sqrt (correctly-rounded IEEE in every engine;
+    * pow's last-ulp freedom could flip a boundary doc). */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     alpha: Double, targetTotal: Long,
+                     salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetTotal > 0, s"targetTotal must be positive, got $targetTotal")
+    val nd = col("__n").cast("double")
+    val pw = if (alpha == 0.5) sqrt(nd) else pow(nd, alpha)
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(pw * 1e6).cast("long"))
+    val z = counts.agg(sum(col("__w")).as("__z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetTotal.toDouble) * col("__w") / col("__z") / col("__n")))
+      .withColumn("__thr", round(col("__rate") * 4294967296.0).cast("long"))
+      .select(col(sourceCol), col("__thr"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(conv(sampleKey(col(idCol), salt), 16, 10).cast("long") <
+        col("__thr"))
+      .drop("__thr")
+  }
+
   /** Assign every row to exactly one named split (train/val/test…) by
     * cumulative threshold. Fractions must sum to 1 (±1e-9); the last
     * split absorbs the hex-rounding remainder so no row is unassigned.

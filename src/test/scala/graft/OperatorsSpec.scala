@@ -430,6 +430,43 @@ class OperatorsSpec extends SparkSpec {
     assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a })
   }
 
+  test("packExact: every sequence is exactly seqLen tokens, docs split losslessly") {
+    val rnd = new scala.util.Random(11)
+    val weights = (1L to 300L).map(i =>
+      (i, if (i % 37 == 0) 0L else rnd.nextInt(190) + 10L))
+    val df = weights.toDF("id", "w")
+    val spans = Batching.packExact(df, "id", "w", seqLen = 128L,
+        numPartitions = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // (id, n_tokens, seq_id, span_start, span_end, seq_off)
+    val total = weights.map(_._2).sum
+    // 1. lossless: per-doc spans are contiguous and cover [0, w)
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      assert(sorted.last._5 == sorted.head._2, s"doc $id")
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5 == b._4, s"gap in doc $id")
+      }
+    }
+    // 2. zero-weight docs emit nothing
+    assert(!spans.exists(_._2 == 0L))
+    // 3. every sequence except the last holds exactly seqLen tokens,
+    //    at consistent write offsets
+    val bySeq = spans.groupBy(_._3)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, ss) =>
+      val filled = ss.map(s => s._5 - s._4).sum
+      if (seq != lastSeq) assert(filled == 128L, s"seq $seq")
+      else assert(filled == total - 128L * lastSeq)
+      // write offsets tile the sequence without overlap
+      val tiles = ss.sortBy(_._6)
+      tiles.zip(tiles.tail).foreach { case (a, b) =>
+        assert(a._6 + (a._5 - a._4) == b._6, s"overlap in seq $seq")
+      }
+    }
+  }
+
   test("packByBudget: oversized single row occupies its own pack") {
     val df = Seq((1L, 100L), (2L, 9999L), (3L, 100L)).toDF("id", "w")
     val got = Batching.packByBudget(df, "id", "w", budget = 500L)

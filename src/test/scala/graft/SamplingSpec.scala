@@ -258,4 +258,34 @@ class SamplingSpec extends SparkSpec {
       .select("progress_micro").as[Long].collect().toSet
     assert(keys == Set(250000000000L, 750000000000L))
   }
+
+  test("temperatureMix: sqrt-proportional shares, small sources kept whole") {
+    // head source 8000 docs, tail sources 500 each: alpha=0.5 shares
+    // are prop. to sqrt(n) -> the tail keeps a far larger fraction
+    val df = ((1L to 8000L).map(i => (i, "big")) ++
+      (8001L to 8500L).map(i => (i, "s1")) ++
+      (8501L to 9000L).map(i => (i, "s2")))
+      .toDF("doc_id", "src")
+    val kept = Sampling.temperatureMix(df, "doc_id", "src",
+        alpha = 0.5, targetTotal = 3000L)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // expected rates: w = sqrt(n); z = sqrt(8000)+2*sqrt(500)
+    val z = math.sqrt(8000.0) + 2 * math.sqrt(500.0)
+    def expect(n: Long) =
+      math.min(1.0, 3000.0 * math.sqrt(n.toDouble) / z / n) * n
+    assert(math.abs(kept("big") - expect(8000)) < 200,
+      s"${kept("big")} vs ${expect(8000)}")
+    assert(math.abs(kept("s1") - expect(500)) < 60)
+    // deterministic: a second run is identical
+    val again = Sampling.temperatureMix(df, "doc_id", "src",
+        alpha = 0.5, targetTotal = 3000L)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(again == kept)
+    // a target above the corpus keeps everything (rate caps at 1)
+    val all = Sampling.temperatureMix(df, "doc_id", "src",
+      alpha = 0.5, targetTotal = 100000L).count()
+    assert(all == 9000L)
+  }
 }
