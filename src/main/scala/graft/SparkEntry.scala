@@ -1244,6 +1244,19 @@ object SparkEntry {
       Batching.packExact(t(s, d, "documents"), "doc_id", "n_chars",
         seqLen = 512L)),
 
+    // trained bag-of-words language ID: per-lang unigram models learned
+    // on the doc_id%10<8 slice, held-out docs argmax-classified in
+    // integer micro-nats; output is the confusion matrix
+    "q_c_bowlangid" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 10 < 8)
+      val test = docs.filter(col("doc_id") % 10 >= 8)
+      Classify.confusion(
+        Classify.classifyBow(test, "text", "doc_id",
+          Classify.trainBow(train, "text", "lang")),
+        test, "doc_id", "lang")
+    }),
+
     // temperature-scaled language mixing (alpha=0.5): rare languages
     // upweighted toward sqrt-proportional shares of a 300-doc target
     "q_x_tempmix" -> ((s, d) =>
@@ -2602,6 +2615,20 @@ object SparkEntry {
 
     "q_p10_pack" ->
       "SELECT doc_id, n_chars, floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) / 5000)::BIGINT AS pack FROM documents",
+
+    "q_c_bowlangid" ->
+      (s"WITH tr AS (SELECT lang, unnest($toksSql) AS term FROM documents WHERE doc_id % 10 < 8), " +
+        "p AS (SELECT lang AS label, term, count(*) AS cnt FROM tr GROUP BY 1, 2), " +
+        "tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM p GROUP BY 1), " +
+        "lp AS (SELECT p.label, term, CAST(round(ln((cnt + 1)::DOUBLE / (n + v + 1)) * 1e6) AS BIGINT) AS lpm FROM p JOIN tot ON p.label = tot.label), " +
+        "oov AS (SELECT label, CAST(round(ln(1.0 / (n + v + 1)) * 1e6) AS BIGINT) AS ov FROM tot), " +
+        s"te AS (SELECT doc_id, unnest($toksSql) AS term FROM documents WHERE doc_id % 10 >= 8), " +
+        "pres AS (SELECT doc_id, label, CAST(sum(lpm) AS BIGINT) AS sp, count(*) AS np FROM te JOIN lp USING (term) GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, count(*) AS len FROM te GROUP BY 1), " +
+        "sc AS (SELECT lens.doc_id, oov.label, coalesce(sp, 0) + (len - coalesce(np, 0)) * ov AS score FROM lens CROSS JOIN oov LEFT JOIN pres ON pres.doc_id = lens.doc_id AND pres.label = oov.label), " +
+        "win AS (SELECT doc_id, label AS pred FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc) WHERE rn = 1), " +
+        "base AS (SELECT d.doc_id, d.lang AS truth, coalesce(w.pred, (SELECT min(label) FROM tot)) AS pred FROM documents d LEFT JOIN win w ON d.doc_id = w.doc_id WHERE d.doc_id % 10 >= 8) " +
+        "SELECT truth, pred, count(*) AS n FROM base GROUP BY 1, 2"),
 
     "q_x_tempmix" ->
       ("WITH c AS (SELECT lang, count(*) AS n, CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS w FROM documents GROUP BY 1), " +

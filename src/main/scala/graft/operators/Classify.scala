@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Trained bag-of-words classification at corpus scale — the TRAINED
+  * counterpart to the heuristic screens (`TextFns.langid`): learn
+  * per-class unigram models from a labeled slice, score every
+  * document under every class, take the argmax. This is the
+  * label-propagation workhorse of a training-data pipeline (language
+  * ID from a labeled seed, domain tagging, quality-tier routing).
+  *
+  * Scoring follows the `LangModel` determinism conventions exactly:
+  * add-one smoothing, log-probabilities in integer MICRO-NATS
+  * (round(ln·1e6) longs) so every per-document accumulation is exact
+  * long arithmetic and a SQL oracle replays the scores bit-for-bit.
+  * For class c with token count N_c over vocabulary V_c:
+  * lpm(c,t) = round(ln((cnt+1)/(N_c+V_c+1))·1e6), OOV under c =
+  * round(ln(1/(N_c+V_c+1))·1e6); score(d,c) = Σ_t lpm(c,t).
+  * Argmax ties break lexicographically on the class label.
+  *
+  * Scale shape: the model is vocabulary-sized metadata — it broadcasts
+  * into both the present-term join and the per-class fill — and the
+  * corpus-sized work is ONE token explode + one (doc, class)
+  * aggregation. The documents never shuffle by anything but doc id.
+  */
+object Classify {
+
+  /** Train per-class unigram profiles: (label, term, cnt) plus the
+    * per-class totals the scorer needs. One aggregation. */
+  def trainBow(train: DataFrame, textCol: String,
+               labelCol: String): DataFrame =
+    Explodes.nonEmpty(train, TextFns.tokens(col(textCol)), "term",
+        col(labelCol).as("label"))
+      .groupBy("label", "term").agg(count(lit(1)).as("cnt"))
+
+  /** Classify `docs` under the trained `profile` (from [[trainBow]]).
+    * Output: (idCol, pred, score_micro) — the winning class and its
+    * total micro-nat log-likelihood. Token-less documents get the
+    * lexicographically first class with score 0 (every class scores
+    * an empty document identically). */
+  def classifyBow(docs: DataFrame, textCol: String, idCol: String,
+                  profile: DataFrame): DataFrame = {
+    val totals = profile.groupBy("label")
+      .agg(sum(col("cnt")).as("__n"), count(lit(1)).as("__v"))
+    val denom = col("__n") + col("__v") + 1
+    val lp = profile.join(totals, Seq("label"))
+      .select(col("label"), col("term"),
+        round(log((col("cnt") + 1).cast("double") / denom) * 1e6)
+          .cast("long").as("__lpm"))
+    val oov = totals.select(col("label"),
+      round(log(lit(1.0) / denom) * 1e6).cast("long").as("__oov"))
+    val toks = Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)),
+      "term", col(idCol))
+    // present-term partial scores per (doc, class): only classes whose
+    // vocabulary contains the term produce rows here
+    val present = toks.join(broadcast(lp), Seq("term"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("__lpm")).as("__sp"), count(lit(1)).as("__np"))
+    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__len"))
+    // fill every class for every doc: absent (doc, class) pairs score
+    // len · oov; present ones add (len − n_present) · oov
+    val full = lens.crossJoin(broadcast(oov))
+      .join(present, Seq(idCol.toString, "label"), "left")
+      .select(col(idCol), col("label"),
+        (coalesce(col("__sp"), lit(0L)) +
+          (col("__len") - coalesce(col("__np"), lit(0L))) * col("__oov"))
+          .as("score_micro"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score_micro").desc, col("label").asc)
+    val winners = full.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("pred"), col("score_micro"))
+    val firstClass = totals.agg(min(col("label")).as("__fc"))
+    docs.select(col(idCol)).join(winners, Seq(idCol.toString), "left")
+      .crossJoin(broadcast(firstClass))
+      .select(col(idCol),
+        coalesce(col("pred"), col("__fc")).as("pred"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
+
+  /** Confusion matrix of [[classifyBow]] predictions against a truth
+    * column: (truth, pred, n). */
+  def confusion(preds: DataFrame, truth: DataFrame, idCol: String,
+                truthCol: String): DataFrame =
+    preds.join(truth.select(col(idCol), col(truthCol).as("truth")),
+        Seq(idCol.toString))
+      .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+}
