@@ -71,21 +71,43 @@ object Sampling {
                      salt: String = ""): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(targetTotal > 0, s"targetTotal must be positive, got $targetTotal")
+    applyMixRates(df, idCol, sourceCol,
+      temperatureRates(
+        df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n")),
+        sourceCol, alpha, targetTotal),
+      salt)
+  }
+
+  /** The rate-building half of [[temperatureMix]]: from a per-source
+    * count frame (`sourceCol`, `__n`) to a broadcastable
+    * (`sourceCol`, `__thr`) table of 2^32-scaled keep thresholds.
+    * Split out so a STREAMING ingest can apply rates learned from a
+    * batch census snapshot — the apply side is a stateless filter. */
+  def temperatureRates(counts: DataFrame, sourceCol: String,
+                       alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetTotal > 0, s"targetTotal must be positive, got $targetTotal")
     val nd = col("__n").cast("double")
     val pw = if (alpha == 0.5) sqrt(nd) else pow(nd, alpha)
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__w", round(pw * 1e6).cast("long"))
-    val z = counts.agg(sum(col("__w")).as("__z"))
-    val rates = counts.crossJoin(broadcast(z))
+    val weighted = counts.withColumn("__w", round(pw * 1e6).cast("long"))
+    val z = weighted.agg(sum(col("__w")).as("__z"))
+    weighted.crossJoin(broadcast(z))
       .withColumn("__rate", least(lit(1.0),
         lit(targetTotal.toDouble) * col("__w") / col("__z") / col("__n")))
       .withColumn("__thr", round(col("__rate") * 4294967296.0).cast("long"))
       .select(col(sourceCol), col("__thr"))
+  }
+
+  /** The apply half of [[temperatureMix]]: a stateless per-row hash
+    * gate against broadcast per-source thresholds — streaming-safe
+    * (no aggregation, no state; the same row always gets the same
+    * verdict, append-stable across batches). */
+  def applyMixRates(df: DataFrame, idCol: String, sourceCol: String,
+                    rates: DataFrame, salt: String = ""): DataFrame =
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(conv(sampleKey(col(idCol), salt), 16, 10).cast("long") <
         col("__thr"))
       .drop("__thr")
-  }
 
   /** Assign every row to exactly one named split (train/val/test…) by
     * cumulative threshold. Fractions must sum to 1 (±1e-9); the last

@@ -288,4 +288,31 @@ class SamplingSpec extends SparkSpec {
       alpha = 0.5, targetTotal = 100000L).count()
     assert(all == 9000L)
   }
+
+  test("applyMixRates is streaming-safe: batch-census rates gate a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val census = Seq(("big", 8000L), ("s1", 500L), ("s2", 500L))
+      .toDF("src", "__n")
+    val rates = Sampling.temperatureRates(census, "src",
+      alpha = 0.5, targetTotal = 3000L)
+    val input = MemoryStream[(Long, String)]
+    val q = Sampling.applyMixRates(
+        input.toDF().toDF("doc_id", "src"), "doc_id", "src", rates)
+      .writeStream.format("memory").queryName("smix").start()
+    try {
+      input.addData((1L to 500L).map(i => (i, if (i % 4 == 0) "s1" else "big")): _*)
+      q.processAllAvailable()
+      input.addData((501L to 1000L).map(i => (i, if (i % 4 == 0) "s2" else "big")): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("smix")
+        .select("doc_id").as[Long].collect().toSet
+      val batchDf = (1L to 1000L).map(i =>
+        (i, if (i % 4 != 0) "big" else if (i <= 500) "s1" else "s2"))
+        .toDF("doc_id", "src")
+      val batch = Sampling.applyMixRates(batchDf, "doc_id", "src", rates)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
