@@ -323,6 +323,31 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "Window") <= 2, plan) // rn/count + firsts, same key
   }
 
+  test("packExact: no single-task global window (partition-local windows only)") {
+    val df = (1L to 400L).map(i => (i, i % 97 + 3L)).toDF("id", "w")
+    val plan = graft.operators.Batching.packExact(df, "id", "w",
+        seqLen = 128L, numPartitions = 8)
+      .queryExecution.executedPlan.toString
+    // every Window partitions by __pid — a global ntile-style window
+    // would show 'Window [...]' without a partition spec and move the
+    // whole table through one task
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition()"), plan)
+    assert(plan.contains("RangePartitioning") ||
+      plan.contains("rangepartitioning"), plan)
+  }
+
+  test("temperature mix: rates broadcast, corpus never shuffles") {
+    val df = (1L to 2000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val plan = graft.operators.Sampling.temperatureMix(df, "doc_id", "src",
+        alpha = 0.5, targetTotal = 500L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only exchanges feed the rate build (tiny) and the broadcast;
+    // no hash-exchange of the corpus side by doc rows
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("tumor/normal merge: full-outer on the variant key, single join") {
     val mk = (m: Long) => (1L to 40L).filter(_ % m == 0)
       .map(i => (s"chr${i % 3}", i, "A", "T", s"i$i", i * 1.0, s"s$i"))
