@@ -104,6 +104,39 @@ object StreamOps {
       }
   }
 
+  /** Stream-static SCD2 AS-OF enrichment: each event picks the
+    * dimension version that was effective AT ITS EVENT TIME —
+    * `effective_from <= ts < effective_to` (open `effective_to` =
+    * still current), the `Merge.scd2` column contract. Events with no
+    * effective version (before the key's first version, or an unknown
+    * key) survive with null dimension columns.
+    *
+    * Scale shape: a stream-STATIC join is stateless — the dimension
+    * broadcasts (or re-reads per micro-batch when it's a table that
+    * updates in place), no watermark and no join state; the range
+    * predicate evaluates per row. This is the lookup-enrichment half
+    * of CDC: `Merge.scd2` maintains the dimension in batch, this
+    * applies it to a live stream. Works identically on a batch
+    * `events` frame (nothing here is streaming-specific). */
+  def scd2EnrichStream(events: DataFrame, dim: DataFrame,
+                       keyCol: String, tsCol: String): DataFrame = {
+    val d = dim.columns.foldLeft(dim)((acc, c) =>
+      acc.withColumnRenamed(c, s"__d_$c"))
+    val joined = events.join(broadcast(d),
+      events(keyCol) === d(s"__d_$keyCol") &&
+        events(tsCol) >= d("__d_effective_from") &&
+        (d("__d_effective_to").isNull ||
+          events(tsCol) < d("__d_effective_to")),
+      "leftOuter")
+    val dimCols = dim.columns.filterNot(c =>
+      c == keyCol || c == "effective_from" || c == "effective_to" ||
+        c == "is_current")
+    dimCols.foldLeft(joined)((acc, c) =>
+      acc.withColumnRenamed(s"__d_$c", c))
+      .drop(s"__d_$keyCol", "__d_effective_from", "__d_effective_to",
+        "__d_is_current")
+  }
+
   /** Watermarked stream-stream WINDOWED JOIN — the streaming twin of
     * the attribution range join: each left event (e.g. a purchase)
     * pairs with every right event (e.g. a marketing touch) of the

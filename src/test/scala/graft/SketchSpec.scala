@@ -123,6 +123,33 @@ class SketchSpec extends SparkSpec {
     assert(est("big")._3 > 20.0 && est("big")._3 < 200.0)
   }
 
+  test("countMin maintains incrementally over a stream (running sketch == batch sketch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    // the sketch build IS a keyed running aggregation, so Update-mode
+    // streaming gives the merged sketch for free — no separate
+    // streaming twin needed
+    val q = Sketch.countMin(input.toDF().toDF("k"), "k",
+        depth = 4, width = 16)
+      .writeStream.format("memory").queryName("scms")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      input.addData(1L to 300L: _*)
+      q.processAllAvailable()
+      input.addData(201L to 500L: _*)
+      q.processAllAvailable()
+      val latest = spark.table("scms")
+        .groupBy("j", "b").agg(max(col("c")).as("c"))
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = Sketch.countMin(
+          ((1L to 300L) ++ (201L to 500L)).toDF("k"), "k",
+          depth = 4, width = 16)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(latest == batch)
+    } finally q.stop()
+  }
+
   test("lexicalDiversity: hand-computed TTR and hapax fraction") {
     val docs = Seq(
       (1L, "a a a b", "s1"),     // tokens 4, types {a,b}, hapax {b}

@@ -439,4 +439,43 @@ class StreamOpsSpec extends SparkSpec {
       assert(got == Set((1L, Some(101L)), (2L, Some(103L)), (3L, None)))
     } finally q.stop()
   }
+
+  test("scd2EnrichStream: events pick the version effective at their ts") {
+    implicit val sqlCtx = spark.sqlContext
+    // dimension: key 1 has two versions (tier a then b from ts=100),
+    // key 2 one open version from ts=50
+    val dim = Seq(
+      (1L, "a", 0L, Some(100L), false),
+      (1L, "b", 100L, None, true),
+      (2L, "c", 50L, None, true))
+      .toDF("user_id", "tier", "effective_from", "effective_to", "is_current")
+    val input = MemoryStream[Event]
+    val q = StreamOps.scd2EnrichStream(input.toDF(), dim, "user_id", "ts")
+      .writeStream.format("memory").queryName("scd2e")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1L, 40L, 1L, "click", 1.0),   // version a
+        Event(1L, 100L, 2L, "click", 1.0),  // boundary: version b
+        Event(2L, 60L, 3L, "click", 1.0),   // version c
+        Event(2L, 10L, 4L, "click", 1.0),   // before first version: null
+        Event(9L, 40L, 5L, "click", 1.0))   // unknown key: null
+      q.processAllAvailable()
+      val got = spark.table("scd2e")
+        .select(col("event_id"), col("tier"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(got == Map(1L -> Some("a"), 2L -> Some("b"),
+        3L -> Some("c"), 4L -> None, 5L -> None))
+      // the same function on a batch frame gives the same enrichment
+      val batch = StreamOps.scd2EnrichStream(
+          Seq(Event(1L, 40L, 1L, "click", 1.0),
+            Event(1L, 100L, 2L, "click", 1.0),
+            Event(2L, 60L, 3L, "click", 1.0),
+            Event(2L, 10L, 4L, "click", 1.0),
+            Event(9L, 40L, 5L, "click", 1.0)).toDF(), dim, "user_id", "ts")
+        .select(col("event_id"), col("tier"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
