@@ -329,6 +329,12 @@ object SparkEntry {
         "user_id", "ts_us", "event_type",
         gapNs = 1800000000L, tiebreak = Seq(col("event_id")), k = 10)),
 
+    // first-order Markov transition matrix of the event stream:
+    // P(next type | type) in integer PPM
+    "q_e_markov" -> ((s, d) =>
+      Sessionize.transitionMatrix(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq(col("event_id")))),
+
     "q_e_hourly" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
@@ -445,6 +451,20 @@ object SparkEntry {
       FuzzyJoin.valuePairs(t(s, d, "part"), "p_name",
         st => split(st, " ").getItem(0), maxDist = 3)),
 
+    // UNBLOCKED edit-distance self-join via q-gram prefix filtering
+    // (Ed-Join): recall 1.0 by theorem — the oracle is the exact
+    // quadratic join, so the gate PROVES the blocked path loses
+    // nothing
+    "q_d_editjoin" -> ((s, d) =>
+      FuzzyJoin.editGramPairs(t(s, d, "customer"), "c_name",
+        q = 2, maxDist = 2)),
+
+    // sorted-neighborhood candidates (window 4 over the name order),
+    // Levenshtein-verified — the bounded-candidate ER scheme
+    "q_d_snm" -> ((s, d) =>
+      FuzzyJoin.snmPairs(t(s, d, "supplier"), "s_suppkey", "s_name",
+        window = 4, maxDist = 2)),
+
     // integer-micro PageRank (3 iterations) on the order->part graph
     // per-node triangle counts on an md5-randomized 150-node graph
     // derived from orders (degree-ordered orientation bounds the
@@ -466,6 +486,41 @@ object SparkEntry {
           (col("l_orderkey") % 500).as("src"),
           (col("l_partkey") % 500).as("dst")),
         "src", "dst", iters = 3).ranks),
+
+    // first-class connected components on a SPARSE md5-randomized
+    // graph (2000-node space, ~1/40 of orders as edges → many
+    // components; oracle is an independent recursive-CTE min-label
+    // reachability fixpoint)
+    "q_g_cc" -> ((s, d) =>
+      Graph.connectedComponents(
+        t(s, d, "orders").filter(col("o_orderkey") % 40 === 0).select(
+          (conv(substring(md5(concat(lit("ca"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2000).as("x"),
+          (conv(substring(md5(concat(lit("cb"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2000).as("y")),
+        "x", "y")),
+
+    // bounded-depth BFS (3 hops) from a modular seed set over the
+    // symmetrized graph; oracle is a depth-bounded recursive CTE
+    // taking min(d) per reached node
+    "q_g_bfs" -> ((s, d) => {
+      val raw = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(
+          (conv(substring(md5(concat(lit("ba"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 500).as("x"),
+          (conv(substring(md5(concat(lit("bb"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 500).as("y"))
+      val sym = raw.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(raw.select(col("y").as("src"), col("x").as("dst")))
+        .filter(col("src") =!= col("dst"))
+      val seeds = sym.select(col("src").as("seed"))
+        .filter(col("seed") % 97 === 0)
+      Graph.bfsHops(sym, "src", "dst", seeds, "seed", maxHops = 3).dists
+    }),
 
     // resample: hourly counts densified per type (missing hours -> 0)
     "q_e_gapfill" -> ((s, d) => {
@@ -1078,6 +1133,13 @@ object SparkEntry {
       Sketch.kmvEstimateGrouped(
         Sketch.kmvGrouped(t(s, d, "lineitem"), "l_returnflag",
           "l_partkey", k = 128), k = 128)),
+
+    // HyperLogLog registers per market segment (p=9 → 512 registers;
+    // integer/string rank arithmetic so the oracle replays every
+    // register bit-for-bit — estimates are SketchSpec territory)
+    "q_x_hll" -> ((s, d) =>
+      Sketch.hllRegisters(t(s, d, "customer"), "c_mktsegment",
+        "c_custkey", p = 9)),
 
     "q_x_split" -> ((s, d) =>
       Sampling.assignSplit(t(s, d, "documents"), "doc_id",
@@ -2063,6 +2125,12 @@ object SparkEntry {
         "tp AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1) " +
         "SELECT path, n_sessions, rank FROM (SELECT tp.*, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank FROM tp) WHERE rank <= 10"),
 
+    "q_e_markov" ->
+      ("WITH st AS (SELECT event_type AS src, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), " +
+        "c AS (SELECT src, dst, count(*) AS n FROM st WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+        "tt AS (SELECT src, dst, n, sum(n) OVER (PARTITION BY src) AS tot FROM c) " +
+        "SELECT src, dst, CAST(n AS BIGINT) AS n, CAST(round(n * 1000000.0 / tot) AS BIGINT) AS p_ppm FROM tt"),
+
     "q_e_hourly" ->
       "SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1, 2",
 
@@ -2152,6 +2220,21 @@ object SparkEntry {
         "SELECT a.s AS s_a, b.s AS s_b, a.cnt * b.cnt AS n_pairs, levenshtein(a.s, b.s) AS dist " +
         "FROM v a JOIN v b ON a.blk = b.blk AND a.s < b.s WHERE levenshtein(a.s, b.s) <= 3"),
 
+    // EXACT quadratic oracle (length-banded) — the engine's q-gram
+    // prefix filter must reproduce it pair-for-pair (recall 1.0)
+    "q_d_editjoin" ->
+      ("WITH v AS (SELECT c_name AS s, count(*) AS cnt FROM customer GROUP BY 1) " +
+        "SELECT a.s AS s_a, b.s AS s_b, CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs, levenshtein(a.s, b.s) AS dist " +
+        "FROM v a JOIN v b ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2 WHERE levenshtein(a.s, b.s) <= 2"),
+
+    // single-task global row_number is FINE for the oracle (DuckDB,
+    // sf0.01); the engine side must use the range-partitioned index
+    "q_d_snm" ->
+      ("WITH v AS (SELECT s_suppkey AS id, s_name AS s FROM supplier WHERE s_name IS NOT NULL), " +
+        "r AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn FROM v), " +
+        "c AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b, b.rn - a.rn AS gap FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3) " +
+        "SELECT id_a, id_b, s_a, s_b, gap, levenshtein(s_a, s_b) AS dist FROM c WHERE levenshtein(s_a, s_b) <= 2"),
+
     "q_g_triangles" ->
       ("WITH raw AS (SELECT ('0x' || substr(md5('ta' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS x, ('0x' || substr(md5('tb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS y FROM orders), " +
         "c AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y), " +
@@ -2170,6 +2253,22 @@ object SparkEntry {
         hop("p0", "p1") + ", " + hop("p1", "p2") + ", " + hop("p2", "p3") + " " +
         "SELECT node, pr FROM p3"
     },
+
+    // independent implementation: recursive-CTE label reachability
+    // fixpoint (UNION dedups (node,label) states → terminates); the
+    // engine runs pointer-jumped min-label propagation
+    "q_g_cc" ->
+      ("WITH RECURSIVE raw AS (SELECT ('0x' || substr(md5('ca' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 2000 AS x, ('0x' || substr(md5('cb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 2000 AS y FROM orders WHERE o_orderkey % 40 = 0), " +
+        "sym AS (SELECT x AS src, y AS dst FROM raw WHERE x <> y UNION SELECT y, x FROM raw WHERE x <> y), " +
+        "walk(node, lbl) AS (SELECT src, src FROM sym UNION SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node) " +
+        "SELECT node, min(lbl) AS component FROM walk GROUP BY 1"),
+
+    "q_g_bfs" ->
+      ("WITH RECURSIVE raw AS (SELECT ('0x' || substr(md5('ba' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 500 AS x, ('0x' || substr(md5('bb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 500 AS y FROM orders WHERE o_orderkey % 10 = 0), " +
+        "sym AS (SELECT DISTINCT x AS src, y AS dst FROM raw WHERE x <> y UNION SELECT DISTINCT y, x FROM raw WHERE x <> y), " +
+        "seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 97 = 0), " +
+        "walk(node, d) AS (SELECT node, 0::BIGINT AS d FROM seeds UNION SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.node WHERE w.d < 3) " +
+        "SELECT node, min(d) AS dist FROM walk GROUP BY 1"),
 
     "q_e_gapfill" ->
       ("WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
@@ -2510,6 +2609,15 @@ object SparkEntry {
         "r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h), " +
         "s AS (SELECT grp, hv FROM r WHERE rn <= 128) " +
         "SELECT grp, count(*) AS n, max(hv) AS kth, round(CASE WHEN count(*) < 128 THEN count(*)::DOUBLE ELSE 127.0 * 1152921504606846976.0 / max(hv) END, 2) AS est FROM s GROUP BY 1"),
+
+    // HLL registers p=9: j = top 9 bits of the 60-bit hash, rank =
+    // leading zeros of the low-51-bit field + 1 via bin() length —
+    // integer/string ops only, register-exact across engines
+    "q_x_hll" ->
+      ("WITH h AS (SELECT c_mktsegment AS grp, ('0x' || substr(md5('hll' || c_custkey::VARCHAR), 1, 15))::BIGINT AS hv FROM customer WHERE c_custkey IS NOT NULL), " +
+        "b AS (SELECT grp, hv // 2251799813685248 AS j, hv % 2251799813685248 AS rem FROM h), " +
+        "k AS (SELECT grp, j, CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END AS rank FROM b) " +
+        "SELECT grp, j, CAST(max(rank) AS BIGINT) AS r FROM k GROUP BY 1, 2"),
 
     "q_x_split" ->
       s"SELECT doc_id, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents",

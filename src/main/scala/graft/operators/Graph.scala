@@ -70,6 +70,74 @@ object Graph {
     RankResult(pr, Seq(e, nodes, withDeg))
   }
 
+  /** First-class connected components over an arbitrary edge list —
+    * the graph-analytics face of the same machinery `Dedup.dupClusters`
+    * uses for duplicate-cluster resolution (pointer-jumped min-label
+    * propagation, O(log diameter) rounds, adaptive local union-find
+    * under `localSolveMaxEdges`). Returns (node, component) where
+    * component = min member id; nodes appearing in no edge are absent
+    * (they'd each be their own singleton — join the node universe back
+    * if needed). Self-loops are harmless and dropped by clustering.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIterations: Int = 20,
+                          localSolveMaxEdges: Long = 1000000L): DataFrame =
+    Dedup.dupClusters(
+      edges.select(col(srcCol).cast("long").as("id_a"),
+          col(dstCol).cast("long").as("id_b"))
+        .filter(col("id_a") =!= col("id_b")),
+      localSolveMaxEdges = localSolveMaxEdges,
+      maxIterations = maxIterations)
+      .select(col("id").as("node"), col("cluster_id").as("component"))
+
+  /** dists: (node, dist) long hop counts from the nearest seed.
+    * `unpersist()` releases the loop-pinned level frames once the
+    * caller has consumed the result (same contract as RankResult). */
+  final case class BfsResult(dists: DataFrame, private val pinned: Seq[DataFrame]) {
+    def unpersist(): Unit = pinned.foreach { f => f.unpersist(); () }
+  }
+
+  /** Bounded-depth BFS from a seed set: frontier expansion with an
+    * anti-join against the visited set, `maxHops` rounds. Returns the
+    * min hop distance per reachable node (seeds at 0) — the reach/
+    * influence primitive (citation depth, link-graph crawl frontiers,
+    * contamination blast radius).
+    *
+    * Scale shape: each hop is one equi-join frontier⋈edges + one
+    * left-anti against visited + a distinct — all key-partitioned,
+    * no global structure. The frontier is persisted per level so the
+    * next hop's lineage starts there, not at the scan; the loop is
+    * FIXED-DEPTH (no convergence action per round — at 100 TB a
+    * driver round-trip per hop costs more than the wasted empty-hop
+    * jobs it would save at small depth). Edges are treated as
+    * DIRECTED; pass a symmetrized list for undirected reach.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): BfsResult = {
+    require(maxHops >= 1 && maxHops <= 20, s"maxHops out of range: $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed0 = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seed0
+    var frontier = seed0.select("node")
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](e, seed0)
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += next
+      visited = visited.unionAll(next)
+      frontier = next.select("node")
+    }
+    BfsResult(visited, pinned.toSeq)
+  }
+
   /** Per-node triangle counts via degree-ordered orientation — the
     * standard distributed form: orient every undirected edge from the
     * lower (degree, node) rank to the higher, so each triangle has

@@ -129,4 +129,34 @@ object Sessionize {
         Window.orderBy(col("n_sessions").desc, col("path"))))
       .filter(col("rank") <= k)
   }
+
+  /** First-order Markov transition model of the event stream: for
+    * each (src → dst) consecutive event-type pair within a user's
+    * (ts, tiebreak)-ordered history, the transition count and its
+    * probability P(dst | src) in integer PPM — the user-journey model
+    * (next-step prediction, funnel leak diagnosis, synthetic-session
+    * generation all start from this table).
+    *
+    * Scale shape: one lead() window over the per-user partitioning
+    * plus one (src, dst) count aggregation; the per-src totals for
+    * the conditional come from a window over the count table (src-
+    * keyed — table is |types|², metadata-sized, but the window form
+    * keeps it distributed if a high-cardinality type column shows
+    * up). PPM is the repo's ttr_ppm recipe: round(n·1e6/total) as
+    * long — exact cross-engine compare, no low-order double bits.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol) +: tiebreak: _*)
+    val steps = df
+      .withColumn("__dst", lead(col(typeCol), 1).over(w))
+      .filter(col("__dst").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("__dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    steps
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") * 1e6 / col("__tot"))
+          .cast("long").as("p_ppm"))
+  }
 }

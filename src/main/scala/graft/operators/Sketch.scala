@@ -131,4 +131,75 @@ object Sketch {
         round(when(col("n") < k, col("n").cast("double"))
           .otherwise(lit((k - 1).toDouble) * H60_SPACE / col("kth")), 2)
           .as("est"))
+
+  // ---- HyperLogLog distinct-count sketch ----
+
+  /** Per-group HyperLogLog registers: for each group, the 2^p register
+    * maxima of "leading-zero rank" over the hashed key stream — the
+    * INDUSTRY-standard distinct sketch (constant 2^p longs per group
+    * vs KMV's k hashes; registers merge by max, so per-shard / per-day
+    * sketches roll up without revisiting data).
+    *
+    * Hash is the repo-standard 60-bit md5 prefix: the top p bits pick
+    * the register `j`, and the rank is the number of leading zeros in
+    * the remaining (60−p)-bit field plus one. The rank is computed
+    * with INTEGER/STRING ops only — `(60−p) − length(bin(rem)) + 1`,
+    * where `bin` renders the value without leading zeros — so a SQL
+    * oracle reproduces every register exactly and sketches from
+    * different engines merge bit-for-bit (the same portability
+    * contract as count-min / KMV; a float log2 would not survive the
+    * cross-engine hash compare).
+    *
+    * Build is one hash aggregation: map-side partial max collapses
+    * each partition to ≤ groups·2^p rows before the shuffle — the
+    * mergeability that makes the sketch cheap is what bounds the
+    * exchange. Registers no key hashed into are absent (sparse);
+    * estimators must treat missing registers as zero.
+    */
+  def hllRegisters(df: DataFrame, grpCol: String, keyCol: String,
+                   p: Int = 9, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val restBits = 60 - p
+    val restSpace = 1L << restBits
+    val h = graft.functions.ColumnFns
+      .hash60(concat(lit(salt), col(keyCol).cast("string")))
+    val rem = h % restSpace
+    df.filter(col(keyCol).isNotNull)
+      .select(col(grpCol).as("grp"), shiftright(h, restBits).as("j"),
+        when(rem === 0, lit(restBits + 1))
+          .otherwise(lit(restBits) - length(bin(rem)) + 1)
+          .cast("long").as("rank"))
+      .groupBy("grp", "j").agg(max(col("rank")).as("r"))
+  }
+
+  /** Merge register frames built with the same (p, salt): max wins. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("grp", "j").agg(max(col("r")).as("r"))
+
+  /** Per-group cardinality estimates from `hllRegisters` output:
+    * the classic alpha_m·m²/Σ2^−M harmonic mean, with the standard
+    * linear-counting correction (m·ln(m/V)) when the estimate is
+    * small and empty registers remain. Double-valued — for callers,
+    * not for cross-engine hash gates (the registers themselves are
+    * the portable artifact). */
+  def hllEstimate(registers: DataFrame, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers.groupBy("grp")
+      .agg(count(lit(1)).as("__present"),
+        sum(pow(lit(2.0), -col("r"))).as("__sum"))
+      .select(col("grp"), col("__present"),
+        // absent registers contribute 2^0 = 1 each to the harmonic sum
+        (lit(alpha * m.toDouble * m.toDouble) /
+          (col("__sum") + (lit(m.toLong) - col("__present")))).as("__raw"))
+      .select(col("grp"),
+        round(when(col("__raw") <= 2.5 * m && col("__present") < m,
+          lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("__present"))))
+          .otherwise(col("__raw")), 2).as("est"))
+  }
 }

@@ -52,6 +52,50 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  // ---- connected components ----
+
+  test("connectedComponents: known components; local and distributed paths agree") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L), (31L, 30L))
+      .toDF("s", "t")
+    val local = Graph.connectedComponents(e, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    // 20's self-loop drops; the node is in no real edge → absent
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 30L -> 30L, 31L -> 30L))
+    val dist = Graph.connectedComponents(e, "s", "t", localSolveMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+  }
+
+  test("connectedComponents: 60-node chain collapses (distributed pointer jumping)") {
+    val e = (1L until 60L).map(i => (i, i + 1)).toDF("s", "t")
+    val got = Graph.connectedComponents(e, "s", "t", localSolveMaxEdges = 0)
+      .as[(Long, Long)].collect()
+    assert(got.length == 60 && got.forall(_._2 == 1L))
+  }
+
+  // ---- bounded-depth BFS ----
+
+  test("bfsHops: hand distances on a path; nodes past maxHops absent") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val r = Graph.bfsHops(e, "s", "t", Seq(1L).toDF("seed"), "seed",
+      maxHops = 3)
+    val got = r.dists.as[(Long, Long)].collect().toMap
+    r.unpersist()
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: min distance wins across seeds; edges are directed") {
+    val e = Seq((1L, 2L), (2L, 3L), (5L, 4L), (4L, 3L)).toDF("s", "t")
+    val r = Graph.bfsHops(e, "s", "t", Seq(1L, 4L).toDF("seed"), "seed",
+      maxHops = 2)
+    val got = r.dists.as[(Long, Long)].collect().toMap
+    r.unpersist()
+    // 3 reached at dist 1 via seed 4 (not 2 via 1→2→3); 5 only has an
+    // OUT-edge into 4 — never reached backwards
+    assert(got == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("triangles: matches brute force on a pseudo-random graph") {
     val edges = (1L to 2000L).map(i => (i % 60, (i * 13) % 60)).toDF("s", "t")
     val got = Graph.triangles(edges, "s", "t")

@@ -112,6 +112,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("transitionMatrix: hand-computed counts and conditional PPM") {
+    val df = Seq(
+      (1L, 0L, 1L, "A"), (1L, 1L, 2L, "B"), (1L, 2L, 3L, "A"),
+      (1L, 3L, 4L, "C"),               // u1: A→B, B→A, A→C
+      (2L, 0L, 5L, "A"), (2L, 1L, 6L, "B"), // u2: A→B
+      (3L, 0L, 7L, "D"))               // single event: no transition
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.transitionMatrix(df, "user_id", "ts",
+      "event_type", Seq(col("event_id")))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", "B", 2L, 666667L), ("A", "C", 1L, 333333L),
+      ("B", "A", 1L, 1000000L)))
+  }
+
+  test("transitionMatrix: same-ts events ordered by the tiebreak") {
+    val df = Seq((1L, 5L, 2L, "B"), (1L, 5L, 1L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.transitionMatrix(df, "user_id", "ts",
+      "event_type", Seq(col("event_id")))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("A", "B", 1L, 1000000L)))
+  }
+
   test("debounce: survivor is a function of each row and its predecessor") {
     val s = 1000000000L // 1s in ns
     val df = Seq(

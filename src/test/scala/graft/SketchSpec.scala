@@ -123,6 +123,44 @@ class SketchSpec extends SparkSpec {
     assert(est("big")._3 > 20.0 && est("big")._3 < 200.0)
   }
 
+  // ---- HyperLogLog ----
+
+  test("hll: registers deterministic across partitionings; shard merge == whole") {
+    val df = (1L to 3000L).map(i => (if (i % 3 == 0) "a" else "b", i))
+      .toDF("g", "v")
+    val whole = Sketch.hllRegisters(df, "g", "v")
+      .as[(String, Long, Long)].collect().toSet
+    val repart = Sketch.hllRegisters(df.repartition(13), "g", "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(whole == repart)
+    val merged = Sketch.hllMerge(
+      Sketch.hllRegisters(df.filter($"v" % 2 === 0), "g", "v"),
+      Sketch.hllRegisters(df.filter($"v" % 2 =!= 0), "g", "v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == whole)
+    // register invariants: j in [0, 512), rank in [1, 52] at p=9
+    assert(whole.forall { case (_, j, r) =>
+      j >= 0 && j < 512 && r >= 1 && r <= 52 })
+  }
+
+  test("hll: estimate within 10% at 20k distinct, linear counting small") {
+    val big = (1L to 20000L).map(i => ("g", i)).toDF("g", "v")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(big, "g", "v"))
+      .as[(String, Double)].collect().head._2
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.10, s"est=$est")
+    // duplicates must not inflate it
+    val dup = Sketch.hllEstimate(
+      Sketch.hllRegisters(big.unionAll(big), "g", "v"))
+      .as[(String, Double)].collect().head._2
+    assert(dup == est)
+    // linear-counting regime: occupied-register count has ~9% std at
+    // this load (100 keys / 512 registers) — bound accordingly
+    val small = (1L to 100L).map(i => ("g", i)).toDF("g", "v")
+    val estS = Sketch.hllEstimate(Sketch.hllRegisters(small, "g", "v"))
+      .as[(String, Double)].collect().head._2
+    assert(math.abs(estS - 100.0) / 100.0 < 0.20, s"est=$estS")
+  }
+
   test("countMin maintains incrementally over a stream (running sketch == batch sketch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
