@@ -454,10 +454,11 @@ object SparkEntry {
     // UNBLOCKED edit-distance self-join via q-gram prefix filtering
     // (Ed-Join): recall 1.0 by theorem — the oracle is the exact
     // quadratic join, so the gate PROVES the blocked path loses
-    // nothing
+    // nothing. Word-like column (the filter's home turf); ID-like
+    // keys (c_name…) belong to q_d_snm — see editGramPairs scaladoc.
     "q_d_editjoin" -> ((s, d) =>
-      FuzzyJoin.editGramPairs(t(s, d, "customer"), "c_name",
-        q = 2, maxDist = 2)),
+      FuzzyJoin.editGramPairs(t(s, d, "part"), "p_name",
+        q = 2, maxDist = 3)),
 
     // sorted-neighborhood candidates (window 4 over the name order),
     // Levenshtein-verified — the bounded-candidate ER scheme
@@ -2223,9 +2224,9 @@ object SparkEntry {
     // EXACT quadratic oracle (length-banded) — the engine's q-gram
     // prefix filter must reproduce it pair-for-pair (recall 1.0)
     "q_d_editjoin" ->
-      ("WITH v AS (SELECT c_name AS s, count(*) AS cnt FROM customer GROUP BY 1) " +
+      ("WITH v AS (SELECT p_name AS s, count(*) AS cnt FROM part GROUP BY 1) " +
         "SELECT a.s AS s_a, b.s AS s_b, CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs, levenshtein(a.s, b.s) AS dist " +
-        "FROM v a JOIN v b ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2 WHERE levenshtein(a.s, b.s) <= 2"),
+        "FROM v a JOIN v b ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 3 WHERE levenshtein(a.s, b.s) <= 3"),
 
     // single-task global row_number is FINE for the oracle (DuckDB,
     // sf0.01); the engine side must use the range-partitioned index

@@ -82,6 +82,16 @@ object FuzzyJoin {
     * audit hot elements with `Skew.keySkewReport` on `g` if the
     * vocabulary is adversarial. Recall is 1.0 BY THEOREM, so the
     * oracle can be the exact quadratic join — the gate proves it.
+    *
+    * KNOWN LIMIT — low-entropy ID-like strings ("Customer#000012345"):
+    * when every value shares the same scaffold, even the rarest
+    * elements (say ("00", occ 4)) can have df ≈ n, and the candidate
+    * join degrades toward n² (measured: 350 s on 15k customer names vs
+    * sub-second on word vocabularies — the filter prunes NOTHING it
+    * can't distinguish). That shape is exactly what `snmPairs` (sort
+    * neighbors, bounded candidates) or `selfPairs` (block on the
+    * discriminating substring) are for; this operator's home turf is
+    * natural-language-ish vocabularies.
     */
   def editGramPairs(df: DataFrame, strCol: String, q: Int = 2,
                     maxDist: Int = 2): DataFrame = {
