@@ -466,6 +466,22 @@ object SparkEntry {
       FuzzyJoin.snmPairs(t(s, d, "supplier"), "s_suppkey", "s_name",
         window = 4, maxDist = 2)),
 
+    // edit-similarity profile: codegen'd Jaro / Jaro-Winkler / FULL
+    // Damerau-Levenshtein kernels over adjacent distinct names
+    // (vocabulary-sized — one window over 64 values at any SF)
+    "q_r_dist" -> ((s, d) =>
+      Linkage.neighborDistances(t(s, d, "part"), "p_name")),
+
+    // Fellegi-Sunter probabilistic linkage: blocked candidate pairs,
+    // u-probabilities from value frequencies, integer micro-nat
+    // weights (exact long scores — the LangModel determinism recipe)
+    "q_r_fs" -> ((s, d) =>
+      Linkage.fellegiSunter(t(s, d, "customer"), "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"),
+        Seq("bal" -> "cast(floor(c_acctbal / 100) as bigint)",
+          "tail" -> "substr(c_name, -2, 2)",
+          "mid" -> "substr(c_name, -4, 2)"))),
+
     // integer-micro PageRank (3 iterations) on the order->part graph
     // per-node triangle counts on an md5-randomized 150-node graph
     // derived from orders (degree-ordered orientation bounds the
@@ -2235,6 +2251,53 @@ object SparkEntry {
         "r AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn FROM v), " +
         "c AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b, b.rn - a.rn AS gap FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3) " +
         "SELECT id_a, id_b, s_a, s_b, gap, levenshtein(s_a, s_b) AS dist FROM c WHERE levenshtein(s_a, s_b) <= 2"),
+
+    // DuckDB's jaro/jw/damerau builtins are the independent
+    // implementations the graft kernels were pinned against
+    "q_r_dist" ->
+      ("WITH v AS (SELECT DISTINCT p_name AS s_a FROM part), " +
+        "w AS (SELECT s_a, lead(s_a) OVER (ORDER BY s_a) AS s_b FROM v) " +
+        "SELECT s_a, s_b, " +
+        "CAST(round(jaro_similarity(s_a, s_b) * 1e6) AS BIGINT) AS jaro_micro, " +
+        "CAST(round(jaro_winkler_similarity(s_a, s_b) * 1e6) AS BIGINT) AS jw_micro, " +
+        "damerau_levenshtein(s_a, s_b) AS dl_dist, " +
+        "levenshtein(s_a, s_b) AS lev_dist " +
+        "FROM w WHERE s_b IS NOT NULL"),
+
+    // u = sum(cnt^2)/N^2 (ratio of exact integers), weights in
+    // micro-nats; the double subtraction is written as IEEE ops
+    // (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) so both engines
+    // compute the identical constant
+    "q_r_fs" -> {
+      val fields = Seq(
+        "bal" -> "CAST(floor(c_acctbal / 100) AS BIGINT)",
+        "tail" -> "substr(c_name, -2, 2)",
+        "mid" -> "substr(c_name, -4, 2)")
+      val proj = fields.map { case (n, ex) => s"$ex AS f_$n" }.mkString(", ")
+      val us = fields.map { case (n, _) =>
+        s"(SELECT CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) " +
+          s"FROM (SELECT count(*) AS c FROM f GROUP BY f_$n) t_$n) AS u_$n"
+      }.mkString(", ")
+      val ws = fields.map { case (n, _) =>
+        s"CAST(round(ln(CAST(0.95 AS DOUBLE) / u_$n) * 1e6) AS BIGINT) AS wa_$n, " +
+          s"CAST(round(ln((CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) / (CAST(1.0 AS DOUBLE) - u_$n)) * 1e6) AS BIGINT) AS wd_$n"
+      }.mkString(", ")
+      val agreeSum = fields.map { case (n, _) =>
+        s"CASE WHEN a.f_$n = b.f_$n THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      val scoreSum = fields.map { case (n, _) =>
+        s"CASE WHEN a.f_$n = b.f_$n THEN wa_$n ELSE wd_$n END"
+      }.mkString(" + ")
+      val flags = fields.map { case (n, _) =>
+        s"CASE WHEN a.f_$n = b.f_$n THEN 1 ELSE 0 END AS agree_$n"
+      }.mkString(", ")
+      "WITH f AS (SELECT c_custkey AS id, c_nationkey AS bk1, c_mktsegment AS bk2, " +
+        proj + " FROM customer), " +
+        s"u AS (SELECT $us), w AS (SELECT $ws FROM u) " +
+        s"SELECT a.id AS id_a, b.id AS id_b, $agreeSum AS n_agree, " +
+        s"$scoreSum AS score_unats, $flags " +
+        "FROM f a JOIN f b ON a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.id < b.id CROSS JOIN w"
+    },
 
     "q_g_triangles" ->
       ("WITH raw AS (SELECT ('0x' || substr(md5('ta' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS x, ('0x' || substr(md5('tb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS y FROM orders), " +

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.plans.{DamerauLevenshtein, JaroSimilarity, JaroWinklerSimilarity}
+
+/** Probabilistic record linkage — the capability the reference's
+  * patient-matching flows approximate with exact-ID joins
+  * (`workflows/pedmatch-clinical-vcf-workflow.py:757` batches patients
+  * by exact participant ID; `mci_clinical_variant_merge.py` joins on
+  * exact sample IDs). At registry scale IDs drift (re-accessioned
+  * samples, typo'd participant codes), and the standard fix is
+  * Fellegi-Sunter scoring over blocked candidate pairs.
+  *
+  * Scale shape: candidate generation is a blocked self-join (never
+  * all-pairs); u-probabilities come from per-field value-frequency
+  * aggregations (k tiny shuffles, each one column); the weights ride
+  * to the pair join as a broadcast 1-row frame. Scoring is integer
+  * micro-nat arithmetic (the LangModel/pageRankInt determinism
+  * recipe), so scores are exact longs — order- and engine-independent.
+  */
+object Linkage {
+
+  /** Jaro similarity as a codegen'd column (graft.plans.JaroSimilarity). */
+  def jaroSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Jaro-Winkler similarity (prefix boost 0.1/cap 4, threshold 0.7). */
+  def jaroWinklerSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinklerSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Full Damerau-Levenshtein distance (adjacent transpositions with
+    * the alphabet table: ca -> abc costs 2). */
+  def damerauLev(a: Column, b: Column): Column =
+    ColumnBridge.column(DamerauLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Edit-similarity profile of the value space: each DISTINCT value
+    * of `strCol` paired with its successor in sort order, scored by
+    * all four edit measures. The sorted-neighborhood shape (one
+    * window over the distinct-value frame — value-level like
+    * `FuzzyJoin.snmPairs`, so row count is vocabulary-sized) makes
+    * this a cheap data-quality report: near-identical adjacent keys
+    * are exactly where ID drift shows up.
+    *
+    * Output: `s_a`, `s_b`, `jaro_micro`, `jw_micro` (round(sim*1e6)
+    * as long — the integer-unit determinism recipe), `dl_dist`,
+    * `lev_dist`. The final row (no successor) is dropped.
+    */
+  def neighborDistances(df: DataFrame, strCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(strCol).cast("string").as("s_a")).distinct()
+      .withColumn("s_b", lead(col("s_a"), 1).over(
+        Window.orderBy("s_a")))
+      .where(col("s_b").isNotNull)
+      .select(col("s_a"), col("s_b"),
+        round(jaroSim(col("s_a"), col("s_b")) * 1e6).cast("long")
+          .as("jaro_micro"),
+        round(jaroWinklerSim(col("s_a"), col("s_b")) * 1e6).cast("long")
+          .as("jw_micro"),
+        damerauLev(col("s_a"), col("s_b")).as("dl_dist"),
+        levenshtein(col("s_a"), col("s_b")).as("lev_dist"))
+  }
+
+  /** Fellegi-Sunter pair scoring with equality-agreement fields.
+    *
+    * Candidates: the blocked self-join on `blockCols` (id_a < id_b).
+    * For each field f in `fieldExprs` (name -> SQL expression over the
+    * record), the u-probability — P(two RANDOM records agree on f) —
+    * is estimated from the value-frequency distribution as
+    * sum(cnt_v^2) / N^2 (with-replacement convention, documented:
+    * keeps the estimate a ratio of two exact integers so both engines
+    * divide the same longs). The m-probability is the caller's
+    * constant (default 0.95 — "5% typo rate on true matches").
+    *
+    * Agreement weight  wA = round(ln(m/u)     * 1e6)  micro-nats
+    * Disagreement      wD = round(ln((1-m)/(1-u)) * 1e6)
+    * score_unats = sum over fields of (agree ? wA : wD) — pure long
+    * arithmetic after the per-FIELD rounding, so the per-pair score is
+    * exact (same recipe as LangModel.scoreDocs).
+    *
+    * Output: id_a, id_b, n_agree, score_unats, one `agree_<name>`
+    * int flag per field. Null fields never agree (null-safe equality
+    * would claim two missing values match — wrong for linkage).
+    */
+  def fellegiSunter(df: DataFrame, idCol: String, blockCols: Seq[String],
+                    fieldExprs: Seq[(String, String)],
+                    m: Double = 0.95): DataFrame = {
+    require(fieldExprs.nonEmpty, "need at least one comparison field")
+    val spark = df.sparkSession
+
+    // one row: wA_f / wD_f per field, from exact integer frequency sums
+    val weights = fieldExprs.map { case (name, ex) =>
+      val freq = df.select(expr(ex).as("__v")).groupBy("__v")
+        .agg(count(lit(1)).as("__c"))
+      freq.agg(
+        (sum(col("__c") * col("__c")).cast("double") /
+          (sum(col("__c")) * sum(col("__c"))).cast("double")).as("__u"))
+        .select(
+          round(log(lit(m) / col("__u")) * 1e6).cast("long")
+            .as(s"__wa_$name"),
+          round(log(lit(1.0 - m) / (lit(1.0) - col("__u"))) * 1e6)
+            .cast("long").as(s"__wd_$name"))
+    }.reduce(_.crossJoin(_))
+
+    // field values are computed ONCE per record, pre-join — the pair
+    // join then only compares precomputed scalars
+    val proj = df.select(
+      (col(idCol).as("__id") +: blockCols.map(col)) ++
+        fieldExprs.map { case (name, ex) => expr(ex).as(s"__f_$name") }: _*)
+    val a = proj.as("a")
+    val b = proj.as("b")
+    val pairCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && (col("a.__id") < col("b.__id"))
+    val pairs = a.join(b, pairCond)
+      .select(
+        (Seq(col("a.__id").as("id_a"), col("b.__id").as("id_b")) ++
+          fieldExprs.flatMap { case (name, _) =>
+            Seq(col(s"a.__f_$name").as(s"__fa_$name"),
+              col(s"b.__f_$name").as(s"__fb_$name"))
+          }): _*)
+
+    val scored = pairs.crossJoin(broadcast(weights))
+    val agreeCols = fieldExprs.map { case (name, _) =>
+      (col(s"__fa_$name").isNotNull && col(s"__fb_$name").isNotNull &&
+        (col(s"__fa_$name") === col(s"__fb_$name"))).as(s"__ag_$name")
+    }
+    val withAg = scored.select(col("*") +: agreeCols: _*)
+    val score = fieldExprs.map { case (name, _) =>
+      when(col(s"__ag_$name"), col(s"__wa_$name"))
+        .otherwise(col(s"__wd_$name"))
+    }.reduce(_ + _)
+    val nAgree = fieldExprs.map { case (name, _) =>
+      col(s"__ag_$name").cast("int")
+    }.reduce(_ + _)
+    withAg.select(
+      (Seq(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+        score.as("score_unats")) ++
+        fieldExprs.map { case (name, _) =>
+          col(s"__ag_$name").cast("int").as(s"agree_$name")
+        }): _*)
+  }
+}
