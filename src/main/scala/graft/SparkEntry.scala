@@ -539,6 +539,21 @@ object SparkEntry {
       Graph.bfsHops(sym, "src", "dst", seeds, "seed", maxHops = 3).dists
     }),
 
+    // deterministic synchronous label propagation (3 rounds,
+    // mode-of-neighbors, ties to the smaller label) on a sparse
+    // md5-randomized 400-node graph — community detection
+    "q_g_lpa" -> ((s, d) => {
+      val edges = t(s, d, "orders").filter(col("o_orderkey") % 20 === 0)
+        .select(
+          (conv(substring(md5(concat(lit("la"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 400).as("x"),
+          (conv(substring(md5(concat(lit("lb"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 400).as("y"))
+      Graph.labelPropagation(edges, "x", "y", iters = 3).labels
+    }),
+
     // resample: hourly counts densified per type (missing hours -> 0)
     "q_e_gapfill" -> ((s, d) => {
       val hourly = t(s, d, "events")
@@ -625,6 +640,20 @@ object SparkEntry {
         Seq("user_id"), "ts", "value", Seq(1))
         .select("event_id", "user_id", "roll_n", "roll_sum", "roll_avg",
           "roll_min", "roll_max", "lag_1")),
+
+    // sliding mean-shift change points per event type (trailing vs
+    // leading 8-row windows, exact integer milli-unit sums, flag on
+    // cross-multiplied compare — no division in the detector)
+    // ts is emitted (and ordered) in µs with the event_id tiebreak —
+    // DuckDB timestamps are µs-precision, so both engines must key
+    // on the identical (µs, id) pair
+    "q_e_shift" -> ((s, d) =>
+      Features.meanShiftPoints(
+        t(s, d, "events").withColumn("ts_us", expr("ts div 1000")),
+        Seq("event_type"), "ts_us", "value", k = 8,
+        thresholdMilli = 30000L, tiebreak = Seq(col("event_id")))
+        .select("event_type", "ts_us", "lsum_milli", "rsum_milli",
+          "shift_milli", "is_shift")),
 
     // ---- text analysis (documents) ----
     "q_t_stats" -> ((s, d) =>
@@ -2261,7 +2290,10 @@ object SparkEntry {
         "CAST(round(jaro_similarity(s_a, s_b) * 1e6) AS BIGINT) AS jaro_micro, " +
         "CAST(round(jaro_winkler_similarity(s_a, s_b) * 1e6) AS BIGINT) AS jw_micro, " +
         "damerau_levenshtein(s_a, s_b) AS dl_dist, " +
-        "levenshtein(s_a, s_b) AS lev_dist " +
+        "levenshtein(s_a, s_b) AS lev_dist, " +
+        "CAST(round((CAST(1.0 AS DOUBLE) - " +
+        "levenshtein(array_to_string(list_sort(string_split(s_a, ' ')), ' '), array_to_string(list_sort(string_split(s_b, ' ')), ' '))::DOUBLE / " +
+        "greatest(length(array_to_string(list_sort(string_split(s_a, ' ')), ' ')), length(array_to_string(list_sort(string_split(s_b, ' ')), ' ')))::DOUBLE) * 1e6) AS BIGINT) AS toksort_micro " +
         "FROM w WHERE s_b IS NOT NULL"),
 
     // u = sum(cnt^2)/N^2 (ratio of exact integers), weights in
@@ -2333,6 +2365,20 @@ object SparkEntry {
         "seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 97 = 0), " +
         "walk(node, d) AS (SELECT node, 0::BIGINT AS d FROM seeds UNION SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.node WHERE w.d < 3) " +
         "SELECT node, min(d) AS dist FROM walk GROUP BY 1"),
+
+    // synchronous LPA, 3 unrolled rounds; the per-node argmax is
+    // ORDER BY c DESC, lbl ASC == Spark's max(struct(cnt, -label))
+    "q_g_lpa" -> {
+      def round_(prev: String, cnt: String, out: String) =
+        s"$cnt AS (SELECT e.b AS node, l.lbl AS lbl, count(*) AS c FROM e JOIN $prev l ON l.node = e.a GROUP BY 1, 2), " +
+          s"$out AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn FROM $cnt) t WHERE rn = 1)"
+      "WITH raw AS (SELECT ('0x' || substr(md5('la' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 400 AS x, ('0x' || substr(md5('lb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 400 AS y FROM orders WHERE o_orderkey % 20 = 0), " +
+        "e AS (SELECT DISTINCT a, b FROM (SELECT x AS a, y AS b FROM raw UNION ALL SELECT y AS a, x AS b FROM raw) t WHERE a <> b), " +
+        "l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e), " +
+        round_("l0", "c1", "l1") + ", " + round_("l1", "c2", "l2") + ", " +
+        round_("l2", "c3", "l3") + " " +
+        "SELECT node, lbl AS label FROM l3"
+    },
 
     "q_e_gapfill" ->
       ("WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
@@ -2410,6 +2456,18 @@ object SparkEntry {
     "q_e_rolling" ->
       ("SELECT event_id, user_id, count(value) OVER w AS roll_n, round(sum(value) OVER w, 4) AS roll_sum, round(avg(value) OVER w, 4) AS roll_avg, min(value) OVER w AS roll_min, max(value) OVER w AS roll_max, lag(value, 1) OVER w2 AS lag_1 FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY user_id ORDER BY ts)"),
+
+    // both window sums are exact integer milli-units; the flag
+    // compares cross-multiplied longs (no division in the detector)
+    "q_e_shift" ->
+      ("WITH b AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id, CAST(round(value * 1e3) AS BIGINT) AS y FROM events), " +
+        "w AS (SELECT event_type, ts_us, count(y) OVER lw AS ln, CAST(sum(y) OVER lw AS BIGINT) AS lsum, count(y) OVER rw AS rn, CAST(sum(y) OVER rw AS BIGINT) AS rsum FROM b " +
+        "WINDOW lw AS (PARTITION BY event_type ORDER BY ts_us, event_id ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), " +
+        "rw AS (PARTITION BY event_type ORDER BY ts_us, event_id ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)) " +
+        "SELECT event_type, ts_us, lsum AS lsum_milli, rsum AS rsum_milli, " +
+        "CAST(round((rsum - lsum)::DOUBLE / 8) AS BIGINT) AS shift_milli, " +
+        "CASE WHEN abs(rsum - lsum) > 30000 * 8 THEN 1 ELSE 0 END AS is_shift " +
+        "FROM w WHERE ln = 8 AND rn = 8"),
 
     "q_e_impute" ->
       ("WITH e AS (SELECT event_id, user_id, CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value FROM events), " +

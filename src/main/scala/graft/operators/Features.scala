@@ -281,4 +281,49 @@ object Features {
           .as("close"),
         count(lit(1)).as("n"))
   }
+
+  /** Sliding mean-shift change-point detection: at each position the
+    * trailing window (k rows before) is compared to the leading
+    * window (this row + k−1 after); a level shift flags where the
+    * means differ by more than `thresholdMilli` (milli-units of the
+    * value). The window-pair scan is the classic segmentation
+    * pre-pass (regime changes in metrics, drift onsets in data-quality
+    * series); CUSUM-style recurrences need a sequential scan — this
+    * windowed form is the shape that distributes.
+    *
+    * Determinism: values go to integer milli-units; both window sums
+    * are exact longs, and the flag compares cross-multiplied integers
+    * (|rSum−lSum| > threshold·k) — no division anywhere. Only
+    * positions with BOTH windows full are emitted (partial-window
+    * edges are where false shifts live). One shuffle: both windows
+    * share the (keys, order) partitioning.
+    *
+    * Output: keys, orderCol, tiebreak cols untouched, `lsum_milli`,
+    * `rsum_milli` (the two window sums), `shift_milli` =
+    * (rSum−lSum)/k rounded to a long, `is_shift` int flag.
+    */
+  def meanShiftPoints(df: DataFrame, keys: Seq[String], orderCol: String,
+                      valueCol: String, k: Int, thresholdMilli: Long,
+                      tiebreak: Seq[Column]): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol) +: tiebreak: _*)
+    val left = ord.rowsBetween(-k, -1)
+    val right = ord.rowsBetween(Window.currentRow, k - 1)
+    val y = round(col(valueCol) * 1e3).cast("long")
+    df.withColumn("__y", y)
+      .withColumn("__ln", count(col("__y")).over(left))
+      .withColumn("__lsum", sum(col("__y")).over(left))
+      .withColumn("__rn", count(col("__y")).over(right))
+      .withColumn("__rsum", sum(col("__y")).over(right))
+      .filter(col("__ln") === k && col("__rn") === k)
+      .select(
+        (keys.map(col) :+ col(orderCol)) ++ Seq(
+          col("__lsum").as("lsum_milli"),
+          col("__rsum").as("rsum_milli"),
+          (round((col("__rsum") - col("__lsum")).cast("double") / k)
+            .cast("long")).as("shift_milli"),
+          (abs(col("__rsum") - col("__lsum")) > lit(thresholdMilli) * k)
+            .cast("int").as("is_shift")): _*)
+  }
 }

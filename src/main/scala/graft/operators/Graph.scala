@@ -186,4 +186,52 @@ object Graph {
       .unionAll(tri.select(col("v2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** labels: (node, label). `unpersist()` releases the loop-pinned
+    * frames (same contract as RankResult/BfsResult). */
+  final case class LpaResult(labels: DataFrame, private val pinned: Seq[DataFrame]) {
+    def unpersist(): Unit = pinned.foreach { f => f.unpersist(); () }
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with itself; each round it adopts the MODE of its
+    * neighbors' labels, ties broken by the smaller label — fully
+    * deterministic (asynchronous/randomized LPA variants are not
+    * hash-comparable across engines or even across runs).
+    *
+    * Scale shape: edges are symmetrized once and pinned; each round
+    * is one src-keyed join + one (node,label) count + one per-node
+    * argmax — the argmax rides the SAME aggregation pass as a
+    * max(struct(cnt, -label)) (no window, no extra shuffle, map-side
+    * combinable). Fixed iteration count, no convergence action per
+    * round (the bfsHops license: a driver round-trip per round costs
+    * more at scale than the converged rounds it saves). The label
+    * frame never exceeds (node, label) — 16 bytes of data per node.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): LpaResult = {
+    require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val e = raw.unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    var labels = e.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val next = e
+        .join(labels.withColumnRenamed("node", "a"), Seq("a"))
+        .groupBy(col("b").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("node")
+        .agg(max(struct(col("__c"), (-col("label")).as("__neg")))
+          .as("__top"))
+        .select(col("node"), (-col("__top.__neg")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += next
+      labels = next
+    }
+    LpaResult(labels, pinned.toSeq)
+  }
 }

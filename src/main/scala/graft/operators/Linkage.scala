@@ -38,6 +38,21 @@ object Linkage {
     ColumnBridge.column(DamerauLevenshtein(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Token-sort normalized edit similarity (the fuzzywuzzy
+    * "token_sort_ratio" shape, in micro-units): both sides are
+    * tokenized on single spaces, sorted, rejoined, then scored
+    * 1 − lev/max(len) — word-order-insensitive matching ("bolt small"
+    * ≡ "small bolt" → 1 000 000). Pure builtin Columns (split /
+    * array_sort / levenshtein), fully codegen'd. Both-empty → 1e6. */
+  def tokenSortRatio(a: Column, b: Column): Column = {
+    val sa = array_join(array_sort(split(a, " ")), " ")
+    val sb = array_join(array_sort(split(b, " ")), " ")
+    val mx = greatest(length(sa), length(sb))
+    when(mx === 0, lit(1000000L)).otherwise(
+      round((lit(1.0) - levenshtein(sa, sb).cast("double") /
+        mx.cast("double")) * 1e6).cast("long"))
+  }
+
   /** Edit-similarity profile of the value space: each DISTINCT value
     * of `strCol` paired with its successor in sort order, scored by
     * all four edit measures. The sorted-neighborhood shape (one
@@ -62,7 +77,8 @@ object Linkage {
         round(jaroWinklerSim(col("s_a"), col("s_b")) * 1e6).cast("long")
           .as("jw_micro"),
         damerauLev(col("s_a"), col("s_b")).as("dl_dist"),
-        levenshtein(col("s_a"), col("s_b")).as("lev_dist"))
+        levenshtein(col("s_a"), col("s_b")).as("lev_dist"),
+        tokenSortRatio(col("s_a"), col("s_b")).as("toksort_micro"))
   }
 
   /** Fellegi-Sunter pair scoring with equality-agreement fields.

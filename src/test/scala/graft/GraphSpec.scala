@@ -117,4 +117,39 @@ class GraphSpec extends SparkSpec {
     }
     assert(got == triCount.toMap)
   }
+
+  test("labelPropagation: two cliques joined by a bridge separate") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("s", "t")
+    val r = Graph.labelPropagation(e, "s", "t", iters = 4)
+    val got = r.labels.as[(Long, Long)].collect().toMap
+    r.unpersist()
+    // each clique converges to ONE label; the two differ
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L) &&
+      got(11L) == got(12L))
+    assert(got(1L) != got(11L))
+  }
+
+  test("labelPropagation: deterministic mode/tie-break (hand round)") {
+    // star: center 5 with leaves 1,2,3 — after one SYNC round the
+    // center takes the min leaf label (all counts 1, tie -> min) and
+    // every leaf takes the center's label
+    val e = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("s", "t")
+    val r = Graph.labelPropagation(e, "s", "t", iters = 1)
+    val got = r.labels.as[(Long, Long)].collect().toMap
+    r.unpersist()
+    assert(got == Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L))
+  }
+
+  test("labelPropagation: bit-identical across partitionings") {
+    val e = (1L to 2000L).map(i => (i % 131, (i * 17) % 131)).toDF("s", "t")
+    val a = Graph.labelPropagation(e.repartition(1), "s", "t", 3)
+    val b = Graph.labelPropagation(e.repartition(13), "s", "t", 3)
+    val ga = a.labels.as[(Long, Long)].collect().toMap
+    val gb = b.labels.as[(Long, Long)].collect().toMap
+    a.unpersist(); b.unpersist()
+    assert(ga == gb)
+  }
 }

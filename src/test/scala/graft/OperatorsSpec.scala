@@ -510,4 +510,42 @@ class OperatorsSpec extends SparkSpec {
     assert(a(10.0) == -a(30.0) && a(10.0) < 0) // symmetric
     assert(got.filter(_._1 == "c").forall(_._3 == 0.0)) // sigma = 0
   }
+
+  test("meanShiftPoints: a clean step flags exactly at the boundary") {
+    import org.apache.spark.sql.functions.col
+    // 8 rows at 10.0 then 8 at 50.0 — only position 8 has both
+    // windows full; its left/right means differ by 40
+    val rows = (0 until 8).map(i => ("k", i.toLong, 10.0)) ++
+      (8 until 16).map(i => ("k", i.toLong, 50.0))
+    val df = rows.toDF("key", "ord", "v")
+    val out = Features.meanShiftPoints(df, Seq("key"), "ord", "v",
+      k = 8, thresholdMilli = 20000L, tiebreak = Seq(col("ord")))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 8L)               // boundary position
+    assert(r.getLong(2) == 8 * 10000L)       // lsum_milli
+    assert(r.getLong(3) == 8 * 50000L)       // rsum_milli
+    assert(r.getLong(4) == 40000L)           // shift_milli
+    assert(r.getInt(5) == 1)                 // flagged
+    // below threshold: same data, higher bar -> not flagged
+    val calm = Features.meanShiftPoints(df, Seq("key"), "ord", "v",
+      k = 8, thresholdMilli = 50000L, tiebreak = Seq(col("ord")))
+      .collect()
+    assert(calm.head.getInt(5) == 0)
+  }
+
+  test("tokenSortRatio: word order is free, edits are not") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("small bolt", "bolt small"),
+      ("small bolt", "small bolt"),
+      ("small bolt", "smell bolt"),
+      ("", "")).toDF("a", "b")
+    val got = df.select(operators.Linkage.tokenSortRatio(
+      col("a"), col("b")).as("r")).as[Long].collect()
+    assert(got(0) == 1000000L && got(1) == 1000000L)
+    assert(got(2) < 1000000L && got(2) > 800000L) // 1 edit of 10 chars
+    assert(got(3) == 1000000L) // both empty
+  }
 }
