@@ -102,14 +102,15 @@ object Linkage {
     * int flag per field. Null fields never agree (null-safe equality
     * would claim two missing values match — wrong for linkage).
     */
-  def fellegiSunter(df: DataFrame, idCol: String, blockCols: Seq[String],
-                    fieldExprs: Seq[(String, String)],
-                    m: Double = 0.95): DataFrame = {
+  /** One-row frame of per-field agreement/disagreement weights in
+    * micro-nats: `__wa_<name>` / `__wd_<name>` per field, derived
+    * from the value-frequency u-estimate sum(cnt^2)/N^2 and the
+    * caller's m constant. Shared by `fellegiSunter` (batch pair
+    * scoring) and `StreamOps.linkageScoreStream` (stream-static). */
+  def fieldWeights(df: DataFrame, fieldExprs: Seq[(String, String)],
+                   m: Double = 0.95): DataFrame = {
     require(fieldExprs.nonEmpty, "need at least one comparison field")
-    val spark = df.sparkSession
-
-    // one row: wA_f / wD_f per field, from exact integer frequency sums
-    val weights = fieldExprs.map { case (name, ex) =>
+    fieldExprs.map { case (name, ex) =>
       val freq = df.select(expr(ex).as("__v")).groupBy("__v")
         .agg(count(lit(1)).as("__c"))
       freq.agg(
@@ -121,6 +122,37 @@ object Linkage {
           round(log(lit(1.0 - m) / (lit(1.0) - col("__u"))) * 1e6)
             .cast("long").as(s"__wd_$name"))
     }.reduce(_.crossJoin(_))
+  }
+
+  /** Scores a pre-joined pair frame holding `__fa_<name>` /
+    * `__fb_<name>` value pairs plus the broadcast weight columns:
+    * appends n_agree / score_unats / agree_<name> flags. */
+  private[graft] def scorePairs(withWeights: DataFrame,
+                                fieldExprs: Seq[(String, String)],
+                                keep: Seq[Column]): DataFrame = {
+    val agreeCols = fieldExprs.map { case (name, _) =>
+      (col(s"__fa_$name").isNotNull && col(s"__fb_$name").isNotNull &&
+        (col(s"__fa_$name") === col(s"__fb_$name"))).as(s"__ag_$name")
+    }
+    val withAg = withWeights.select(col("*") +: agreeCols: _*)
+    val score = fieldExprs.map { case (name, _) =>
+      when(col(s"__ag_$name"), col(s"__wa_$name"))
+        .otherwise(col(s"__wd_$name"))
+    }.reduce(_ + _)
+    val nAgree = fieldExprs.map { case (name, _) =>
+      col(s"__ag_$name").cast("int")
+    }.reduce(_ + _)
+    withAg.select(
+      (keep ++ Seq(nAgree.as("n_agree"), score.as("score_unats")) ++
+        fieldExprs.map { case (name, _) =>
+          col(s"__ag_$name").cast("int").as(s"agree_$name")
+        }): _*)
+  }
+
+  def fellegiSunter(df: DataFrame, idCol: String, blockCols: Seq[String],
+                    fieldExprs: Seq[(String, String)],
+                    m: Double = 0.95): DataFrame = {
+    val weights = fieldWeights(df, fieldExprs, m)
 
     // field values are computed ONCE per record, pre-join — the pair
     // join then only compares precomputed scalars
@@ -139,24 +171,7 @@ object Linkage {
               col(s"b.__f_$name").as(s"__fb_$name"))
           }): _*)
 
-    val scored = pairs.crossJoin(broadcast(weights))
-    val agreeCols = fieldExprs.map { case (name, _) =>
-      (col(s"__fa_$name").isNotNull && col(s"__fb_$name").isNotNull &&
-        (col(s"__fa_$name") === col(s"__fb_$name"))).as(s"__ag_$name")
-    }
-    val withAg = scored.select(col("*") +: agreeCols: _*)
-    val score = fieldExprs.map { case (name, _) =>
-      when(col(s"__ag_$name"), col(s"__wa_$name"))
-        .otherwise(col(s"__wd_$name"))
-    }.reduce(_ + _)
-    val nAgree = fieldExprs.map { case (name, _) =>
-      col(s"__ag_$name").cast("int")
-    }.reduce(_ + _)
-    withAg.select(
-      (Seq(col("id_a"), col("id_b"), nAgree.as("n_agree"),
-        score.as("score_unats")) ++
-        fieldExprs.map { case (name, _) =>
-          col(s"__ag_$name").cast("int").as(s"agree_$name")
-        }): _*)
+    scorePairs(pairs.crossJoin(broadcast(weights)), fieldExprs,
+      Seq(col("id_a"), col("id_b")))
   }
 }

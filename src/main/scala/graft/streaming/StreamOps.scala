@@ -433,4 +433,45 @@ object StreamOps {
         count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
+
+  /** Stream-static Fellegi-Sunter scoring: each arriving record is
+    * linked against a STATIC reference registry — blocked broadcast
+    * join, per-field agreement, integer micro-nat score (the batch
+    * `Linkage.fellegiSunter` weights, applied one record at a time).
+    *
+    * Scale shape: stateless — the reference projection (id, blocks,
+    * precomputed field values) and the 1-row weight frame both
+    * broadcast; no watermark, no join state, so throughput is the
+    * map throughput of the codegen'd comparisons. Weights are
+    * computed ONCE from the reference at plan time (the registry is
+    * the population whose value frequencies define u — a stream
+    * cannot re-estimate them incrementally without state; re-plan the
+    * query to refresh). Works identically on a batch frame (test
+    * parity contract: `StreamOpsSpec`).
+    *
+    * Output: stream_id, ref_id, n_agree, score_unats, agree_<f>…
+    * — candidates only (records matching no block emit nothing). */
+  def linkageScoreStream(stream: DataFrame, reference: DataFrame,
+                         idCol: String, blockCols: Seq[String],
+                         fieldExprs: Seq[(String, String)],
+                         m: Double = 0.95): DataFrame = {
+    val weights = graft.operators.Linkage.fieldWeights(
+      reference, fieldExprs, m)
+    def proj(df: DataFrame, tag: String) = df.select(
+      (col(idCol).as(s"__id_$tag") +:
+        blockCols.map(c => col(c).as(s"__bk_${tag}_$c"))) ++
+        fieldExprs.map { case (name, ex) =>
+          expr(ex).as(s"__f${tag}_$name")
+        }: _*)
+    val s = proj(stream, "a")
+    val r = proj(reference, "b")
+    val cond = blockCols.map(c =>
+      col(s"__bk_a_$c") === col(s"__bk_b_$c")).reduce(_ && _)
+    val pairs = s.join(broadcast(r), cond)
+      .withColumnRenamed("__id_a", "stream_id")
+      .withColumnRenamed("__id_b", "ref_id")
+    graft.operators.Linkage.scorePairs(
+      pairs.crossJoin(broadcast(weights)), fieldExprs,
+      Seq(col("stream_id"), col("ref_id")))
+  }
 }

@@ -478,4 +478,48 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("linkageScoreStream: blocked stream-static FS scoring, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference registry: (id, block, phone, mail)
+    val ref = Seq(
+      (101L, 1, "555", "x@y"),
+      (102L, 1, "999", "q@z"),
+      (201L, 2, "111", "a@a"))
+      .toDF("rid", "blk", "phone", "mail")
+    val input = MemoryStream[(Long, Int, String, String)]
+    val scored = StreamOps.linkageScoreStream(
+      input.toDF().toDF("rid", "blk", "phone", "mail"), ref,
+      "rid", Seq("blk"), Seq("phone" -> "phone", "mail" -> "mail"))
+    val q = scored.writeStream.format("memory").queryName("links")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, 1, "555", "x@y"), // full match vs 101, none vs 102
+        (2L, 2, "000", "b@b"), // blocked vs 201, no agreement
+        (3L, 9, "555", "x@y")) // no block -> emits nothing
+      q.processAllAvailable()
+      val got = spark.table("links")
+        .select(col("stream_id"), col("ref_id"), col("n_agree"),
+          col("score_unats"))
+        .as[(Long, Long, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(got.keySet == Set((1L, 101L), (1L, 102L), (2L, 201L)))
+      assert(got((1L, 101L))._1 == 2 && got((1L, 102L))._1 == 0 &&
+        got((2L, 201L))._1 == 0)
+      // full agreement outranks; disagreement scores are negative
+      assert(got((1L, 101L))._2 > 0L && got((1L, 102L))._2 < 0L)
+      // batch parity: same function over a batch frame
+      val batch = StreamOps.linkageScoreStream(
+          Seq((1L, 1, "555", "x@y"), (2L, 2, "000", "b@b"),
+            (3L, 9, "555", "x@y")).toDF("rid", "blk", "phone", "mail"),
+          ref, "rid", Seq("blk"),
+          Seq("phone" -> "phone", "mail" -> "mail"))
+        .select(col("stream_id"), col("ref_id"), col("n_agree"),
+          col("score_unats"))
+        .as[(Long, Long, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
