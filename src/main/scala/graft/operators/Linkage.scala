@@ -110,18 +110,40 @@ object Linkage {
   def fieldWeights(df: DataFrame, fieldExprs: Seq[(String, String)],
                    m: Double = 0.95): DataFrame = {
     require(fieldExprs.nonEmpty, "need at least one comparison field")
-    fieldExprs.map { case (name, ex) =>
-      val freq = df.select(expr(ex).as("__v")).groupBy("__v")
-        .agg(count(lit(1)).as("__c"))
-      freq.agg(
-        (sum(col("__c") * col("__c")).cast("double") /
-          (sum(col("__c")) * sum(col("__c"))).cast("double")).as("__u"))
-        .select(
-          round(log(lit(m) / col("__u")) * 1e6).cast("long")
-            .as(s"__wa_$name"),
-          round(log(lit(1.0 - m) / (lit(1.0) - col("__u"))) * 1e6)
-            .cast("long").as(s"__wd_$name"))
-    }.reduce(_.crossJoin(_))
+    // ALL per-field value-frequency tables in ONE scan: GROUPING SETS
+    // ((f1),(f2),…) — one Expand(k) + one hash agg instead of k full
+    // passes over the table (the difference between k and 1 table
+    // scans at registry scale). grouping_id() separates the sets, so
+    // a field's real nulls stay a countable group.
+    val fcols = fieldExprs.map { case (name, _) => col(s"__f_$name") }
+    val base = df.select(fieldExprs.map { case (name, ex) =>
+      expr(ex).as(s"__f_$name")
+    }: _*)
+    val k = fieldExprs.length
+    def gidOf(i: Int): Long = (1L << k) - 1 - (1L << (k - 1 - i))
+    val counts = base
+      .groupingSets(fieldExprs.map { case (name, _) =>
+        Seq(col(s"__f_$name"))
+      }, fcols: _*)
+      .agg(count(lit(1)).as("__c"), grouping_id().as("__gid"))
+    // k-row frame: (gid, u = sum(c^2)/N^2) — the same exact-integer
+    // ratio per field as the one-field-at-a-time form
+    val us = counts.groupBy(col("__gid"))
+      .agg((sum(col("__c") * col("__c")).cast("double") /
+        (sum(col("__c")) * sum(col("__c"))).cast("double")).as("__u"))
+    val urow = us.agg(
+      max(when(col("__gid") === gidOf(0), col("__u")))
+        .as(s"__u_${fieldExprs.head._1}"),
+      fieldExprs.zipWithIndex.tail.map { case ((name, _), i) =>
+        max(when(col("__gid") === gidOf(i), col("__u"))).as(s"__u_$name")
+      }: _*)
+    urow.select(fieldExprs.flatMap { case (name, _) =>
+      Seq(
+        round(log(lit(m) / col(s"__u_$name")) * 1e6).cast("long")
+          .as(s"__wa_$name"),
+        round(log(lit(1.0 - m) / (lit(1.0) - col(s"__u_$name"))) * 1e6)
+          .cast("long").as(s"__wd_$name"))
+    }: _*)
   }
 
   /** Scores a pre-joined pair frame holding `__fa_<name>` /
