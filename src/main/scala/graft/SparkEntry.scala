@@ -18,6 +18,49 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** DuckDB CTE chain ending in `fs` = the FS pair-score table —
+    * shared by the q_r_fs and q_r_erclust oracles. The double
+    * constants are written as IEEE ops (CAST(1.0 AS DOUBLE) - CAST(
+    * 0.95 AS DOUBLE)) so both engines compute identical bits. */
+  private lazy val fsOracleCtes: String = {
+    val fields = Seq(
+      "bal" -> "CAST(floor(c_acctbal / 100) AS BIGINT)",
+      "tail" -> "substr(c_name, -2, 2)",
+      "mid" -> "substr(c_name, -4, 2)")
+    val proj = fields.map { case (n, ex) => s"$ex AS f_$n" }.mkString(", ")
+    val us = fields.map { case (n, _) =>
+      s"(SELECT CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) " +
+        s"FROM (SELECT count(*) AS c FROM f GROUP BY f_$n) t_$n) AS u_$n"
+    }.mkString(", ")
+    val ws = fields.map { case (n, _) =>
+      s"CAST(round(ln(CAST(0.95 AS DOUBLE) / u_$n) * 1e6) AS BIGINT) AS wa_$n, " +
+        s"CAST(round(ln((CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) / (CAST(1.0 AS DOUBLE) - u_$n)) * 1e6) AS BIGINT) AS wd_$n"
+    }.mkString(", ")
+    val agreeSum = fields.map { case (n, _) =>
+      s"CASE WHEN a.f_$n = b.f_$n THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    val scoreSum = fields.map { case (n, _) =>
+      s"CASE WHEN a.f_$n = b.f_$n THEN wa_$n ELSE wd_$n END"
+    }.mkString(" + ")
+    val flags = fields.map { case (n, _) =>
+      s"CASE WHEN a.f_$n = b.f_$n THEN 1 ELSE 0 END AS agree_$n"
+    }.mkString(", ")
+    "f AS (SELECT c_custkey AS id, c_nationkey AS bk1, c_mktsegment AS bk2, " +
+      proj + " FROM customer), " +
+      s"u AS (SELECT $us), w AS (SELECT $ws FROM u), " +
+      s"fs AS (SELECT a.id AS id_a, b.id AS id_b, $agreeSum AS n_agree, " +
+      s"$scoreSum AS score_unats, $flags " +
+      "FROM f a JOIN f b ON a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.id < b.id CROSS JOIN w)"
+  }
+
+  // shared FS linkage config (q_r_fs + q_r_erclust)
+  private def fsPairs(customer: DataFrame): DataFrame =
+    Linkage.fellegiSunter(customer, "c_custkey",
+      Seq("c_nationkey", "c_mktsegment"),
+      Seq("bal" -> "cast(floor(c_acctbal / 100) as bigint)",
+        "tail" -> "substr(c_name, -2, 2)",
+        "mid" -> "substr(c_name, -4, 2)"))
+
   // ---- derived interval tables for J1 (shared Spark/SQL definition) ----
   private def genes(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(
@@ -475,12 +518,16 @@ object SparkEntry {
     // Fellegi-Sunter probabilistic linkage: blocked candidate pairs,
     // u-probabilities from value frequencies, integer micro-nat
     // weights (exact long scores — the LangModel determinism recipe)
-    "q_r_fs" -> ((s, d) =>
-      Linkage.fellegiSunter(t(s, d, "customer"), "c_custkey",
-        Seq("c_nationkey", "c_mktsegment"),
-        Seq("bal" -> "cast(floor(c_acctbal / 100) as bigint)",
-          "tail" -> "substr(c_name, -2, 2)",
-          "mid" -> "substr(c_name, -4, 2)"))),
+    "q_r_fs" -> ((s, d) => fsPairs(t(s, d, "customer"))),
+
+    // the full ER pipeline under one gate: FS scoring -> positive-
+    // evidence threshold -> connected components (min-label clusters)
+    "q_r_erclust" -> ((s, d) =>
+      Dedup.dupClusters(
+        fsPairs(t(s, d, "customer"))
+          .filter(col("score_unats") > 0)
+          .select(col("id_a"), col("id_b")))
+        .select(col("id").as("node"), col("cluster_id").as("cluster"))),
 
     // integer-micro PageRank (3 iterations) on the order->part graph
     // per-node triangle counts on an md5-randomized 150-node graph
@@ -640,6 +687,16 @@ object SparkEntry {
         Seq("user_id"), "ts", "value", Seq(1))
         .select("event_id", "user_id", "roll_n", "roll_sum", "roll_avg",
           "roll_min", "roll_max", "lag_1")),
+
+    // per-brand pareto front (minimize price, maximize size): one
+    // range-frame window instead of the O(n^2) dominance test the
+    // oracle replays as NOT EXISTS
+    "q_o7_skyline" -> ((s, d) =>
+      Features.skyline2D(
+        t(s, d, "part").select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice") * 100).cast("long")
+            .as("price_cents"), col("p_size")),
+        Seq("p_brand"), "price_cents", "p_size")),
 
     // sliding mean-shift change points per event type (trailing vs
     // leading 8-row windows, exact integer milli-unit sums, flag on
@@ -2300,36 +2357,16 @@ object SparkEntry {
     // micro-nats; the double subtraction is written as IEEE ops
     // (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) so both engines
     // compute the identical constant
-    "q_r_fs" -> {
-      val fields = Seq(
-        "bal" -> "CAST(floor(c_acctbal / 100) AS BIGINT)",
-        "tail" -> "substr(c_name, -2, 2)",
-        "mid" -> "substr(c_name, -4, 2)")
-      val proj = fields.map { case (n, ex) => s"$ex AS f_$n" }.mkString(", ")
-      val us = fields.map { case (n, _) =>
-        s"(SELECT CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) " +
-          s"FROM (SELECT count(*) AS c FROM f GROUP BY f_$n) t_$n) AS u_$n"
-      }.mkString(", ")
-      val ws = fields.map { case (n, _) =>
-        s"CAST(round(ln(CAST(0.95 AS DOUBLE) / u_$n) * 1e6) AS BIGINT) AS wa_$n, " +
-          s"CAST(round(ln((CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) / (CAST(1.0 AS DOUBLE) - u_$n)) * 1e6) AS BIGINT) AS wd_$n"
-      }.mkString(", ")
-      val agreeSum = fields.map { case (n, _) =>
-        s"CASE WHEN a.f_$n = b.f_$n THEN 1 ELSE 0 END"
-      }.mkString(" + ")
-      val scoreSum = fields.map { case (n, _) =>
-        s"CASE WHEN a.f_$n = b.f_$n THEN wa_$n ELSE wd_$n END"
-      }.mkString(" + ")
-      val flags = fields.map { case (n, _) =>
-        s"CASE WHEN a.f_$n = b.f_$n THEN 1 ELSE 0 END AS agree_$n"
-      }.mkString(", ")
-      "WITH f AS (SELECT c_custkey AS id, c_nationkey AS bk1, c_mktsegment AS bk2, " +
-        proj + " FROM customer), " +
-        s"u AS (SELECT $us), w AS (SELECT $ws FROM u) " +
-        s"SELECT a.id AS id_a, b.id AS id_b, $agreeSum AS n_agree, " +
-        s"$scoreSum AS score_unats, $flags " +
-        "FROM f a JOIN f b ON a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.id < b.id CROSS JOIN w"
-    },
+    "q_r_fs" -> s"WITH $fsOracleCtes SELECT * FROM fs",
+
+    // min-label components over the positive-evidence FS edges —
+    // the oracle replays the WHOLE pipeline (scoring + clustering)
+    "q_r_erclust" ->
+      (s"WITH RECURSIVE $fsOracleCtes, " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM fs WHERE score_unats > 0 " +
+        "UNION SELECT id_b, id_a FROM fs WHERE score_unats > 0), " +
+        "walk(node, lbl) AS (SELECT src, src FROM e UNION SELECT s.dst, w.lbl FROM walk w JOIN e s ON s.src = w.node) " +
+        "SELECT node, min(lbl) AS cluster FROM walk GROUP BY 1"),
 
     "q_g_triangles" ->
       ("WITH raw AS (SELECT ('0x' || substr(md5('ta' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS x, ('0x' || substr(md5('tb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS y FROM orders), " +
@@ -2456,6 +2493,12 @@ object SparkEntry {
     "q_e_rolling" ->
       ("SELECT event_id, user_id, count(value) OVER w AS roll_n, round(sum(value) OVER w, 4) AS roll_sum, round(avg(value) OVER w, 4) AS roll_avg, min(value) OVER w AS roll_min, max(value) OVER w AS roll_max, lag(value, 1) OVER w2 AS lag_1 FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY user_id ORDER BY ts)"),
+
+    // independent formulation: quadratic NOT EXISTS dominance test
+    "q_o7_skyline" ->
+      ("WITH p AS (SELECT p_partkey, p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, p_size FROM part) " +
+        "SELECT p_partkey, p_brand, price_cents, p_size FROM p a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM p b WHERE b.p_brand = a.p_brand AND b.price_cents < a.price_cents AND b.p_size > a.p_size)"),
 
     // both window sums are exact integer milli-units; the flag
     // compares cross-multiplied longs (no division in the detector)

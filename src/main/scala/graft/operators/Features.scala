@@ -302,6 +302,29 @@ object Features {
     * `rsum_milli` (the two window sums), `shift_milli` =
     * (rSum−lSum)/k rounded to a long, `is_shift` int flag.
     */
+  /** 2-D skyline (weak Pareto front) per group: keep rows not
+    * STRICTLY dominated — dominated means some other row in the group
+    * has `minCol` strictly smaller AND `maxCol` strictly larger (the
+    * quality-vs-cost frontier of corpus curation: cheapest documents
+    * at each quality level, best checkpoint per budget, …).
+    *
+    * Scale shape: ONE window per group — order by `minCol` with a
+    * RANGE frame ending at −1 (all rows with strictly smaller value;
+    * a ROW frame could not express the strictness under ties), take
+    * the running max of `maxCol`; a row survives iff no strictly-
+    * cheaper row beats its `maxCol`. The O(n²) dominance test
+    * becomes one sort + one scan; the NOT-EXISTS form is the oracle.
+    * `minCol` must be numeric (RANGE frame requirement). */
+  def skyline2D(df: DataFrame, keys: Seq[String], minCol: String,
+                maxCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(minCol).asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__dommax", max(col(maxCol)).over(w))
+      .filter(col("__dommax").isNull || col(maxCol) >= col("__dommax"))
+      .drop("__dommax")
+  }
+
   def meanShiftPoints(df: DataFrame, keys: Seq[String], orderCol: String,
                       valueCol: String, k: Int, thresholdMilli: Long,
                       tiebreak: Seq[Column]): DataFrame = {

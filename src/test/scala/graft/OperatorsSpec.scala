@@ -535,6 +535,21 @@ class OperatorsSpec extends SparkSpec {
     assert(calm.head.getInt(5) == 0)
   }
 
+  test("skyline2D: strict dominance, axis ties survive, per group") {
+    val df = Seq(
+      // group g: (1,5) and (3,9) on front; (4,7) dominated by (3,9);
+      // (3,2) same min as (3,9) -> NOT dominated by it (needs strict
+      // min), but dominated by (1,5); (1,1) same min as (1,5) -> kept
+      ("g", 1L, 5), ("g", 3L, 9), ("g", 4L, 7), ("g", 3L, 2),
+      ("g", 1L, 1),
+      // other group is independent
+      ("h", 10L, 1)).toDF("k", "cost", "quality")
+    val got = Features.skyline2D(df, Seq("k"), "cost", "quality")
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("g", 1L, 5), ("g", 3L, 9), ("g", 1L, 1),
+      ("h", 10L, 1)))
+  }
+
   test("tokenSortRatio: word order is free, edits are not") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
