@@ -688,6 +688,19 @@ object SparkEntry {
         .select("event_id", "user_id", "roll_n", "roll_sum", "roll_avg",
           "roll_min", "roll_max", "lag_1")),
 
+    // functional-dependency discovery: one holding key FD, one
+    // violated, one constant-rhs FD — the profiler's key detector
+    "q_x_fd" -> ((s, d) =>
+      Profile.fdReport(t(s, d, "orders"),
+        Seq("o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderpriority",
+          "o_orderstatus" -> "o_orderstatus"))),
+
+    // Benford first-digit screen on an amount column (exact counts,
+    // micro-unit shares vs the closed-form expectation)
+    "q_x_benford" -> ((s, d) =>
+      Profile.benford(t(s, d, "lineitem"), "l_extendedprice")),
+
     // per-brand pareto front (minimize price, maximize size): one
     // range-frame window instead of the O(n^2) dominance test the
     // oracle replays as NOT EXISTS
@@ -2493,6 +2506,27 @@ object SparkEntry {
     "q_e_rolling" ->
       ("SELECT event_id, user_id, count(value) OVER w AS roll_n, round(sum(value) OVER w, 4) AS roll_sum, round(avg(value) OVER w, 4) AS roll_avg, min(value) OVER w AS roll_min, max(value) OVER w AS roll_max, lag(value, 1) OVER w2 AS lag_1 FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY user_id ORDER BY ts)"),
+
+    "q_x_fd" -> {
+      def leg(lhs: String, rhs: String) =
+        s"SELECT '$lhs' AS lhs, '$rhs' AS rhs, count(*) AS n_lhs, " +
+          "CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+          "max(k) AS max_rhs_per_lhs, " +
+          "CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS holds " +
+          s"FROM (SELECT __l, count(*) AS k FROM (SELECT DISTINCT $lhs AS __l, $rhs AS __r FROM orders) t GROUP BY 1) g"
+      leg("o_orderkey", "o_custkey") + " UNION ALL " +
+        leg("o_custkey", "o_orderpriority") + " UNION ALL " +
+        leg("o_orderstatus", "o_orderstatus")
+    },
+
+    "q_x_benford" ->
+      ("WITH c AS (SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice)) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit, count(*) AS n " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) >= 1 GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) " +
+        "SELECT digit, n, obs_micro, benford_micro, obs_micro - benford_micro AS dev_micro FROM " +
+        "(SELECT digit, n, CAST(round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1e6) AS BIGINT) AS obs_micro, " +
+        "CAST(round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) * 1e6) AS BIGINT) AS benford_micro " +
+        "FROM c CROSS JOIN t) s"),
 
     // independent formulation: quadratic NOT EXISTS dominance test
     "q_o7_skyline" ->

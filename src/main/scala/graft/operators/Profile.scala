@@ -317,4 +317,58 @@ object Profile {
       .agg(max(col("n")).as("n"), max(col("median")).as("median"),
         round(expr("percentile(__dev, 0.5D)"), 6).as("mad"))
   }
+
+  /** Functional-dependency discovery for candidate column pairs:
+    * does lhs → rhs hold, and if not, how badly? For each (lhs, rhs)
+    * pair: `n_lhs` distinct lhs values, `n_violating` lhs values
+    * mapping to >1 distinct rhs, and `max_rhs_per_lhs` — the schema-
+    * inference / key-detection primitive of a data profiler (the
+    * reference eyeballs these invariants manually when reconciling
+    * dump counts, `src/utils.py` dump statistics).
+    *
+    * Scale shape: per pair ONE (lhs, rhs) distinct + one lhs
+    * aggregation — both shuffles on the lhs key; pairs are
+    * independent (a caller probing k candidate FDs unions k cheap
+    * frames, each pruned to its two columns at the scan). */
+  def fdReport(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    pairs.map { case (lhs, rhs) =>
+      df.select(col(lhs).as("__l"), col(rhs).as("__r")).distinct()
+        .groupBy("__l").agg(count(lit(1)).as("__k"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__k")).as("max_rhs_per_lhs"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_violating"), col("max_rhs_per_lhs"),
+          (col("n_violating") === 0).cast("int").as("holds"))
+    }.reduce(_.unionAll(_))
+
+  /** Benford first-digit profile of a positive numeric column: the
+    * observed share of leading digits 1-9 (of the integer part,
+    * values < 1 excluded) against the Benford expectation
+    * log10(1+1/d) — the classic fabricated-data / unit-mixing screen.
+    * Counts are exact longs; expected shares are micro-units of the
+    * closed-form constant (identical IEEE doubles in any engine);
+    * the per-digit deviation is reported in micro-units.
+    *
+    * One aggregation on a 9-value key; the digit extraction is a
+    * string head on the already-truncated integer part (no float
+    * formatting — `CAST(floor(x))` then first character — so both
+    * engines parse the same digits). */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol)
+    val digit = substring(
+      floor(abs(x)).cast("long").cast("string"), 1, 1).cast("int")
+    val counts = df.filter(x.isNotNull && abs(x) >= 1)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__total").cast("double")
+          * 1e6).cast("long").as("obs_micro"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          * 1e6).cast("long").as("benford_micro"))
+      .withColumn("dev_micro",
+        col("obs_micro") - col("benford_micro"))
+  }
 }

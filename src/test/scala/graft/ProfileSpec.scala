@@ -179,4 +179,31 @@ class ProfileSpec extends SparkSpec {
     assert(got("a") == ((10L, 5.5, 2.5)))
     assert(got("b") == ((1L, 5.0, 0.0)))
   }
+
+  test("fdReport: holding, violated, and constant-rhs dependencies") {
+    val df = Seq(
+      (1L, "x", "P1"), (2L, "x", "P2"), (3L, "y", "P1"),
+      (1L, "x", "P1") // duplicate row must not create a violation
+    ).toDF("id", "grp", "prio")
+    val got = Profile.fdReport(df,
+      Seq("id" -> "grp", "grp" -> "prio", "prio" -> "prio"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(got("id") == ((3L, 0L, 1L, 1)))   // id -> grp holds
+    assert(got("grp") == ((2L, 1L, 2L, 0)))  // x maps to P1 and P2
+    assert(got("prio") == ((2L, 0L, 1L, 1))) // trivially holds
+  }
+
+  test("benford: exact digit counts, micro shares, sub-1 excluded") {
+    val df = Seq(10.0, 12.0, 19.9, 25.0, 0.5, -37.0, 1.0)
+      .toDF("v") // digits: 1,1,1,2,(excl),3,1
+    val got = Profile.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1)._1 == 4L && got(2)._1 == 1L && got(3)._1 == 1L)
+    assert(got(1)._2 == math.round(4.0 / 6.0 * 1e6))
+    // benford expectation for digit 1 is log10(2) ≈ 301030 micro
+    val b1 = Profile.benford(df, "v").filter($"digit" === 1)
+      .select($"benford_micro").as[Long].head()
+    assert(b1 == 301030L)
+  }
 }
