@@ -1250,6 +1250,14 @@ object SparkEntry {
         Sketch.kmvGrouped(t(s, d, "lineitem"), "l_returnflag",
           "l_partkey", k = 128), k = 128)),
 
+    // cross-source overlap WITHOUT joining raw data: KMV Jaccard
+    // between per-source sketches (the sketch-scale path of
+    // q_d_srcoverlap — S^2·k work regardless of corpus size)
+    "q_x_kmvjac" -> ((s, d) =>
+      Sketch.kmvJaccardGrouped(
+        Sketch.kmvGrouped(t(s, d, "documents"), "source", "text",
+          k = 128), k = 128)),
+
     // HyperLogLog registers per market segment (p=9 → 512 registers;
     // integer/string rank arithmetic so the oracle replays every
     // register bit-for-bit — estimates are SketchSpec territory)
@@ -2808,6 +2816,23 @@ object SparkEntry {
         "r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h), " +
         "s AS (SELECT grp, hv FROM r WHERE rn <= 128) " +
         "SELECT grp, count(*) AS n, max(hv) AS kth, round(CASE WHEN count(*) < 128 THEN count(*)::DOUBLE ELSE 127.0 * 1152921504606846976.0 / max(hv) END, 2) AS est FROM s GROUP BY 1"),
+
+    // replay: per-source kmv -> pair union top-k -> membership counts
+    "q_x_kmvjac" ->
+      ("WITH h AS (SELECT DISTINCT source AS grp, ('0x' || substr(md5('kmv' || text), 1, 15))::BIGINT AS hv FROM documents), " +
+        "r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h), " +
+        "s AS (SELECT grp, hv FROM r WHERE rn <= 128), " +
+        "g AS (SELECT DISTINCT grp FROM s), " +
+        "p AS (SELECT a.grp AS grp_a, b.grp AS grp_b FROM g a JOIN g b ON a.grp < b.grp), " +
+        "m AS (SELECT p.grp_a, p.grp_b, hv, max(CASE WHEN s.grp = p.grp_a THEN 1 ELSE 0 END) AS in_a, max(CASE WHEN s.grp = p.grp_b THEN 1 ELSE 0 END) AS in_b " +
+        "FROM p JOIN s ON s.grp = p.grp_a OR s.grp = p.grp_b GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY hv) AS rn FROM m), " +
+        "u AS (SELECT grp_a, grp_b, count(*) AS n_u, max(hv) AS theta, CAST(sum(in_a * in_b) AS BIGINT) AS c_both FROM rk WHERE rn <= 128 GROUP BY 1, 2) " +
+        "SELECT grp_a, grp_b, n_u, theta, c_both, " +
+        "CAST(round(CAST(c_both AS DOUBLE) / CAST(n_u AS DOUBLE) * 1e6) AS BIGINT) AS jaccard_micro, " +
+        "round(CASE WHEN n_u < 128 THEN n_u::DOUBLE ELSE 127.0 * 1152921504606846976.0 / theta END, 2) AS est_union, " +
+        "round((CASE WHEN n_u < 128 THEN n_u::DOUBLE ELSE 127.0 * 1152921504606846976.0 / theta END) * (CAST(c_both AS DOUBLE) / CAST(n_u AS DOUBLE)), 2) AS est_inter " +
+        "FROM u"),
 
     // HLL registers p=9: j = top 9 bits of the 60-bit hash, rank =
     // leading zeros of the low-51-bit field + 1 via bin() length —

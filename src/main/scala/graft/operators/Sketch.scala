@@ -116,6 +116,54 @@ object Sketch {
           .otherwise(lit((k - 1).toDouble) * H60_SPACE / col("kth")), 2)
           .as("est"))
 
+  /** Pairwise set-overlap estimates between group sketches — the
+    * "how much do these corpora share" question WITHOUT joining the
+    * raw data (the exact form is `Dedup.sourceOverlap`; this is its
+    * sketch-scale path: each source is k longs, so S sources compare
+    * in S²·k sketch work no matter how big the corpora are).
+    *
+    * Standard KMV Jaccard: for each group pair, U = the k smallest
+    * distinct hashes of the two sketches' union; c = members of U
+    * present in BOTH sketches; jaccard ≈ c/|U| (exact when both sets
+    * fit their sketches), est_inter = jaccard · est_union. Hashes are
+    * deterministic (hash60), so the estimates replay bit-for-bit.
+    *
+    * Output per (grp_a < grp_b): `n_u`, `theta` (k-th union min),
+    * `c_both`, `jaccard_micro`, `est_union`, `est_inter` (2 dp). */
+  def kmvJaccardGrouped(sketch: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = sketch.select(col("grp")).distinct()
+    val pairs = groups.select(col("grp").as("grp_a"))
+      .crossJoin(groups.select(col("grp").as("grp_b")))
+      .filter(col("grp_a") < col("grp_b"))
+    val fromA = pairs.join(
+      sketch.select(col("grp").as("grp_a"), col("hv")), Seq("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("hv"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val fromB = pairs.join(
+      sketch.select(col("grp").as("grp_b"), col("hv")), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("hv"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val perHash = fromA.unionAll(fromB)
+      .groupBy("grp_a", "grp_b", "hv")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val ranked = perHash.withColumn("__rn", row_number().over(
+        Window.partitionBy("grp_a", "grp_b").orderBy(col("hv").asc)))
+      .filter(col("__rn") <= k)
+    val agg = ranked.groupBy("grp_a", "grp_b")
+      .agg(count(lit(1)).as("n_u"), max(col("hv")).as("theta"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("c_both"))
+    val estU = when(col("n_u") < k, col("n_u").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * H60_SPACE / col("theta"))
+    agg.select(col("grp_a"), col("grp_b"), col("n_u"), col("theta"),
+      col("c_both"),
+      round(col("c_both").cast("double") / col("n_u").cast("double")
+        * 1e6).cast("long").as("jaccard_micro"),
+      round(estU, 2).as("est_union"),
+      round(estU * (col("c_both").cast("double") /
+        col("n_u").cast("double")), 2).as("est_inter"))
+  }
+
   /** Merge KMV sketches built with the same salt: k smallest of the
     * union of survivors. */
   def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =

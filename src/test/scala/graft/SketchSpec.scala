@@ -200,4 +200,23 @@ class SketchSpec extends SparkSpec {
     assert(got("s1") == (("s1", 4L, 2L, 1L, 0.5, 0.5)))
     assert(got("s2") == (("s2", 2L, 2L, 2L, 1.0, 1.0)))
   }
+
+  test("kmvJaccardGrouped: exact set arithmetic below k, zero overlap zero") {
+    import graft.operators.Sketch
+    val df = ((1 to 20).map(i => ("A", i)) ++
+      (11 to 30).map(i => ("B", i)) ++
+      (101 to 105).map(i => ("C", i))).toDF("src", "v")
+    val sk = Sketch.kmvGrouped(df, "src", "v", k = 64)
+    val got = Sketch.kmvJaccardGrouped(sk, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    // below k the sketch IS the set: |A∪B|=30, |A∩B|=10
+    val ab = got(("A", "B"))
+    assert(ab._1 == 30L && ab._2 == 10L)
+    assert(ab._3 == 333333L)            // round(10/30 * 1e6)
+    assert(ab._4 == 30.0 && ab._5 == 10.0)
+    assert(got(("A", "C"))._2 == 0L && got(("A", "C"))._5 == 0.0)
+    assert(got(("B", "C"))._2 == 0L)
+  }
 }
