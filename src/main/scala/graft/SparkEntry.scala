@@ -701,6 +701,16 @@ object SparkEntry {
     "q_x_benford" -> ((s, d) =>
       Profile.benford(t(s, d, "lineitem"), "l_extendedprice")),
 
+    // feature-usefulness screen: which metadata predicts the label?
+    // per-cell micro-nat rounding -> exact long sums -> one division
+    "q_x_infogain" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profile.infoGain(docs, "source", "lang").unionAll(
+        Profile.infoGain(
+          docs.withColumn("len_bucket", expr("n_chars div 200")),
+          "len_bucket", "lang"))
+    }),
+
     // per-brand pareto front (minimize price, maximize size): one
     // range-frame window instead of the O(n^2) dominance test the
     // oracle replays as NOT EXISTS
@@ -2816,6 +2826,23 @@ object SparkEntry {
         "r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h), " +
         "s AS (SELECT grp, hv FROM r WHERE rn <= 128) " +
         "SELECT grp, count(*) AS n, max(hv) AS kth, round(CASE WHEN count(*) < 128 THEN count(*)::DOUBLE ELSE 127.0 * 1152921504606846976.0 / max(hv) END, 2) AS est FROM s GROUP BY 1"),
+
+    "q_x_infogain" -> {
+      def leg(name: String, fex: String) =
+        s"(WITH c AS (SELECT $fex AS f, lang AS l, count(*) AS c FROM documents WHERE $fex IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), " +
+          "n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c), " +
+          "ft AS (SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM c GROUP BY 1), " +
+          "sc AS (SELECT CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(cf AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS s_cond FROM c JOIN ft USING (f)), " +
+          "lt AS (SELECT l, CAST(sum(c) AS BIGINT) AS cl FROM c GROUP BY 1), " +
+          "sl AS (SELECT CAST(sum(cl * CAST(round(ln(CAST(cl AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS s_lab FROM lt CROSS JOIN n) " +
+          s"SELECT '$name' AS feature, n, " +
+          "CAST(round(-CAST(s_lab AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS h_label_micro, " +
+          "CAST(round(-CAST(s_cond AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS h_cond_micro, " +
+          "CAST(round(-CAST(s_lab AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) - CAST(round(-CAST(s_cond AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS ig_micro " +
+          "FROM sl CROSS JOIN sc CROSS JOIN n)"
+      leg("source", "source") + " UNION ALL " +
+        leg("len_bucket", "n_chars // 200")
+    },
 
     // replay: per-source kmv -> pair union top-k -> membership counts
     "q_x_kmvjac" ->

@@ -342,6 +342,50 @@ object Profile {
           (col("n_violating") === 0).cast("int").as("holds"))
     }.reduce(_.unionAll(_))
 
+  /** Information gain of a categorical feature against a label —
+    * the feature-usefulness screen of a training-data profiler
+    * (which metadata columns actually predict the target?).
+    *
+    * IG = H(label) − H(label | feature), computed from exact cell
+    * counts with the micro-nat determinism recipe: each cell's
+    * ln(c_cell / c_group) is rounded to integer micro-nats FIRST,
+    * the count-weighted sums are then exact longs (order- and
+    * engine-independent), and the single final division by N is one
+    * IEEE op. Two hash aggregations ((feature,label) cells, then
+    * label marginals) — no window, no driver data.
+    *
+    * Output one row: feature name, `n`, `h_label_micro`,
+    * `h_cond_micro`, `ig_micro` (all non-negative micro-nats). */
+  def infoGain(df: DataFrame, featureCol: String,
+               labelCol: String): DataFrame = {
+    val cells = df.filter(col(featureCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(featureCol).as("__f"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val n1 = cells.agg(sum(col("__c")).as("__n"))
+    // conditional: Σ_cells c · round(ln(c / c_feature)·1e6)
+    val fTot = cells.groupBy("__f").agg(sum(col("__c")).as("__cf"))
+    val cond = cells.join(fTot, "__f")
+      .select((col("__c") *
+        round(log(col("__c").cast("double") /
+          col("__cf").cast("double")) * 1e6).cast("long")).as("__t"))
+      .agg(sum(col("__t")).as("__s_cond"))
+    // label marginal: Σ_l c_l · round(ln(c_l / N)·1e6)
+    val lTot = cells.groupBy("__l").agg(sum(col("__c")).as("__cl"))
+    val lab = lTot.crossJoin(broadcast(n1))
+      .select((col("__cl") *
+        round(log(col("__cl").cast("double") /
+          col("__n").cast("double")) * 1e6).cast("long")).as("__t"))
+      .agg(sum(col("__t")).as("__s_lab"))
+    lab.crossJoin(cond).crossJoin(broadcast(n1))
+      .select(lit(featureCol).as("feature"), col("__n").as("n"),
+        round(-col("__s_lab").cast("double") / col("__n").cast("double"))
+          .cast("long").as("h_label_micro"),
+        round(-col("__s_cond").cast("double") / col("__n").cast("double"))
+          .cast("long").as("h_cond_micro"))
+      .withColumn("ig_micro", col("h_label_micro") - col("h_cond_micro"))
+  }
+
   /** Benford first-digit profile of a positive numeric column: the
     * observed share of leading digits 1-9 (of the integer part,
     * values < 1 excluded) against the Benford expectation

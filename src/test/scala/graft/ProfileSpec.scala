@@ -194,6 +194,20 @@ class ProfileSpec extends SparkSpec {
     assert(got("prio") == ((2L, 0L, 1L, 1))) // trivially holds
   }
 
+  test("infoGain: perfect predictor recovers H(label); constant feature zero") {
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("f", "l")
+    val p = Profile.infoGain(perfect, "f", "l").collect().head
+    // H(label) for a 50/50 split is ln 2 = 693147 micro-nats
+    assert(p.getLong(2) == 693147L)  // h_label
+    assert(p.getLong(3) == 0L)       // h_cond: feature determines label
+    assert(p.getLong(4) == 693147L)  // ig
+    val const = Seq(("c", "x"), ("c", "x"), ("c", "y"), ("c", "y"))
+      .toDF("f", "l")
+    val c = Profile.infoGain(const, "f", "l").collect().head
+    assert(c.getLong(4) == 0L)       // constant feature: no information
+  }
+
   test("benford: exact digit counts, micro shares, sub-1 excluded") {
     val df = Seq(10.0, 12.0, 19.9, 25.0, 0.5, -37.0, 1.0)
       .toDF("v") // digits: 1,1,1,2,(excl),3,1
