@@ -551,6 +551,19 @@ object SparkEntry {
           (col("l_partkey") % 500).as("dst")),
         "src", "dst", iters = 3).ranks),
 
+    // personalized PageRank: restart mass pinned to the % 97 seed
+    // set — relevance-to-core ranking on the same order->part graph
+    "q_g_ppr" -> ((s, d) => {
+      val edges = t(s, d, "lineitem").select(
+        (col("l_orderkey") % 500).as("src"),
+        (col("l_partkey") % 500).as("dst"))
+      val seeds = edges.select(col("src").as("seed"))
+        .unionAll(edges.select(col("dst").as("seed")))
+        .filter(col("seed") % 97 === 0)
+      Graph.personalizedPageRankInt(edges, "src", "dst", seeds,
+        "seed", iters = 3).ranks
+    }),
+
     // first-class connected components on a SPARSE md5-randomized
     // graph (2000-node space, ~1/40 of orders as edges → many
     // components; oracle is an independent recursive-CTE min-label
@@ -2414,6 +2427,21 @@ object SparkEntry {
         "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
         "d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
         "p0 AS (SELECT node, 1000000::BIGINT AS pr FROM n), " +
+        hop("p0", "p1") + ", " + hop("p1", "p2") + ", " + hop("p2", "p3") + " " +
+        "SELECT node, pr FROM p3"
+    },
+
+    // same unrolled hops with the restart CASE pinned to the seeds;
+    // the engine's overflow-split damping equals the plain
+    // (850000·insum) // 1e6 form algebraically
+    "q_g_ppr" -> {
+      def hop(prev: String, out: String) =
+        s"c_$out AS (SELECT dst, CAST(sum(pr // outdeg) AS BIGINT) AS insum FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src GROUP BY 1), " +
+          s"$out AS (SELECT node, (CASE WHEN node % 97 = 0 THEN 150000 ELSE 0 END) + 850000 * coalesce(insum, 0) // 1000000 AS pr FROM n LEFT JOIN c_$out ON node = dst)"
+      "WITH e AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem), " +
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "p0 AS (SELECT node, CASE WHEN node % 97 = 0 THEN 1000000::BIGINT ELSE 0::BIGINT END AS pr FROM n), " +
         hop("p0", "p1") + ", " + hop("p1", "p2") + ", " + hop("p2", "p3") + " " +
         "SELECT node, pr FROM p3"
     },

@@ -70,6 +70,55 @@ object Graph {
     RankResult(pr, Seq(e, nodes, withDeg))
   }
 
+  /** Personalized PageRank in the same integer micro-unit convention
+    * as `pageRankInt`, with the restart mass pinned to a SEED set —
+    * the "relevance to these nodes" primitive (related-document
+    * discovery from a trusted core, contamination proximity, expert
+    * finding). Convention: each seed carries unit mass 10^6; the
+    * restart term is 150000 for seeds and 0 elsewhere (total restart
+    * mass = 0.15·|S|·10^6 — scores are comparable WITHIN a run;
+    * normalize by |S| outside if cross-run comparison is needed).
+    * Same two shuffles per iteration, same pinned frames, same
+    * overflow-safe damping split; non-seed nodes unreachable from a
+    * seed hold rank 0 and are still emitted.
+    */
+  def personalizedPageRankInt(edges: DataFrame, srcCol: String,
+                              dstCol: String, seeds: DataFrame,
+                              seedCol: String,
+                              iters: Int = 3): RankResult = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("__seed", lit(1))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__seed"), lit(0)).as("__seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val restart = when(col("__seed") === 1, lit(150000L)).otherwise(lit(0L))
+    var pr = nodes.select(col("node"), col("__seed"),
+      when(col("__seed") === 1, lit(1000000L)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg.join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__insum"))
+      pr = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"), col("__seed"),
+          (restart +
+            expr("850000 * (coalesce(__insum, 0L) div 1000000) + " +
+              "850000 * (coalesce(__insum, 0L) % 1000000) div 1000000"))
+            .as("pr"))
+    }
+    RankResult(pr.select(col("node"), col("pr")), Seq(e, nodes, withDeg))
+  }
+
   /** First-class connected components over an arbitrary edge list —
     * the graph-analytics face of the same machinery `Dedup.dupClusters`
     * uses for duplicate-cluster resolution (pointer-jumped min-label

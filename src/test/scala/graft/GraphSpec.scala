@@ -118,6 +118,14 @@ class GraphSpec extends SparkSpec {
     assert(got == triCount.toMap)
   }
 
+  test("personalizedPageRankInt: hand iteration, restart only at seeds") {
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.personalizedPageRankInt(edges, "s", "t", seeds,
+      "seed", iters = 1).ranks.as[(Long, Long)].collect().toMap
+    // contribs from seed 1 (mass 10^6, outdeg 2): 500000 to 2 and 3
+    assert(got == Map(1L -> 150000L, 2L -> 425000L, 3L -> 425000L))
+  }
+
   test("labelPropagation: two cliques joined by a bridge separate") {
     // cliques {1,2,3} and {10,11,12}, bridge 3-10
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
