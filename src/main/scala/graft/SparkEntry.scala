@@ -714,6 +714,16 @@ object SparkEntry {
     "q_x_benford" -> ((s, d) =>
       Profile.benford(t(s, d, "lineitem"), "l_extendedprice")),
 
+    // drift report between two table snapshots (split halves stand
+    // in for ref/cur versions): which columns moved, by how much
+    "q_x_drift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profile.drift(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
     // feature-usefulness screen: which metadata predicts the label?
     // per-cell micro-nat rounding -> exact long sums -> one division
     "q_x_infogain" -> ((s, d) => {
@@ -2854,6 +2864,27 @@ object SparkEntry {
         "r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h), " +
         "s AS (SELECT grp, hv FROM r WHERE rn <= 128) " +
         "SELECT grp, count(*) AS n, max(hv) AS kth, round(CASE WHEN count(*) < 128 THEN count(*)::DOUBLE ELSE 127.0 * 1152921504606846976.0 / max(hv) END, 2) AS est FROM s GROUP BY 1"),
+
+    "q_x_drift" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def side(tag: String, pred: String) =
+        cols.map { c =>
+          s"SELECT '$c' AS column, count($c) AS n_$tag, " +
+            s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$tag, " +
+            s"count(DISTINCT $c) AS distinct_$tag, " +
+            s"round(avg($c), 4) AS mean_$tag, " +
+            s"round(quantile_cont($c, 0.5), 6) AS median_$tag " +
+            s"FROM lineitem WHERE $pred"
+        }.mkString(" UNION ALL ")
+      s"WITH r AS (${side("ref", "l_orderkey % 2 = 0")}), " +
+        s"c AS (${side("cur", "l_orderkey % 2 = 1")}) " +
+        "SELECT r.column, n_ref, null_ref, distinct_ref, mean_ref, median_ref, " +
+        "n_cur, null_cur, distinct_cur, mean_cur, median_cur, " +
+        "round(mean_cur - mean_ref, 4) AS mean_delta, " +
+        "round(median_cur - median_ref, 6) AS median_delta, " +
+        "CAST(round((mean_cur - mean_ref) / greatest(abs(mean_ref), 1e-9) * 1e6) AS BIGINT) AS rel_mean_shift_micro " +
+        "FROM r JOIN c ON r.column = c.column"
+    },
 
     "q_x_infogain" -> {
       def leg(name: String, fex: String) =

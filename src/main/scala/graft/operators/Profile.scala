@@ -318,6 +318,36 @@ object Profile {
         round(expr("percentile(__dev, 0.5D)"), 6).as("mad"))
   }
 
+  /** Column-level drift report between a reference snapshot and the
+    * current frame — the train/serve-skew and pipeline-regression
+    * screen (PSI answers "did ONE column's distribution move"; this
+    * answers "which columns moved at all, and how" across the table).
+    * Joins the two `numeric` profiles by column name and reports both
+    * sides plus deltas; `rel_mean_shift_micro` is the mean delta over
+    * the reference MAD-free scale max(|mean_ref|, 1e-9) in micro
+    * units — a unit-free sortable severity.
+    *
+    * Two single-pass profile aggregations (one per frame) + a
+    * columns-sized join: nothing here scales with rows beyond the
+    * profile scan. */
+  def drift(ref: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
+    val r = numeric(ref, cols).select(
+      col("column"), col("n").as("n_ref"),
+      col("n_null").as("null_ref"), col("n_distinct").as("distinct_ref"),
+      col("mean_v").as("mean_ref"), col("median_v").as("median_ref"))
+    val c = numeric(cur, cols).select(
+      col("column"), col("n").as("n_cur"),
+      col("n_null").as("null_cur"), col("n_distinct").as("distinct_cur"),
+      col("mean_v").as("mean_cur"), col("median_v").as("median_cur"))
+    r.join(c, "column")
+      .withColumn("mean_delta", round(col("mean_cur") - col("mean_ref"), 4))
+      .withColumn("median_delta",
+        round(col("median_cur") - col("median_ref"), 6))
+      .withColumn("rel_mean_shift_micro",
+        round((col("mean_cur") - col("mean_ref")) /
+          greatest(abs(col("mean_ref")), lit(1e-9)) * 1e6).cast("long"))
+  }
+
   /** Functional-dependency discovery for candidate column pairs:
     * does lhs → rhs hold, and if not, how badly? For each (lhs, rhs)
     * pair: `n_lhs` distinct lhs values, `n_violating` lhs values

@@ -359,4 +359,51 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") + count(plan, "BroadcastHashJoin")
       + count(plan, "ShuffledHashJoin") == 1, plan)
   }
+
+  test("mean-shift change points: both frames fold into ONE window pass") {
+    val df = (1 to 40).map(i => ("k", i.toLong, i * 1.0))
+      .toDF("key", "ord", "v")
+    val plan = graft.operators.Features.meanShiftPoints(df, Seq("key"),
+        "ord", "v", 4, 1000L, Seq(col("ord")))
+      .queryExecution.executedPlan.toString
+    assert(count(plan, "Window [") == 1, plan)
+    assert(count(plan, "Exchange") == 1, plan)
+  }
+
+  test("skyline2D: one range-frame window, one exchange, no join") {
+    val df = (1 to 40).map(i => ("g", (i % 7).toLong, i))
+      .toDF("k", "cost", "q")
+    val plan = graft.operators.Features.skyline2D(df, Seq("k"), "cost", "q")
+      .queryExecution.executedPlan.toString
+    assert(count(plan, "Window [") == 1, plan)
+    assert(count(plan, "Exchange") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("FS field weights: ONE table scan + ONE Expand serve all fields") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val cust = Tables.load(spark, dir, "customer")
+    val plan = graft.operators.Linkage.fieldWeights(cust,
+        Seq("bal" -> "cast(floor(c_acctbal / 100) as bigint)",
+          "tail" -> "substr(c_name, -2, 2)",
+          "mid" -> "substr(c_name, -4, 2)"))
+      .queryExecution.executedPlan.toString
+    assert(count(plan, "Expand") == 1, plan)
+    assert(count(plan, "Scan parquet") == 1, plan)
+  }
+
+  test("fellegiSunter: no cartesian on records (weight frames are 1-row)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val cust = Tables.load(spark, dir, "customer")
+    val plan = graft.operators.Linkage.fellegiSunter(cust, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"),
+        Seq("tail" -> "substr(c_name, -2, 2)"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the record-pair join is an equi-join on the block keys
+    assert(count(plan, "SortMergeJoin") + count(plan, "BroadcastHashJoin")
+      + count(plan, "ShuffledHashJoin") >= 1, plan)
+  }
 }

@@ -194,6 +194,18 @@ class ProfileSpec extends SparkSpec {
     assert(got("prio") == ((2L, 0L, 1L, 1))) // trivially holds
   }
 
+  test("drift: per-column deltas between snapshots, unit-free severity") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(2.0, 3.0, 4.0, 5.0).toDF("v")
+    val r = Profile.drift(ref, cur, Seq("v")).collect().head
+    val m = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(m("mean_ref") == 2.5 && m("mean_cur") == 3.5)
+    assert(m("mean_delta") == 1.0)
+    assert(m("median_delta") == 1.0)
+    // +1.0 over |2.5| = 400000 micro
+    assert(m("rel_mean_shift_micro") == 400000L)
+  }
+
   test("infoGain: perfect predictor recovers H(label); constant feature zero") {
     val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
       .toDF("f", "l")
