@@ -18,6 +18,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** DuckDB CTE chain ending in `base` = (doc_id, truth, pred) of the
+    * trained BoW classifier on the held-out split — shared by the
+    * q_c_bowlangid (confusion) and q_c_prf (per-class P/R/F1)
+    * oracles. */
+  private lazy val bowOracleBase: String =
+    s"tr AS (SELECT lang, unnest($toksSql) AS term FROM documents WHERE doc_id % 10 < 8), " +
+      "p AS (SELECT lang AS label, term, count(*) AS cnt FROM tr GROUP BY 1, 2), " +
+      "tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM p GROUP BY 1), " +
+      "lp AS (SELECT p.label, term, CAST(round(ln((cnt + 1)::DOUBLE / (n + v + 1)) * 1e6) AS BIGINT) AS lpm FROM p JOIN tot ON p.label = tot.label), " +
+      "oov AS (SELECT label, CAST(round(ln(1.0 / (n + v + 1)) * 1e6) AS BIGINT) AS ov FROM tot), " +
+      s"te AS (SELECT doc_id, unnest($toksSql) AS term FROM documents WHERE doc_id % 10 >= 8), " +
+      "pres AS (SELECT doc_id, label, CAST(sum(lpm) AS BIGINT) AS sp, count(*) AS np FROM te JOIN lp USING (term) GROUP BY 1, 2), " +
+      "lens AS (SELECT doc_id, count(*) AS len FROM te GROUP BY 1), " +
+      "sc AS (SELECT lens.doc_id, oov.label, coalesce(sp, 0) + (len - coalesce(np, 0)) * ov AS score FROM lens CROSS JOIN oov LEFT JOIN pres ON pres.doc_id = lens.doc_id AND pres.label = oov.label), " +
+      "win AS (SELECT doc_id, label AS pred FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc) WHERE rn = 1), " +
+      "base AS (SELECT d.doc_id, d.lang AS truth, coalesce(w.pred, (SELECT min(label) FROM tot)) AS pred FROM documents d LEFT JOIN win w ON d.doc_id = w.doc_id WHERE d.doc_id % 10 >= 8)"
+
   /** DuckDB CTE chain ending in `fs` = the FS pair-score table —
     * shared by the q_r_fs and q_r_erclust oracles. The double
     * constants are written as IEEE ops (CAST(1.0 AS DOUBLE) - CAST(
@@ -469,6 +486,14 @@ object SparkEntry {
     // ordered funnel: view -> click -> purchase, first-touch strict
     "q_e_funnel" -> ((s, d) =>
       Funnel.reached(t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // conversion-lag distribution per funnel transition (ms units
+    // before the percentile — the q_e_gaps determinism recipe)
+    "q_e_steplag" -> ((s, d) =>
+      Funnel.stepLags(
+        t(s, d, "events").withColumn("ts_ms", expr("ts div 1000000")),
+        "user_id", "ts_ms", "event_type",
         Seq("view", "click", "purchase"))),
 
     // per-type latency-style percentile table (exact percentile)
@@ -1476,6 +1501,18 @@ object SparkEntry {
         test, "doc_id", "lang")
     }),
 
+    // per-class P/R/F1 of the trained classifier on the held-out
+    // split — metrics as single divisions of exact counts
+    "q_c_prf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 10 < 8)
+      val test = docs.filter(col("doc_id") % 10 >= 8)
+      Classify.prfByClass(
+        Classify.classifyBow(test, "text", "doc_id",
+          Classify.trainBow(train, "text", "lang")),
+        test, "doc_id", "lang")
+    }),
+
     // temperature-scaled language mixing (alpha=0.5): rare languages
     // upweighted toward sqrt-proportional shares of a 300-doc target
     "q_x_tempmix" -> ((s, d) =>
@@ -2324,6 +2361,16 @@ object SparkEntry {
       ("WITH g AS (SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events) " +
         "SELECT user_id, round(quantile_cont(gap, 0.5), 6) AS p50, round(quantile_cont(gap, 0.95), 6) AS p95 FROM g WHERE gap IS NOT NULL GROUP BY 1"),
 
+    // same strict-sequence cascade as q_e_funnel, at ms granularity
+    "q_e_steplag" ->
+      ("WITH s0 AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "s1 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t1 FROM events e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND epoch_ms(e.ts) > t0 GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > t1 GROUP BY 1), " +
+        "l AS (SELECT 'view->click' AS transition, t1 - t0 AS lag_ms FROM s1 JOIN s0 USING (user_id) " +
+        "UNION ALL SELECT 'click->purchase', t2 - t1 FROM s2 JOIN s1 USING (user_id)) " +
+        "SELECT transition, count(*) AS n_converted, round(quantile_cont(lag_ms, 0.25), 6) AS p25, " +
+        "round(quantile_cont(lag_ms, 0.5), 6) AS p50, round(quantile_cont(lag_ms, 0.9), 6) AS p90 FROM l GROUP BY 1"),
+
     "q_e_newusers" ->
       ("WITH a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS bucket FROM events), " +
         "f AS (SELECT user_id, min(bucket) AS first FROM a GROUP BY 1) " +
@@ -3035,18 +3082,24 @@ object SparkEntry {
       "SELECT doc_id, n_chars, floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) / 5000)::BIGINT AS pack FROM documents",
 
     "q_c_bowlangid" ->
-      (s"WITH tr AS (SELECT lang, unnest($toksSql) AS term FROM documents WHERE doc_id % 10 < 8), " +
-        "p AS (SELECT lang AS label, term, count(*) AS cnt FROM tr GROUP BY 1, 2), " +
-        "tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM p GROUP BY 1), " +
-        "lp AS (SELECT p.label, term, CAST(round(ln((cnt + 1)::DOUBLE / (n + v + 1)) * 1e6) AS BIGINT) AS lpm FROM p JOIN tot ON p.label = tot.label), " +
-        "oov AS (SELECT label, CAST(round(ln(1.0 / (n + v + 1)) * 1e6) AS BIGINT) AS ov FROM tot), " +
-        s"te AS (SELECT doc_id, unnest($toksSql) AS term FROM documents WHERE doc_id % 10 >= 8), " +
-        "pres AS (SELECT doc_id, label, CAST(sum(lpm) AS BIGINT) AS sp, count(*) AS np FROM te JOIN lp USING (term) GROUP BY 1, 2), " +
-        "lens AS (SELECT doc_id, count(*) AS len FROM te GROUP BY 1), " +
-        "sc AS (SELECT lens.doc_id, oov.label, coalesce(sp, 0) + (len - coalesce(np, 0)) * ov AS score FROM lens CROSS JOIN oov LEFT JOIN pres ON pres.doc_id = lens.doc_id AND pres.label = oov.label), " +
-        "win AS (SELECT doc_id, label AS pred FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc) WHERE rn = 1), " +
-        "base AS (SELECT d.doc_id, d.lang AS truth, coalesce(w.pred, (SELECT min(label) FROM tot)) AS pred FROM documents d LEFT JOIN win w ON d.doc_id = w.doc_id WHERE d.doc_id % 10 >= 8) " +
+      (s"WITH $bowOracleBase " +
         "SELECT truth, pred, count(*) AS n FROM base GROUP BY 1, 2"),
+
+    // per-class precision/recall/F1 from the same trained-classifier
+    // replay — F1 computed directly from integer counts
+    // (2tp/(2tp+fp+fn)) so no rounded-value composition
+    "q_c_prf" ->
+      (s"WITH $bowOracleBase, " +
+        "cls AS (SELECT truth AS cls FROM base UNION SELECT pred FROM base), " +
+        "tpc AS (SELECT truth AS cls, count(*) AS tp FROM base WHERE truth = pred GROUP BY 1), " +
+        "tn AS (SELECT truth AS cls, count(*) AS n_truth FROM base GROUP BY 1), " +
+        "pn AS (SELECT pred AS cls, count(*) AS n_pred FROM base GROUP BY 1) " +
+        "SELECT cls, coalesce(n_truth, 0) AS n_truth, coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp, " +
+        "CASE WHEN coalesce(n_pred, 0) = 0 THEN 0 ELSE CAST(round(CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1e6) AS BIGINT) END AS precision_micro, " +
+        "CASE WHEN coalesce(n_truth, 0) = 0 THEN 0 ELSE CAST(round(CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1e6) AS BIGINT) END AS recall_micro, " +
+        "CASE WHEN 2 * coalesce(tp, 0) + (coalesce(n_pred, 0) - coalesce(tp, 0)) + (coalesce(n_truth, 0) - coalesce(tp, 0)) = 0 THEN 0 " +
+        "ELSE CAST(round(CAST(2 * coalesce(tp, 0) AS DOUBLE) / CAST(2 * coalesce(tp, 0) + (coalesce(n_pred, 0) - coalesce(tp, 0)) + (coalesce(n_truth, 0) - coalesce(tp, 0)) AS DOUBLE) * 1e6) AS BIGINT) END AS f1_micro " +
+        "FROM cls LEFT JOIN tpc USING (cls) LEFT JOIN tn USING (cls) LEFT JOIN pn USING (cls)"),
 
     "q_x_tempmix" ->
       ("WITH c AS (SELECT lang, count(*) AS n, CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS w FROM documents GROUP BY 1), " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
@@ -79,6 +79,46 @@ object Classify {
       .select(col(idCol),
         coalesce(col("pred"), col("__fc")).as("pred"),
         coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
+
+  /** Per-class precision / recall / F1 of [[classifyBow]] predictions
+    * against a truth column — the evaluation face of the trained
+    * classifier (confusion gives the matrix; this gives the headline
+    * numbers). F1 comes straight from integer counts
+    * (2tp / (2tp + fp + fn)), never from composed rounded values, so
+    * each metric is ONE division of exact longs. Classes appearing
+    * only as predictions (or only as truth) still get a row.
+    * Three count aggregations + a classes-sized join. */
+  def prfByClass(preds: DataFrame, truth: DataFrame, idCol: String,
+                 labelCol: String): DataFrame = {
+    val base = preds
+      .join(truth.select(col(idCol), col(labelCol).as("__truth")),
+        Seq(idCol))
+      .select(col("__truth").as("truth"), col("pred"))
+    val classes = base.select(col("truth").as("cls"))
+      .union(base.select(col("pred").as("cls"))).distinct()
+    val tp = base.filter(col("truth") === col("pred"))
+      .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("__tp"))
+    val tn = base.groupBy(col("truth").as("cls"))
+      .agg(count(lit(1)).as("__nt"))
+    val pn = base.groupBy(col("pred").as("cls"))
+      .agg(count(lit(1)).as("__np"))
+    val j = classes.join(tp, Seq("cls"), "left")
+      .join(tn, Seq("cls"), "left").join(pn, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("__nt"), lit(0L)).as("n_truth"),
+        coalesce(col("__np"), lit(0L)).as("n_pred"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+    def ratioMicro(num: Column, den: Column): Column =
+      when(den === 0, lit(0L)).otherwise(
+        round(num.cast("double") / den.cast("double") * 1e6)
+          .cast("long"))
+    j.select(col("cls"), col("n_truth"), col("n_pred"), col("tp"),
+      ratioMicro(col("tp"), col("n_pred")).as("precision_micro"),
+      ratioMicro(col("tp"), col("n_truth")).as("recall_micro"),
+      ratioMicro(lit(2) * col("tp"),
+        lit(2) * col("tp") + (col("n_pred") - col("tp")) +
+          (col("n_truth") - col("tp"))).as("f1_micro"))
   }
 
   /** Confusion matrix of [[classifyBow]] predictions against a truth

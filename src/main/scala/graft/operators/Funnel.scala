@@ -48,6 +48,46 @@ object Funnel {
     joined.select(col(userCol), stepsDone.as("steps_completed"))
   }
 
+  /** Conversion-lag distribution per funnel transition: users who
+    * complete step i → i+1 (same strict-sequence semantics as
+    * `reached`: each step's FIRST occurrence after the previous
+    * step's qualified time) contribute t_{i+1} − t_i. Output one row
+    * per transition: `n_converted`, `p25`/`p50`/`p90` lag.
+    *
+    * Pass timestamps in ms (the q_e_gaps determinism recipe: divide
+    * to coarse integer units BEFORE the percentile, so interpolated
+    * values stay within the 6-dp rounding's exact range). One
+    * aggregation per step plus a per-transition join of user-sized
+    * frames — no windows, no event-level joins. */
+  def stepLags(df: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "need at least one transition")
+    var prev: Option[DataFrame] = None
+    val stepFrames = steps.zipWithIndex.map { case (st, i) =>
+      val ev = df.filter(col(typeCol) === st).select(col(userCol), col(tsCol))
+      val cur = prev match {
+        case None =>
+          ev.groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
+        case Some(p) =>
+          ev.join(p, Seq(userCol))
+            .filter(col(tsCol) > col(s"__t${i - 1}"))
+            .groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
+      }
+      prev = Some(cur)
+      cur
+    }
+    val lags = steps.indices.tail.map { i =>
+      stepFrames(i).join(stepFrames(i - 1), Seq(userCol))
+        .select(lit(s"${steps(i - 1)}->${steps(i)}").as("transition"),
+          (col(s"__t$i") - col(s"__t${i - 1}")).as("lag_ms"))
+    }.reduce(_.unionAll(_))
+    lags.groupBy("transition").agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(lag_ms, 0.25D)"), 6).as("p25"),
+      round(expr("percentile(lag_ms, 0.5D)"), 6).as("p50"),
+      round(expr("percentile(lag_ms, 0.9D)"), 6).as("p90"))
+  }
+
   /** Cohort retention: bucket each user by their FIRST activity
     * period (`cohort`), then count distinct users active again at
     * each later offset — the classic retention triangle. `bucket`

@@ -58,4 +58,22 @@ class ClassifySpec extends SparkSpec {
     assert(conf.contains(("en", "en", 1L)) || conf.contains(("en", "en", 2L)))
     assert(conf.exists(c => c._1 == "es" && c._2 == "es"))
   }
+
+  test("prfByClass: hand-computed metrics, pred-only class gets a row") {
+    // truth: a a a b; pred: a b a c
+    val preds = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("id", "pred")
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("id", "lbl")
+    val got = Classify.prfByClass(preds, truth, "id", "lbl")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // a: truth 3, pred 2, tp 2 -> P 1.0, R 2/3, F1 4/5
+    assert(got("a") == ((3L, 2L, 2L, 1000000L, 666667L, 800000L)))
+    // b: truth 1, pred 1, tp 0 -> all zero
+    assert(got("b") == ((1L, 1L, 0L, 0L, 0L, 0L)))
+    // c: pred-only class still reported
+    assert(got("c") == ((0L, 1L, 0L, 0L, 0L, 0L)))
+  }
 }
