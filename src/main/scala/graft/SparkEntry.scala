@@ -1200,6 +1200,20 @@ object SparkEntry {
         keyCols = Seq("id_a", "id_b"))
     }),
 
+    // matryoshka truncation audit: top-3 by the FIRST 16 dims vs the
+    // full-dim exact top-3 — "how much recall does a 4× cheaper
+    // prefix embedding keep" (the MRL storage/latency trade)
+    "q_s_mrl" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 200)
+      val tr = emb.withColumn("emb16", slice(col("embedding"), 1, 16))
+      Similarity.recallReport(
+        Similarity.bruteForceTopK(tr, tr, "vec_id", "emb16", 3)
+          .select("query_id", "neighbor_id"),
+        Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+          .select("query_id", "neighbor_id"),
+        keyCols = Seq("query_id", "neighbor_id"))
+    }),
+
     // ---- §2.4 distincts ----
     "q_a3_distinct" -> ((s, d) =>
       t(s, d, "events").select("event_type").distinct()),
@@ -2832,6 +2846,16 @@ object SparkEntry {
 
     "q_s_recall" ->
       s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), approx AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2), exact AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM e a JOIN e c ON a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2) SELECT count(*) AS exact_count, CAST(count(ap.id_a) AS BIGINT) AS hit_count, count(ap.id_a) * 1.0 / count(*) AS recall FROM exact ex LEFT JOIN approx ap ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b",
+
+    "q_s_mrl" ->
+      (s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), " +
+        "t AS (SELECT vec_id, v[1:16] AS v16 FROM e), " +
+        s"ax AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosSql("a.v16", "b.v16")} DESC, b.vec_id) AS rk FROM t a JOIN t b ON a.vec_id <> b.vec_id), " +
+        "approx AS (SELECT query_id, neighbor_id FROM ax WHERE rk <= 3), " +
+        s"ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosSql("a.v", "b.v")} DESC, b.vec_id) AS rk FROM e a JOIN e b ON a.vec_id <> b.vec_id), " +
+        "exact AS (SELECT query_id, neighbor_id FROM ex WHERE rk <= 3) " +
+        "SELECT count(*) AS exact_count, CAST(count(ap.query_id) AS BIGINT) AS hit_count, count(ap.query_id) * 1.0 / count(*) AS recall " +
+        "FROM exact x LEFT JOIN approx ap ON x.query_id = ap.query_id AND x.neighbor_id = ap.neighbor_id"),
 
     "q_m_binary" ->
       s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents",
