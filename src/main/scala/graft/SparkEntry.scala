@@ -697,6 +697,21 @@ object SparkEntry {
       Intervals.closest(genes(s, d), segs(s, d), Seq("chrom"),
         "g_id", "g_start", "g_end", "s_id", "s_start", "s_end")),
 
+    // bedtools complement: uncovered gaps between merged islands
+    "q_j14_complement" -> ((s, d) =>
+      Intervals.complement(segs(s, d), Seq("chrom"),
+        "s_start", "s_end")),
+
+    // bedtools jaccard: intersection/union bp between two interval
+    // sets per chrom — islands first, exact longs, one division
+    "q_j15_ivjaccard" -> ((s, d) =>
+      Intervals.intervalJaccard(
+        genes(s, d).select(col("chrom"), col("g_start").as("istart"),
+          col("g_end").as("iend")),
+        segs(s, d).select(col("chrom"), col("s_start").as("istart"),
+          col("s_end").as("iend")),
+        Seq("chrom"), "istart", "iend")),
+
     // group-aware null imputation (nulls injected deterministically so
     // the oracle sees the same holes)
     "q_e_impute" -> ((s, d) =>
@@ -2579,6 +2594,35 @@ object SparkEntry {
 
     "q_j9_asof" ->
       "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts >= r.ts",
+
+    // island chain + lead(): gaps between covered runs
+    "q_j14_complement" ->
+      (s"WITH iv AS ($segsSql), " +
+        "o AS (SELECT chrom, s_start, s_end, max(s_end) OVER (PARTITION BY chrom ORDER BY s_start, s_end ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
+        "f AS (SELECT *, CASE WHEN prev_max IS NULL OR s_start > prev_max THEN 1 ELSE 0 END AS ni FROM o), " +
+        "i AS (SELECT *, sum(ni) OVER (PARTITION BY chrom ORDER BY s_start, s_end ROWS UNBOUNDED PRECEDING) AS island FROM f), " +
+        "isl AS (SELECT chrom, min(s_start) AS s, max(s_end) AS e FROM i GROUP BY chrom, island) " +
+        "SELECT chrom, e AS gap_start, ns AS gap_end FROM " +
+        "(SELECT chrom, e, lead(s) OVER (PARTITION BY chrom ORDER BY s) AS ns FROM isl) t WHERE ns IS NOT NULL"),
+
+    "q_j15_ivjaccard" -> {
+      def isl(src: String, sCol: String, eCol: String, out: String) =
+        s"o_$out AS (SELECT chrom, $sCol AS s0, $eCol AS e0, max($eCol) OVER (PARTITION BY chrom ORDER BY $sCol, $eCol ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM $src), " +
+          s"f_$out AS (SELECT *, CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END AS ni FROM o_$out), " +
+          s"g_$out AS (SELECT *, sum(ni) OVER (PARTITION BY chrom ORDER BY s0, e0 ROWS UNBOUNDED PRECEDING) AS island FROM f_$out), " +
+          s"$out AS (SELECT chrom, min(s0) AS s, max(e0) AS e FROM g_$out GROUP BY chrom, island)"
+      s"WITH ga AS ($genesSql), sb AS ($segsSql), " +
+        isl("ga", "g_start", "g_end", "ia") + ", " +
+        isl("sb", "s_start", "s_end", "ib") + ", " +
+        "bpa AS (SELECT chrom, CAST(sum(e - s) AS BIGINT) AS bp_a FROM ia GROUP BY 1), " +
+        "bpb AS (SELECT chrom, CAST(sum(e - s) AS BIGINT) AS bp_b FROM ib GROUP BY 1), " +
+        "inter AS (SELECT ia.chrom, CAST(sum(least(ia.e, ib.e) - greatest(ia.s, ib.s)) AS BIGINT) AS bp_inter FROM ia JOIN ib ON ia.chrom = ib.chrom AND ia.s < ib.e AND ib.s < ia.e GROUP BY 1) " +
+        "SELECT chrom, coalesce(bp_a, 0) AS bp_a, coalesce(bp_b, 0) AS bp_b, coalesce(bp_inter, 0) AS bp_inter, " +
+        "coalesce(bp_a, 0) + coalesce(bp_b, 0) - coalesce(bp_inter, 0) AS bp_union, " +
+        "CASE WHEN coalesce(bp_a, 0) + coalesce(bp_b, 0) - coalesce(bp_inter, 0) = 0 THEN 0 " +
+        "ELSE CAST(round(CAST(coalesce(bp_inter, 0) AS DOUBLE) / CAST(coalesce(bp_a, 0) + coalesce(bp_b, 0) - coalesce(bp_inter, 0) AS DOUBLE) * 1e6) AS BIGINT) END AS jaccard_micro " +
+        "FROM bpa FULL JOIN bpb USING (chrom) LEFT JOIN inter USING (chrom)"
+    },
 
     "q_j10_merge" ->
       (s"WITH iv AS ($segsSql), " +

@@ -54,6 +54,71 @@ object Intervals {
       .drop("__island")
   }
 
+  /** Interval complement (`bedtools complement`): the gaps BETWEEN
+    * merged islands per key, bounded by the key's own span (no
+    * genome-file universe: the first/last covered positions bound the
+    * report, so no gap is invented outside observed coverage).
+    * Collapse to islands, then one lead() per key — the gap between
+    * an island's end and the next island's start. Zero-length gaps
+    * (bookending islands cannot occur post-merge) are impossible by
+    * construction.
+    *
+    * Output: keys, `gap_start` (= island end, half-open), `gap_end`
+    * (= next island start). */
+  def complement(df: DataFrame, keys: Seq[String],
+                 start: String, end: String): DataFrame = {
+    val islands = mergeOverlaps(df, keys, start, end)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(start))
+    islands
+      .withColumn("__next_start", lead(col(start), 1).over(w))
+      .filter(col("__next_start").isNotNull)
+      .select(keys.map(col) :+ col(end).as("gap_start") :+
+        col("__next_start").as("gap_end"): _*)
+  }
+
+  /** Interval-set similarity (`bedtools jaccard`): intersection bp /
+    * union bp between two interval sets, per key. Both sides collapse
+    * to islands first; intersection bp comes from one overlap join of
+    * islands, union bp = bpA + bpB − intersection. All exact longs;
+    * the single ratio is one division in micro-units.
+    *
+    * Output per key: `bp_a`, `bp_b`, `bp_inter`, `bp_union`,
+    * `jaccard_micro`. Keys present in only one side report zero
+    * intersection. */
+  def intervalJaccard(a: DataFrame, b: DataFrame, keys: Seq[String],
+                      start: String, end: String): DataFrame = {
+    val ia = mergeOverlaps(a, keys, start, end)
+    val ib = mergeOverlaps(b, keys, start, end)
+    def bp(df: DataFrame, name: String) =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col(end) - col(start)).as(name))
+    val bpA = bp(ia, "bp_a")
+    val bpB = bp(ib, "bp_b")
+    val ja = ia.select(keys.map(col) :+ col(start).as("__sa") :+
+      col(end).as("__ea"): _*)
+    val jb = ib.select(keys.map(col) :+ col(start).as("__sb") :+
+      col(end).as("__eb"): _*)
+    val inter = ja.join(jb, keys)
+      .filter(col("__sa") < col("__eb") && col("__sb") < col("__ea"))
+      .select(keys.map(col) :+
+        (least(col("__ea"), col("__eb")) -
+          greatest(col("__sa"), col("__sb"))).as("__bp"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__bp")).as("bp_inter"))
+    bpA.join(bpB, keys.toSeq, "full_outer")
+      .join(inter, keys.toSeq, "left")
+      .select(keys.map(col) :+
+        coalesce(col("bp_a"), lit(0L)).as("bp_a") :+
+        coalesce(col("bp_b"), lit(0L)).as("bp_b") :+
+        coalesce(col("bp_inter"), lit(0L)).as("bp_inter"): _*)
+      .withColumn("bp_union",
+        col("bp_a") + col("bp_b") - col("bp_inter"))
+      .withColumn("jaccard_micro",
+        when(col("bp_union") === 0, lit(0L)).otherwise(
+          round(col("bp_inter").cast("double") /
+            col("bp_union").cast("double") * 1e6).cast("long")))
+  }
+
   /** Interval subtraction (`bedtools subtract`): the fragments of each
     * A interval left after carving out everything B covers.
     *

@@ -218,4 +218,30 @@ class IntervalJoinSpec extends SparkSpec {
       .as[Long].head()
     assert(total == expect)
   }
+
+  test("complement: gaps between islands, bounded by observed span") {
+    val iv = Seq(("c1", 0L, 10L), ("c1", 5L, 15L), ("c1", 30L, 40L),
+      ("c1", 50L, 60L), ("c2", 0L, 5L)).toDF("chrom", "s", "e")
+    val got = graft.operators.Intervals
+      .complement(iv, Seq("chrom"), "s", "e")
+      .as[(String, Long, Long)].collect().toSet
+    // c1 islands: [0,15) [30,40) [50,60) -> gaps [15,30) [40,50);
+    // c2 has one island -> no gap (nothing outside the span)
+    assert(got == Set(("c1", 15L, 30L), ("c1", 40L, 50L)))
+  }
+
+  test("intervalJaccard: hand bp arithmetic, one-sided keys zero out") {
+    val a = Seq(("c1", 0L, 10L), ("c1", 20L, 30L), ("c3", 0L, 5L))
+      .toDF("chrom", "s", "e")
+    val b = Seq(("c1", 5L, 25L), ("c2", 0L, 7L)).toDF("chrom", "s", "e")
+    val got = graft.operators.Intervals
+      .intervalJaccard(a, b, Seq("chrom"), "s", "e")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // c1: bp_a 20, bp_b 20, inter = [5,10)+[20,25) = 10, union 30
+    assert(got("c1") == ((20L, 20L, 10L, 30L, 333333L)))
+    assert(got("c2") == ((0L, 7L, 0L, 7L, 0L)))
+    assert(got("c3") == ((5L, 0L, 0L, 5L, 0L)))
+  }
 }
