@@ -45,9 +45,11 @@ object SparkEntry {
       "tail" -> "substr(c_name, -2, 2)",
       "mid" -> "substr(c_name, -4, 2)")
     val proj = fields.map { case (n, ex) => s"$ex AS f_$n" }.mkString(", ")
+    // non-null groups only in the numerator, clamped to [1, N²−1] —
+    // mirrors Linkage.fieldWeights exactly
     val us = fields.map { case (n, _) =>
-      s"(SELECT CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) " +
-        s"FROM (SELECT count(*) AS c FROM f GROUP BY f_$n) t_$n) AS u_$n"
+      s"(SELECT CAST(least(greatest(sum(CASE WHEN v IS NOT NULL THEN c * c ELSE 0 END), 1), sum(c) * sum(c) - 1) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) " +
+        s"FROM (SELECT f_$n AS v, count(*) AS c FROM f GROUP BY f_$n) t_$n) AS u_$n"
     }.mkString(", ")
     val ws = fields.map { case (n, _) =>
       s"CAST(round(ln(CAST(0.95 AS DOUBLE) / u_$n) * 1e6) AS BIGINT) AS wa_$n, " +

@@ -298,33 +298,11 @@ object Features {
     * edges are where false shifts live). One shuffle: both windows
     * share the (keys, order) partitioning.
     *
-    * Output: keys, orderCol, tiebreak cols untouched, `lsum_milli`,
-    * `rsum_milli` (the two window sums), `shift_milli` =
-    * (rSum−lSum)/k rounded to a long, `is_shift` int flag.
+    * Output: keys and orderCol, then `lsum_milli`, `rsum_milli`
+    * (the two window sums), `shift_milli` = (rSum−lSum)/k rounded to
+    * a long, `is_shift` int flag. The tiebreak columns only order the
+    * scan; they are not emitted.
     */
-  /** 2-D skyline (weak Pareto front) per group: keep rows not
-    * STRICTLY dominated — dominated means some other row in the group
-    * has `minCol` strictly smaller AND `maxCol` strictly larger (the
-    * quality-vs-cost frontier of corpus curation: cheapest documents
-    * at each quality level, best checkpoint per budget, …).
-    *
-    * Scale shape: ONE window per group — order by `minCol` with a
-    * RANGE frame ending at −1 (all rows with strictly smaller value;
-    * a ROW frame could not express the strictness under ties), take
-    * the running max of `maxCol`; a row survives iff no strictly-
-    * cheaper row beats its `maxCol`. The O(n²) dominance test
-    * becomes one sort + one scan; the NOT-EXISTS form is the oracle.
-    * `minCol` must be numeric (RANGE frame requirement). */
-  def skyline2D(df: DataFrame, keys: Seq[String], minCol: String,
-                maxCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(minCol).asc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__dommax", max(col(maxCol)).over(w))
-      .filter(col("__dommax").isNull || col(maxCol) >= col("__dommax"))
-      .drop("__dommax")
-  }
-
   def meanShiftPoints(df: DataFrame, keys: Seq[String], orderCol: String,
                       valueCol: String, k: Int, thresholdMilli: Long,
                       tiebreak: Seq[Column]): DataFrame = {
@@ -348,5 +326,40 @@ object Features {
             .cast("long")).as("shift_milli"),
           (abs(col("__rsum") - col("__lsum")) > lit(thresholdMilli) * k)
             .cast("int").as("is_shift")): _*)
+  }
+
+  /** 2-D skyline (weak Pareto front) per group: keep rows not
+    * STRICTLY dominated — dominated means some other row in the group
+    * has `minCol` strictly smaller AND `maxCol` strictly larger (the
+    * quality-vs-cost frontier of corpus curation: cheapest documents
+    * at each quality level, best checkpoint per budget, …).
+    *
+    * Scale shape: ONE window per group — order by `minCol` with a
+    * RANGE frame ending at −1 (all rows with strictly smaller value;
+    * a ROW frame could not express the strictness under ties), take
+    * the running max of `maxCol`; a row survives iff no strictly-
+    * cheaper row beats its `maxCol`. The O(n²) dominance test
+    * becomes one sort + one scan; the NOT-EXISTS form is the oracle.
+    *
+    * `minCol` must be an INTEGRAL column (enforced): the −1 frame
+    * boundary means "strictly smaller" only on integer domains — on
+    * a fractional column a dominator within (cur−1, cur) would fall
+    * outside the frame and dominated rows would survive. Convert
+    * money/floats to fixed-point units first (the `price_cents`
+    * pattern). */
+  def skyline2D(df: DataFrame, keys: Seq[String], minCol: String,
+                maxCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(minCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"skyline2D: minCol '$minCol' must be integral (got " +
+        s"${dt.simpleString}) — the RANGE -1 boundary is only a strict " +
+        "predecessor on integer domains; convert to fixed-point units first")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(minCol).asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__dommax", max(col(maxCol)).over(w))
+      .filter(col("__dommax").isNull || col(maxCol) >= col("__dommax"))
+      .drop("__dommax")
   }
 }

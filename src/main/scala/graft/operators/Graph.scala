@@ -35,8 +35,11 @@ object Graph {
     def unpersist(): Unit = pinned.foreach { f => f.unpersist(); () }
   }
 
-  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
-                  iters: Int = 3): RankResult = {
+  /** Shared power-iteration core for [[pageRankInt]] (every node is a
+    * restart target) and [[personalizedPageRankInt]] (only the seed
+    * set is). `seeds = None` marks all nodes seeded. */
+  private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int, seeds: Option[DataFrame]): RankResult = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -44,13 +47,20 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every iteration reads nodes and the degree-annotated edge list —
     // pin both so the loop's lineage starts at the cache, not the scan
-    val nodes = e.select(col("src").as("node"))
+    val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = (seeds match {
+      case None => allNodes.withColumn("__seed", lit(1))
+      case Some(sd) => allNodes
+        .join(sd.withColumn("__seed", lit(1)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(0)).as("__seed"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var pr = nodes.withColumn("pr", lit(1000000L))
+    val restart = when(col("__seed") === 1, lit(150000L)).otherwise(lit(0L))
+    var pr = nodes.select(col("node"), col("__seed"),
+      when(col("__seed") === 1, lit(1000000L)).otherwise(lit(0L)).as("pr"))
     for (_ <- 1 to iters) {
       val contribs = withDeg.join(pr, col("src") === col("node"))
         .select(col("dst"), expr("pr div outdeg").as("__c"))
@@ -61,14 +71,18 @@ object Graph {
       // ((850000·(q·10^6+r)) div 10^6 = 850000·q + (850000·r) div 10^6)
       // with every intermediate bounded by 850000·n
       pr = nodes.join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(150000L) +
+        .select(col("node"), col("__seed"),
+          (restart +
             expr("850000 * (coalesce(__insum, 0L) div 1000000) + " +
               "850000 * (coalesce(__insum, 0L) % 1000000) div 1000000"))
             .as("pr"))
     }
-    RankResult(pr, Seq(e, nodes, withDeg))
+    RankResult(pr.select(col("node"), col("pr")), Seq(e, nodes, withDeg))
   }
+
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                  iters: Int = 3): RankResult =
+    rankLoop(edges, srcCol, dstCol, iters, None)
 
   /** Personalized PageRank in the same integer micro-unit convention
     * as `pageRankInt`, with the restart mass pinned to a SEED set —
@@ -85,39 +99,9 @@ object Graph {
   def personalizedPageRankInt(edges: DataFrame, srcCol: String,
                               dstCol: String, seeds: DataFrame,
                               seedCol: String,
-                              iters: Int = 3): RankResult = {
-    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct().withColumn("__seed", lit(1))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .join(seedSet, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("__seed"), lit(0)).as("__seed"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withDeg = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val restart = when(col("__seed") === 1, lit(150000L)).otherwise(lit(0L))
-    var pr = nodes.select(col("node"), col("__seed"),
-      when(col("__seed") === 1, lit(1000000L)).otherwise(lit(0L)).as("pr"))
-    for (_ <- 1 to iters) {
-      val contribs = withDeg.join(pr, col("src") === col("node"))
-        .select(col("dst"), expr("pr div outdeg").as("__c"))
-        .groupBy("dst").agg(sum(col("__c")).as("__insum"))
-      pr = nodes.join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"), col("__seed"),
-          (restart +
-            expr("850000 * (coalesce(__insum, 0L) div 1000000) + " +
-              "850000 * (coalesce(__insum, 0L) % 1000000) div 1000000"))
-            .as("pr"))
-    }
-    RankResult(pr.select(col("node"), col("pr")), Seq(e, nodes, withDeg))
-  }
+                              iters: Int = 3): RankResult =
+    rankLoop(edges, srcCol, dstCol, iters,
+      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()))
 
   /** First-class connected components over an arbitrary edge list —
     * the graph-analytics face of the same machinery `Dedup.dupClusters`

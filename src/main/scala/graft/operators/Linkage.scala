@@ -55,22 +55,32 @@ object Linkage {
 
   /** Edit-similarity profile of the value space: each DISTINCT value
     * of `strCol` paired with its successor in sort order, scored by
-    * all four edit measures. The sorted-neighborhood shape (one
-    * window over the distinct-value frame — value-level like
-    * `FuzzyJoin.snmPairs`, so row count is vocabulary-sized) makes
-    * this a cheap data-quality report: near-identical adjacent keys
-    * are exactly where ID drift shows up.
+    * all five edit measures — a cheap data-quality report:
+    * near-identical adjacent keys are exactly where ID drift shows
+    * up. Adjacency comes from the range-partitioned global index
+    * (`Batching.partitionOffsets` — the `snmPairs` convention), so
+    * there is NO single-task global window: a registry-scale value
+    * space sorts in parallel and pairs by index join.
     *
     * Output: `s_a`, `s_b`, `jaro_micro`, `jw_micro` (round(sim*1e6)
     * as long — the integer-unit determinism recipe), `dl_dist`,
-    * `lev_dist`. The final row (no successor) is dropped.
+    * `lev_dist`, `toksort_micro`. The final value (no successor) is
+    * dropped.
     */
-  def neighborDistances(df: DataFrame, strCol: String): DataFrame = {
+  def neighborDistances(df: DataFrame, strCol: String,
+                        numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.select(col(strCol).cast("string").as("s_a")).distinct()
-      .withColumn("s_b", lead(col("s_a"), 1).over(
-        Window.orderBy("s_a")))
-      .where(col("s_b").isNotNull)
+    val base = df.select(col(strCol).cast("string").as("s_a"))
+      .filter(col("s_a").isNotNull).distinct()
+    val (withPid, offsetDf, _) = Batching.partitionOffsets(base,
+      Seq(col("s_a")), count(lit(1)), numPartitions)
+    val w = Window.partitionBy("__pid").orderBy(col("s_a"))
+    val idx = withPid.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("__idx", col("__offset") + row_number().over(w))
+      .select(col("s_a"), col("__idx"))
+    idx.join(
+        idx.select(col("s_a").as("s_b"),
+          (col("__idx") - 1).as("__idx")), Seq("__idx"))
       .select(col("s_a"), col("s_b"),
         round(jaroSim(col("s_a"), col("s_b")) * 1e6).cast("long")
           .as("jaro_micro"),
@@ -126,10 +136,21 @@ object Linkage {
         Seq(col(s"__f_$name"))
       }, fcols: _*)
       .agg(count(lit(1)).as("__c"), grouping_id().as("__gid"))
-    // k-row frame: (gid, u = sum(c^2)/N^2) — the same exact-integer
-    // ratio per field as the one-field-at-a-time form
+    // k-row frame: (gid, u) with u = Σ c_v² / N² over NON-NULL value
+    // groups only — scorePairs never lets null=null agree, so the
+    // null group must not contribute agreement mass (else weights on
+    // sparse fields are biased mild). The numerator is clamped into
+    // [1, N²−1] so a constant or all-null field yields finite
+    // weights instead of ln(0)/ln(∞); N keeps counting ALL records
+    // (null pairs are disagreeing pairs of the universe).
+    val ownNotNull = fieldExprs.zipWithIndex.map { case ((name, _), i) =>
+      (col("__gid") === gidOf(i)) && col(s"__f_$name").isNotNull
+    }.reduce(_ || _)
     val us = counts.groupBy(col("__gid"))
-      .agg((sum(col("__c") * col("__c")).cast("double") /
+      .agg((least(
+        greatest(sum(when(ownNotNull, col("__c") * col("__c"))
+          .otherwise(0L)), lit(1L)),
+        sum(col("__c")) * sum(col("__c")) - 1).cast("double") /
         (sum(col("__c")) * sum(col("__c"))).cast("double")).as("__u"))
     val urow = us.agg(
       max(when(col("__gid") === gidOf(0), col("__u")))
