@@ -415,6 +415,49 @@ object SparkEntry {
         "value", halfLife = 604800000000000L,
         refTs = 1767225600000000000L)),
 
+    // rolling 7-day distinct users per active day (the WAU curve):
+    // dedup to (user, day) once, constant fan-out explode, one
+    // count-distinct per day — no per-day rescans
+    "q_e_wau" -> ((s, d) =>
+      Features.rollingActive(t(s, d, "events"), "ts", "user_id",
+        bucketNs = 86400000000000L, window = 7)),
+
+    // Theil-Sen robust trend of daily volume per event type: median
+    // of pairwise slopes (documented exact leg, maxPoints-guarded)
+    "q_e_theilsen" -> ((s, d) =>
+      Features.theilSen(
+        t(s, d, "events")
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+          .agg(count(lit(1)).as("c")),
+        Seq("event_type"), "d", "c")),
+
+    // OLS trend of the same daily series: slope/intercept/r² from five
+    // exact long sums in ONE aggregation (the cheap non-robust twin)
+    "q_e_ols" -> ((s, d) =>
+      Features.olsTrend(
+        t(s, d, "events")
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+          .agg(count(lit(1)).as("c")),
+        Seq("event_type"), "d", "c")),
+
+    // lead/lag detection: cross-correlation of hourly click vs error
+    // volume at lags 0..6 hours (exact long moment sums per lag)
+    "q_e_ccf" -> ((s, d) =>
+      Features.crossCorrelation(
+        t(s, d, "events")
+          .groupBy(expr("ts div 3600000000000").as("h"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("y")),
+        "h", "x", "y", maxLag = 6)),
+
+    // hour-of-day seasonal profile per event type: per-position mean
+    // and population variance of per-day counts from exact sums
+    "q_e_seasonal" -> ((s, d) =>
+      Features.seasonalProfile(t(s, d, "events"), Seq("event_type"),
+        "ts", positionNs = 3600000000000L, periodNs = 86400000000000L)),
+
     // robust dispersion: exact median + MAD per event type
     "q_e_mad" -> ((s, d) =>
       Profile.madStats(t(s, d, "events"), Seq("event_type"), "value")),
@@ -1139,6 +1182,22 @@ object SparkEntry {
         .select(col("vec_id"), posexplode_outer(col("whitened")))
         .filter(col("pos").isNotNull)
         .withColumnRenamed("col", "value")),
+
+    // corpus outlier census: squared diagonal-Mahalanobis from the
+    // whitened vector, per-element micro-int squares -> exact long
+    // score, global top-25 via TakeOrdered
+    "q_s_outlier" -> ((s, d) =>
+      Similarity.outlierScores(t(s, d, "embeddings"), "vec_id",
+        "embedding", k = 25)),
+
+    // cluster-balanced prototype sampling: nearest-centroid assign
+    // (same seeds as q_s_ivf), keep the 10 most-central per cluster
+    "q_s_diverse" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.diverseSample(emb, "vec_id", "embedding",
+        Similarity.seedCentroids(emb, "vec_id", "embedding", 8),
+        perCluster = 10)
+    }),
 
     "q_s_hygiene" -> ((s, d) =>
       Similarity.vectorHygiene(t(s, d, "embeddings"), "embedding",
@@ -2409,6 +2468,44 @@ object SparkEntry {
         "CAST(sum(CASE WHEN bucket <> first THEN 1 ELSE 0 END) AS BIGINT) AS n_returning " +
         "FROM a JOIN f USING (user_id) GROUP BY 1"),
 
+    "q_e_wau" ->
+      ("WITH a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS b FROM events), " +
+        "o AS (SELECT DISTINCT b AS bucket FROM a), " +
+        "x AS (SELECT a.user_id, a.b + r.g AS bucket FROM a CROSS JOIN range(0, 7) r(g)) " +
+        "SELECT bucket, count(DISTINCT user_id) AS n_active FROM x JOIN o USING (bucket) GROUP BY 1"),
+
+    "q_e_theilsen" ->
+      ("WITH s AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d, count(*) AS c FROM events GROUP BY 1, 2), " +
+        "sz AS (SELECT event_type, count(*) AS n_points FROM s GROUP BY 1), " +
+        "p AS (SELECT a.event_type, (b.c - a.c)::DOUBLE / (b.d - a.d) AS slope FROM s a JOIN s b ON a.event_type = b.event_type AND a.d < b.d JOIN sz ON sz.event_type = a.event_type AND sz.n_points <= 1000), " +
+        "ag AS (SELECT event_type, count(*) AS n_pairs, CAST(round(quantile_cont(slope, 0.5) * 1e6) AS BIGINT) AS slope_micro FROM p GROUP BY 1) " +
+        "SELECT ag.event_type, n_points, n_pairs, slope_micro FROM ag JOIN sz USING (event_type)"),
+
+    "q_e_ols" ->
+      ("WITH s AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d, count(*) AS c FROM events GROUP BY 1, 2), " +
+        "ag AS (SELECT event_type, count(*) AS n, CAST(sum(d) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy, CAST(sum(d * c) AS BIGINT) AS sxy, CAST(sum(d * d) AS BIGINT) AS sxx, CAST(sum(c * c) AS BIGINT) AS syy FROM s GROUP BY 1), " +
+        "d2 AS (SELECT event_type, n, sx, sy, (n * sxx - sx * sx)::DOUBLE AS dx, (n * syy - sy * sy)::DOUBLE AS dy, (n * sxy - sx * sy)::DOUBLE AS cov FROM ag) " +
+        "SELECT event_type, n, " +
+        "CASE WHEN dx > 0 THEN CAST(round(cov / dx * 1e6) AS BIGINT) END AS slope_micro, " +
+        "CASE WHEN dx > 0 THEN CAST(round((sy::DOUBLE - cov / dx * sx) / n * 1e6) AS BIGINT) END AS intercept_micro, " +
+        "CASE WHEN dx > 0 AND dy > 0 THEN CAST(round(cov * cov / (dx * dy) * 1e6) AS BIGINT) END AS r2_micro " +
+        "FROM d2"),
+
+    "q_e_ccf" ->
+      ("WITH b AS (SELECT epoch_ns(ts) // 3600000000000 AS t, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS y FROM events GROUP BY 1), " +
+        "j AS (SELECT l.g AS lag, b.x, b2.y FROM b CROSS JOIN range(0, 7) l(g) JOIN b b2 ON b2.t = b.t + l.g), " +
+        "ag AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM j GROUP BY 1), " +
+        "d2 AS (SELECT lag, n, (n * sxx - sx * sx)::DOUBLE AS dx, (n * syy - sy * sy)::DOUBLE AS dy, (n * sxy - sx * sy)::DOUBLE AS cov FROM ag) " +
+        "SELECT lag::INT AS lag, n, CASE WHEN dx > 0 AND dy > 0 THEN CAST(round(cov / sqrt(dx * dy) * 1e6) AS BIGINT) END AS r_micro FROM d2"),
+
+    "q_e_seasonal" ->
+      ("WITH pp AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS period, (epoch_ns(ts) % 86400000000000) // 3600000000000 AS position, count(*) AS c FROM events GROUP BY 1, 2, 3), " +
+        "ag AS (SELECT event_type, position, count(*) AS n_periods, CAST(sum(c) AS BIGINT) AS total, CAST(sum(c * c) AS BIGINT) AS cc FROM pp GROUP BY 1, 2) " +
+        "SELECT event_type, position, n_periods, total, " +
+        "CAST(round(total::DOUBLE / n_periods * 1e6) AS BIGINT) AS mean_micro, " +
+        "CAST(round((cc::DOUBLE - total::DOUBLE * total / n_periods) / n_periods * 1e6) AS BIGINT) AS var_micro " +
+        "FROM ag"),
+
     "q_x_chi2" ->
       ("WITH obs AS (SELECT coalesce(source, '__null__') AS a, coalesce(lang, '__null__') AS b, count(*) AS o FROM documents GROUP BY 1, 2), " +
         "ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1), " +
@@ -2849,6 +2946,27 @@ object SparkEntry {
         "ms AS (SELECT pos, sv::DOUBLE / n / 1e6 AS m, sqrt(greatest((spp::DOUBLE - sv::DOUBLE * sv / n) / (n - 1) / 1e12, 0.0)) AS sd FROM st) " +
         "SELECT e.vec_id, (e.pos - 1)::INT AS pos, CASE WHEN ms.sd = 0.0 THEN 0.0 ELSE round((e.x - ms.m) / ms.sd, 6) + 0 END AS value " +
         "FROM e JOIN ms USING (pos)"),
+
+    // same whitening CTEs as q_s_whiten, then Σ round(z²·1e6) per
+    // vector and a global top-25
+    "q_s_outlier" ->
+      ("WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
+        "st AS (SELECT pos, count(*) AS n, sum(y) AS sv, sum(y * y) AS spp FROM (SELECT pos, CAST(round(x * 1e6) AS BIGINT) AS y FROM e) GROUP BY 1), " +
+        "ms AS (SELECT pos, sv::DOUBLE / n / 1e6 AS m, sqrt(greatest((spp::DOUBLE - sv::DOUBLE * sv / n) / (n - 1) / 1e12, 0.0)) AS sd FROM st), " +
+        "z AS (SELECT e.vec_id, CASE WHEN ms.sd = 0.0 THEN 0.0 ELSE round((e.x - ms.m) / ms.sd, 6) + 0 END AS v FROM e JOIN ms USING (pos)), " +
+        "sc AS (SELECT vec_id, CAST(sum(CAST(round(v * v * 1e6) AS BIGINT)) AS BIGINT) AS score_micro FROM z GROUP BY 1), " +
+        "r AS (SELECT vec_id, score_micro, row_number() OVER (ORDER BY score_micro DESC, vec_id) AS rank FROM sc) " +
+        "SELECT vec_id, score_micro, rank FROM r WHERE rank <= 25"),
+
+    // nearest-centroid assignment exactly as q_s_ivf's a0 CTE, then
+    // keep the 10 most-central members per cluster
+    "q_s_diverse" ->
+      (s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "ivfc AS (SELECT vec_id AS centroid_id, v AS cvec FROM e ORDER BY vec_id LIMIT 8), " +
+        s"a0 AS (SELECT vec_id, centroid_id, v, cvec FROM (SELECT e.vec_id, i.centroid_id, e.v, i.cvec, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosRawSql("e.v", "i.cvec")} DESC, i.centroid_id) AS rn FROM e CROSS JOIN ivfc i) WHERE rn = 1), " +
+        s"sc AS (SELECT centroid_id, vec_id, ${cosSql("v", "cvec")} AS cos FROM a0), " +
+        "r AS (SELECT centroid_id, vec_id, cos, row_number() OVER (PARTITION BY centroid_id ORDER BY cos DESC, vec_id) AS rank FROM sc) " +
+        "SELECT centroid_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
 
     "q_s_dimprofile" ->
       ("WITH p AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings) " +

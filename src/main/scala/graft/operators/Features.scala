@@ -362,4 +362,173 @@ object Features {
       .filter(col("__dommax").isNull || col(maxCol) >= col("__dommax"))
       .drop("__dommax")
   }
+
+  /** Rolling-window distinct actors (the WAU/MAU primitive): for each
+    * bucket (day) with any activity, the number of DISTINCT `actorCol`
+    * values active in the trailing `window` buckets [d-window+1, d].
+    *
+    * Scale shape: dedup to (actor, bucket) FIRST (one hash agg — the
+    * only pass over the raw corpus), then each active (actor, bucket)
+    * explodes to the `window` bucket-ends it contributes to (constant
+    * fan-out, map-side), then one count-distinct per bucket-end. No
+    * global window, no per-day rescans — the classic "count distinct
+    * over a sliding window" trap (one full scan per day) never
+    * appears. Emitted buckets are restricted to buckets that actually
+    * occur in the data (a semi join against the distinct-bucket
+    * frame), so an idle gap yields no row rather than a fabricated
+    * zero. Output: (bucket, n_active). */
+  def rollingActive(df: DataFrame, tsCol: String, actorCol: String,
+                    bucketNs: Long, window: Int): DataFrame = {
+    require(bucketNs > 0 && window > 0,
+      s"need positive bucketNs/window, got $bucketNs/$window")
+    val active = df.select(col(actorCol).as("__actor"),
+        expr(s"`$tsCol` div $bucketNs").as("__b"))
+      .distinct()
+    val observed = active.select(col("__b").as("bucket")).distinct()
+    active
+      .withColumn("bucket",
+        explode(sequence(col("__b"), col("__b") + (window - 1))))
+      .join(observed, Seq("bucket"), "left_semi")
+      .groupBy("bucket")
+      .agg(countDistinct(col("__actor")).as("n_active"))
+  }
+
+  /** Theil–Sen robust trend: per group, the MEDIAN of the pairwise
+    * slopes (y_j − y_i)/(x_j − x_i) over all point pairs with
+    * x_i < x_j. The estimator an anomaly-tolerant pipeline monitor
+    * uses where OLS would chase one bad day.
+    *
+    * O(n²) pairs per group by construction — this is the documented
+    * EXACT leg, guarded by `maxPoints` (default 1000 ⇒ ≤ ~500k pairs
+    * per group): callers with long series pre-aggregate to coarser
+    * buckets first (the same license as the exact dedup baselines).
+    * The pair join shuffles both sides on the group key only.
+    * Output: (keys..., n_points, n_pairs, slope_micro) with the
+    * median slope in integer micro-units (one rounding, no float
+    * composition). */
+  def theilSen(df: DataFrame, keys: Seq[String], xCol: String,
+               yCol: String, maxPoints: Int = 1000): DataFrame = {
+    val a = df.select(keys.map(col) :+ col(xCol).as("__x1") :+
+      col(yCol).as("__y1"): _*)
+    val b = df.select(keys.map(col) :+ col(xCol).as("__x2") :+
+      col(yCol).as("__y2"): _*)
+    val sizes = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_points"))
+    val guarded = sizes.filter(col("n_points") <= maxPoints)
+    val pairs = a.join(guarded.select(keys.map(col): _*), keys)
+      .join(b, keys)
+      .filter(col("__x1") < col("__x2"))
+      .withColumn("__slope",
+        (col("__y2") - col("__y1")).cast("double") /
+          (col("__x2") - col("__x1")).cast("double"))
+    pairs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__slope, 0.5)") * 1e6).cast("long")
+          .as("slope_micro"))
+      .join(sizes, keys)
+      .select(keys.map(col) :+ col("n_points") :+ col("n_pairs") :+
+        col("slope_micro"): _*)
+  }
+
+  /** Per-group ordinary-least-squares trend over integer-valued
+    * series: slope, intercept and r² from the five exact long sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) — ONE hash aggregation, no window,
+    * no second pass. x and y must be integral and small enough that
+    * Σxy fits a long (day indices × counts always are); the float
+    * math happens once per group on exact integers, so the result is
+    * bit-stable across partitionings and engines after micro
+    * rounding. Degenerate x-variance groups emit null slope/r².
+    * Output: (keys..., n, slope_micro, intercept_micro, r2_micro). */
+  def olsTrend(df: DataFrame, keys: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .withColumn("__dx", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double"))
+      .withColumn("__dy", (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double"))
+      .withColumn("__cov", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double"))
+      .withColumn("slope_micro", when(col("__dx") > 0,
+        round(col("__cov") / col("__dx") * 1e6).cast("long")))
+      .withColumn("intercept_micro", when(col("__dx") > 0,
+        round((col("sy").cast("double") - col("__cov") / col("__dx") *
+          col("sx")) / col("n") * 1e6).cast("long")))
+      .withColumn("r2_micro", when(col("__dx") > 0 && col("__dy") > 0,
+        round(col("__cov") * col("__cov") / (col("__dx") * col("__dy")) * 1e6)
+          .cast("long")))
+      .select(keys.map(col) :+ col("n") :+ col("slope_micro") :+
+        col("intercept_micro") :+ col("r2_micro"): _*)
+  }
+
+  /** Cross-correlation function between two integer-valued columns of
+    * one aligned series: Pearson r of (x_t, y_{t+lag}) for each lag in
+    * [0, maxLag]. Lead/lag detection between pipeline metrics ("errors
+    * rise 2 hours after deploys") without ever sorting globally: the
+    * lag alignment is an equi-join of the series against itself shifted
+    * by each lag (the lag set is a tiny literal explode), so the whole
+    * CCF is one join + one aggregation, both shuffled on the time key.
+    * All five moment sums are exact longs (integral inputs enforced by
+    * cast); r is computed once per lag from the exact sums.
+    * Output: (lag, n, r_micro) — r_micro null when either side is
+    * constant over the overlap. */
+  def crossCorrelation(df: DataFrame, tCol: String, xCol: String,
+                       yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val base = df.select(col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val lagged = base.select(explode(sequence(lit(0), lit(maxLag))).as("lag"),
+        col("__t"), col("__x"))
+      .withColumn("__tj", col("__t") + col("lag"))
+    val joined = lagged.join(
+      base.select(col("__t").as("__tj"), col("__y")), Seq("__tj"))
+    joined.groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"), sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .withColumn("__dx", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double"))
+      .withColumn("__dy", (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double"))
+      .withColumn("r_micro", when(col("__dx") > 0 && col("__dy") > 0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(col("__dx") * col("__dy")) * 1e6).cast("long")))
+      .select("lag", "n", "r_micro")
+  }
+
+  /** Seasonal (bucket-of-period) profile of an event stream: bucket
+    * counts by (key, period position) — e.g. hour-of-day — with the
+    * per-position mean and population variance of the per-period
+    * counts, from exact integer sums in one aggregation cascade
+    * (counts per (key, period, position), then moments per (key,
+    * position)). Positions a key never fires in produce no row (no
+    * fabricated zeros). The profile is what seasonality-aware anomaly
+    * detection compares a live hour against. Output: (keys...,
+    * position, n_periods, total, mean_micro, var_micro). */
+  def seasonalProfile(df: DataFrame, keys: Seq[String], tsCol: String,
+                      positionNs: Long, periodNs: Long): DataFrame = {
+    require(positionNs > 0 && periodNs > positionNs,
+      s"need 0 < positionNs < periodNs, got $positionNs/$periodNs")
+    val perPeriod = df
+      .withColumn("__period", expr(s"`$tsCol` div $periodNs"))
+      .withColumn("position",
+        expr(s"(`$tsCol` % $periodNs) div $positionNs"))
+      .groupBy(keys.map(col) :+ col("__period") :+ col("position"): _*)
+      .agg(count(lit(1)).as("__c"))
+    perPeriod.groupBy(keys.map(col) :+ col("position"): _*)
+      .agg(count(lit(1)).as("n_periods"), sum(col("__c")).as("total"),
+        sum(col("__c") * col("__c")).as("__cc"))
+      .withColumn("mean_micro",
+        round(col("total").cast("double") / col("n_periods") * 1e6)
+          .cast("long"))
+      .withColumn("var_micro",
+        round((col("__cc").cast("double") -
+          col("total").cast("double") * col("total") / col("n_periods")) /
+          col("n_periods") * 1e6).cast("long"))
+      .drop("__cc")
+  }
 }

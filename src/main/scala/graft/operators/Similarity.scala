@@ -429,6 +429,55 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Embedding outlier census: score = Σ z² over the diagonal-
+    * whitened vector (squared Mahalanobis under a diagonal covariance)
+    * — the "what does NOT belong in this corpus" screen run before
+    * training on scraped embeddings. Builds on `whiten` (dims-sized
+    * stats collect, map-only transform), so the corpus-sized work is
+    * one projection; the global top-`k` is a TakeOrdered (per-
+    * partition heaps + driver merge of k rows), never a full sort.
+    *
+    * Determinism: each whitened element is already rounded to 6 dp;
+    * its square goes to integer micro-units BEFORE the sum, so the
+    * score is an exact long no matter the fold order, and ranking
+    * ties break on the id. Output: (idCol, score_micro, rank). */
+  def outlierScores(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val scored = whiten(df, idCol, vecCol)
+      .select(col(idCol),
+        aggregate(col("whitened"), lit(0L),
+          (acc, v) => acc + round(v * v * 1e6).cast("long"))
+          .as("score_micro"))
+    val ranked = scored
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(k)
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(col("score_micro").desc,
+        col(idCol).asc)))
+  }
+
+  /** Cluster-balanced prototype sampling: assign every vector to its
+    * nearest centroid, keep the `perCluster` most-central members of
+    * EACH cluster — the coverage-preserving downsample ("keep every
+    * mode of the distribution, drop the bulk") that plain uniform
+    * sampling gets wrong on skewed corpora. One broadcast k-way
+    * assignment pass + one per-cluster window (partitioned on
+    * centroid — k partitions, each bounded by the cluster size).
+    * Similarity is rounded to 6 dp before ranking and ties break on
+    * the id, so the kept set is engine-stable.
+    * Output: (centroid_id, idCol, cos, rank). */
+  def diverseSample(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, perCluster: Int): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .withColumn("cos", round(cosine(col("__v"), col("cvec")), 6))
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    assigned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("centroid_id"), col(idCol), col("cos"), col("rank"))
+  }
+
   /** ANN via SRP buckets + exact re-rank inside each bucket, with the
     * same skew guardrails as `Dedup.minhashLshCandidates`: buckets
     * past `maxBucket` members are excluded from pairing — otherwise

@@ -563,4 +563,103 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2) < 1000000L && got(2) > 800000L) // 1 edit of 10 chars
     assert(got(3) == 1000000L) // both empty
   }
+
+  test("rollingActive: trailing-window distinct, idle buckets emit nothing") {
+    // user 1 active day 0 and 2; user 2 active day 0; day 5 idle but
+    // user 3 fires day 10 (far gap -> day 10 window sees only itself)
+    val df = Seq((1L, 0L), (1L, 2L), (2L, 0L), (2L, 0L), (3L, 10L))
+      .toDF("u", "d").withColumn("ts", col("d") * 10L)
+    val got = Features.rollingActive(df, "ts", "u", bucketNs = 10L,
+      window = 3).as[(Long, Long)].collect().toMap
+    // observed buckets: 0, 2, 10 only (3..4 inside windows but idle);
+    // bucket 2's trailing window holds users {1, 2}
+    assert(got == Map(0L -> 2L, 2L -> 2L, 10L -> 1L))
+  }
+
+  test("theilSen: median slope shrugs off one outlier point") {
+    // y = 2x except one wild point; OLS would tilt, the median holds
+    val df = (Seq.tabulate(9)(i => ("k", i.toLong, 2L * i)) :+
+      (("k", 9L, 500L))).toDF("k", "x", "y")
+    val ts = Features.theilSen(df, Seq("k"), "x", "y").collect().head
+    assert(ts.getAs[Long]("n_points") == 10L)
+    assert(ts.getAs[Long]("n_pairs") == 45L)
+    assert(ts.getAs[Long]("slope_micro") == 2000000L)
+    // maxPoints guard: a group past the cap disappears, others stay
+    val guarded = Features.theilSen(df, Seq("k"), "x", "y", maxPoints = 5)
+    assert(guarded.count() == 0L)
+  }
+
+  test("olsTrend: exact line recovered; constant-x group goes null") {
+    val df = Seq(("a", 0L, 3L), ("a", 1L, 5L), ("a", 2L, 7L),
+      ("b", 4L, 1L), ("b", 4L, 9L)).toDF("k", "x", "y")
+    val got = Features.olsTrend(df, Seq("k"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Long]("slope_micro") == 2000000L)
+    assert(got("a").getAs[Long]("intercept_micro") == 3000000L)
+    assert(got("a").getAs[Long]("r2_micro") == 1000000L)
+    assert(got("b").isNullAt(got("b").fieldIndex("slope_micro")))
+  }
+
+  test("crossCorrelation: shifted copy peaks exactly at its lag") {
+    // y is x delayed by 2 ticks -> r=1 at lag 2, weaker elsewhere
+    val xs = Seq(1L, 5L, 2L, 8L, 3L, 9L, 4L, 7L, 6L, 2L)
+    val rows = xs.indices.map { i =>
+      (i.toLong, xs(i), if (i >= 2) xs(i - 2) else 0L)
+    }
+    val df = rows.toDF("t", "x", "y")
+    val got = Features.crossCorrelation(df, "t", "x", "y", maxLag = 3)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("r_micro")).toMap
+    assert(got(2) == 1000000L)
+    assert(got.keySet == Set(0, 1, 2, 3))
+    assert(got.filterNot(_._1 == 2).values.forall(_ < 1000000L))
+  }
+
+  test("seasonalProfile: per-position mean/variance from exact sums") {
+    // period 10, position width 5 -> 2 positions; position 0 fires in
+    // both periods (counts 2 and 3), position 1 once per period (1, 1)
+    val ts = Seq(0L, 1L, 12L, 13L, 14L, 15L, 7L).map(("k", _))
+    val df = ts.toDF("k", "ts")
+    val got = Features.seasonalProfile(df, Seq("k"), "ts",
+      positionNs = 5L, periodNs = 10L).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    val p0 = got(0L)
+    assert(p0.getAs[Long]("n_periods") == 2L)
+    assert(p0.getAs[Long]("total") == 5L)
+    assert(p0.getAs[Long]("mean_micro") == 2500000L)
+    assert(p0.getAs[Long]("var_micro") == 250000L) // ((4+9)-12.5)/2
+    val p1 = got(1L)
+    assert(p1.getAs[Long]("n_periods") == 2L && p1.getAs[Long]("total") == 2L)
+    assert(p1.getAs[Long]("var_micro") == 0L)
+  }
+
+  test("outlierScores: the planted far-out vector ranks first") {
+    val base = Seq.tabulate(20)(i =>
+      (i.toLong, Array(0.0 + (i % 3), 1.0 - (i % 2))))
+    val wild = (99L, Array(100.0, -100.0))
+    val df = (base :+ wild).toDF("vec_id", "embedding")
+    val got = Similarity.outlierScores(df, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(got.head.getLong(0) == 99L)
+    assert(got.head.getAs[Int]("rank") == 1)
+    assert(got.length == 3)
+    // scores are non-increasing down the ranking
+    val scores = got.map(_.getAs[Long]("score_micro"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+  }
+
+  test("diverseSample: every cluster keeps at most perCluster, centroids self-rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), // the 2 seeds
+      (2L, Array(0.9, 0.1)), (3L, Array(0.8, 0.2)), (4L, Array(0.95, 0.05)),
+      (5L, Array(0.1, 0.9)), (6L, Array(0.2, 0.8))).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding", 2)
+    val got = Similarity.diverseSample(vecs, "vec_id", "embedding",
+      cents, perCluster = 2).collect()
+    val byCluster = got.groupBy(_.getLong(0))
+    assert(byCluster.keySet == Set(0L, 1L))
+    assert(byCluster.values.forall(_.length == 2))
+    // each seed is its own cluster's rank-1 member (cos = 1 with itself)
+    assert(byCluster(0L).find(_.getAs[Int]("rank") == 1).get.getLong(1) == 0L)
+    assert(byCluster(1L).find(_.getAs[Int]("rank") == 1).get.getLong(1) == 1L)
+  }
 }
