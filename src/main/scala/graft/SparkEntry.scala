@@ -458,6 +458,12 @@ object SparkEntry {
       Features.seasonalProfile(t(s, d, "events"), Seq("event_type"),
         "ts", positionNs = 3600000000000L, periodNs = 86400000000000L)),
 
+    // inter-arrival burstiness per user: CV of ms gaps from exact
+    // moments (decimal Σg² — month-long gaps square past a long)
+    "q_e_burst" -> ((s, d) =>
+      Features.burstiness(t(s, d, "events"), "user_id", "ts",
+        tieCols = Seq("event_id"))),
+
     // robust dispersion: exact median + MAD per event type
     "q_e_mad" -> ((s, d) =>
       Profile.madStats(t(s, d, "events"), Seq("event_type"), "value")),
@@ -852,6 +858,16 @@ object SparkEntry {
     "q_t_quality" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TF.qualityScore(col("text")).as("quality"))),
+
+    // vocabulary coverage curve: token-stream share of the top
+    // 100/1000/10000 types (tokenizer sizing)
+    "q_t_vocabcov" -> ((s, d) =>
+      Tfidf.vocabCoverage(t(s, d, "documents"), "text",
+        Seq(100, 1000, 10000))),
+
+    // chars-per-token fertility by language (tokenizer equity)
+    "q_t_fertility" -> ((s, d) =>
+      Tfidf.tokenFertility(t(s, d, "documents"), "text", "lang")),
 
     // character-distribution entropy screen (map-only, no shuffle)
     "q_t_entropy" -> ((s, d) =>
@@ -1417,6 +1433,34 @@ object SparkEntry {
       Sampling.assignSplit(t(s, d, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+
+    // leakage-free split: every source's documents land in ONE split
+    // (keyed on the group hash, not the row hash)
+    "q_x_groupsplit" -> ((s, d) =>
+      Sampling.groupAwareSplit(t(s, d, "documents"), "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))),
+
+    // exact tie-aware ROC AUC: does transaction value predict a
+    // purchase? (Mann-Whitney U in exact longs, scalable prefix sum)
+    "q_x_auc" -> ((s, d) =>
+      Classify.auc(t(s, d, "events"), "value",
+        col("event_type") === "purchase")),
+
+    // reliability diagram: the heuristic quality score as a predictor
+    // of English documents, 10 equal-width bins
+    "q_x_calib" -> ((s, d) =>
+      Classify.calibrationBins(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("score")),
+        "score", col("lang") === "en", bins = 10)),
+
+    // k-anonymity census over (nation, market segment) QIDs
+    "q_x_kanon" -> ((s, d) =>
+      Validate.kAnonymity(t(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)),
 
     "q_x_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "source",
@@ -2451,6 +2495,12 @@ object SparkEntry {
       ("WITH g AS (SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events) " +
         "SELECT user_id, round(quantile_cont(gap, 0.5), 6) AS p50, round(quantile_cont(gap, 0.95), 6) AS p95 FROM g WHERE gap IS NOT NULL GROUP BY 1"),
 
+    "q_e_burst" ->
+      ("WITH g AS (SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events), " +
+        "ag AS (SELECT user_id, count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS s1, sum(gap * gap) AS s2 FROM g WHERE gap IS NOT NULL GROUP BY 1) " +
+        "SELECT user_id, n_gaps, CAST(round(s1::DOUBLE / n_gaps * 1e6) AS BIGINT) AS mean_gap_ms_micro, " +
+        "CASE WHEN n_gaps > 1 AND s1 > 0 THEN CAST(round(sqrt((s2::DOUBLE - s1::DOUBLE * s1 / n_gaps) / n_gaps) / (s1::DOUBLE / n_gaps) * 1e6) AS BIGINT) END AS cv_micro FROM ag"),
+
     // same strict-sequence cascade as q_e_funnel, at ms granularity
     "q_e_steplag" ->
       ("WITH s0 AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1), " +
@@ -2818,6 +2868,19 @@ object SparkEntry {
     "q_t_quality" ->
       s"WITH q AS (SELECT doc_id, len($toksSql)::DOUBLE AS nw, len(list_filter($toksSql, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, $punctSql AS pr FROM documents) SELECT doc_id, round((least(nw / 100.0, 1.0) + least(hits / greatest(nw, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS quality FROM q",
 
+    "q_t_vocabcov" ->
+      (s"WITH tk AS (SELECT unnest($toksSql) AS term FROM documents), " +
+        "c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1), " +
+        "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM c), " +
+        "n AS (SELECT unnest([100, 1000, 10000]) AS top_n), " +
+        "ag AS (SELECT top_n, count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS total_tokens, CAST(sum(CASE WHEN rk <= top_n THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens FROM r CROSS JOIN n GROUP BY 1) " +
+        "SELECT top_n, n_terms, total_tokens, covered_tokens, CAST(round(covered_tokens::DOUBLE / total_tokens * 1e6) AS BIGINT) AS coverage_micro FROM ag"),
+
+    "q_t_fertility" ->
+      (s"WITH f AS (SELECT lang, len($toksSql)::BIGINT AS nt, length(text)::BIGINT AS nc FROM documents), " +
+        "ag AS (SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars FROM f GROUP BY 1) " +
+        "SELECT lang, n_docs, n_tokens, n_chars, CASE WHEN n_tokens > 0 THEN CAST(round(n_chars::DOUBLE / n_tokens * 1e6) AS BIGINT) END AS chars_per_token_micro FROM ag"),
+
     "q_t_winnow" ->
       (s"WITH $winnowCtes " +
         "SELECT DISTINCT doc_id, CAST(i + jmax - 1 AS BIGINT) AS pos, fp FROM r"),
@@ -3166,6 +3229,30 @@ object SparkEntry {
 
     "q_x_split" ->
       s"SELECT doc_id, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents",
+
+    "q_x_groupsplit" ->
+      (s"WITH a AS (SELECT source, CASE WHEN substr(md5(source), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(source), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents) " +
+        "SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources FROM a GROUP BY 1"),
+
+    "q_x_auc" ->
+      ("WITH b AS (SELECT value AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events WHERE value IS NOT NULL), " +
+        "g AS (SELECT s, CAST(sum(p) AS BIGINT) AS n1, CAST(sum(1 - p) AS BIGINT) AS n0 FROM b GROUP BY 1), " +
+        "c AS (SELECT n1, n0, CAST(coalesce(sum(n0) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c0 FROM g), " +
+        "t AS (SELECT CAST(sum(n1) AS BIGINT) AS n_pos, CAST(sum(n0) AS BIGINT) AS n_neg, sum(n1 * (2 * c0 + n0)) AS u2 FROM c) " +
+        "SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 THEN CAST(round(u2::DOUBLE / (2.0 * n_pos * n_neg) * 1e6) AS BIGINT) END AS auc_micro FROM t"),
+
+    "q_x_calib" ->
+      (s"WITH q0 AS (SELECT doc_id, lang, len($toksSql)::DOUBLE AS nw, len(list_filter($toksSql, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, $punctSql AS pr FROM documents), " +
+        "q AS (SELECT doc_id, lang, round((least(nw / 100.0, 1.0) + least(hits / greatest(nw, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS score FROM q0), " +
+        "b AS (SELECT min(score)::DOUBLE AS lo, max(score)::DOUBLE AS hi FROM q), " +
+        "bn AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(floor((score - lo) * 10 / (hi - lo)), 9) END::BIGINT AS bin, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p, CAST(round(score * 1e6) AS BIGINT) AS sm FROM q CROSS JOIN b), " +
+        "ag AS (SELECT bin, count(*) AS n, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(sm) AS BIGINT) AS ssum FROM bn GROUP BY 1), " +
+        "m AS (SELECT bin, n, n_pos, CAST(round(ssum::DOUBLE / n) AS BIGINT) AS mean_score_micro, CAST(round(n_pos::DOUBLE / n * 1e6) AS BIGINT) AS pos_rate_micro FROM ag) " +
+        "SELECT bin, n, n_pos, mean_score_micro, pos_rate_micro, abs(mean_score_micro - pos_rate_micro) AS gap_micro FROM m"),
+
+    "q_x_kanon" ->
+      ("WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz FROM customer GROUP BY 1, 2) " +
+        "SELECT sz AS class_size, count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows, CASE WHEN sz < 5 THEN 1 ELSE 0 END AS violates FROM g GROUP BY 1"),
 
     "q_x_stratified" ->
       s"SELECT doc_id, source FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 8) < (CASE WHEN source = 'src0' THEN '${Sampling.thresholdHex(0.9)}' WHEN source = 'src1' THEN '${Sampling.thresholdHex(0.5)}' ELSE '${Sampling.thresholdHex(0.1)}' END)",

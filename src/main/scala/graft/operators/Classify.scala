@@ -128,4 +128,85 @@ object Classify {
     preds.join(truth.select(col(idCol), col(truthCol).as("truth")),
         Seq(idCol.toString))
       .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+
+  /** Exact tie-aware ROC AUC of a numeric score against a boolean
+    * label — the threshold-free quality number for any learned
+    * data-selection score (quality model, dedup score, toxicity
+    * screen). AUC = P(score⁺ > score⁻) + ½P(tie), computed from the
+    * Mann-Whitney U statistic in EXACT integer arithmetic: group to
+    * distinct score values (n₁, n₀ per value), prefix-sum the
+    * negatives below each value, then U·2 = Σ n₁·(2·C₀ + n₀) — all
+    * longs, one float division at the very end.
+    *
+    * Scale shape: the corpus-sized work is one hash aggregation to
+    * distinct scores. The prefix sum uses the `partitionOffsets`
+    * skeleton (range-repartition + per-partition offsets — metadata
+    * collect, never data), NOT a single-task global window, so a
+    * billion distinct scores still spread across the cluster. U·2
+    * accumulates as decimal(38,0): at 10¹² rows U ~ n²/4 ~ 10²³
+    * overflows a long; decimal stays exact and one cast to double at
+    * the end is the only rounding. Output: one row
+    * (n_pos, n_neg, auc_micro); auc_micro null when either class is
+    * empty. */
+  def auc(df: DataFrame, scoreCol: String, positive: Column): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("__s"),
+        when(positive, 1L).otherwise(0L).as("__p"))
+    val byScore = base.groupBy("__s")
+      .agg(sum(col("__p")).as("__n1"), sum(lit(1L) - col("__p")).as("__n0"))
+    val (withPid, offsets, _) = Batching.partitionOffsets(byScore,
+      Seq(col("__s")), coalesce(sum(col("__n0")), lit(0L)), 0)
+    val w = Window.partitionBy("__pid").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = withPid.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__c0",
+        col("__offset") + sum(col("__n0")).over(w) - col("__n0"))
+      .select((col("__n1") * (lit(2L) * col("__c0") + col("__n0")))
+        .cast("decimal(38,0)").as("__u2"),
+        col("__n1"), col("__n0"))
+    terms
+      .agg(sum(col("__n1")).as("n_pos"), sum(col("__n0")).as("n_neg"),
+        sum(col("__u2")).as("__u2s"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u2s").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")) * 1e6).cast("long"))
+          .as("auc_micro"))
+  }
+
+  /** Reliability diagram (calibration bins): equal-width bins over the
+    * observed score range — identical bin-edge semantics to
+    * `Profile.histogram` — with the per-bin positive rate and mean
+    * score, both from exact integer sums (scores in micro-units before
+    * summing, so partial-aggregation order can't leak). A
+    * well-calibrated score has mean_score ≈ pos_rate per bin; the gap
+    * column is the per-bin calibration error. One extrema pass + one
+    * hash aggregation. Output: (bin, n, n_pos, mean_score_micro,
+    * pos_rate_micro, gap_micro). */
+  def calibrationBins(df: DataFrame, scoreCol: String, positive: Column,
+                      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val nonNull = df.filter(col(scoreCol).isNotNull)
+    val b = nonNull.agg(min(col(scoreCol)).cast("double").as("__lo"),
+      max(col(scoreCol)).cast("double").as("__hi"))
+    nonNull.crossJoin(broadcast(b))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col(scoreCol) - col("__lo")) * bins /
+              (col("__hi") - col("__lo"))),
+            lit(bins - 1L))))
+      .withColumn("__p", when(positive, 1L).otherwise(0L))
+      .withColumn("__sm", round(col(scoreCol) * 1e6).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"),
+        sum(col("__sm")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__ssum").cast("double") / col("n")).cast("long")
+          .as("mean_score_micro"),
+        round(col("n_pos").cast("double") / col("n") * 1e6).cast("long")
+          .as("pos_rate_micro"))
+      .withColumn("gap_micro",
+        abs(col("mean_score_micro") - col("pos_rate_micro")))
+  }
 }

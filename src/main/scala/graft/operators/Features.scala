@@ -500,6 +500,38 @@ object Features {
       .select("lag", "n", "r_micro")
   }
 
+  /** Inter-arrival burstiness per actor: coefficient of variation of
+    * the gaps between consecutive events — CV ≈ 1 is Poisson, ≫ 1 is
+    * bursty (bot bursts, batch ingests), ≪ 1 is metronomic (cron).
+    * Gaps are exact epoch-ms longs from one per-actor lag window; the
+    * Σg² accumulator is decimal(38,0) (a month-long gap squares to
+    * ~7·10¹⁸ — past a long), so the moments are exact at any history
+    * length and the float math happens once per actor. Output:
+    * (actorCol, n_gaps, mean_gap_ms_micro, cv_micro); cv null for
+    * actors with <2 gaps or zero mean. */
+  def burstiness(df: DataFrame, actorCol: String, tsCol: String,
+                 tieCols: Seq[String] = Seq.empty): DataFrame = {
+    val gaps = df
+      .withColumn("__ms", expr(s"`$tsCol` div 1000000"))
+      .withColumn("__gap", col("__ms") - lag(col("__ms"), 1).over(
+        Window.partitionBy(actorCol)
+          .orderBy((col("__ms") +: tieCols.map(col)): _*)))
+      .filter(col("__gap").isNotNull)
+    gaps.groupBy(col(actorCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("__s1"),
+        sum((col("__gap") * col("__gap")).cast("decimal(38,0)"))
+          .as("__s2"))
+      .select(col(actorCol), col("n_gaps"),
+        round(col("__s1").cast("double") / col("n_gaps") * 1e6)
+          .cast("long").as("mean_gap_ms_micro"),
+        when(col("n_gaps") > 1 && col("__s1") > 0,
+          round(sqrt((col("__s2").cast("double") -
+            col("__s1").cast("double") * col("__s1") / col("n_gaps")) /
+            col("n_gaps")) /
+            (col("__s1").cast("double") / col("n_gaps")) * 1e6)
+            .cast("long")).as("cv_micro"))
+  }
+
   /** Seasonal (bucket-of-period) profile of an event stream: bucket
     * counts by (key, period position) — e.g. hour-of-day — with the
     * per-position mean and population variance of the per-period

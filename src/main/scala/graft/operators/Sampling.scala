@@ -131,6 +131,22 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Group-aware split: like [[assignSplit]] but keyed on a GROUP
+    * column instead of the row id, so every row of a group (all docs
+    * from one source, all events of one user) lands in the SAME split
+    * — the leakage guard for train/test separation when near-duplicate
+    * or correlated rows cluster within groups. Fractions apply to the
+    * GROUP hash space, so splits are proportional in groups, not rows
+    * — skewed group sizes skew row counts (that is the price of zero
+    * leakage; re-weight downstream if row balance matters). Null
+    * groups fall into the last split (null hash fails every
+    * threshold), matching the SQL CASE. Map-only — no shuffle at
+    * all. */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+                      splits: Seq[(String, Double)], salt: String = "",
+                      splitCol: String = "split"): DataFrame =
+    assignSplit(df, groupCol, splits, salt, splitCol)
+
   /** Per-stratum sampling rates (dataset mixing / rebalancing): keep
     * each row with its stratum's rate, `defaultRate` for strata not in
     * the map. `rates` is config-sized (a when-chain, not a join) —

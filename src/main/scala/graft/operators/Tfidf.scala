@@ -276,4 +276,64 @@ object Tfidf {
       .agg(count(lit(1)).as("n_matched"),
         round(sum(col("__s")), 6).as("score"))
   }
+
+  /** Vocabulary coverage curve: for each cutoff N in `ns`, what
+    * fraction of all token OCCURRENCES the N most frequent terms
+    * cover — the number that sizes a tokenizer vocabulary ("32k types
+    * cover 99.2% of the stream"). Frequency ranking breaks ties on
+    * the term so the curve is engine-stable.
+    *
+    * Scale shape: one token-count aggregation over the corpus, then
+    * the global frequency rank uses the `partitionOffsets` skeleton
+    * (range-repartition on (cnt desc, term) + per-partition offsets —
+    * metadata collect), NOT a single-task window: a 100 M-type web
+    * vocabulary still ranks across the cluster. All cutoffs share the
+    * ranked frame via conditional sums in ONE pass. Output per
+    * cutoff: (top_n, n_terms, total_tokens, covered_tokens,
+    * coverage_micro). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty, "vocabCoverage: no cutoffs")
+    val counts = Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)),
+        "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val (withPid, offsets, _) = Batching.partitionOffsets(counts,
+      Seq(col("cnt").desc, col("term")), count(lit(1)), 0)
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("cnt").desc, col("term"))
+    val ranked = withPid.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__rank", col("__offset") + row_number().over(w))
+    val covAggs = ns.map(n =>
+      sum(when(col("__rank") <= n, col("cnt")).otherwise(0L))
+        .as(s"__cov$n"))
+    val aggs = Seq(count(lit(1)).as("n_terms"),
+      sum(col("cnt")).as("total_tokens")) ++ covAggs
+    val wide = ranked.agg(aggs.head, aggs.tail: _*)
+    val rows = ns.map(n => struct(lit(n).as("top_n"),
+      col("n_terms"), col("total_tokens"),
+      col(s"__cov$n").as("covered_tokens")))
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .withColumn("coverage_micro",
+        round(col("covered_tokens").cast("double") /
+          col("total_tokens") * 1e6).cast("long"))
+  }
+
+  /** Token fertility by language: characters per token — the
+    * tokenizer-equity number ("this vocab spends 3× the tokens per
+    * character on Thai"). Exact long sums of token and character
+    * counts per language bucket; one narrow aggregation. Output:
+    * (lang, n_docs, n_tokens, n_chars, chars_per_token_micro) —
+    * null ratio for token-less buckets. */
+  def tokenFertility(docs: DataFrame, textCol: String,
+                     langCol: String): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        size(TextFns.tokens(col(textCol))).cast("long").as("__nt"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"))
+      .withColumn("chars_per_token_micro",
+        when(col("n_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_tokens") * 1e6)
+            .cast("long")))
 }

@@ -119,4 +119,25 @@ object Validate {
           col("__nn").as("n_null"))
     }.reduce(_ unionByName _)
   }
+
+  /** k-anonymity census over a quasi-identifier combination — the
+    * re-identification screen run before releasing or training on
+    * user-adjacent data: every row whose QID equivalence class has
+    * fewer than `k` members is individually distinguishable. Reports
+    * the class-SIZE distribution (one row per observed size, with the
+    * class and row counts carried and a violation flag), which is both
+    * the audit artifact and the input to suppression decisions. Null
+    * QID values form their own class (same as SQL GROUP BY). Two hash
+    * aggregations, the second over class sizes — cardinality ≤
+    * distinct sizes, effectively metadata. Output: (class_size,
+    * n_classes, n_rows, violates). */
+  def kAnonymity(df: DataFrame, qidCols: Seq[String], k: Int): DataFrame = {
+    require(qidCols.nonEmpty && k > 0, s"need QID cols and k > 0, got $k")
+    df.groupBy(qidCols.map(col): _*).agg(count(lit(1)).as("class_size"))
+      .groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .withColumn("violates",
+        when(col("class_size") < k, 1).otherwise(0))
+  }
 }

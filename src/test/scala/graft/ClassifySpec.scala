@@ -76,4 +76,50 @@ class ClassifySpec extends SparkSpec {
     // c: pred-only class still reported
     assert(got("c") == ((0L, 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("auc: perfect separation, ties, and reversal hand-checked") {
+    import org.apache.spark.sql.functions.col
+    // positives at 3,4 all above negatives at 1,2 -> AUC 1
+    val perfect = Seq((1.0, "n"), (2.0, "n"), (3.0, "p"), (4.0, "p"))
+      .toDF("s", "l")
+    val a1 = Classify.auc(perfect, "s", col("l") === "p").collect().head
+    assert((a1.getLong(0), a1.getLong(1), a1.getLong(2)) == ((2L, 2L, 1000000L)))
+    // every score tied -> AUC exactly 1/2 (the tie half-credit)
+    val tied = Seq((5.0, "n"), (5.0, "p"), (5.0, "n"), (5.0, "p"))
+      .toDF("s", "l")
+    val a2 = Classify.auc(tied, "s", col("l") === "p").collect().head
+    assert(a2.getLong(2) == 500000L)
+    // 3 pos vs 1 neg: pairs (1,2) discordant, (3,2)/(4,2) concordant
+    // -> AUC 2/3
+    val inv = Seq((1.0, "p"), (2.0, "n"), (3.0, "p"), (4.0, "p"))
+      .toDF("s", "l")
+    val a3 = Classify.auc(inv, "s", col("l") === "p").collect().head
+    assert(a3.getLong(2) == 666667L)
+    // single-class input -> null AUC
+    val onlyPos = Seq((1.0, "p"), (2.0, "p")).toDF("s", "l")
+    val a4 = Classify.auc(onlyPos, "s", col("l") === "p").collect().head
+    assert(a4.isNullAt(2))
+  }
+
+  test("calibrationBins: well-calibrated bins show zero gap") {
+    import org.apache.spark.sql.functions.col
+    // scores 0.0 and 1.0; positives exactly when score = 1.0 ->
+    // bin 0 rate 0, bin 9 rate 1, both gaps 0
+    val df = Seq((0.0, "n"), (0.0, "n"), (1.0, "p"), (1.0, "p"),
+      (1.0, "p")).toDF("s", "l")
+    val got = Classify.calibrationBins(df, "s", col("l") === "p", 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(0L, 9L))
+    assert(got(0L).getAs[Long]("n") == 2L)
+    assert(got(0L).getAs[Long]("n_pos") == 0L)
+    assert(got(0L).getAs[Long]("gap_micro") == 0L)
+    assert(got(9L).getAs[Long]("mean_score_micro") == 1000000L)
+    assert(got(9L).getAs[Long]("pos_rate_micro") == 1000000L)
+    assert(got(9L).getAs[Long]("gap_micro") == 0L)
+    // a miscalibrated bin: score 0.5 but rate 1.0 -> gap 500000
+    val off = Seq((0.5, "p"), (0.5, "p"), (0.0, "n")).toDF("s", "l")
+    val g2 = Classify.calibrationBins(off, "s", col("l") === "p", 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g2(9L).getAs[Long]("gap_micro") == 500000L)
+  }
 }

@@ -632,6 +632,28 @@ class OperatorsSpec extends SparkSpec {
     assert(p1.getAs[Long]("var_micro") == 0L)
   }
 
+  test("burstiness: metronome CV 0, burst-then-gap CV high, <2 gaps null") {
+    // ts in nanos; user 1 metronomic (gaps 10ms), user 2 bursty
+    // (1ms, 1ms, 98ms), user 3 has one event (no gaps at all)
+    val rows = Seq(
+      (1L, 0L), (1L, 10000000L), (1L, 20000000L), (1L, 30000000L),
+      (2L, 0L), (2L, 1000000L), (2L, 2000000L), (2L, 100000000L),
+      (3L, 0L))
+    val df = rows.zipWithIndex.map { case ((u, ts), i) =>
+      (u, ts, i.toLong) }.toDF("u", "ts", "eid")
+    val got = Features.burstiness(df, "u", "ts", tieCols = Seq("eid"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(3L)) // no gaps -> no row
+    val m = got(1L)
+    assert(m.getAs[Long]("n_gaps") == 3L)
+    assert(m.getAs[Long]("mean_gap_ms_micro") == 10000000L)
+    assert(m.getAs[Long]("cv_micro") == 0L)
+    val b = got(2L)
+    // gaps 1,1,98 ms: mean 100/3, sd = sqrt(mean(sq)-mean²) >> mean
+    assert(b.getAs[Long]("n_gaps") == 3L)
+    assert(b.getAs[Long]("cv_micro") > 1000000L)
+  }
+
   test("outlierScores: the planted far-out vector ranks first") {
     val base = Seq.tabulate(20)(i =>
       (i.toLong, Array(0.0 + (i % 3), 1.0 - (i % 2))))

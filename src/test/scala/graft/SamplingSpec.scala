@@ -315,4 +315,22 @@ class SamplingSpec extends SparkSpec {
       assert(streamed == batch && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("groupAwareSplit: all rows of a group share one split; agrees with assignSplit on the group key") {
+    val df = (1L to 300L).map(i => (i, s"src${i % 20}")).toDF("id", "grp")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.groupAwareSplit(df, "grp", splits)
+    // zero leakage: every group maps to exactly one split
+    val perGroup = got.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .as[(String, Long)].collect()
+    assert(perGroup.forall(_._2 == 1L))
+    // the group's split is the id-split of the group KEY itself
+    val keyed = Sampling.assignSplit(
+      df.select(col("grp")).distinct(), "grp", splits)
+      .as[(String, String)].collect().toMap
+    val byRow = got.select("grp", "split").distinct()
+      .as[(String, String)].collect().toMap
+    assert(byRow == keyed)
+  }
 }

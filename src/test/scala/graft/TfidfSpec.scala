@@ -216,4 +216,31 @@ class TfidfSpec extends SparkSpec {
     // PMI of (2/3)/(2/3 * 1) = ln(1) = 0 exactly
     assert(got(("banana", "common"))._2 == 0.0)
   }
+
+  test("vocabCoverage: hand-counted coverage at two cutoffs") {
+    // stream: a a a b b c -> top-1 covers 3/6, top-2 covers 5/6
+    val df = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Tfidf.vocabCoverage(df, "text", Seq(1, 2))
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1) == ((3L, 6L, 3L, 500000L)))
+    assert(got(2) == ((3L, 6L, 5L, 833333L)))
+  }
+
+  test("tokenFertility: chars per token by language bucket") {
+    val df = Seq(("en", "ab cd"), ("en", "efg"), ("de", ""))
+      .toDF("lang", "text")
+    val got = Tfidf.tokenFertility(df, "text", "lang").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    // 3 tokens (ab, cd, efg), 8 chars -> 8/3 chars per token
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("n_tokens") == 3L)
+    assert(en.getAs[Long]("n_chars") == 8L)
+    assert(en.getAs[Long]("chars_per_token_micro") == 2666667L)
+    // token-less bucket: null ratio, zero counts survive
+    val de = got("de")
+    assert(de.getAs[Long]("n_tokens") == 0L)
+    assert(de.isNullAt(de.fieldIndex("chars_per_token_micro")))
+  }
 }

@@ -105,4 +105,19 @@ class ValidateSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().head
     assert(got == (("c_p", 4L, 1L, 1L)))
   }
+
+  test("kAnonymity: class-size census flags classes under k") {
+    // QID (a,b): class (1,x) has 3 rows, (2,x) has 1, (2,y) has 1,
+    // (null,x) has 2 — nulls form their own class
+    val df = Seq(
+      (Some(1), "x"), (Some(1), "x"), (Some(1), "x"),
+      (Some(2), "x"), (Some(2), "y"),
+      (None, "x"), (None, "x")).toDF("a", "b")
+    val got = graft.operators.Validate.kAnonymity(df, Seq("a", "b"), k = 2)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, 1)))  // two singletons, violating
+    assert(got(2L) == ((1L, 2L, 0)))  // the null class, k-safe
+    assert(got(3L) == ((1L, 3L, 0)))
+  }
 }
