@@ -406,4 +406,29 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") + count(plan, "BroadcastHashJoin")
       + count(plan, "ShuffledHashJoin") >= 1, plan)
   }
+
+  test("auc: prefix sum is range-partitioned, never a global window") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 3000L).map(i => (i % 97 * 1.0, i % 3 == 0))
+      .toDF("s", "lbl")
+    val plan = graft.operators.Classify.auc(df, "s", col("lbl"))
+      .queryExecution.executedPlan.toString
+    // every Window partitions by __pid (the range-partition id); an
+    // empty windowspecdefinition() would be the single-task trap
+    assert(!plan.contains("windowspecdefinition()"), plan)
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"), plan)
+    // offsets join back as a broadcast (metadata-sized)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("vocabCoverage: frequency rank is range-partitioned, one final agg") {
+    val df = (1L to 500L).map(i => (i, s"w${i % 50} w${i % 7} common"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Tfidf.vocabCoverage(df, "text", Seq(10, 50))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"), plan)
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"), plan)
+  }
 }
