@@ -730,6 +730,20 @@ object SparkEntry {
         .select("event_id", "user_id", "r_event_id", "r_value")
     }),
 
+    // forward as-of: earliest odd event at/after each even event —
+    // same union-sort single-shuffle shape, reversed ordering
+    "q_j16_asof_fwd" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select("user_id", "ts", "event_id")
+      val r = ev.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("r_event_id"), col("value").as("r_value"))
+      AsOfJoin.forward(l, r, Seq("user_id"), "ts",
+        Seq("r_event_id", "r_value"))
+        .select("event_id", "user_id", "r_event_id", "r_value")
+    }),
+
     // ---- interval algebra (bedtools merge / genomecov siblings) ----
     "q_j10_merge" -> ((s, d) =>
       Intervals.mergeOverlaps(segs(s, d), Seq("chrom"), "s_start", "s_end")
@@ -1107,6 +1121,15 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
       LangModel.scoreDocsBigram(docs, "text", "doc_id",
+        LangModel.unigramCounts(train, "text"),
+        LangModel.bigramCounts(train, "text"))
+    }),
+
+    // stupid-backoff bigram scoring (unnormalized web-scale smoothing)
+    "q_t_lm3" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      LangModel.scoreDocsBackoff(docs, "text", "doc_id",
         LangModel.unigramCounts(train, "text"),
         LangModel.bigramCounts(train, "text"))
     }),
@@ -1817,6 +1840,37 @@ object SparkEntry {
                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
     }),
 
+    // correlated EXISTS -> semi join under the planner
+    "q_sql_exists" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 200000)""")
+    }),
+
+    // NOT IN subquery -> null-aware anti join (customers who never
+    // placed a large order — non-empty at every SF)
+    "q_sql_notin" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey FROM customer
+               WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM orders
+                  WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)""")
+    }),
+
+    // calendar RANGE window frame: trailing-30-day spend per customer
+    // (exact integer cents; RANGE includes o_orderdate peers)
+    "q_sql_frames" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderkey, o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cents_30d,
+               count(*) OVER w AS n_30d
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""")
+    }),
+
     "q_sql_agg" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql("""SELECT l_returnflag, l_linestatus,
@@ -2215,6 +2269,23 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, " +
         "round(sc.s / sc.n_bigrams / 1e6, 6) AS avg_logprob, " +
         "round(exp(-(sc.s::DOUBLE) / sc.n_bigrams / 1e6), 4) AS ppl " +
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+
+    "q_t_lm3" ->
+      (s"WITH tr AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 2 = 0), " +
+        "uni AS (SELECT term, count(*) AS cu FROM (SELECT unnest(tk) AS term FROM tr) GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni), " +
+        "trb AS (SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS p FROM tr), " +
+        "big AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS cb FROM trb GROUP BY 1, 2), " +
+        "plp AS (SELECT w1, w2, CAST(round(ln(cb::DOUBLE / cu) * 1e6) AS BIGINT) AS plpm FROM big JOIN (SELECT term AS w1, cu FROM uni) u USING (w1)), " +
+        "ulp AS (SELECT term AS w2, CAST(round(ln(0.4 * cu / n) * 1e6) AS BIGINT) AS ulpm FROM uni CROSS JOIN nn), " +
+        "oov AS (SELECT CAST(round(ln(0.4 / (n + 1)) * 1e6) AS BIGINT) AS olpm FROM nn), " +
+        s"dtk AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "dp AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS p FROM dtk), " +
+        "dpw AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM dp), " +
+        "sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(coalesce(plpm, ulpm, olpm)) AS s FROM dpw LEFT JOIN plp USING (w1, w2) LEFT JOIN ulp USING (w2) CROSS JOIN oov GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, " +
+        "round(sc.s / sc.n_bigrams / 1e6, 6) AS avg_logprob " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
 
     "q_t_clean" ->
@@ -2743,6 +2814,9 @@ object SparkEntry {
 
     "q_j9_asof" ->
       "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts >= r.ts",
+
+    "q_j16_asof_fwd" ->
+      "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts <= r.ts",
 
     // island chain + lead(): gaps between covered runs
     "q_j14_complement" ->
@@ -3396,6 +3470,18 @@ object SparkEntry {
 
     "q_sql_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt FROM lineitem WHERE l_discount > 0.02 GROUP BY l_returnflag, l_linestatus",
+
+    "q_sql_exists" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
+
+    "q_sql_notin" ->
+      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)",
+
+    "q_sql_frames" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_30d, " +
+        "count(*) OVER w AS n_30d FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"),
 
     "q_sql_rollup" ->
       "SELECT coalesce(l_returnflag, '<all>') AS flag, coalesce(l_linestatus, '<all>') AS status, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",

@@ -150,4 +150,51 @@ object LangModel {
         round(col("__s") / col("n_bigrams") / 1e6, 6).as("avg_logprob"),
         round(exp(-col("__s") / col("n_bigrams") / 1e6), 4).as("ppl"))
   }
+
+  /** Stupid-backoff bigram scoring (Brants et al. 2007 — the
+    * web-scale LM smoothing that skips normalization): S(w₂|w₁) =
+    * c(w₁,w₂)/c(w₁) when the bigram was seen, else α·c(w₂)/N, else
+    * α/(N+1) for OOV words — no discounting state, which is exactly
+    * why it is the production choice at corpus scale. Same micro-nat
+    * determinism contract as [[scoreDocsBigram]]: each distinct score
+    * is rounded once on the model tables (vocabulary-sized), document
+    * sums are exact longs. The fallback is ONE coalesce over two
+    * broadcast joins — the backoff never branches per row. Output:
+    * (idCol, n_bigrams, avg_logprob). */
+  def scoreDocsBackoff(docs: DataFrame, textCol: String, idCol: String,
+                       uni: DataFrame, big: DataFrame,
+                       alpha: Double = 0.4): DataFrame = {
+    val tot = uni.agg(sum(col("cnt")).as("__n"))
+    val pairLp = big.select(col("w1"), col("w2"), col("cnt").as("__cb"))
+      .join(uni.select(col("term").as("w1"), col("cnt").as("__cu")),
+        Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log(col("__cb").cast("double") / col("__cu")) * 1e6)
+          .cast("long").as("__plpm"))
+    val uniLp = uni.crossJoin(broadcast(tot))
+      .select(col("term").as("w2"),
+        round(log(lit(alpha) * col("cnt") / col("__n")) * 1e6)
+          .cast("long").as("__ulpm"))
+    val oov = tot.select(
+      round(log(lit(alpha) / (col("__n") + 1)) * 1e6).cast("long")
+        .as("__oov"))
+    val tk = TextFns.tokens(col(textCol))
+    val docPairs = Explodes.nonEmpty(docs, arrays_zip(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))), "__p",
+        col(idCol))
+      .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
+    val scored = docPairs
+      .join(broadcast(pairLp), Seq("w1", "w2"), "left")
+      .join(broadcast(uniLp), Seq("w2"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__plpm"), col("__ulpm"), col("__oov")))
+          .as("__s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__s") / col("n_bigrams") / 1e6, 6).as("avg_logprob"))
+  }
 }

@@ -184,6 +184,27 @@ class TfidfSpec extends SparkSpec {
     assert(got(13L) == ((0L, None)))
   }
 
+  test("stupid backoff: seen ratio, alpha-discounted unigram, oov floor") {
+    import graft.operators.LangModel
+    val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(train, "text")
+    val big = LangModel.bigramCounts(train, "text")
+    val score = Seq(
+      (10L, "a b"),   // seen pair: S(b|a) = c(a,b)/c(a) = 2/2
+      (11L, "a c"),   // unseen pair -> 0.4 * c(c)/N = 0.4 * 1/5
+      (12L, "z z")    // oov w2 -> 0.4/(N+1) = 0.4/6
+    ).toDF("doc_id", "text")
+    val got = LangModel.scoreDocsBackoff(score, "text", "doc_id", uni, big)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def lpm(p: Double) = Math.round(Math.log(p) * 1e6)
+    def avg(s: Long, n: Int) = BigDecimal(s.toDouble / n / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((1L, Some(avg(lpm(1.0), 1)))))
+    assert(got(11L) == ((1L, Some(avg(lpm(0.4 * 1 / 5), 1)))))
+    assert(got(12L) == ((1L, Some(avg(lpm(0.4 / 6), 1)))))
+  }
+
   test("bm25: hand-computed scores, non-matching docs absent") {
     val corpus = Seq(
       (1L, "apple banana apple"),
