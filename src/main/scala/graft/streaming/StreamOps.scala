@@ -401,6 +401,50 @@ object StreamOps {
       .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
   }
 
+  final case class ActiveCount(bucket: Long, n_active: Long)
+  /** Internal rolling-distinct state (public for encoder codegen):
+    * the distinct actors contributing to one bucket-end's trailing
+    * window, plus whether the bucket itself has direct activity. */
+  final case class RollState(actors: Seq[Long], direct: Boolean)
+
+  /** Streaming twin of `Features.rollingActive` (the WAU curve): each
+    * event contributes its actor to the `window` bucket-ends it falls
+    * inside (constant fan-out flatMap — map-side, before any state),
+    * then per-bucket state accumulates the DISTINCT actor set and
+    * emits an updated count whenever the bucket has direct activity
+    * (idle bucket-ends carry state but never emit — the batch twin's
+    * observed-bucket semi join). The latest row per bucket equals the
+    * batch result, including late events that back-fill a window.
+    *
+    * Scale note: state per bucket-end is the exact distinct-actor
+    * set — the parity-checkable form. At true WAU scale swap the set
+    * for mergeable HLL registers (`Sketch.hllRegisters` shape): same
+    * flatMap skeleton, sketch-sized state, approximate counts. */
+  def rollingActiveStream(events: Dataset[Event], bucketNs: Long,
+                          window: Int): Dataset[ActiveCount] = {
+    require(bucketNs > 0 && window > 0,
+      s"need positive bucketNs/window, got $bucketNs/$window")
+    import events.sparkSession.implicits._
+    val contrib = events.flatMap { e =>
+      val b = Math.floorDiv(e.ts, bucketNs)
+      (0 until window).map(i => (b + i, e.user_id, i == 0))
+    }
+    contrib.groupByKey(_._1)
+      .flatMapGroupsWithState[RollState, ActiveCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (bucket, it, state: GroupState[RollState]) =>
+          val s = state.getOption.getOrElse(RollState(Seq.empty, false))
+          val set = scala.collection.mutable.HashSet[Long](s.actors: _*)
+          var direct = s.direct
+          it.foreach { case (_, actor, d) =>
+            set += actor; direct ||= d
+          }
+          state.update(RollState(set.toSeq.sorted, direct))
+          if (direct) Iterator.single(ActiveCount(bucket, set.size.toLong))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming tumbling-window counts with a watermark — the
     * incremental form of the q_e_hourly batch query. */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours")

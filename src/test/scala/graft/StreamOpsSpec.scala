@@ -67,6 +67,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingActiveStream converges to the batch rollingActive") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.rollingActiveStream(input.toDS(),
+        bucketNs = 10 * M, window = 3)
+      .writeStream.format("memory").queryName("roll")
+      .outputMode(OutputMode.Update()).start()
+    val all = Seq(
+      Event(1L, 0 * M, 1L, "click", 1.0),   // user 1, bucket 0
+      Event(2L, 5 * M, 2L, "click", 1.0),   // user 2, bucket 0
+      Event(1L, 25 * M, 3L, "click", 1.0),  // user 1, bucket 2
+      Event(3L, 21 * M, 4L, "click", 1.0),  // user 3, bucket 2 (batch 2)
+      Event(4L, 100 * M, 5L, "click", 1.0)) // user 4, far bucket 10
+    try {
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val latest = spark.table("roll")
+        .groupBy("bucket").agg(max("n_active").as("n_active"))
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Features.rollingActive(
+        all.toDF(), "ts", "user_id", bucketNs = 10 * M, window = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(latest == batch)
+      // spot-check the semantics: bucket 2 sees users {1,2,3}
+      assert(batch(2L) == 3L)
+      assert(!batch.contains(1L)) // idle bucket emits nothing
+    } finally q.stop()
+  }
+
   test("exactDedupStream: duplicates dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
