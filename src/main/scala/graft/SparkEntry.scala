@@ -464,6 +464,12 @@ object SparkEntry {
       Features.burstiness(t(s, d, "events"), "user_id", "ts",
         tieCols = Seq("event_id"))),
 
+    // duration-weighted mean value per user (TWAP — the correct
+    // average for irregularly sampled series)
+    "q_e_twap" -> ((s, d) =>
+      Features.twap(t(s, d, "events"), "user_id", "ts", "value",
+        tieCols = Seq("event_id"))),
+
     // robust dispersion: exact median + MAD per event type
     "q_e_mad" -> ((s, d) =>
       Profile.madStats(t(s, d, "events"), Seq("event_type"), "value")),
@@ -878,6 +884,12 @@ object SparkEntry {
     "q_t_vocabcov" -> ((s, d) =>
       Tfidf.vocabCoverage(t(s, d, "documents"), "text",
         Seq(100, 1000, 10000))),
+
+    // hashing-trick vectorizer: fixed 256-slot sparse features,
+    // no fitted vocabulary state
+    "q_t_hashvec" -> ((s, d) =>
+      Tfidf.hashVectorize(t(s, d, "documents"), "text", "doc_id",
+        k = 256)),
 
     // chars-per-token fertility by language (tokenizer equity)
     "q_t_fertility" -> ((s, d) =>
@@ -1769,6 +1781,12 @@ object SparkEntry {
           posexplode(col("__q.codes")).as(Seq("pos", "code")))),
 
     // equi-width histogram + one-pass correlation matrix (profiling)
+    // mergeable histogram quantiles: the 100 TB quantile path (bin
+    // counts merge by addition; error bounded by one bin width)
+    "q_x_histq" -> ((s, d) =>
+      Profile.histQuantiles(t(s, d, "lineitem"), "l_extendedprice",
+        bins = 64, ps = Seq(0.5, 0.95, 0.99))),
+
     "q_x_histogram" -> ((s, d) =>
       Profile.histogram(t(s, d, "lineitem"), "l_extendedprice", bins = 20)),
 
@@ -2566,6 +2584,12 @@ object SparkEntry {
       ("WITH g AS (SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events) " +
         "SELECT user_id, round(quantile_cont(gap, 0.5), 6) AS p50, round(quantile_cont(gap, 0.95), 6) AS p95 FROM g WHERE gap IS NOT NULL GROUP BY 1"),
 
+    "q_e_twap" ->
+      ("WITH b AS (SELECT user_id, epoch_ms(ts) AS ms, CAST(round(value * 1e6) AS BIGINT) AS vm, event_id FROM events), " +
+        "l AS (SELECT user_id, ms, vm, lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS nms FROM b), " +
+        "ag AS (SELECT user_id, count(*) AS n_segments, CAST(sum(nms - ms) AS BIGINT) AS span_ms, sum((nms - ms) * vm) AS s FROM l WHERE nms IS NOT NULL GROUP BY 1) " +
+        "SELECT user_id, n_segments, span_ms, CASE WHEN span_ms > 0 THEN CAST(round(s::DOUBLE / span_ms) AS BIGINT) END AS twap_micro FROM ag"),
+
     "q_e_burst" ->
       ("WITH g AS (SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events), " +
         "ag AS (SELECT user_id, count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS s1, sum(gap * gap) AS s2 FROM g WHERE gap IS NOT NULL GROUP BY 1) " +
@@ -2949,6 +2973,10 @@ object SparkEntry {
         "n AS (SELECT unnest([100, 1000, 10000]) AS top_n), " +
         "ag AS (SELECT top_n, count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS total_tokens, CAST(sum(CASE WHEN rk <= top_n THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens FROM r CROSS JOIN n GROUP BY 1) " +
         "SELECT top_n, n_terms, total_tokens, covered_tokens, CAST(round(covered_tokens::DOUBLE / total_tokens * 1e6) AS BIGINT) AS coverage_micro FROM ag"),
+
+    "q_t_hashvec" ->
+      (s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents) " +
+        s"SELECT doc_id, (${h60Sql("term")} % 256)::INT AS slot, count(*) AS cnt FROM tk GROUP BY 1, 2"),
 
     "q_t_fertility" ->
       (s"WITH f AS (SELECT lang, len($toksSql)::BIGINT AS nt, length(text)::BIGINT AS nc FROM documents), " +
@@ -3502,6 +3530,18 @@ object SparkEntry {
     "q_x_histogram" ->
       ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, max(l_extendedprice)::DOUBLE AS hi FROM lineitem) " +
         "SELECT CASE WHEN hi = lo THEN 0 ELSE least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) END::BIGINT AS bin, count(*) AS n FROM lineitem CROSS JOIN b GROUP BY 1"),
+
+    "q_x_histq" ->
+      ("WITH nn AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "b AS (SELECT min(v)::DOUBLE AS lo, max(v)::DOUBLE AS hi FROM nn), " +
+        "bc AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(floor((v - lo) * 64 / (hi - lo)), 63) END::BIGINT AS bin, count(*) AS c FROM nn CROSS JOIN b GROUP BY 1), " +
+        "cum AS (SELECT bin, c, CAST(sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm FROM bc), " +
+        "cw AS (SELECT bin, c, cm, cm - c AS cbv FROM cum), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bc), " +
+        "j AS (SELECT pp, n, lo, hi, pp * n AS t FROM (SELECT unnest([0.5, 0.95, 0.99]) AS pp) CROSS JOIN tot CROSS JOIN b), " +
+        "r AS (SELECT j.pp, j.n, j.lo, j.hi, j.t, cw.bin, cw.c, cw.cbv FROM j JOIN cw ON cw.cbv < j.t AND cw.cm >= j.t) " +
+        "SELECT CAST(round(pp * 1e6) AS BIGINT) AS p_ppm, n, " +
+        "CAST(round((lo + (bin + (t - cbv) / c) * (hi - lo) / 64) * 1e6) AS BIGINT) AS est_micro FROM r"),
 
     "q_x_eqdepth" -> {
       val bounds = (1 until 8).map(i =>

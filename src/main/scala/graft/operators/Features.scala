@@ -500,6 +500,38 @@ object Features {
       .select("lag", "n", "r_micro")
   }
 
+  /** Time-weighted average (TWAP) per actor over irregularly sampled
+    * values: each value holds from its event until the next one, so
+    * the mean weights by holding duration, not by sample count — the
+    * correct average for unevenly sampled series (a metric sampled
+    * 100× during an incident must not dominate the day). Exact
+    * arithmetic end to end: values in micro longs, durations in ms
+    * longs, the Σ(v·Δt) accumulator decimal(38,0) (a HUGEINT-exact
+    * sum for the oracle), one division at the end. One per-actor lead
+    * window + one aggregation. Output: (actorCol, n_segments,
+    * span_ms, twap_micro); actors with <2 events emit nothing. */
+  def twap(df: DataFrame, actorCol: String, tsCol: String,
+           valueCol: String, tieCols: Seq[String] = Seq.empty)
+  : DataFrame = {
+    val base = df
+      .withColumn("__ms", expr(s"`$tsCol` div 1000000"))
+      .withColumn("__vm", round(col(valueCol) * 1e6).cast("long"))
+    val w = Window.partitionBy(actorCol)
+      .orderBy((col("__ms") +: tieCols.map(col)): _*)
+    base.withColumn("__nms", lead(col("__ms"), 1).over(w))
+      .filter(col("__nms").isNotNull)
+      .withColumn("__gap", col("__nms") - col("__ms"))
+      .groupBy(col(actorCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__gap")).as("span_ms"),
+        sum((col("__gap") * col("__vm")).cast("decimal(38,0)"))
+          .as("__s"))
+      .select(col(actorCol), col("n_segments"), col("span_ms"),
+        when(col("span_ms") > 0,
+          round(col("__s").cast("double") / col("span_ms")).cast("long"))
+          .as("twap_micro"))
+  }
+
   /** Inter-arrival burstiness per actor: coefficient of variation of
     * the gaps between consecutive events — CV ≈ 1 is Poisson, ≫ 1 is
     * bursty (bot bursts, batch ingests), ≪ 1 is metronomic (cron).

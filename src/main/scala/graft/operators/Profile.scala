@@ -222,6 +222,50 @@ object Profile {
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
+  /** One-pass approximate quantiles from a MERGEABLE equi-width
+    * histogram — the 100 TB quantile path where the exact
+    * array-percentile buffer (`q_x_eqdepth`) no longer fits: bin
+    * counts merge by addition across shards/days, and any quantile
+    * interpolates from the cumulative counts at read time. Error is
+    * bounded by one bin width — honest, fixed, and documented, unlike
+    * a sampled estimate. Two cheap passes (extrema, bin counts); the
+    * cumulative walk runs over the BINS-sized table (metadata — the
+    * single-partition window is over ≤ `bins` rows). Estimate:
+    * lo + (bin + (target − cumBefore)/binCount) · width, target =
+    * p·N. Output per requested p: (p_ppm, n, est_micro). */
+  def histQuantiles(df: DataFrame, valueCol: String, bins: Int,
+                    ps: Seq[Double]): DataFrame = {
+    require(bins > 0 && ps.nonEmpty, "need bins > 0 and quantiles")
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val b = nonNull.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    val binned = nonNull.crossJoin(broadcast(b))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col(valueCol) - col("__lo")) * bins /
+              (col("__hi") - col("__lo"))),
+            lit(bins - 1L))))
+      .groupBy("bin").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__cumBefore", col("__cum") - col("__c"))
+    val tot = binned.agg(sum(col("__c")).as("__n"))
+    val pframe = df.sparkSession.range(1)
+      .select(explode(array(ps.map(lit(_)): _*)).as("__p"))
+    pframe.crossJoin(broadcast(tot)).crossJoin(broadcast(b))
+      .withColumn("__t", col("__p") * col("__n"))
+      .join(broadcast(cum),
+        col("__cumBefore") < col("__t") && col("__cum") >= col("__t"))
+      .select(round(col("__p") * 1e6).cast("long").as("p_ppm"),
+        col("__n").as("n"),
+        round((col("__lo") + (col("bin") +
+          (col("__t") - col("__cumBefore")) / col("__c")) *
+          (col("__hi") - col("__lo")) / bins) * 1e6).cast("long")
+          .as("est_micro"))
+  }
+
   /** Pairwise Pearson correlations of `cols` in ONE aggregation pass,
     * long format (col_a, col_b, corr) for a < b pairs — rounded to
     * 4 dp (corr is a ratio of distributed sums; accumulation order

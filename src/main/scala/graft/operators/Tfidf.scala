@@ -318,6 +318,23 @@ object Tfidf {
           col("total_tokens") * 1e6).cast("long"))
   }
 
+  /** Feature hashing (the hashing-trick vectorizer): every token maps
+    * to one of `k` slots via the portable 60-bit hash, per-document
+    * slot counts are the fixed-width sparse feature vector — the
+    * vocabulary-free text representation that needs NO fitted state
+    * and therefore no model broadcast at 100 TB (collisions are the
+    * documented price; pick k accordingly). One explode + one hash
+    * aggregation, long format. Output: (idCol, slot, cnt). */
+  def hashVectorize(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)), "term",
+        col(idCol))
+      .withColumn("slot",
+        (graft.functions.ColumnFns.hash60(col("term")) % k).cast("int"))
+      .groupBy(col(idCol), col("slot")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Token fertility by language: characters per token — the
     * tokenizer-equity number ("this vocab spends 3× the tokens per
     * character on Thai"). Exact long sums of token and character

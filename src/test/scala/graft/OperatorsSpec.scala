@@ -654,6 +654,24 @@ class OperatorsSpec extends SparkSpec {
     assert(b.getAs[Long]("cv_micro") > 1000000L)
   }
 
+  test("twap: holding-duration weights, not sample counts") {
+    // user 1: value 10 held for 9ms then 1ms burst of 100s ->
+    // TWAP = (10*9 + 100*1)/10 = 19, NOT the sample mean 55;
+    // the burst samples at the end carry no duration
+    val rows = Seq(
+      (1L, 0L, 1L, 10.0), (1L, 9000000L, 2L, 100.0),
+      (1L, 10000000L, 3L, 100.0),
+      (2L, 0L, 4L, 5.0)) // single... no: one event -> no segment
+    val df = rows.toDF("u", "ts", "eid", "v")
+    val got = Features.twap(df, "u", "ts", "v", tieCols = Seq("eid"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(2L)) // lone event: no holding period
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_segments") == 2L)
+    assert(r1.getAs[Long]("span_ms") == 10L)
+    assert(r1.getAs[Long]("twap_micro") == 19000000L)
+  }
+
   test("outlierScores: the planted far-out vector ranks first") {
     val base = Seq.tabulate(20)(i =>
       (i.toLong, Array(0.0 + (i % 3), 1.0 - (i % 2))))

