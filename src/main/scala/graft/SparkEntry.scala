@@ -415,6 +415,12 @@ object SparkEntry {
         "value", halfLife = 604800000000000L,
         refTs = 1767225600000000000L)),
 
+    // the same WAU curve from merged HLL registers — the sketch path
+    // that touches the event stream once at any window length
+    "q_e_wauhll" -> ((s, d) =>
+      Sketch.rollingDistinctHll(t(s, d, "events"), "ts", "user_id",
+        bucketNs = 86400000000000L, window = 7)),
+
     // rolling 7-day distinct users per active day (the WAU curve):
     // dedup to (user, day) once, constant fan-out explode, one
     // count-distinct per day — no per-day rescans
@@ -1496,6 +1502,19 @@ object SparkEntry {
     "q_x_kanon" -> ((s, d) =>
       Validate.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 5)),
+
+    // CBO-stats join cardinality estimate vs ground truth
+    "q_x_joinest" -> ((s, d) =>
+      Profile.joinSizeEstimate(t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey")),
+
+    // which cells drive the source×lang dependence (chi² residuals)
+    "q_x_residuals" -> ((s, d) =>
+      Profile.chiSquareResiduals(t(s, d, "documents"), "source", "lang")),
+
+    // per-feed staleness against the corpus-wide high-water mark
+    "q_x_freshness" -> ((s, d) =>
+      Profile.freshness(t(s, d, "events"), "event_type", "ts")),
 
     "q_x_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "source",
@@ -2613,6 +2632,16 @@ object SparkEntry {
         "CAST(sum(CASE WHEN bucket <> first THEN 1 ELSE 0 END) AS BIGINT) AS n_returning " +
         "FROM a JOIN f USING (user_id) GROUP BY 1"),
 
+    "q_e_wauhll" ->
+      (s"WITH h AS (SELECT epoch_ns(ts) // 86400000000000 AS b, ('0x' || substr(md5('hll' || user_id::VARCHAR), 1, 15))::BIGINT AS hv FROM events WHERE user_id IS NOT NULL), " +
+        "rg0 AS (SELECT b, hv // 2251799813685248 AS j, hv % 2251799813685248 AS rem FROM h), " +
+        "rg AS (SELECT b, j, CAST(max(CASE WHEN rem = 0 THEN 52 ELSE 52 - length(bin(rem)) END) AS BIGINT) AS r FROM rg0 GROUP BY 1, 2), " +
+        "o AS (SELECT DISTINCT b AS bucket FROM rg), " +
+        "mg AS (SELECT bucket, j, max(r) AS r FROM (SELECT rg.j, rg.r, rg.b + g.g AS bucket FROM rg CROSS JOIN range(0, 7) g(g)) x JOIN o USING (bucket) GROUP BY 1, 2), " +
+        "ag AS (SELECT bucket, count(*) AS n_present, sum(1::BIGINT << (52 - r)::INT) AS s FROM mg GROUP BY 1), " +
+        s"es AS (SELECT bucket, n_present, ${Sketch.hllRollNum(9)} / (s + (512 - n_present) * 4503599627370496)::DOUBLE AS raw FROM ag) " +
+        "SELECT bucket, n_present, CAST(round((CASE WHEN raw <= 1280.0 AND n_present < 512 THEN 512.0 * ln(512.0 / (512 - n_present)) ELSE raw END) * 1e6) AS BIGINT) AS est_micro FROM es"),
+
     "q_e_wau" ->
       ("WITH a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS b FROM events), " +
         "o AS (SELECT DISTINCT b AS bucket FROM a), " +
@@ -3355,6 +3384,28 @@ object SparkEntry {
     "q_x_kanon" ->
       ("WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz FROM customer GROUP BY 1, 2) " +
         "SELECT sz AS class_size, count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows, CASE WHEN sz < 5 THEN 1 ELSE 0 END AS violates FROM g GROUP BY 1"),
+
+    "q_x_joinest" ->
+      ("WITH sa AS (SELECT count(o_custkey) AS n_a, count(DISTINCT o_custkey) AS d_a FROM orders), " +
+        "sb AS (SELECT count(c_custkey) AS n_b, count(DISTINCT c_custkey) AS d_b FROM customer), " +
+        "ac AS (SELECT count(*) AS actual_rows FROM orders JOIN customer ON o_custkey = c_custkey) " +
+        "SELECT n_a, d_a, n_b, d_b, CAST(round(n_a::DOUBLE * n_b / greatest(d_a, d_b)) AS BIGINT) AS est_rows, actual_rows FROM sa CROSS JOIN sb CROSS JOIN ac"),
+
+    "q_x_residuals" ->
+      ("WITH obs AS (SELECT coalesce(source, '__null__') AS a, coalesce(lang, '__null__') AS b, count(*) AS o FROM documents GROUP BY 1, 2), " +
+        "ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1), " +
+        "rb AS (SELECT b, CAST(sum(o) AS BIGINT) AS rb FROM obs GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs), " +
+        "grid AS (SELECT a, b, ra, rb, CAST(coalesce(o, 0) AS BIGINT) AS o FROM ra CROSS JOIN rb LEFT JOIN obs USING (a, b)) " +
+        "SELECT a, b, o, round(ra::DOUBLE * rb / n, 6) AS expected, " +
+        "CAST(round((o - ra::DOUBLE * rb / n) / sqrt(ra::DOUBLE * rb / n) * 1000) AS BIGINT) AS resid_milli " +
+        "FROM grid CROSS JOIN tot"),
+
+    "q_x_freshness" ->
+      ("WITH g AS (SELECT max(epoch_ns(ts)) AS gmax FROM events) " +
+        "SELECT event_type, count(*) AS n, max(epoch_ns(ts)) AS latest_ns, " +
+        "(max(gmax) - max(epoch_ns(ts))) // 1000000 AS lag_ms " +
+        "FROM events CROSS JOIN g GROUP BY 1"),
 
     "q_x_stratified" ->
       s"SELECT doc_id, source FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 8) < (CASE WHEN source = 'src0' THEN '${Sampling.thresholdHex(0.9)}' WHEN source = 'src1' THEN '${Sampling.thresholdHex(0.5)}' ELSE '${Sampling.thresholdHex(0.1)}' END)",

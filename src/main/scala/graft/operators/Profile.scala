@@ -344,6 +344,69 @@ object Profile {
         round(sum(col("__t")).cast("double") / 1e6, 6).as("chi2"))
   }
 
+  /** Per-cell standardized residuals of the [[chiSquare]] grid —
+    * which cells DRIVE the dependence: (o−e)/√e in milli-units, with
+    * the expected count alongside. Same densified grid and null
+    * recoding as the statistic; |resid| ≳ 2 flags a cell. Output:
+    * (a, b, o, expected 6 dp, resid_milli). */
+  def chiSquareResiduals(df: DataFrame, colA: String,
+                         colB: String): DataFrame = {
+    val obs = df.groupBy(
+        coalesce(col(colA).cast("string"), lit("__null__")).as("a"),
+        coalesce(col(colB).cast("string"), lit("__null__")).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("a").agg(sum(col("o")).as("__ra"))
+    val rb = obs.groupBy("b").agg(sum(col("o")).as("__rb"))
+    val tot = obs.agg(sum(col("o")).as("__n"))
+    ra.crossJoin(rb)
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__rb") / col("__n"))
+      .select(col("a"), col("b"), col("o"),
+        round(col("__e"), 6).as("expected"),
+        round((col("o") - col("__e")) / sqrt(col("__e")) * 1000)
+          .cast("long").as("resid_milli"))
+  }
+
+  /** Textbook equi-join cardinality estimate vs ground truth — the
+    * CBO-stats primitive (|A ⋈ B| ≈ n_A·n_B/max(d_A,d_B) under
+    * containment) that decides broadcast-vs-shuffle and join order
+    * before any data moves. Three aggregations; the actual join runs
+    * only because this operator REPORTS estimator error — production
+    * callers use the estimate alone. Output: one row (n_a, d_a, n_b,
+    * d_b, est_rows, actual_rows). */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+                       bKey: String): DataFrame = {
+    val sa = a.agg(count(col(aKey)).as("n_a"),
+      countDistinct(col(aKey)).as("d_a"))
+    val sb = b.agg(count(col(bKey)).as("n_b"),
+      countDistinct(col(bKey)).as("d_b"))
+    val actual = a.select(col(aKey).as("__k"))
+      .join(b.select(col(bKey).as("__k")), Seq("__k"))
+      .agg(count(lit(1)).as("actual_rows"))
+    sa.crossJoin(sb).crossJoin(actual)
+      .select(col("n_a"), col("d_a"), col("n_b"), col("d_b"),
+        round(col("n_a").cast("double") * col("n_b") /
+          greatest(col("d_a"), col("d_b"))).cast("long").as("est_rows"),
+        col("actual_rows"))
+  }
+
+  /** Per-source freshness audit: latest event time and staleness lag
+    * against the corpus-wide maximum — the "which feed died" monitor.
+    * One grouped aggregation + a broadcast 1-row global. Output:
+    * (groupCol, n, latest_ns, lag_ms). */
+  def freshness(df: DataFrame, groupCol: String,
+                tsCol: String): DataFrame = {
+    val glob = df.agg(max(col(tsCol)).as("__gmax"))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col(tsCol)).as("latest_ns"))
+      .crossJoin(broadcast(glob))
+      .select(col(groupCol), col("n"), col("latest_ns"),
+        expr("(__gmax - latest_ns) div 1000000").as("lag_ms"))
+  }
+
   /** Robust per-group dispersion: exact median and MAD (median
     * absolute deviation) — the outlier scale that a few wild values
     * cannot drag the way stddev-based z-scores can. Two grouped

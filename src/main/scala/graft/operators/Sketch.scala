@@ -224,6 +224,81 @@ object Sketch {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("grp", "j").agg(max(col("r")).as("r"))
 
+  /** Rolling-window distinct actors via HLL register merge — the
+    * documented SCALE path for `Features.rollingActive` (and the
+    * state swap for `StreamOps.rollingActiveStream`): per-bucket
+    * registers build in one aggregation, each bucket's registers
+    * fan out to the `window` bucket-ends they influence (constant
+    * fan-out over ≤ 2^p rows per bucket — SKETCHES explode, never
+    * events), merge by max, and the estimate reads off the merged
+    * registers. A year of daily WAU over 10¹² events touches the
+    * event stream exactly once.
+    *
+    * Determinism contract: the harmonic denominator accumulates as
+    * the EXACT long Σ2^(maxRank−r) (every term a power of two, sum
+    * < 2^62 at p ≥ 4), so the one float division per bucket sees
+    * identical operands in every engine; the estimate is emitted in
+    * micro-units from that single expression. Branches mirror
+    * `hllEstimate` (linear counting below 2.5·m with empties left).
+    * Output: (bucket, n_present, est_micro), observed buckets only. */
+  /** The rolling-HLL numerator constant alpha·m²·2^(61−p) — exposed so
+    * oracle SQL can embed the bit-identical double literal. */
+  def hllRollNum(p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m * java.lang.Math.pow(2.0, 61 - p)
+  }
+
+  def rollingDistinctHll(df: DataFrame, tsCol: String, actorCol: String,
+                         bucketNs: Long, window: Int, p: Int = 9,
+                         salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    require(bucketNs > 0 && window > 0,
+      s"need positive bucketNs/window, got $bucketNs/$window")
+    val restBits = 60 - p
+    val restSpace = 1L << restBits
+    val maxRank = restBits + 1
+    val m = 1 << p
+    val h = graft.functions.ColumnFns
+      .hash60(concat(lit(salt), col(actorCol).cast("string")))
+    val rem = h % restSpace
+    val regs = df.filter(col(actorCol).isNotNull)
+      .select(expr(s"`$tsCol` div $bucketNs").as("__b"),
+        shiftright(h, restBits).as("j"),
+        when(rem === 0, lit(maxRank))
+          .otherwise(lit(restBits) - length(bin(rem)) + 1)
+          .cast("long").as("rank"))
+      .groupBy("__b", "j").agg(max(col("rank")).as("r"))
+    val observed = regs.select(col("__b").as("bucket")).distinct()
+    val merged = regs
+      .withColumn("bucket",
+        explode(sequence(col("__b"), col("__b") + (window - 1))))
+      .join(observed, Seq("bucket"), "left_semi")
+      .groupBy("bucket", "j").agg(max(col("r")).as("r"))
+    // numerator constant alpha·m²·2^maxRank, computed ONCE here; the
+    // oracle embeds the identical double literal via [[hllRollNum]]
+    val num = hllRollNum(p)
+    merged.groupBy("bucket")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxRank - r AS INT))"))
+          .as("__s"))
+      .withColumn("__denom",
+        (col("__s") + (lit(m.toLong) - col("n_present")) *
+          lit(1L << maxRank)).cast("double"))
+      .withColumn("__raw", lit(num) / col("__denom"))
+      .withColumn("est_micro",
+        round(when(col("__raw") <= 2.5 * m && col("n_present") < m,
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toLong) - col("n_present"))))
+          .otherwise(col("__raw")) * 1e6).cast("long"))
+      .select(col("bucket"), col("n_present"), col("est_micro"))
+  }
+
   /** Per-group cardinality estimates from `hllRegisters` output:
     * the classic alpha_m·m²/Σ2^−M harmonic mean, with the standard
     * linear-counting correction (m·ln(m/V)) when the estimate is

@@ -233,6 +233,46 @@ class ProfileSpec extends SparkSpec {
     assert(b1 == 301030L)
   }
 
+  test("joinSizeEstimate: containment-assumption estimate and exact truth") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")        // n_a=4, d_a=3
+    val b = Seq(1L, 2L, 2L, 4L, 5L).toDF("j")    // n_b=5, d_b=4
+    val got = Profile.joinSizeEstimate(a, "k", b, "j").collect().head
+    assert(got.getAs[Long]("n_a") == 4L && got.getAs[Long]("d_a") == 3L)
+    assert(got.getAs[Long]("n_b") == 5L && got.getAs[Long]("d_b") == 4L)
+    assert(got.getAs[Long]("est_rows") == 5L)    // round(4*5/4)
+    // actual: k=1 matches 1 b-row ×2 a-rows, k=2 matches 2 -> 4
+    assert(got.getAs[Long]("actual_rows") == 4L)
+  }
+
+  test("chiSquareResiduals: independent table has zero residuals, driver cell flags") {
+    // perfectly dependent 2x2: (x,p) and (y,q) only
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a0", "b0")
+    val got = Profile.chiSquareResiduals(dep, "a0", "b0").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getAs[Long]("resid_milli")))).toMap
+    assert(got.size == 4) // densified grid includes the zero cells
+    // e = 1 everywhere; diagonal cells o=2 -> resid +1.0, off -> -1.0
+    assert(got(("x", "p")) == ((2L, 1000L)))
+    assert(got(("x", "q")) == ((0L, -1000L)))
+    // independent table: every residual 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a0", "b0")
+    val r2 = Profile.chiSquareResiduals(ind, "a0", "b0").collect()
+    assert(r2.forall(_.getAs[Long]("resid_milli") == 0L))
+  }
+
+  test("freshness: staleness lag against the global high-water mark") {
+    val df = Seq(("a", 5000000L), ("a", 9000000L), ("b", 2000000L))
+      .toDF("src", "ts")
+    val got = Profile.freshness(df, "src", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Long]("n") == 2L)
+    assert(got("a").getAs[Long]("latest_ns") == 9000000L)
+    assert(got("a").getAs[Long]("lag_ms") == 0L)
+    assert(got("b").getAs[Long]("lag_ms") == 7L) // (9e6-2e6) ns -> 7 ms
+  }
+
   test("histQuantiles: uniform data interpolates exactly, one-bin-width error bound") {
     // 0..99 over 10 bins of width 9.9: every bin holds 10 values
     val df = (0 until 100).map(_.toDouble).toDF("v")

@@ -219,4 +219,31 @@ class SketchSpec extends SparkSpec {
     assert(got(("A", "C"))._2 == 0L && got(("A", "C"))._5 == 0.0)
     assert(got(("B", "C"))._2 == 0L)
   }
+
+  test("rollingDistinctHll tracks the exact rolling distinct within sketch error") {
+    import graft.operators.{Features, Sketch}
+    // 300 users: 200 active in bucket 0, 150 in bucket 2 (overlap
+    // 50), far bucket 10 with 40 users; day = 10 ns for the test
+    val rows =
+      (1L to 200L).map(u => (u, 0L)) ++
+        (151L to 300L).map(u => (u, 25L)) ++
+        (500L to 539L).map(u => (u, 105L))
+    val df = rows.toDF("u", "ts")
+    val exact = Features.rollingActive(df, "ts", "u", bucketNs = 10L,
+      window = 3).as[(Long, Long)].collect().toMap
+    val est = Sketch.rollingDistinctHll(df, "ts", "u", bucketNs = 10L,
+      window = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // identical bucket sets (observed-only on both paths)
+    assert(est.keySet == exact.keySet)
+    // every estimate within 10% of the exact count (p=9 linear
+    // counting at these cardinalities is far tighter than that)
+    exact.foreach { case (b, n) =>
+      val e = est(b) / 1e6
+      assert(math.abs(e - n) <= 0.10 * n,
+        s"bucket $b: est $e vs exact $n")
+    }
+    // the windows genuinely merge: bucket 2 covers both cohorts
+    assert(exact(2L) == 300L)
+  }
 }
