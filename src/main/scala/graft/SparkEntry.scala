@@ -355,6 +355,17 @@ object SparkEntry {
         .select("user_id", "event_id", "value", "rnk")
     }),
 
+    // tie-inclusive top-k (rank, not row_number): peers at the cut
+    // all survive — order-insensitive, so no tiebreak column needed
+    "q_o8_topk_ties" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)
+      t(s, d, "orders").withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    }),
+
     // ---- events: JSON nav (F15), sessionization, tumbling windows ----
     "q_e_json" -> ((s, d) =>
       t(s, d, "events")
@@ -550,6 +561,13 @@ object SparkEntry {
     "q_e_funnel" -> ((s, d) =>
       Funnel.reached(t(s, d, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))),
+
+    // the same funnel with a 1-day conversion window per step — the
+    // form product funnels actually ship
+    "q_e_funnelw" -> ((s, d) =>
+      Funnel.reachedWithin(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        maxGapNs = 86400000000000L)),
 
     // conversion-lag distribution per funnel transition (ms units
     // before the percentile — the q_e_gaps determinism recipe)
@@ -1259,6 +1277,12 @@ object SparkEntry {
     "q_s_hygiene" -> ((s, d) =>
       Similarity.vectorHygiene(t(s, d, "embeddings"), "embedding",
         expectedDim = 64)),
+
+    // did the embedding space move: per-label centroid cosine between
+    // the even- and odd-id halves of the corpus
+    "q_s_centdrift" -> ((s, d) =>
+      Similarity.centroidDrift(t(s, d, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") % 2 === 0)),
 
     // hybrid retrieval: BM25 lexical top-20 fused with cosine top-20
     // (doc_id ≡ vec_id in the synthetic corpus) via reciprocal-rank
@@ -2529,6 +2553,10 @@ object SparkEntry {
     "q_o6_topk" ->
       "SELECT user_id, event_id, value, rnk FROM (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 3",
 
+    "q_o8_topk_ties" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM " +
+        "(SELECT o_orderpriority, o_orderkey, o_totalprice, rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk FROM orders) WHERE rnk <= 3"),
+
     "q_e_json" ->
       "SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS n, round(sum(value), 4) AS sum_val FROM events GROUP BY 1",
 
@@ -2587,6 +2615,14 @@ object SparkEntry {
         "t0 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
         "t1 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e JOIN t0 ON e.user_id = t0.user_id WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t0.t GROUP BY 1), " +
         "t2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t1.t GROUP BY 1) " +
+        "SELECT u.user_id, CASE WHEN t2.t IS NOT NULL THEN 3 WHEN t1.t IS NOT NULL THEN 2 WHEN t0.t IS NOT NULL THEN 1 ELSE 0 END AS steps_completed " +
+        "FROM u LEFT JOIN t0 ON u.user_id = t0.user_id LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id"),
+
+    "q_e_funnelw" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "t0 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "t1 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e JOIN t0 ON e.user_id = t0.user_id WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t0.t AND epoch_ns(e.ts) <= t0.t + 86400000000000 GROUP BY 1), " +
+        "t2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t1.t AND epoch_ns(e.ts) <= t1.t + 86400000000000 GROUP BY 1) " +
         "SELECT u.user_id, CASE WHEN t2.t IS NOT NULL THEN 3 WHEN t1.t IS NOT NULL THEN 2 WHEN t0.t IS NOT NULL THEN 1 ELSE 0 END AS steps_completed " +
         "FROM u LEFT JOIN t0 ON u.user_id = t0.user_id LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id"),
 
@@ -3161,6 +3197,14 @@ object SparkEntry {
         s"sc AS (SELECT centroid_id, vec_id, ${cosSql("v", "cvec")} AS cos FROM a0), " +
         "r AS (SELECT centroid_id, vec_id, cos, row_number() OVER (PARTITION BY centroid_id ORDER BY cos DESC, vec_id) AS rank FROM sc) " +
         "SELECT centroid_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+
+    "q_s_centdrift" ->
+      ("WITH e AS (SELECT vec_id, label, vec_id % 2 = 0 AS h, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
+        "st AS (SELECT label, h, pos, CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS s, count(*) AS n FROM e GROUP BY 1, 2, 3), " +
+        "mm AS (SELECT label, h, pos, CAST(round(s::DOUBLE / n) AS BIGINT) AS m FROM st), " +
+        "j AS (SELECT a.label, a.m AS ma, b.m AS mb FROM (SELECT * FROM mm WHERE h) a JOIN (SELECT * FROM mm WHERE NOT h) b ON a.label = b.label AND a.pos = b.pos), " +
+        "ag AS (SELECT label, count(*) AS n_dims, CAST(sum(ma * mb) AS BIGINT) AS ab, CAST(sum(ma * ma) AS BIGINT) AS aa, CAST(sum(mb * mb) AS BIGINT) AS bb FROM j GROUP BY 1) " +
+        "SELECT label, n_dims, CASE WHEN aa > 0 AND bb > 0 THEN round(ab::DOUBLE / (sqrt(aa::DOUBLE) * sqrt(bb::DOUBLE)), 6) + 0 END AS cos FROM ag"),
 
     "q_s_dimprofile" ->
       ("WITH p AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding::DOUBLE[]) AS x FROM embeddings) " +

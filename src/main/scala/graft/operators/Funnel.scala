@@ -48,6 +48,43 @@ object Funnel {
     joined.select(col(userCol), stepsDone.as("steps_completed"))
   }
 
+  /** [[reached]] with a conversion window: step i counts only when it
+    * happens within `maxGapNs` of the previous step's qualified time
+    * — "purchased within a day of clicking", the form product funnels
+    * actually ship (an unconstrained funnel credits a purchase months
+    * later). Same k-scan relational cascade; the window is one extra
+    * pushdown-friendly predicate per step. */
+  def reachedWithin(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    maxGapNs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapNs > 0, s"maxGapNs must be positive, got $maxGapNs")
+    val users = df.select(col(userCol)).distinct()
+    var prev: Option[DataFrame] = None
+    val stepFrames = steps.zipWithIndex.map { case (st, i) =>
+      val ev = df.filter(col(typeCol) === st).select(col(userCol), col(tsCol))
+      val cur = prev match {
+        case None =>
+          ev.groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
+        case Some(p) =>
+          ev.join(p, Seq(userCol))
+            .filter(col(tsCol) > col(s"__t${i - 1}") &&
+              col(tsCol) <= col(s"__t${i - 1}") + maxGapNs)
+            .groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
+      }
+      prev = Some(cur)
+      cur
+    }
+    val joined = stepFrames.foldLeft(users)(
+      (acc, f) => acc.join(f, Seq(userCol), "left"))
+    val stepsDone = steps.indices.reverse.foldLeft(Option.empty[Column]) {
+      case (acc, i) =>
+        val cond = col(s"__t$i").isNotNull
+        Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
+    }.fold(lit(0): Column)(_.otherwise(lit(0)))
+    joined.select(col(userCol), stepsDone.as("steps_completed"))
+  }
+
   /** Conversion-lag distribution per funnel transition: users who
     * complete step i → i+1 (same strict-sequence semantics as
     * `reached`: each step's FIRST occurrence after the previous

@@ -429,6 +429,45 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Per-label centroid drift between two halves of a corpus (new
+    * snapshot vs old, re-embedded vs original): cosine of the two
+    * per-label mean vectors — the "did the embedding space move"
+    * check run after a model swap or a data refresh. Element means
+    * accumulate as exact micro-longs (the `meanPool` recipe), the
+    * per-label dot/norm sums are exact long products over dims, and
+    * ONE float expression per label produces the cosine — nothing
+    * order-dependent survives. Shuffles: one (label, half, pos)
+    * aggregation + one label-sized join. Output: (label, n_dims,
+    * cos). */
+  def centroidDrift(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, firstHalf: Column): DataFrame = {
+    val base = Explodes.posNonEmpty(
+        df.select(col(idCol), col(labelCol).as("label"),
+          firstHalf.as("__h"), asDouble(col(vecCol)).as("__v")),
+        col("__v"), "pos", "__x", col("label"), col("__h"))
+      .groupBy(col("label"), col("__h"), col("pos"))
+      .agg(sum(round(col("__x") * 1e6).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("m",
+        round(col("__s").cast("double") / col("__n")).cast("long"))
+    val a = base.filter(col("__h"))
+      .select(col("label"), col("pos"), col("m").as("__ma"))
+    val b = base.filter(!col("__h"))
+      .select(col("label"), col("pos"), col("m").as("__mb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("__ma") * col("__mb")).as("__ab"),
+        sum(col("__ma") * col("__ma")).as("__aa"),
+        sum(col("__mb") * col("__mb")).as("__bb"))
+      .select(col("label"), col("n_dims"),
+        when(col("__aa") > 0 && col("__bb") > 0,
+          round(col("__ab").cast("double") /
+            (sqrt(col("__aa").cast("double")) *
+              sqrt(col("__bb").cast("double"))), 6) + lit(0.0))
+          .as("cos"))
+  }
+
   /** Embedding outlier census: score = Σ z² over the diagonal-
     * whitened vector (squared Mahalanobis under a diagonal covariance)
     * — the "what does NOT belong in this corpus" screen run before

@@ -61,4 +61,25 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((0L, 1L, 0L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
+
+  test("reachedWithin: late conversions fall out of the window") {
+    val df = Seq(
+      // u1 converts view->click->purchase all within the window
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 9L, "purchase"),
+      // u2 clicks too late (gap 50 > 10) -> stuck at step 1
+      (2L, 0L, "view"), (2L, 50L, "click"),
+      // u3: click in window, purchase outside it -> step 2; the
+      // unconstrained funnel would credit 3
+      (3L, 0L, "view"), (3L, 8L, "click"), (3L, 100L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val got = Funnel.reachedWithin(df, "user_id", "ts", "event_type",
+        steps, maxGapNs = 10L)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2))
+    // the unconstrained funnel credits u2 and u3 fully
+    val loose = Funnel.reached(df, "user_id", "ts", "event_type", steps)
+      .as[(Long, Int)].collect().toMap
+    assert(loose == Map(1L -> 3, 2L -> 2, 3L -> 3))
+  }
 }

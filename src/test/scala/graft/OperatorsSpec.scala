@@ -687,6 +687,22 @@ class OperatorsSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-_)))
   }
 
+  test("centroidDrift: identical halves cos 1, opposed halves cos -1") {
+    // label A: even/odd halves identical vectors -> cos exactly 1;
+    // label B: odd half is the negation -> cos exactly -1
+    val vecs = Seq(
+      (0L, "A", Array(1.0, 2.0)), (1L, "A", Array(1.0, 2.0)),
+      (2L, "A", Array(3.0, 0.0)), (3L, "A", Array(3.0, 0.0)),
+      (10L, "B", Array(1.0, 1.0)), (11L, "B", Array(-1.0, -1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(vecs, "vec_id", "embedding",
+        "label", col("vec_id") % 2 === 0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("A") == ((2L, 1.0)))
+    assert(got("B") == ((2L, -1.0)))
+  }
+
   test("diverseSample: every cluster keeps at most perCluster, centroids self-rank first") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), // the 2 seeds
