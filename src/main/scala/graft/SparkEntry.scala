@@ -650,6 +650,19 @@ object SparkEntry {
             .cast("long") % 150).as("y")),
         "x", "y")),
 
+    // k-core membership: 8 fixed peels (the oracle unrolls the same
+    // rounds, so convergence state can never diverge between engines)
+    "q_g_kcore" -> ((s, d) =>
+      Graph.kCore(
+        t(s, d, "orders").filter(col("o_orderkey") % 5 === 0).select(
+          (conv(substring(md5(concat(lit("ka"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 300).as("x"),
+          (conv(substring(md5(concat(lit("kb"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 300).as("y")),
+        "x", "y", k = 2, peels = 8)),
+
     "q_g_pagerank" -> ((s, d) =>
       Graph.pageRankInt(
         t(s, d, "lineitem").select(
@@ -1498,6 +1511,19 @@ object SparkEntry {
       Sampling.assignSplit(t(s, d, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+
+    // scaling-law plan: nested-subset row/byte totals at 4 rates in
+    // ONE scan (lower rates are subsets of higher — same salt)
+    "q_x_lcurve" -> ((s, d) =>
+      Sampling.learningCurve(
+        t(s, d, "documents")
+          .withColumn("__w", length(col("text")).cast("long")),
+        "doc_id", Seq(0.1, 0.2, 0.4, 0.8), weightCol = Some("__w"))),
+
+    // class-balanced undersample: every language kept at the
+    // minority class size, deterministic hash order
+    "q_x_balance" -> ((s, d) =>
+      Sampling.balanceClasses(t(s, d, "documents"), "doc_id", "lang")),
 
     // leakage-free split: every source's documents land in ONE split
     // (keyed on the group hash, not the row hash)
@@ -2807,6 +2833,20 @@ object SparkEntry {
         "walk(node, lbl) AS (SELECT src, src FROM e UNION SELECT s.dst, w.lbl FROM walk w JOIN e s ON s.src = w.node) " +
         "SELECT node, min(lbl) AS cluster FROM walk GROUP BY 1"),
 
+    "q_g_kcore" -> {
+      // MATERIALIZED: each round is referenced 3× by the next — the
+      // default inlining would re-expand the whole chain per
+      // reference (3^8 scans of orders)
+      val rounds = (1 to 8).map { i =>
+        s"k$i AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) AS dg FROM (SELECT a AS n FROM e${i - 1} UNION ALL SELECT b AS n FROM e${i - 1}) u GROUP BY 1) d WHERE dg >= 2), " +
+          s"e$i AS MATERIALIZED (SELECT pe.a, pe.b FROM e${i - 1} pe JOIN k$i ka ON pe.a = ka.n JOIN k$i kb ON pe.b = kb.n)"
+      }.mkString(", ")
+      "WITH raw AS (SELECT ('0x' || substr(md5('ka' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 300 AS x, ('0x' || substr(md5('kb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 300 AS y FROM orders WHERE o_orderkey % 5 = 0), " +
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y), " +
+        rounds + " " +
+        "SELECT n AS node, count(*) AS core_degree FROM (SELECT a AS n FROM e8 UNION ALL SELECT b AS n FROM e8) f GROUP BY 1 HAVING count(*) >= 2"
+    },
+
     "q_g_triangles" ->
       ("WITH raw AS (SELECT ('0x' || substr(md5('ta' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS x, ('0x' || substr(md5('tb' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 150 AS y FROM orders), " +
         "c AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y), " +
@@ -3408,6 +3448,20 @@ object SparkEntry {
     "q_x_groupsplit" ->
       (s"WITH a AS (SELECT source, CASE WHEN substr(md5(source), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train' WHEN substr(md5(source), 1, 8) < '${Sampling.thresholdHex(0.9)}' THEN 'val' ELSE 'test' END AS split FROM documents) " +
         "SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources FROM a GROUP BY 1"),
+
+    "q_x_lcurve" ->
+      Seq(0.1, 0.2, 0.4, 0.8).map { r =>
+        val thr = Sampling.thresholdHex(r)
+        s"SELECT ${math.round(r * 1e6)} AS rate_ppm, " +
+          s"CAST(sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '$thr' THEN 1 ELSE 0 END) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '$thr' THEN length(text) ELSE 0 END) AS BIGINT) AS weight_sum FROM documents"
+      }.mkString(" UNION ALL "),
+
+    "q_x_balance" ->
+      ("WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1), " +
+        "m AS (SELECT min(cnt) AS nmin FROM c), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rk FROM documents) " +
+        "SELECT doc_id, lang FROM r CROSS JOIN m WHERE rk <= nmin"),
 
     "q_x_auc" ->
       ("WITH b AS (SELECT value AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events WHERE value IS NOT NULL), " +

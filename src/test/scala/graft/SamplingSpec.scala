@@ -316,6 +316,39 @@ class SamplingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("learningCurve: one-scan totals match per-rate hashSample counts, nested") {
+    val df = (1L to 1000L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val rates = Seq(0.1, 0.4, 0.8)
+    val got = Sampling.learningCurve(df, "id", rates, Some("w"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rates.foreach { r =>
+      val sampled = Sampling.hashSample(df, "id", r)
+      val n = sampled.count()
+      val w = sampled.agg(sum(col("w"))).as[Long].head()
+      assert(got(math.round(r * 1e6)) == ((n, w)))
+    }
+    // nested: counts strictly increase with the rate
+    assert(got(100000L)._1 < got(400000L)._1)
+    assert(got(400000L)._1 < got(800000L)._1)
+  }
+
+  test("balanceClasses: every class trimmed to the minority size, deterministically") {
+    // class sizes: a=50, b=20, c=5 -> everyone keeps 5
+    val rows = (1L to 50L).map((_, "a")) ++ (51L to 70L).map((_, "b")) ++
+      (71L to 75L).map((_, "c"))
+    val df = rows.toDF("id", "cls")
+    val got = Sampling.balanceClasses(df, "id", "cls")
+      .as[(Long, String)].collect()
+    val byCls = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCls.keySet == Set("a", "b", "c"))
+    assert(byCls.values.forall(_.size == 5))
+    // deterministic: a second run keeps the identical rows
+    val again = Sampling.balanceClasses(df, "id", "cls")
+      .as[(Long, String)].collect().toSet
+    assert(again == got.toSet)
+  }
+
   test("groupAwareSplit: all rows of a group share one split; agrees with assignSplit on the group key") {
     val df = (1L to 300L).map(i => (i, s"src${i % 20}")).toDF("id", "grp")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
