@@ -139,6 +139,48 @@ object Batching {
           .as("seq_off"))
   }
 
+  /** Scalable PER-GROUP rank: the grouped sibling of the
+    * `partitionOffsets` skeleton. A `Window.partitionBy(group)` rank
+    * collapses to #groups tasks — with 5 classes over 10¹² rows that
+    * is 5 tasks doing everything. Here the data range-repartitions on
+    * (group, orderCols), so a huge group SPANS many partitions; the
+    * driver collects one (partition, group) count row per span
+    * (metadata — ranges mean each partition holds few groups), turns
+    * them into per-group running offsets, and the final rank is
+    * offset + an in-partition window keyed by (partition, group).
+    * Null groups rank under a sentinel key. Adds `__grank` (1-based
+    * within each group, ordered by `orderCols`). */
+  def groupedRankByRange(df: DataFrame, grpCol: String,
+                         orderCols: Seq[Column],
+                         numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "groupedRankByRange: no order columns")
+    val keyed = df.withColumn("__grp",
+      coalesce(col(grpCol).cast("string"), lit(" null")))
+    val sortCols = col("__grp") +: orderCols
+    val parts =
+      if (numPartitions > 0)
+        keyed.repartitionByRange(numPartitions, sortCols: _*)
+      else keyed.repartitionByRange(sortCols: _*)
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = withPid.groupBy("__pid", "__grp")
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, c) =>
+        val o = (pid, g, acc); acc += c; o
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toDF("__pid", "__grp", "__offset")
+    val w = Window.partitionBy("__pid", "__grp").orderBy(orderCols: _*)
+    withPid.join(broadcast(offsetDf), Seq("__pid", "__grp"))
+      .withColumn("__grank", col("__offset") + row_number().over(w))
+      .drop("__pid", "__grp", "__offset")
+  }
+
   /** Scalable twin of `globalNtile`: identical `batch` column, no
     * single-task window. `orderCol` must be a total order (unique) for
     * a deterministic result — same caveat as any rank-based batching.

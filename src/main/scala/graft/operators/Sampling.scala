@@ -164,22 +164,23 @@ object Sampling {
     * minority class size — the baseline rebalance before training a
     * classifier on skewed labels. The hash order makes the kept set
     * engine-stable and append-stable (same rows survive a re-run).
-    * One per-class window (partition sized by the class — for a
-    * billion-row majority class use the hash-threshold approximate
-    * form `stratifiedSample` instead) + a broadcast 1-row minimum.
+    * The per-class rank runs on `Batching.groupedRankByRange` — NOT a
+    * `Window.partitionBy(class)`, which would collapse a 5-class
+    * 10¹²-row table into 5 tasks; the range-partitioned form spreads
+    * every class across the cluster and collects only (partition,
+    * class) offset metadata. Plus a broadcast 1-row minimum.
     * Output: the kept rows (idCol, classCol). */
   def balanceClasses(df: DataFrame, idCol: String, classCol: String,
                      salt: String = ""): DataFrame = {
-    val key = sampleKey(col(idCol), salt)
     val counts = df.groupBy(col(classCol))
       .agg(count(lit(1)).as("__cnt"))
     val nmin = counts.agg(min(col("__cnt")).as("__nmin"))
-    val w = Window.partitionBy(col(classCol))
-      .orderBy(key.asc, col(idCol).asc)
-    df.select(col(idCol), col(classCol))
-      .withColumn("__rk", row_number().over(w))
-      .crossJoin(broadcast(nmin))
-      .filter(col("__rk") <= col("__nmin"))
+    val ranked = Batching.groupedRankByRange(
+      df.select(col(idCol), col(classCol))
+        .withColumn("__key", sampleKey(col(idCol), salt)),
+      classCol, Seq(col("__key"), col(idCol)))
+    ranked.crossJoin(broadcast(nmin))
+      .filter(col("__grank") <= col("__nmin"))
       .select(col(idCol), col(classCol))
   }
 

@@ -499,6 +499,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) > got(2L))              // and pushes 3 far ahead
   }
 
+  test("groupedRankByRange equals the per-group window rank at any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, s"g${i % 3}", (i * 37) % 101))
+      .toDF("id", "grp", "v")
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+    val expect = df.withColumn("rk", row_number().over(w))
+      .select("id", "rk").as[(Long, Int)].collect().toMap
+    for (parts <- Seq(0, 7)) {
+      val got = Batching.groupedRankByRange(df.repartition(11), "grp",
+          Seq(col("v"), col("id")), numPartitions = parts)
+        .select(col("id"), col("__grank")).as[(Long, Long)]
+        .collect().toMap
+      assert(got == expect.map { case (k, v) => k -> v.toLong })
+    }
+    // null group ranks as its own class
+    val withNull = df.withColumn("grp",
+      when(col("id") <= 5, lit(null: String)).otherwise(col("grp")))
+    val gotN = Batching.groupedRankByRange(withNull, "grp",
+        Seq(col("v"), col("id")))
+      .filter(col("grp").isNull).select(col("__grank"))
+      .as[Long].collect().sorted
+    assert(gotN.sameElements(1L to 5L))
+  }
+
   test("standardize: z-scores per group, constant group maps to 0") {
     val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0),
       ("c", 5.0), ("c", 5.0)).toDF("k", "value")
