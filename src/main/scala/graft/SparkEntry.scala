@@ -2034,7 +2034,21 @@ object SparkEntry {
       MultiModal.decodeStub(
         MultiModal.attachBinary(t(s, d, "documents"), "text"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-          col("meta.width").as("width"), col("meta.height").as("height")))
+          col("meta.width").as("width"), col("meta.height").as("height"))),
+
+    // the full video-shaped pipeline under the gate: decode (stub
+    // metadata) -> resize bookkeeping -> every-k frame-sample explode
+    "q_m_frames" -> ((s, d) => {
+      val dec = MultiModal.decodeStub(
+        MultiModal.attachBinary(t(s, d, "documents"), "text"))
+        .filter(col("meta.width") > 0 && col("meta.height") > 0)
+      val rs = MultiModal.resizeMeta(dec, maxW = 320, maxH = 240)
+        .withColumn("n_frames", (col("meta.n_bytes") % 50) + 1)
+      MultiModal.frameSample(rs, "n_frames", every = 7)
+        .select(col("doc_id"), col("resized.width").as("r_width"),
+          col("resized.height").as("r_height"),
+          col("resized.scale").as("scale"), col("frame_idx"))
+    })
   )
 
   // ---- shared DuckDB oracle fragments (kept in lockstep with the
@@ -3301,6 +3315,12 @@ object SparkEntry {
 
     "q_m_binary" ->
       s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, ${h60Sql("text")} % 640 AS width, ${h60Sql("text")} % 480 AS height FROM documents",
+
+    "q_m_frames" ->
+      (s"WITH h AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS nb, ${h60Sql("text")} % 640 AS w, ${h60Sql("text")} % 480 AS ht FROM documents), " +
+        "f AS (SELECT doc_id, nb, w, ht, least(320.0 / w, 240.0 / ht, 1.0) AS sc FROM h WHERE w > 0 AND ht > 0), " +
+        "e AS (SELECT doc_id, CAST(floor(w * sc) AS BIGINT) AS r_width, CAST(floor(ht * sc) AS BIGINT) AS r_height, round(sc, 6) AS scale, (nb % 50) + 1 AS nf FROM f) " +
+        "SELECT doc_id, r_width, r_height, scale, unnest(range(0, nf, 7)) AS frame_idx FROM e"),
 
     "q_f16_hgvs" ->
       """WITH v AS (
