@@ -380,6 +380,18 @@ object SparkEntry {
         "user_id", "ts_us",
         gapNs = 1800000000L, tiebreak = Seq(col("event_id")))),
 
+    // Spark's NATIVE session_window operator (the built-in gap-merge
+    // aggregation, no window function) — split rule is diff >= gap,
+    // end = last event + gap; the oracle replays that contract
+    "q_e_sesswin" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("__et", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("__et"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"), col("n_events"))),
+
     // debounce: drop same-user same-type events within 60s of the
     // previous one (double-click / duplicate-beacon filter)
     "q_e_debounce" -> ((s, d) =>
@@ -2602,6 +2614,14 @@ object SparkEntry {
 
     "q_e_session" ->
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), g AS (SELECT user_id, event_id, tsn, CASE WHEN tsn - lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events, min(tsn) AS t_start, max(tsn) AS t_end FROM s GROUP BY 1, 2",
+
+    // native session_window splits at diff >= gap (vs sessionStats'
+    // strict >); end = last event time + gap
+    "q_e_sesswin" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events), " +
+        "g AS (SELECT user_id, event_id, tsu, CASE WHEN tsu - lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)), " +
+        "s AS (SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, min(tsu) AS start_us, max(tsu) + 1800000000 AS end_us, count(*) AS n_events FROM s GROUP BY user_id, sid"),
 
     "q_e_debounce" ->
       ("SELECT event_id, user_id, event_type FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn, lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id) AS prev FROM events) " +
