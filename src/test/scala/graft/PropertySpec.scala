@@ -288,4 +288,90 @@ class PropertySpec extends SparkSpec {
     assert(once.select("event_id").as[Long].collect().toSet ==
       twice.select("event_id").as[Long].collect().toSet)
   }
+
+  test("property: AUC is a rank statistic — invariant under monotone score transforms") {
+    import graft.operators.Classify
+    val rows = (1 to 400).map { _ =>
+      (rng.nextInt(50) / 10.0 + 1.0, rng.nextBoolean())
+    }.toDF("s", "lbl")
+    def aucOf(df: org.apache.spark.sql.DataFrame) =
+      Classify.auc(df, "s", col("lbl")).collect().head.getLong(2)
+    val base = aucOf(rows)
+    // squaring and exp are strictly monotone on positive scores:
+    // ranks (and ties) are preserved, so AUC must be bit-identical
+    assert(aucOf(rows.withColumn("s", col("s") * col("s"))) == base)
+    assert(aucOf(rows.withColumn("s", exp(col("s")))) == base)
+    // and reversing the score order flips AUC around 1/2
+    val rev = aucOf(rows.withColumn("s", -col("s")))
+    assert(rev + base == 1000000L)
+  }
+
+  test("property: histQuantiles stays within one bin width of the exact percentile") {
+    val vals = (1 to 2000).map(_ => rng.nextDouble() * 1000.0 - 200.0)
+    val df = vals.toDF("v")
+    val bins = 32
+    val width = (vals.max - vals.min) / bins
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = graft.operators.Profile.histQuantiles(df, "v", bins, ps)
+      .collect().map(r => r.getLong(0) -> r.getLong(2) / 1e6).toMap
+    val sorted = vals.sorted
+    ps.foreach { p =>
+      val pos = (sorted.length - 1) * p
+      val exact = sorted(pos.toInt) +
+        (sorted(math.ceil(pos).toInt) - sorted(pos.toInt)) * (pos - pos.toInt)
+      val e = est(math.round(p * 1e6))
+      assert(math.abs(e - exact) <= width + 1e-6,
+        s"p=$p est=$e exact=$exact width=$width")
+    }
+  }
+
+  test("property: rollingActive equals the brute-force window distinct") {
+    import graft.operators.Features
+    val rows = (1 to 800).map { _ =>
+      (rng.nextInt(60).toLong, rng.nextInt(30).toLong * 10L)
+    }
+    val df = rows.toDF("u", "ts")
+    val got = Features.rollingActive(df, "ts", "u", bucketNs = 10L,
+      window = 4).as[(Long, Long)].collect().toMap
+    val byBucket = rows.map { case (u, ts) => (ts / 10, u) }
+    val observed = byBucket.map(_._1).toSet
+    val brute = observed.map { b =>
+      b -> byBucket.filter { case (eb, _) =>
+        eb <= b && eb > b - 4
+      }.map(_._2).toSet.size.toLong
+    }.toMap
+    assert(got == brute)
+  }
+
+  test("property: twap equals the brute-force duration-weighted mean") {
+    import graft.operators.Features
+    val rows = (1 to 300).map { i =>
+      (rng.nextInt(5).toLong, rng.nextInt(100000).toLong * 1000000L,
+        i.toLong, rng.nextDouble() * 20 - 5)
+    }
+    val df = rows.toDF("u", "ts", "eid", "v")
+    val got = Features.twap(df, "u", "ts", "v", tieCols = Seq("eid"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.map(r => (r._2 / 1000000L, r._3,
+        Math.round(r._4 * 1e6))).sortBy(t => (t._1, t._2))
+      if (sorted.length < 2) assert(!got.contains(u))
+      else {
+        val segs = sorted.zip(sorted.tail).map { case (a, b) =>
+          (b._1 - a._1, a._3)
+        }
+        val span = segs.map(_._1).sum
+        val s = segs.map { case (g, vm) => BigInt(g) * vm }.sum
+        val expectTwap =
+          if (span > 0) Some(BigDecimal(s) / span) else None
+        val (nSeg, gotSpan, gotTwap) = got(u)
+        assert(nSeg == segs.length && gotSpan == span)
+        expectTwap.foreach { e =>
+          assert(math.abs(gotTwap - e.toDouble) <= 1.0,
+            s"u=$u got=$gotTwap expect=$e")
+        }
+      }
+    }
+  }
 }
