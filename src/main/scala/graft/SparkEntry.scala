@@ -487,6 +487,13 @@ object SparkEntry {
       Features.seasonalProfile(t(s, d, "events"), Seq("event_type"),
         "ts", positionNs = 3600000000000L, periodNs = 86400000000000L)),
 
+    // seasonality-aware anomalies: hour buckets ≥2σ from their own
+    // hour-of-day profile (rush hour doesn't fire; a 3 a.m. spike does)
+    "q_e_seasonanom" -> ((s, d) =>
+      Features.seasonalAnomalies(t(s, d, "events"), Seq("event_type"),
+        "ts", positionNs = 3600000000000L, periodNs = 86400000000000L,
+        thresholdMilli = 2000L)),
+
     // inter-arrival burstiness per user: CV of ms gaps from exact
     // moments (decimal Σg² — month-long gaps square past a long)
     "q_e_burst" -> ((s, d) =>
@@ -2767,6 +2774,13 @@ object SparkEntry {
         "ag AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM j GROUP BY 1), " +
         "d2 AS (SELECT lag, n, (n * sxx - sx * sx)::DOUBLE AS dx, (n * syy - sy * sy)::DOUBLE AS dy, (n * sxy - sx * sy)::DOUBLE AS cov FROM ag) " +
         "SELECT lag::INT AS lag, n, CASE WHEN dx > 0 AND dy > 0 THEN CAST(round(cov / sqrt(dx * dy) * 1e6) AS BIGINT) END AS r_micro FROM d2"),
+
+    "q_e_seasonanom" ->
+      ("WITH pp AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS period, (epoch_ns(ts) % 86400000000000) // 3600000000000 AS position, count(*) AS c FROM events GROUP BY 1, 2, 3), " +
+        "pr AS (SELECT event_type, position, count(*) AS np, CAST(sum(c) AS BIGINT) AS tot, CAST(sum(c * c) AS BIGINT) AS cc FROM pp GROUP BY 1, 2), " +
+        "pm AS (SELECT event_type, position, tot::DOUBLE / np AS mn, (cc::DOUBLE - tot::DOUBLE * tot / np) / np AS vr FROM pr), " +
+        "r AS (SELECT pp.event_type, pp.period, pp.position, pp.c, CASE WHEN vr > 0 THEN CAST(round((pp.c - mn) / sqrt(vr) * 1000) AS BIGINT) END AS resid_milli FROM pp JOIN pm ON pp.event_type = pm.event_type AND pp.position = pm.position) " +
+        "SELECT event_type, period, position, c, resid_milli FROM r WHERE resid_milli IS NOT NULL AND abs(resid_milli) >= 2000"),
 
     "q_e_seasonal" ->
       ("WITH pp AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS period, (epoch_ns(ts) % 86400000000000) // 3600000000000 AS position, count(*) AS c FROM events GROUP BY 1, 2, 3), " +

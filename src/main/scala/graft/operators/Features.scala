@@ -532,6 +532,48 @@ object Features {
           .as("twap_micro"))
   }
 
+  /** Seasonality-aware anomaly flags: each (key, period, position)
+    * bucket count compared against ITS OWN position's profile from
+    * [[seasonalProfile]] — "is 3 a.m. traffic high for 3 a.m.", not
+    * "is it high overall" (plain z-scores fire every rush hour).
+    * Residual = (count − mean)·1000/σ in milli-units, computed from
+    * the same exact integer sums as the profile; zero-variance
+    * positions (every period identical) by construction never
+    * deviate and emit nothing. One count cascade + a positions-sized
+    * join. Output: (keys..., period, position, c, resid_milli) for
+    * buckets with |resid| ≥ thresholdMilli. */
+  def seasonalAnomalies(df: DataFrame, keys: Seq[String], tsCol: String,
+                        positionNs: Long, periodNs: Long,
+                        thresholdMilli: Long): DataFrame = {
+    require(positionNs > 0 && periodNs > positionNs,
+      s"need 0 < positionNs < periodNs, got $positionNs/$periodNs")
+    val perPeriod = df
+      .withColumn("period", expr(s"`$tsCol` div $periodNs"))
+      .withColumn("position",
+        expr(s"(`$tsCol` % $periodNs) div $positionNs"))
+      .groupBy(keys.map(col) :+ col("period") :+ col("position"): _*)
+      .agg(count(lit(1)).as("c"))
+    val prof = perPeriod
+      .groupBy(keys.map(col) :+ col("position"): _*)
+      .agg(count(lit(1)).as("__np"), sum(col("c")).as("__tot"),
+        sum(col("c") * col("c")).as("__cc"))
+      .withColumn("__mean",
+        col("__tot").cast("double") / col("__np"))
+      .withColumn("__var",
+        (col("__cc").cast("double") -
+          col("__tot").cast("double") * col("__tot") / col("__np")) /
+          col("__np"))
+    perPeriod.join(prof, keys :+ "position")
+      .withColumn("resid_milli",
+        when(col("__var") > 0,
+          round((col("c") - col("__mean")) /
+            sqrt(col("__var")) * 1000).cast("long")))
+      .filter(col("resid_milli").isNotNull &&
+        abs(col("resid_milli")) >= thresholdMilli)
+      .select(keys.map(col) :+ col("period") :+ col("position") :+
+        col("c") :+ col("resid_milli"): _*)
+  }
+
   /** Inter-arrival burstiness per actor: coefficient of variation of
     * the gaps between consecutive events — CV ≈ 1 is Poisson, ≫ 1 is
     * bursty (bot bursts, batch ingests), ≪ 1 is metronomic (cron).

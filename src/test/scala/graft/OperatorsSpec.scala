@@ -656,6 +656,24 @@ class OperatorsSpec extends SparkSpec {
     assert(p1.getAs[Long]("var_micro") == 0L)
   }
 
+  test("seasonalAnomalies: the off-profile spike flags, rush hour does not") {
+    // position 0 is always busy (counts 10,10,10,10) -> never flags;
+    // position 1 is quiet (1,1,1) except one period with 9 -> flags
+    val rows =
+      (0 until 4).flatMap(p => Seq.fill(10)(("k", p * 10L))) ++
+        (0 until 3).map(p => ("k", p * 10L + 5L)) ++
+        Seq.fill(9)(("k", 35L))
+    val df = rows.toDF("k", "ts")
+    val got = Features.seasonalAnomalies(df, Seq("k"), "ts",
+      positionNs = 5L, periodNs = 10L, thresholdMilli = 1500L)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L) // period 3, pos 1
+    assert(r.getLong(3) == 9L)   // the spiky count
+    assert(r.getLong(4) > 1500L) // strongly positive residual
+  }
+
   test("burstiness: metronome CV 0, burst-then-gap CV high, <2 gaps null") {
     // ts in nanos; user 1 metronomic (gaps 10ms), user 2 bursty
     // (1ms, 1ms, 98ms), user 3 has one event (no gaps at all)
