@@ -951,6 +951,10 @@ object SparkEntry {
     "q_t_fertility" -> ((s, d) =>
       Tfidf.tokenFertility(t(s, d, "documents"), "text", "lang")),
 
+    // Heaps-law vocabulary growth over 10 nested subsets, one pass
+    "q_t_heaps" -> ((s, d) =>
+      Tfidf.heapsCurve(t(s, d, "documents"), "text", "doc_id")),
+
     // character-distribution entropy screen (map-only, no shuffle)
     "q_t_entropy" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -3130,6 +3134,15 @@ object SparkEntry {
     "q_t_hashvec" ->
       (s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents) " +
         s"SELECT doc_id, (${h60Sql("term")} % 256)::INT AS slot, count(*) AS cnt FROM tk GROUP BY 1, 2"),
+
+    "q_t_heaps" ->
+      (s"WITH tk AS MATERIALIZED (SELECT doc_id % 10 AS m, unnest($toksSql) AS term FROM documents), " +
+        "tf AS MATERIALIZED (SELECT term, min(m) AS fm FROM tk GROUP BY 1), " +
+        "d AS (SELECT unnest(range(1, 11)) AS subset) " +
+        "SELECT subset::INT AS subset, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM tk WHERE tk.m < d.subset) AS n_tokens, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM tf WHERE tf.fm < d.subset) AS vocab " +
+        "FROM d"),
 
     "q_t_fertility" ->
       (s"WITH f AS (SELECT lang, len($toksSql)::BIGINT AS nt, length(text)::BIGINT AS nc FROM documents), " +

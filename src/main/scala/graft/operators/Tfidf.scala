@@ -335,6 +335,34 @@ object Tfidf {
       .groupBy(col(idCol), col("slot")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Heaps-law vocabulary growth curve: distinct-type count vs token
+    * count over a NESTED chain of corpus subsets (doc_id mod
+    * `buckets` < d) — the curve whose log-log slope says how fast new
+    * vocabulary keeps arriving as the corpus grows (tokenizer sizing,
+    * dedup saturation checks). The trick that makes it one pass: a
+    * term is in subset d iff its MINIMUM doc bucket < d, so one
+    * per-term min + conditional counts replay every subset without
+    * rescanning — growing the curve to 100 subsets costs 100 counters,
+    * not 100 corpus scans. Output: (subset, n_tokens, vocab). */
+  def heapsCurve(docs: DataFrame, textCol: String, idCol: String,
+                 buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val toks = Explodes.nonEmpty(docs, TextFns.tokens(col(textCol)),
+        "term", col(idCol))
+      .withColumn("__m", pmod(col(idCol), lit(buckets)))
+    val termFirst = toks.groupBy("term").agg(min(col("__m")).as("__fm"))
+    val vocabAggs = (1 to buckets).map(d =>
+      sum(when(col("__fm") < d, 1L).otherwise(0L)).as(s"__v$d"))
+    val vocabWide = termFirst.agg(vocabAggs.head, vocabAggs.tail: _*)
+    val tokAggs = (1 to buckets).map(d =>
+      sum(when(col("__m") < d, 1L).otherwise(0L)).as(s"__t$d"))
+    val tokWide = toks.agg(tokAggs.head, tokAggs.tail: _*)
+    val rows = (1 to buckets).map(d => struct(lit(d).as("subset"),
+      col(s"__t$d").as("n_tokens"), col(s"__v$d").as("vocab")))
+    tokWide.crossJoin(broadcast(vocabWide))
+      .select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
   /** Token fertility by language: characters per token — the
     * tokenizer-equity number ("this vocab spends 3× the tokens per
     * character on Thai"). Exact long sums of token and character

@@ -263,6 +263,21 @@ class TfidfSpec extends SparkSpec {
     assert(doc2Slots.size == 1 && doc2Slots.subsetOf(doc1Slots))
   }
 
+  test("heapsCurve: monotone nested growth, exact endpoints") {
+    // doc ids 0..9 across 10 buckets; shared word everywhere plus one
+    // unique word per doc -> vocab grows by exactly 1 per subset
+    val df = (0L to 9L).map(i => (i, s"common w$i")).toDF("doc_id", "text")
+    val got = Tfidf.heapsCurve(df, "text", "doc_id", buckets = 10)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 10)
+    assert(got.head == ((1, 2L, 2L)))    // doc 0: 2 tokens, 2 types
+    assert(got.last == ((10, 20L, 11L))) // all: 20 tokens, 11 types
+    // nested monotone growth in both coordinates
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._2 && a._3 < b._3)
+    }
+  }
+
   test("tokenFertility: chars per token by language bucket") {
     val df = Seq(("en", "ab cd"), ("en", "efg"), ("de", ""))
       .toDF("lang", "text")
