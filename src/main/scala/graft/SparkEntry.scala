@@ -143,6 +143,15 @@ object SparkEntry {
         "g_start", "g_end", "s_start", "s_end", frac = 0.5, binWidth = 10000)
         .select("g_id", "s_id", "overlap_len")),
 
+    // bedtools -r: the overlap must cover half of BOTH intervals
+    "q_j17_reciprocal" -> ((s, d) =>
+      IntervalJoin.fractionFilter(
+        IntervalJoin.overlapBinned(genes(s, d), segs(s, d), Seq("chrom"),
+          "g_start", "g_end", "s_start", "s_end", binWidth = 10000),
+        "g_start", "g_end", "s_start", "s_end",
+        fracA = 0.5, fracB = 0.5)
+        .select("g_id", "s_id", "overlap_len")),
+
     "q_j2_left" -> ((s, d) =>
       t(s, d, "orders").join(t(s, d, "customer"),
         col("o_custkey") === col("c_custkey"), "left")
@@ -2527,6 +2536,12 @@ object SparkEntry {
 
     "q_j1_interval" ->
       s"WITH genes AS ($genesSql), segs AS ($segsSql) SELECT g_id, s_id, least(g_end, s_end) - greatest(g_start, s_start) AS overlap_len FROM genes JOIN segs USING (chrom) WHERE g_start < s_end AND s_start < g_end AND least(g_end, s_end) - greatest(g_start, s_start) >= 0.5 * (g_end - g_start)",
+
+    "q_j17_reciprocal" ->
+      (s"WITH genes AS ($genesSql), segs AS ($segsSql) SELECT g_id, s_id, least(g_end, s_end) - greatest(g_start, s_start) AS overlap_len FROM genes JOIN segs USING (chrom) " +
+        "WHERE g_start < s_end AND s_start < g_end " +
+        "AND least(g_end, s_end) - greatest(g_start, s_start) >= 0.5 * (g_end - g_start) " +
+        "AND least(g_end, s_end) - greatest(g_start, s_start) >= 0.5 * (s_end - s_start)"),
 
     "q_j2_left" ->
       "SELECT coalesce(c_mktsegment, 'NONE') AS segment, count(*) AS n_orders FROM orders LEFT JOIN customer ON o_custkey = c_custkey GROUP BY 1",
