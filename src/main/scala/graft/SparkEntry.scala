@@ -1888,6 +1888,11 @@ object SparkEntry {
       Profile.histQuantiles(t(s, d, "lineitem"), "l_extendedprice",
         bins = 64, ps = Seq(0.5, 0.95, 0.99))),
 
+    // the grouped form: per-flag quantiles, per-group bin edges
+    "q_x_histqgrp" -> ((s, d) =>
+      Profile.histQuantilesByGroup(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", bins = 64, ps = Seq(0.5, 0.95))),
+
     "q_x_histogram" -> ((s, d) =>
       Profile.histogram(t(s, d, "lineitem"), "l_extendedprice", bins = 20)),
 
@@ -3761,6 +3766,18 @@ object SparkEntry {
     "q_x_histogram" ->
       ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, max(l_extendedprice)::DOUBLE AS hi FROM lineitem) " +
         "SELECT CASE WHEN hi = lo THEN 0 ELSE least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) END::BIGINT AS bin, count(*) AS n FROM lineitem CROSS JOIN b GROUP BY 1"),
+
+    "q_x_histqgrp" ->
+      ("WITH nn AS (SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "b AS (SELECT grp, min(v)::DOUBLE AS lo, max(v)::DOUBLE AS hi FROM nn GROUP BY 1), " +
+        "bc AS (SELECT nn.grp, CASE WHEN hi = lo THEN 0 ELSE least(floor((v - lo) * 64 / (hi - lo)), 63) END::BIGINT AS bin, count(*) AS c FROM nn JOIN b ON nn.grp = b.grp GROUP BY 1, 2), " +
+        "cum AS (SELECT grp, bin, c, CAST(sum(c) OVER (PARTITION BY grp ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm FROM bc), " +
+        "cw AS (SELECT grp, bin, c, cm, cm - c AS cbv FROM cum), " +
+        "tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM bc GROUP BY 1), " +
+        "j AS (SELECT tot.grp, pp, n, lo, hi, pp * n AS t FROM (SELECT unnest([0.5, 0.95]) AS pp) p CROSS JOIN tot JOIN b ON tot.grp = b.grp), " +
+        "r AS (SELECT j.grp, j.pp, j.n, j.lo, j.hi, j.t, cw.bin, cw.c, cw.cbv FROM j JOIN cw ON cw.grp = j.grp AND cw.cbv < j.t AND cw.cm >= j.t) " +
+        "SELECT grp AS l_returnflag, CAST(round(pp * 1e6) AS BIGINT) AS p_ppm, n, " +
+        "CAST(round((lo + (bin + (t - cbv) / c) * (hi - lo) / 64) * 1e6) AS BIGINT) AS est_micro FROM r"),
 
     "q_x_histq" ->
       ("WITH nn AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL), " +

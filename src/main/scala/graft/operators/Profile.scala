@@ -344,6 +344,50 @@ object Profile {
         round(sum(col("__t")).cast("double") / 1e6, 6).as("chi2"))
   }
 
+  /** Per-GROUP mergeable histogram quantiles — [[histQuantiles]] with
+    * a group key: bin edges come from each group's own extrema (one
+    * grouped extrema pass broadcast back), counts aggregate per
+    * (group, bin), and the cumulative walk windows over the
+    * BINS-sized frame per group (≤ `bins` rows each — metadata, not
+    * the single-task trap: the heavy work is the two corpus passes).
+    * Output per (group, p): (group, p_ppm, n, est_micro). */
+  def histQuantilesByGroup(df: DataFrame, grpCol: String,
+                           valueCol: String, bins: Int,
+                           ps: Seq[Double]): DataFrame = {
+    require(bins > 0 && ps.nonEmpty, "need bins > 0 and quantiles")
+    val nonNull = df.filter(col(valueCol).isNotNull)
+      .select(col(grpCol).as("grp"), col(valueCol).as("__v"))
+    val b = nonNull.groupBy("grp")
+      .agg(min(col("__v")).cast("double").as("__lo"),
+        max(col("__v")).cast("double").as("__hi"))
+    val binned = nonNull.join(broadcast(b), Seq("grp"))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__v") - col("__lo")) * bins /
+              (col("__hi") - col("__lo"))),
+            lit(bins - 1L))))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("grp").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__cumBefore", col("__cum") - col("__c"))
+    val tot = binned.groupBy("grp").agg(sum(col("__c")).as("__n"))
+    val pframe = df.sparkSession.range(1)
+      .select(explode(array(ps.map(lit(_)): _*)).as("__p"))
+    pframe.crossJoin(tot).join(b, Seq("grp"))
+      .withColumn("__t", col("__p") * col("__n"))
+      .join(cum, Seq("grp"))
+      .filter(col("__cumBefore") < col("__t") && col("__cum") >= col("__t"))
+      .select(col("grp").as(grpCol),
+        round(col("__p") * 1e6).cast("long").as("p_ppm"),
+        col("__n").as("n"),
+        round((col("__lo") + (col("bin") +
+          (col("__t") - col("__cumBefore")) / col("__c")) *
+          (col("__hi") - col("__lo")) / bins) * 1e6).cast("long")
+          .as("est_micro"))
+  }
+
   /** Per-cell standardized residuals of the [[chiSquare]] grid —
     * which cells DRIVE the dependence: (o−e)/√e in milli-units, with
     * the expected count alongside. Same densified grid and null

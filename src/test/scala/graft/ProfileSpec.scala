@@ -233,6 +233,21 @@ class ProfileSpec extends SparkSpec {
     assert(b1 == 301030L)
   }
 
+  test("histQuantilesByGroup: per-group edges, matches the ungrouped op per group") {
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i * 100.0))).toDF("g", "v")
+    val got = Profile.histQuantilesByGroup(df, "g", "v", bins = 10,
+        ps = Seq(0.5)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Profile.histQuantiles(df.filter(col("g") === g), "v",
+        10, Seq(0.5)).collect().head
+      assert(got(g) == ((solo.getLong(1), solo.getLong(2))), g)
+    }
+    // groups don't contaminate each other's bin edges
+    assert(got("a")._2 < 60L * 1000000L && got("b")._2 > 1000L * 1000000L)
+  }
+
   test("joinSizeEstimate: containment-assumption estimate and exact truth") {
     val a = Seq(1L, 1L, 2L, 3L).toDF("k")        // n_a=4, d_a=3
     val b = Seq(1L, 2L, 2L, 4L, 5L).toDF("j")    // n_b=5, d_b=4
