@@ -28,6 +28,20 @@ class PropertySpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
       assert(binned == naive, s"binWidth=$w")
     }
+    // reciprocal (-r) mode: binned + two-sided filter == the naive
+    // join with both fraction predicates applied directly
+    val naiveRecip = IntervalJoin.overlap(a, b, Seq("chrom"),
+        "a_start", "a_end", "b_start", "b_end")
+      .filter(col("overlap_len") >= (col("a_end") - col("a_start")) * 0.5 &&
+        col("overlap_len") >= (col("b_end") - col("b_start")) * 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val binnedRecip = IntervalJoin.fractionFilter(
+        IntervalJoin.overlapBinned(a, b, Seq("chrom"),
+          "a_start", "a_end", "b_start", "b_end", binWidth = 1000L),
+        "a_start", "a_end", "b_start", "b_end",
+        fracA = 0.5, fracB = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(binnedRecip == naiveRecip)
   }
 
   test("property: semi and anti joins partition the left side") {
