@@ -149,7 +149,15 @@ object Batching {
     * them into per-group running offsets, and the final rank is
     * offset + an in-partition window keyed by (partition, group).
     * Null groups rank under a sentinel key. Adds `__grank` (1-based
-    * within each group, ordered by `orderCols`). */
+    * within each group, ordered by `orderCols`).
+    *
+    * Cache discipline: the repartitioned input persists
+    * (MEMORY_AND_DISK) because the offsets collect and the returned
+    * frame must see the SAME range boundaries — the `partitionOffsets`
+    * contract. The pin backs the returned lazy frame and cannot be
+    * released here; a long-lived session making many calls should
+    * `spark.catalog.clearCache()` between batches (the same license
+    * every partitionOffsets caller carries). */
   def groupedRankByRange(df: DataFrame, grpCol: String,
                          orderCols: Seq[Column],
                          numPartitions: Int = 0): DataFrame = {

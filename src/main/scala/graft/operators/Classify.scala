@@ -161,8 +161,9 @@ object Classify {
     val terms = withPid.join(broadcast(offsets), Seq("__pid"))
       .withColumn("__c0",
         col("__offset") + sum(col("__n0")).over(w) - col("__n0"))
-      .select((col("__n1") * (lit(2L) * col("__c0") + col("__n0")))
-        .cast("decimal(38,0)").as("__u2"),
+      .select((col("__n1").cast("decimal(38,0)") *
+        (lit(2L) * col("__c0") + col("__n0"))).cast("decimal(38,0)")
+        .as("__u2"),
         col("__n1"), col("__n0"))
     terms
       .agg(sum(col("__n1")).as("n_pos"), sum(col("__n0")).as("n_neg"),
@@ -191,11 +192,7 @@ object Classify {
       max(col(scoreCol)).cast("double").as("__hi"))
     nonNull.crossJoin(broadcast(b))
       .withColumn("bin",
-        when(col("__hi") === col("__lo"), lit(0L))
-          .otherwise(least(
-            floor((col(scoreCol) - col("__lo")) * bins /
-              (col("__hi") - col("__lo"))),
-            lit(bins - 1L))))
+        Profile.equiWidthBin(col(scoreCol), col("__lo"), col("__hi"), bins))
       .withColumn("__p", when(positive, 1L).otherwise(0L))
       .withColumn("__sm", round(col(scoreCol) * 1e6).cast("long"))
       .groupBy("bin")

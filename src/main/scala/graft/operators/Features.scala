@@ -524,8 +524,10 @@ object Features {
       .groupBy(col(actorCol))
       .agg(count(lit(1)).as("n_segments"),
         sum(col("__gap")).as("span_ms"),
-        sum((col("__gap") * col("__vm")).cast("decimal(38,0)"))
-          .as("__s"))
+        // gap casts to decimal BEFORE the multiply — a month-long gap
+        // times a large micro value overflows a long per-term
+        sum((col("__gap").cast("decimal(38,0)") * col("__vm"))
+          .cast("decimal(38,0)")).as("__s"))
       .select(col(actorCol), col("n_segments"), col("span_ms"),
         when(col("span_ms") > 0,
           round(col("__s").cast("double") / col("span_ms")).cast("long"))
@@ -545,14 +547,8 @@ object Features {
   def seasonalAnomalies(df: DataFrame, keys: Seq[String], tsCol: String,
                         positionNs: Long, periodNs: Long,
                         thresholdMilli: Long): DataFrame = {
-    require(positionNs > 0 && periodNs > positionNs,
-      s"need 0 < positionNs < periodNs, got $positionNs/$periodNs")
-    val perPeriod = df
-      .withColumn("period", expr(s"`$tsCol` div $periodNs"))
-      .withColumn("position",
-        expr(s"(`$tsCol` % $periodNs) div $positionNs"))
-      .groupBy(keys.map(col) :+ col("period") :+ col("position"): _*)
-      .agg(count(lit(1)).as("c"))
+    val perPeriod = periodPositionCounts(df, keys, tsCol, positionNs,
+      periodNs).withColumnRenamed("__c", "c")
     val prof = perPeriod
       .groupBy(keys.map(col) :+ col("position"): _*)
       .agg(count(lit(1)).as("__np"), sum(col("c")).as("__tot"),
@@ -593,8 +589,9 @@ object Features {
       .filter(col("__gap").isNotNull)
     gaps.groupBy(col(actorCol))
       .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("__s1"),
-        sum((col("__gap") * col("__gap")).cast("decimal(38,0)"))
-          .as("__s2"))
+        // square in decimal — a >35-day ms gap squared wraps a long
+        sum((col("__gap").cast("decimal(38,0)") * col("__gap"))
+          .cast("decimal(38,0)")).as("__s2"))
       .select(col(actorCol), col("n_gaps"),
         round(col("__s1").cast("double") / col("n_gaps") * 1e6)
           .cast("long").as("mean_gap_ms_micro"),
@@ -615,16 +612,26 @@ object Features {
     * fabricated zeros). The profile is what seasonality-aware anomaly
     * detection compares a live hour against. Output: (keys...,
     * position, n_periods, total, mean_micro, var_micro). */
-  def seasonalProfile(df: DataFrame, keys: Seq[String], tsCol: String,
-                      positionNs: Long, periodNs: Long): DataFrame = {
+  /** Shared (key, period, position) count cascade — the single
+    * definition both [[seasonalProfile]] and [[seasonalAnomalies]]
+    * build on, so the profile and the detector that compares against
+    * it can never drift apart. */
+  private def periodPositionCounts(df: DataFrame, keys: Seq[String],
+                                   tsCol: String, positionNs: Long,
+                                   periodNs: Long): DataFrame = {
     require(positionNs > 0 && periodNs > positionNs,
       s"need 0 < positionNs < periodNs, got $positionNs/$periodNs")
-    val perPeriod = df
-      .withColumn("__period", expr(s"`$tsCol` div $periodNs"))
+    df.withColumn("period", expr(s"`$tsCol` div $periodNs"))
       .withColumn("position",
         expr(s"(`$tsCol` % $periodNs) div $positionNs"))
-      .groupBy(keys.map(col) :+ col("__period") :+ col("position"): _*)
+      .groupBy(keys.map(col) :+ col("period") :+ col("position"): _*)
       .agg(count(lit(1)).as("__c"))
+  }
+
+  def seasonalProfile(df: DataFrame, keys: Seq[String], tsCol: String,
+                      positionNs: Long, periodNs: Long): DataFrame = {
+    val perPeriod = periodPositionCounts(df, keys, tsCol, positionNs,
+      periodNs)
     perPeriod.groupBy(keys.map(col) :+ col("position"): _*)
       .agg(count(lit(1)).as("n_periods"), sum(col("__c")).as("total"),
         sum(col("__c") * col("__c")).as("__cc"))

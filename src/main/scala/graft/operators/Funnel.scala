@@ -21,7 +21,16 @@ object Funnel {
   /** Per-user furthest step: 0 (never entered) … steps.length.
     * Returns (userCol, steps_completed). */
   def reached(df: DataFrame, userCol: String, tsCol: String,
-              typeCol: String, steps: Seq[String]): DataFrame = {
+              typeCol: String, steps: Seq[String]): DataFrame =
+    reachedCascade(df, userCol, tsCol, typeCol, steps, maxGapNs = None)
+
+  /** The shared k-scan cascade behind [[reached]] / [[reachedWithin]]:
+    * step i's qualified time is the MIN event time strictly after step
+    * i−1's (and, when `maxGapNs` is set, within that window of it). */
+  private def reachedCascade(df: DataFrame, userCol: String,
+                             tsCol: String, typeCol: String,
+                             steps: Seq[String],
+                             maxGapNs: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val users = df.select(col(userCol)).distinct()
     var prev: Option[DataFrame] = None
@@ -31,8 +40,11 @@ object Funnel {
         case None =>
           ev.groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
         case Some(p) =>
+          val after = col(tsCol) > col(s"__t${i - 1}")
+          val inWindow = maxGapNs.fold(after)(g =>
+            after && col(tsCol) <= col(s"__t${i - 1}") + g)
           ev.join(p, Seq(userCol))
-            .filter(col(tsCol) > col(s"__t${i - 1}"))
+            .filter(inWindow)
             .groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
       }
       prev = Some(cur)
@@ -57,32 +69,8 @@ object Funnel {
   def reachedWithin(df: DataFrame, userCol: String, tsCol: String,
                     typeCol: String, steps: Seq[String],
                     maxGapNs: Long): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
     require(maxGapNs > 0, s"maxGapNs must be positive, got $maxGapNs")
-    val users = df.select(col(userCol)).distinct()
-    var prev: Option[DataFrame] = None
-    val stepFrames = steps.zipWithIndex.map { case (st, i) =>
-      val ev = df.filter(col(typeCol) === st).select(col(userCol), col(tsCol))
-      val cur = prev match {
-        case None =>
-          ev.groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
-        case Some(p) =>
-          ev.join(p, Seq(userCol))
-            .filter(col(tsCol) > col(s"__t${i - 1}") &&
-              col(tsCol) <= col(s"__t${i - 1}") + maxGapNs)
-            .groupBy(userCol).agg(min(col(tsCol)).as(s"__t$i"))
-      }
-      prev = Some(cur)
-      cur
-    }
-    val joined = stepFrames.foldLeft(users)(
-      (acc, f) => acc.join(f, Seq(userCol), "left"))
-    val stepsDone = steps.indices.reverse.foldLeft(Option.empty[Column]) {
-      case (acc, i) =>
-        val cond = col(s"__t$i").isNotNull
-        Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
-    }.fold(lit(0): Column)(_.otherwise(lit(0)))
-    joined.select(col(userCol), stepsDone.as("steps_completed"))
+    reachedCascade(df, userCol, tsCol, typeCol, steps, Some(maxGapNs))
   }
 
   /** Conversion-lag distribution per funnel transition: users who

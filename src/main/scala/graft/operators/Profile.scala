@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,6 +204,16 @@ object Profile {
     * max lands in the last bin. Bounds ride a 1-row broadcast; one
     * aggregation. Empty bins are absent (join a spine if you need
     * zeros). */
+  /** Shared equi-width bin expression — histogram / quantile /
+    * calibration operators (and their oracles) must keep IDENTICAL
+    * edge semantics; this is the single definition. Degenerate range
+    * (hi == lo) maps everything to bin 0. */
+  private[operators] def equiWidthBin(v: Column, lo: Column, hi: Column,
+                                      bins: Int): Column =
+    when(hi === lo, lit(0L))
+      .otherwise(least(floor((v - lo) * bins / (hi - lo)),
+        lit(bins - 1L)))
+
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
     require(bins > 0)
     // histogram of OBSERVED values: null rows are excluded up front
@@ -214,11 +224,7 @@ object Profile {
       max(col(valueCol)).cast("double").as("__hi"))
     nonNull.crossJoin(broadcast(b))
       .withColumn("bin",
-        when(col("__hi") === col("__lo"), lit(0L))
-          .otherwise(least(
-            floor((col(valueCol) - col("__lo")) * bins /
-              (col("__hi") - col("__lo"))),
-            lit(bins - 1L))))
+        equiWidthBin(col(valueCol), col("__lo"), col("__hi"), bins))
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
@@ -241,11 +247,7 @@ object Profile {
       max(col(valueCol)).cast("double").as("__hi"))
     val binned = nonNull.crossJoin(broadcast(b))
       .withColumn("bin",
-        when(col("__hi") === col("__lo"), lit(0L))
-          .otherwise(least(
-            floor((col(valueCol) - col("__lo")) * bins /
-              (col("__hi") - col("__lo"))),
-            lit(bins - 1L))))
+        equiWidthBin(col(valueCol), col("__lo"), col("__hi"), bins))
       .groupBy("bin").agg(count(lit(1)).as("__c"))
     val w = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -362,11 +364,7 @@ object Profile {
         max(col("__v")).cast("double").as("__hi"))
     val binned = nonNull.join(broadcast(b), Seq("grp"))
       .withColumn("bin",
-        when(col("__hi") === col("__lo"), lit(0L))
-          .otherwise(least(
-            floor((col("__v") - col("__lo")) * bins /
-              (col("__hi") - col("__lo"))),
-            lit(bins - 1L))))
+        equiWidthBin(col("__v"), col("__lo"), col("__hi"), bins))
       .groupBy("grp", "bin").agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy("grp").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -224,6 +224,19 @@ object Sketch {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("grp", "j").agg(max(col("r")).as("r"))
 
+  /** The rolling-HLL numerator constant alpha·m²·2^(61−p) — exposed so
+    * oracle SQL can embed the bit-identical double literal. */
+  def hllRollNum(p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m * java.lang.Math.pow(2.0, 61 - p)
+  }
+
   /** Rolling-window distinct actors via HLL register merge — the
     * documented SCALE path for `Features.rollingActive` (and the
     * state swap for `StreamOps.rollingActiveStream`): per-bucket
@@ -241,19 +254,6 @@ object Sketch {
     * micro-units from that single expression. Branches mirror
     * `hllEstimate` (linear counting below 2.5·m with empties left).
     * Output: (bucket, n_present, est_micro), observed buckets only. */
-  /** The rolling-HLL numerator constant alpha·m²·2^(61−p) — exposed so
-    * oracle SQL can embed the bit-identical double literal. */
-  def hllRollNum(p: Int): Double = {
-    val m = 1 << p
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / m)
-    }
-    alpha * m * m * java.lang.Math.pow(2.0, 61 - p)
-  }
-
   def rollingDistinctHll(df: DataFrame, tsCol: String, actorCol: String,
                          bucketNs: Long, window: Int, p: Int = 9,
                          salt: String = "hll"): DataFrame = {

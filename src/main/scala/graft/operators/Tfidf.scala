@@ -313,6 +313,9 @@ object Tfidf {
       col("n_terms"), col("total_tokens"),
       col(s"__cov$n").as("covered_tokens")))
     wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+      // empty corpus: the global agg still returns its one row with a
+      // null total — drop it so the result is 0 rows (the SQL shape)
+      .filter(col("total_tokens").isNotNull)
       .withColumn("coverage_micro",
         round(col("covered_tokens").cast("double") /
           col("total_tokens") * 1e6).cast("long"))
