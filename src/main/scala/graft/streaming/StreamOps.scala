@@ -445,6 +445,40 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of `Sketch.rollingDistinctHll`'s register build —
+    * the documented HLL state swap for [[rollingActiveStream]] when
+    * exact per-bucket actor sets no longer fit: the register maxima
+    * ARE the streaming state, maintained by a plain update-mode
+    * `groupBy(bucket, j).max(rank)` after the same constant fan-out
+    * flatMap (sketch-sized state: ≤ 2^p longs per open bucket, no
+    * custom stateful operator at all — max is the mergeable op).
+    * The sink's latest register frame feeds `Sketch.hllMerge`-style
+    * estimation downstream; parity with the batch registers is
+    * spec-proven. */
+  def rollingHllRegistersStream(events: Dataset[Event], bucketNs: Long,
+                                window: Int, p: Int = 9,
+                                salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    require(bucketNs > 0 && window > 0,
+      s"need positive bucketNs/window, got $bucketNs/$window")
+    import events.sparkSession.implicits._
+    val restBits = 60 - p
+    val restSpace = 1L << restBits
+    val contrib = events.flatMap { e =>
+      (0 until window).map(i =>
+        (Math.floorDiv(e.ts, bucketNs) + i, e.user_id))
+    }.toDF("bucket", "__actor")
+    val h = graft.functions.ColumnFns
+      .hash60(concat(lit(salt), col("__actor").cast("string")))
+    val rem = h % restSpace
+    contrib
+      .select(col("bucket"), shiftright(h, restBits).as("j"),
+        when(rem === 0, lit(restBits + 1))
+          .otherwise(lit(restBits) - length(bin(rem)) + 1)
+          .cast("long").as("rank"))
+      .groupBy("bucket", "j").agg(max(col("rank")).as("r"))
+  }
+
   /** Streaming tumbling-window counts with a watermark — the
     * incremental form of the q_e_hourly batch query. */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours")

@@ -98,6 +98,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingHllRegistersStream converges to the batch register build") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.rollingHllRegistersStream(input.toDS(),
+        bucketNs = 10 * M, window = 3)
+      .writeStream.format("memory").queryName("rollhll")
+      .outputMode(OutputMode.Update()).start()
+    val all = (1 to 40).map(i =>
+      Event(i.toLong % 13, (i % 5).toLong * 10 * M, i.toLong, "c", 1.0))
+    try {
+      input.addData(all.take(20): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(20): _*)
+      q.processAllAvailable()
+      // registers only grow: latest value per (bucket, j) is the max
+      val streamed = spark.table("rollhll")
+        .groupBy("bucket", "j").agg(max("r").as("r"))
+        .as[(Long, Long, Long)].collect().toSet
+      val contrib = all.flatMap(e =>
+        (0 until 3).map(i => (e.ts / (10 * M) + i, e.user_id)))
+        .toDF("bucket", "actor")
+      val batch = graft.operators.Sketch
+        .hllRegisters(contrib, "bucket", "actor", p = 9)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("exactDedupStream: duplicates dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
