@@ -354,11 +354,16 @@ object Tfidf {
         "term", col(idCol))
       .withColumn("__m", pmod(col(idCol), lit(buckets)))
     val termFirst = toks.groupBy("term").agg(min(col("__m")).as("__fm"))
+    // coalesce: a zero-document corpus makes the grand aggregation
+    // emit NULL sums; the curve's contract (and the count(*) oracle
+    // semantics) is 0 tokens / 0 vocab per subset, not NULL.
     val vocabAggs = (1 to buckets).map(d =>
-      sum(when(col("__fm") < d, 1L).otherwise(0L)).as(s"__v$d"))
+      coalesce(sum(when(col("__fm") < d, 1L).otherwise(0L)), lit(0L))
+        .as(s"__v$d"))
     val vocabWide = termFirst.agg(vocabAggs.head, vocabAggs.tail: _*)
     val tokAggs = (1 to buckets).map(d =>
-      sum(when(col("__m") < d, 1L).otherwise(0L)).as(s"__t$d"))
+      coalesce(sum(when(col("__m") < d, 1L).otherwise(0L)), lit(0L))
+        .as(s"__t$d"))
     val tokWide = toks.agg(tokAggs.head, tokAggs.tail: _*)
     val rows = (1 to buckets).map(d => struct(lit(d).as("subset"),
       col(s"__t$d").as("n_tokens"), col(s"__v$d").as("vocab")))

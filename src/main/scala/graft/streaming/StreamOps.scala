@@ -406,6 +406,13 @@ object StreamOps {
     * the distinct actors contributing to one bucket-end's trailing
     * window, plus whether the bucket itself has direct activity. */
   final case class RollState(actors: Seq[Long], direct: Boolean)
+  /** Internal fan-out row (public for encoder codegen): one event's
+    * contribution to one bucket-end, carrying the ORIGINAL event time
+    * (ms precision) so the watermark tracks true event time, not the
+    * fanned-out bucket index. */
+  final case class RollContrib(bucket: Long, actor: Long,
+                               direct: Boolean,
+                               event_time: java.sql.Timestamp)
 
   /** Streaming twin of `Features.rollingActive` (the WAU curve): each
     * event contributes its actor to the `window` bucket-ends it falls
@@ -419,29 +426,51 @@ object StreamOps {
     * Scale note: state per bucket-end is the exact distinct-actor
     * set — the parity-checkable form. At true WAU scale swap the set
     * for mergeable HLL registers (`Sketch.hllRegisters` shape): same
-    * flatMap skeleton, sketch-sized state, approximate counts. */
+    * flatMap skeleton, sketch-sized state, approximate counts.
+    *
+    * Retention contract: a bucket-end can only change while events
+    * with `ts < (bucket+1)*bucketNs` can still arrive, so its state
+    * expires (event-time timeout) once the watermark — true event
+    * time minus `lateness` — passes the bucket end. Events later
+    * than `lateness` are dropped by the watermark (the standard
+    * trade); without this bound the state map holds every bucket-end
+    * ever seen, forever. */
   def rollingActiveStream(events: Dataset[Event], bucketNs: Long,
-                          window: Int): Dataset[ActiveCount] = {
+                          window: Int, lateness: String = "1 hour")
+  : Dataset[ActiveCount] = {
     require(bucketNs > 0 && window > 0,
       s"need positive bucketNs/window, got $bucketNs/$window")
     import events.sparkSession.implicits._
     val contrib = events.flatMap { e =>
       val b = Math.floorDiv(e.ts, bucketNs)
-      (0 until window).map(i => (b + i, e.user_id, i == 0))
-    }
-    contrib.groupByKey(_._1)
+      val t = new java.sql.Timestamp(Math.floorDiv(e.ts, 1000000L))
+      (0 until window).map(i => RollContrib(b + i, e.user_id, i == 0, t))
+    }.withWatermark("event_time", lateness)
+    contrib.groupByKey(_.bucket)
       .flatMapGroupsWithState[RollState, ActiveCount](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (bucket, it, state: GroupState[RollState]) =>
-          val s = state.getOption.getOrElse(RollState(Seq.empty, false))
-          val set = scala.collection.mutable.HashSet[Long](s.actors: _*)
-          var direct = s.direct
-          it.foreach { case (_, actor, d) =>
-            set += actor; direct ||= d
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val s = state.getOption.getOrElse(RollState(Seq.empty, false))
+            val set = scala.collection.mutable.HashSet[Long](s.actors: _*)
+            var direct = s.direct
+            it.foreach { c =>
+              set += c.actor; direct ||= c.direct
+            }
+            state.update(RollState(set.toSeq.sorted, direct))
+            // last instant an event can contribute to this bucket-end
+            // is the bucket end; the timeout must sit past the current
+            // watermark or Spark rejects it.
+            val endMs = Math.floorDiv((bucket + 1) * bucketNs, 1000000L)
+            state.setTimeoutTimestamp(
+              math.max(endMs, state.getCurrentWatermarkMs() + 1))
+            if (direct)
+              Iterator.single(ActiveCount(bucket, set.size.toLong))
+            else Iterator.empty
           }
-          state.update(RollState(set.toSeq.sorted, direct))
-          if (direct) Iterator.single(ActiveCount(bucket, set.size.toLong))
-          else Iterator.empty
       }
   }
 
@@ -454,29 +483,55 @@ object StreamOps {
     * custom stateful operator at all — max is the mergeable op).
     * The sink's latest register frame feeds `Sketch.hllMerge`-style
     * estimation downstream; parity with the batch registers is
-    * spec-proven. */
+    * spec-proven.
+    *
+    * Retention contract: the aggregation groups on a timestamp key
+    * derived from the bucket index (`bucket_time`, injective for
+    * bucketNs ≥ 1µs) so the watermark can evict closed buckets —
+    * an unwatermarked update-mode aggregation would keep one register
+    * set per bucket-end ever seen, forever. Because `bucket_time` of
+    * a fan-out row runs AHEAD of true event time by up to
+    * `window - 1` buckets, the watermark delay is widened by a full
+    * `window * bucketNs` on top of `latenessNs`, which restores the
+    * true-event-time contract: bucket B is evicted only once events
+    * more than `latenessNs` past B's end have been seen. */
   def rollingHllRegistersStream(events: Dataset[Event], bucketNs: Long,
                                 window: Int, p: Int = 9,
-                                salt: String = "hll"): DataFrame = {
+                                salt: String = "hll",
+                                latenessNs: Long = 3600L * 1000000000L)
+  : DataFrame = {
     require(p >= 4 && p <= 16, s"p out of range: $p")
-    require(bucketNs > 0 && window > 0,
-      s"need positive bucketNs/window, got $bucketNs/$window")
+    require(bucketNs >= 1000 && window > 0,
+      s"need bucketNs >= 1000ns and positive window, got $bucketNs/$window")
+    require(latenessNs >= 0, s"negative lateness: $latenessNs")
     import events.sparkSession.implicits._
     val restBits = 60 - p
     val restSpace = 1L << restBits
+    val delayMicros =
+      Math.addExact(latenessNs, Math.multiplyExact(window.toLong,
+        bucketNs)) / 1000L
     val contrib = events.flatMap { e =>
       (0 until window).map(i =>
         (Math.floorDiv(e.ts, bucketNs) + i, e.user_id))
     }.toDF("bucket", "__actor")
+      .withColumn("bucket_time",
+        // bucket END, not start: bucket 0's start is epoch 0, which
+        // sits exactly on the initial watermark and would be dropped
+        // by the <=-watermark late filter.
+        timestamp_micros((col("bucket") + 1) * lit(bucketNs / 1000L)))
+      .withWatermark("bucket_time", s"$delayMicros microseconds")
     val h = graft.functions.ColumnFns
       .hash60(concat(lit(salt), col("__actor").cast("string")))
     val rem = h % restSpace
     contrib
-      .select(col("bucket"), shiftright(h, restBits).as("j"),
+      .select(col("bucket_time"), col("bucket"),
+        shiftright(h, restBits).as("j"),
         when(rem === 0, lit(restBits + 1))
           .otherwise(lit(restBits) - length(bin(rem)) + 1)
           .cast("long").as("rank"))
-      .groupBy("bucket", "j").agg(max(col("rank")).as("r"))
+      .groupBy("bucket_time", "bucket", "j")
+      .agg(max(col("rank")).as("r"))
+      .select(col("bucket"), col("j"), col("r"))
   }
 
   /** Streaming tumbling-window counts with a watermark — the

@@ -74,8 +74,11 @@ class StreamOpsSpec extends SparkSpec {
         bucketNs = 10 * M, window = 3)
       .writeStream.format("memory").queryName("roll")
       .outputMode(OutputMode.Update()).start()
+    // ts = 1*M, not 0: an epoch-0 event sits exactly ON the initial
+    // watermark (0 ms) and Spark's <=-watermark late filter drops it —
+    // a boundary artifact, not the parity under test.
     val all = Seq(
-      Event(1L, 0 * M, 1L, "click", 1.0),   // user 1, bucket 0
+      Event(1L, 1 * M, 1L, "click", 1.0),   // user 1, bucket 0
       Event(2L, 5 * M, 2L, "click", 1.0),   // user 2, bucket 0
       Event(1L, 25 * M, 3L, "click", 1.0),  // user 1, bucket 2
       Event(3L, 21 * M, 4L, "click", 1.0),  // user 3, bucket 2 (batch 2)
@@ -105,8 +108,10 @@ class StreamOpsSpec extends SparkSpec {
         bucketNs = 10 * M, window = 3)
       .writeStream.format("memory").queryName("rollhll")
       .outputMode(OutputMode.Update()).start()
+    // +M inside each bucket keeps every event off epoch 0 (the
+    // initial-watermark boundary drops an exactly-epoch-0 row).
     val all = (1 to 40).map(i =>
-      Event(i.toLong % 13, (i % 5).toLong * 10 * M, i.toLong, "c", 1.0))
+      Event(i.toLong % 13, (i % 5).toLong * 10 * M + M, i.toLong, "c", 1.0))
     try {
       input.addData(all.take(20): _*)
       q.processAllAvailable()

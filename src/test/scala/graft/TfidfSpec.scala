@@ -278,6 +278,13 @@ class TfidfSpec extends SparkSpec {
     }
   }
 
+  test("heapsCurve: empty corpus yields 0 (not NULL) per subset") {
+    val df = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Tfidf.heapsCurve(df, "text", "doc_id", buckets = 5)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == (1 to 5).map(d => (d, 0L, 0L)))
+  }
+
   test("tokenFertility: chars per token by language bucket") {
     val df = Seq(("en", "ab cd"), ("en", "efg"), ("de", ""))
       .toDF("lang", "text")
