@@ -164,6 +164,23 @@ object SparkEntry {
         t(s, d, "lineitem").filter(col("l_discount") > 0),
         Seq("l_suppkey"))),
 
+    // J4 (inner count reconcile) as a parquet replay: the dump-vs-DB
+    // table-stat frames of flows.DbCounter.reconcile, simulated from
+    // two different tables bucketed to a shared synthetic table_name.
+    "q_j4_counts" -> ((s, d) => {
+      val dump = t(s, d, "customer")
+        .groupBy(concat(lit("t"),
+          (col("c_nationkey") % 5).cast("string")).as("table_name"))
+        .agg(countDistinct(col("c_mktsegment")).as("column_count"),
+          count(lit(1)).as("row_count"))
+      val db = t(s, d, "supplier")
+        .groupBy(concat(lit("t"),
+          (col("s_nationkey") % 5).cast("string")).as("table_name"))
+        .agg(countDistinct(col("s_nationkey")).as("column_count"),
+          count(lit(1)).as("row_count"))
+      graft.flows.DbCounter.reconcile(dump, db)
+    }),
+
     "q_j5_anti" -> ((s, d) =>
       t(s, d, "customer").join(t(s, d, "orders"),
         col("c_custkey") === col("o_custkey"), "left_anti")
@@ -2553,6 +2570,12 @@ object SparkEntry {
 
     "q_j3_recon" ->
       "WITH e AS (SELECT l_suppkey, count(*) AS expected_count FROM lineitem GROUP BY l_suppkey), o AS (SELECT l_suppkey, count(*) AS observed_count FROM lineitem WHERE l_discount > 0 GROUP BY l_suppkey) SELECT coalesce(e.l_suppkey, o.l_suppkey) AS l_suppkey, coalesce(expected_count, 0) AS expected_count, coalesce(observed_count, 0) AS observed_count, coalesce(expected_count, 0) <> coalesce(observed_count, 0) AS mismatch FROM e FULL OUTER JOIN o ON e.l_suppkey = o.l_suppkey",
+
+    "q_j4_counts" ->
+      ("WITH dump AS (SELECT 't' || (c_nationkey % 5) AS table_name, count(DISTINCT c_mktsegment) AS dump_columns, count(*) AS dump_rows FROM customer GROUP BY 1), " +
+        "db AS (SELECT 't' || (s_nationkey % 5) AS table_name, count(DISTINCT s_nationkey) AS db_columns, count(*) AS db_rows FROM supplier GROUP BY 1) " +
+        "SELECT dump.table_name, dump_columns, dump_rows, db_columns, db_rows, dump_columns = db_columns AS columns_match, dump_rows = db_rows AS rows_match " +
+        "FROM dump JOIN db USING (table_name)"),
 
     "q_j5_anti" ->
       "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",

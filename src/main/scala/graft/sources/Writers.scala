@@ -30,19 +30,21 @@ object Writers {
     * be a single file by contract; matrices at scale should keep their
     * partitioning and be published as a directory). */
   def tsv(df: DataFrame, path: String, nullAs: String = "",
-          single: Boolean = false): Unit = {
+          single: Boolean = false, compression: String = "none"): Unit = {
     val rendered = renderNulls(df, nullAs)
     val out = if (single) rendered.coalesce(1) else rendered
     out.write.mode("overwrite")
       .option("sep", "\t").option("header", "true")
       .option("emptyValue", "").option("nullValue", nullAs)
+      .option("compression", compression)
       .csv(path)
   }
 
   /** MAF sink: TSV with the standard `#version` comment line the
     * downstream cBio tooling expects; '' for null ints (SURVEY §1.3). */
   def maf(df: DataFrame, path: String,
-          version: String = "#version 2.4"): Unit = {
+          version: String = "#version 2.4",
+          compression: String = "none"): Unit = {
     import org.apache.spark.sql.functions.concat_ws
     val rendered = renderNulls(df, "")
     val header = version + "\n" + df.columns.mkString("\t")
@@ -51,9 +53,13 @@ object Writers {
     val body = rendered.select(
       concat_ws("\t", rendered.columns.toSeq.map(qcol): _*).as("value"))
     // single ordered file: the csv reader treats the first line of
-    // EVERY file as the header, so header+body must share one file
+    // EVERY file as the header, so header+body must share one file.
+    // compression="gzip" reproduces the reference's gzipped MAF
+    // product (vcf_anno.py:667-687); gzip-transparent readers (S9)
+    // round-trip it.
     Seq(header).toDF("value").union(body).coalesce(1)
-      .write.mode("overwrite").text(path)
+      .write.mode("overwrite").option("compression", compression)
+      .text(path)
   }
 
   /** VCF sink: `##` meta lines + `#CHROM...` header, tab-joined body.

@@ -22,6 +22,52 @@ class WritersSpec extends SparkSpec {
       Set("TP53", "KRAS"))
   }
 
+  test("gzip maf/tsv sinks: .gz on disk, transparent read-back (S9)") {
+    val base = Files.createTempDirectory("graft-maf-gz")
+    val mafDir = base.resolve("maf").toString
+    val df = Seq(
+      ("TP53", 7157L, "17", 7574003L, "b1"),
+      ("KRAS", 3845L, "12", 25398284L, "b2"))
+      .toDF("Hugo_Symbol", "Entrez_Gene_Id", "Chromosome",
+        "Start_Position", "Tumor_Sample_Barcode")
+    Writers.maf(df, mafDir, compression = "gzip")
+    // the product on disk is genuinely gzipped (ref vcf_anno.py:667-687)
+    val gzFiles = new java.io.File(mafDir).listFiles()
+      .filter(_.getName.endsWith(".txt.gz"))
+    assert(gzFiles.length == 1)
+    val magic = new Array[Byte](2)
+    val in = new java.io.FileInputStream(gzFiles.head)
+    try { assert(in.read(magic) == 2) } finally in.close()
+    assert(magic(0) == 0x1f.toByte && magic(1) == 0x8b.toByte)
+    // byte-identical content after decompression vs the plain product
+    val plainDir = base.resolve("maf_plain").toString
+    Writers.maf(df, plainDir)
+    def slurpGz(f: java.io.File): String = {
+      val s = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(f))
+      try new String(s.readAllBytes(), "UTF-8") finally s.close()
+    }
+    val plain = new java.io.File(plainDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".txt")).head
+    assert(slurpGz(gzFiles.head) ==
+      new String(Files.readAllBytes(plain.toPath), "UTF-8"))
+    // gzip-transparent scan (S9): the maf reader sees the same frame
+    val back = Readers.maf(spark, mafDir)
+    assert(back.count() == 2 &&
+      back.columns.toSeq == df.columns.toSeq)
+    // tsv sink: same knob
+    val tsvDir = base.resolve("tsv").toString
+    Writers.tsv(df, tsvDir, nullAs = "NA", single = true,
+      compression = "gzip")
+    assert(new java.io.File(tsvDir).listFiles()
+      .exists(_.getName.endsWith(".csv.gz")))
+    val backTsv = spark.read.option("sep", "\t").option("header", "true")
+      .csv(tsvDir)
+    assert(backTsv.count() == 2 &&
+      backTsv.columns.toSeq == df.columns.toSeq)
+  }
+
   test("vcf writer emits ## meta + #header and round-trips") {
     val dir = Files.createTempDirectory("graft-vcf").resolve("out").toString
     val df = Seq(
