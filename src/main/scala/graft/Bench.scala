@@ -59,6 +59,16 @@ object Bench {
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      } finally {
+        // Queries that pin frames (iterative graph ops, the
+        // partitionOffsets family) have no unpersist hook through the
+        // queries() signature; over 3 full passes the leaked blocks
+        // add GC/evict pressure that shows up as drift in later
+        // queries (q_g_triangles 2.0s solo vs 5.2s in-suite, round 7).
+        // Each query builds its frames fresh, so clearing between
+        // queries is safe — and the documented license of
+        // groupedRankByRange's cache discipline.
+        spark.catalog.clearCache()
       }
 
     // optional comma-separated query filter for local iteration

@@ -1602,6 +1602,22 @@ object SparkEntry {
       Validate.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 5)),
 
+    // X9 data core: study coverage checks (matrix sample columns and
+    // case-list rosters vs the clinical roster) replayed on parquet —
+    // supplier*17 fabricates out-of-roster samples, orders stay inside
+    "q_x_study" -> ((s, d) => {
+      val clinical = t(s, d, "customer")
+        .select(concat(lit("s"), col("c_custkey")).as("sample_id"))
+      val matrix = t(s, d, "supplier")
+        .select(concat(lit("s"), (col("s_suppkey") * 17)).as("sample_id"))
+      val caseList = t(s, d, "orders")
+        .select(concat(lit("s"), col("o_custkey")).as("sample_id"))
+      StudyValidate.coverageReport(Seq(
+        ("matrix_samples_in_clinical", matrix, "sample_id"),
+        ("case_list_samples_in_clinical", caseList, "sample_id")),
+        clinical, "sample_id")
+    }),
+
     // CBO-stats join cardinality estimate vs ground truth
     "q_x_joinest" -> ((s, d) =>
       Profile.joinSizeEstimate(t(s, d, "orders"), "o_custkey",
@@ -3592,6 +3608,14 @@ object SparkEntry {
     "q_x_kanon" ->
       ("WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz FROM customer GROUP BY 1, 2) " +
         "SELECT sz AS class_size, count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows, CASE WHEN sz < 5 THEN 1 ELSE 0 END AS violates FROM g GROUP BY 1"),
+
+    "q_x_study" ->
+      ("WITH clinical AS (SELECT DISTINCT 's' || c_custkey AS sample_id FROM customer), " +
+        "m AS (SELECT DISTINCT 's' || (s_suppkey * 17) AS sample_id FROM supplier), " +
+        "cl AS (SELECT DISTINCT 's' || o_custkey AS sample_id FROM orders) " +
+        "SELECT 'matrix_samples_in_clinical' AS rule, (SELECT count(*) FROM m) AS n_referenced, (SELECT count(*) FROM m WHERE sample_id NOT IN (SELECT sample_id FROM clinical)) AS n_missing, (SELECT count(*) FROM m WHERE sample_id NOT IN (SELECT sample_id FROM clinical)) = 0 AS pass " +
+        "UNION ALL " +
+        "SELECT 'case_list_samples_in_clinical' AS rule, (SELECT count(*) FROM cl) AS n_referenced, (SELECT count(*) FROM cl WHERE sample_id NOT IN (SELECT sample_id FROM clinical)) AS n_missing, (SELECT count(*) FROM cl WHERE sample_id NOT IN (SELECT sample_id FROM clinical)) = 0 AS pass"),
 
     "q_x_joinest" ->
       ("WITH sa AS (SELECT count(o_custkey) AS n_a, count(DISTINCT o_custkey) AS d_a FROM orders), " +
