@@ -1419,6 +1419,35 @@ object SparkEntry {
         keyCols = Seq("id_a", "id_b"))
     }),
 
+    // the SECOND recall point on the same sample: multi-probe (home
+    // bucket + all Hamming-1 neighbors) vs the same exact threshold
+    // pairs — quantifies exactly how much recall the probe expansion
+    // buys back over q_s_recall's single-bucket number
+    "q_s_recall_mp" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 300)
+      Similarity.recallReport(
+        Similarity.lshBucketedMultiProbe(emb, "vec_id", "embedding",
+          minCos = 0.2).pairs,
+        Similarity.thresholdPairs(emb, "vec_id", "embedding", minCos = 0.2),
+        keyCols = Seq("id_a", "id_b"))
+    }),
+
+    // PCA under the gate: exact integer-unit covariance (one
+    // distributed pass) -> driver power iteration with deflation over
+    // the dims^2 matrix (metadata-sized, fixed start + 50 iters =
+    // deterministic) -> map-only projection of every vector onto the
+    // top-2 components. The oracle replays the identical float-op
+    // order as recursive CTEs, so the compare is bit-exact pre-round.
+    "q_s_pca" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cov = Similarity.covarianceMatrix(emb, "embedding")
+      val comps = Similarity.pcaComponents(cov, dims = 64, k = 2)
+      Similarity.pcaProject(emb, "vec_id", "embedding", comps)
+        .select(col("vec_id"),
+          (round(col("pc0"), 6) + lit(0.0)).as("pc0"),
+          (round(col("pc1"), 6) + lit(0.0)).as("pc1"))
+    }),
+
     // matryoshka truncation audit: top-3 by the FIRST 16 dims vs the
     // full-dim exact top-3 — "how much recall does a 4× cheaper
     // prefix embedding keep" (the MRL storage/latency trade)
@@ -3408,6 +3437,44 @@ object SparkEntry {
 
     "q_s_recall" ->
       s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), approx AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2), exact AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM e a JOIN e c ON a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2) SELECT count(*) AS exact_count, CAST(count(ap.id_a) AS BIGINT) AS hit_count, count(ap.id_a) * 1.0 / count(*) AS recall FROM exact ex LEFT JOIN approx ap ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b",
+
+    // multiprobe candidate set (home + Hamming-1 buckets, as in
+    // q_s_multiprobe) measured against the same exact threshold pairs
+    "q_s_recall_mp" ->
+      s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), pr AS (SELECT vec_id, unnest(list_concat([bucket], list_transform(range(0, 8), p -> xor(bucket, (1::BIGINT << p))))) AS pbucket FROM b), cand AS (SELECT DISTINCT a.vec_id AS id_a, h.vec_id AS id_b FROM pr a JOIN b h ON a.pbucket = h.bucket AND a.vec_id < h.vec_id), approx AS (SELECT c.id_a, c.id_b FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b WHERE ${cosSql("ea.v", "eb.v")} >= 0.2), exact AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM e a JOIN e c ON a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2) SELECT count(*) AS exact_count, CAST(count(ap.id_a) AS BIGINT) AS hit_count, count(ap.id_a) * 1.0 / count(*) AS recall FROM exact ex LEFT JOIN approx ap ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b",
+
+    // PCA: the q_s_cov covariance (exact, 6-dp-rounded -> identical
+    // doubles in both engines), then power iteration as recursive
+    // CTEs replaying the driver loop's exact float-op order (matvec
+    // sums ascending j, norm ascending i, deflation of component 2
+    // against the finished component 1 inside each iteration), then
+    // the per-vector projection. Bit-exact pre-round, so the 6-dp
+    // round compares exactly.
+    "q_s_pca" ->
+      ("WITH RECURSIVE y AS (SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS y FROM embeddings), " +
+        "tri AS (SELECT t.i AS i, t.j AS j, t.p AS p FROM (SELECT unnest(flatten(list_transform(range(0, len(y)), i -> list_transform(range(i, len(y)), j -> struct_pack(i := i, j := j, p := y[i + 1] * y[j + 1]))))) AS t FROM y)), " +
+        "ag AS (SELECT i, j, count(*) AS n, sum(p) AS spp FROM tri GROUP BY 1, 2), " +
+        "s AS (SELECT pos - 1 AS pos, sum(v) AS sv FROM (SELECT generate_subscripts(y, 1) AS pos, unnest(y) AS v FROM y) GROUP BY 1), " +
+        "cv AS (SELECT i::INT AS i, j::INT AS j, round((spp::DOUBLE - si.sv::DOUBLE * sj.sv / n) / (n - 1) / 1e12, 6) + 0 AS cov FROM ag JOIN s si ON ag.i = si.pos JOIN s sj ON ag.j = sj.pos), " +
+        "cf AS (SELECT i, j, cov FROM cv UNION ALL SELECT j, i, cov FROM cv WHERE i <> j), " +
+        "cm AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM (SELECT i, list(cov ORDER BY j) AS row FROM cf GROUP BY i)), " +
+        "pw1 AS (SELECT 0 AS it, list_transform(range(0, 64), x -> 1.0 / sqrt(64.0)) AS v " +
+        "UNION ALL SELECT q.it + 1, CASE WHEN q.nrm = 0.0 THEN q.v ELSE list_transform(q.w, x -> x / q.nrm) END " +
+        "FROM (SELECT p.it, p.v, p.w, sqrt(list_sum(list_transform(p.w, x -> x * x))) AS nrm " +
+        "FROM (SELECT pw1.it, pw1.v, list_transform(range(1, 65), i -> list_sum(list_transform(range(1, 65), j -> cm.m[i][j] * pw1.v[j]))) AS w " +
+        "FROM pw1, cm WHERE pw1.it < 50) p) q), " +
+        "p1 AS MATERIALIZED (SELECT v AS p FROM pw1 WHERE it = 50), " +
+        "pw2 AS (SELECT 0 AS it, list_transform(range(0, 64), x -> 1.0 / sqrt(64.0)) AS v " +
+        "UNION ALL SELECT q.it + 1, CASE WHEN q.nrm = 0.0 THEN q.v ELSE list_transform(q.w2, x -> x / q.nrm) END " +
+        "FROM (SELECT d.it, d.v, d.w2, sqrt(list_sum(list_transform(d.w2, x -> x * x))) AS nrm " +
+        "FROM (SELECT g.it, g.v, list_transform(range(1, 65), i -> g.w[i] - g.d * g.p[i]) AS w2 " +
+        "FROM (SELECT mv.it, mv.v, mv.w, p1.p, list_sum(list_transform(range(1, 65), i -> mv.w[i] * p1.p[i])) AS d " +
+        "FROM (SELECT pw2.it, pw2.v, list_transform(range(1, 65), i -> list_sum(list_transform(range(1, 65), j -> cm.m[i][j] * pw2.v[j]))) AS w " +
+        "FROM pw2, cm WHERE pw2.it < 50) mv, p1) g) d) q), " +
+        "p2 AS MATERIALIZED (SELECT v AS p FROM pw2 WHERE it = 50) " +
+        "SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), k -> e.v[k] * p1.p[k])), 6) + 0 AS pc0, " +
+        "round(list_sum(list_transform(range(1, 65), k -> e.v[k] * p2.p[k])), 6) + 0 AS pc1 " +
+        "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, p1, p2"),
 
     "q_s_mrl" ->
       (s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200), " +
