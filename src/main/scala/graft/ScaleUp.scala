@@ -32,6 +32,7 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/testdata_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val files = args.lift(3).map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,16 +41,24 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, copies)
+    run(spark, src, dst, copies, files)
     spark.stop()
   }
 
   def run(spark: SparkSession, src: String, dst: String,
-          copies: Int): Unit = {
+          copies: Int, files: Int = 32): Unit = {
     def rd(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
+    // Fanned tables are written as `files` part files: the sf0.1
+    // sources are single-file single-row-group parquet, and a map-only
+    // copy inherits that layout — every sf1 scan then runs as ONE task
+    // (a 78 MB lineitem = 1 row group = 1 split) and the whole suite
+    // measures a single thread, not the engine. Real 100 TB layouts
+    // are thousands of files; the repartition here is the honest
+    // equivalent, and the only shuffle in the generator.
     def wr(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
       System.err.println(s"[scaleup] wrote $t")
     }
     /** max(key)+1 — the per-copy id stride. */

@@ -172,17 +172,28 @@ object Intervals {
     * Scale shape: NOT a per-key cross join. The two disjoint
     * directions each reduce to an as-of alignment (nearest preceding
     * B end / nearest following B start — one shuffle each, state one
-    * row per key in the union-sort form), and only genuinely
-    * overlapping pairs enumerate. Equal-boundary B rows are
-    * pre-reduced to their smallest id so every leg is deterministic.
+    * row per key in the union-sort form). The overlap leg is the
+    * BINNED join (work distributes over key×bin, not one task per
+    * key) and collapses to min(bId) per A row in the same stage —
+    * partial aggregation eats the pair fan-out map-side, so no
+    * enumerated pair ever crosses a shuffle. The final pick is a
+    * lexicographic `min(struct(dist, bid))` hash aggregation over at
+    * most three candidate rows per A — no row_number window, no
+    * per-partition sort of the pair explosion (at 10× SF the old
+    * window form single-threaded a TimSort over ~10⁸ pairs).
+    * Equal-boundary B rows are pre-reduced to their smallest id so
+    * every leg is deterministic.
     */
   def closest(a: DataFrame, b: DataFrame, keys: Seq[String],
               aId: String, aStart: String, aEnd: String,
-              bId: String, bStart: String, bEnd: String): DataFrame = {
+              bId: String, bStart: String, bEnd: String,
+              binWidth: Long = 1000000L): DataFrame = {
     val kc = keys.map(col)
-    val overlapLeg = IntervalJoin.overlap(a, b, keys,
-      aStart, aEnd, bStart, bEnd)
-      .select(col(aId), col(bId).as("__bid"), lit(0L).as("dist"))
+    val overlapLeg = IntervalJoin.overlapBinned(a, b, keys,
+      aStart, aEnd, bStart, bEnd, binWidth = binWidth)
+      .groupBy(col(aId))
+      .agg(min(col(bId)).as("__bid"))
+      .select(col(aId), col("__bid"), lit(0L).as("dist"))
     // nearest preceding: max bEnd <= aStart. Equal-boundary B rows
     // collapse to min bId BEFORE the as-of so the pick is total; the
     // boundary rides along as payload for the distance arithmetic.
@@ -206,11 +217,12 @@ object Intervals {
       .select(col(aId), col("__bid_r").as("__bid"),
         (col("__bt_r") - col("__t")).as("dist"))
     val legs = overlapLeg.unionByName(back).unionByName(fwd)
-    val w = Window.partitionBy(col(aId))
-      .orderBy(col("dist").asc, col("__bid").asc)
-    val best = legs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(aId), col("__bid").as("closest_id"), col("dist"))
+    // struct min = (dist asc, bid asc) lexicographic — the tie-break,
+    // as one partially-aggregating hash agg instead of a sort window
+    val best = legs.groupBy(col(aId))
+      .agg(min(struct(col("dist"), col("__bid"))).as("__best"))
+      .select(col(aId), col("__best").getField("__bid").as("closest_id"),
+        col("__best").getField("dist").as("dist"))
     a.select(col(aId)).join(best, Seq(aId), "left")
   }
 
