@@ -1500,9 +1500,13 @@ object SparkEntry {
 
     // the sibling end-to-end pipelines, oracle-checked whole the same
     // way (pairs stage -> recursive-CTE connected components)
+    // 60-bit signature, 4 Manku blocks of 15 bits: the bucket
+    // keyspace (4 x 32768) must outnumber the corpus or in-bucket
+    // pair work goes quadratic — at 10x SF the old 32-bit/8-bit-block
+    // form (keyspace 1024) was 25 s of bucket kernel for 3k dups
     "q_d_pipeline_sim" -> ((s, d) =>
       Dedup.dedupBySimhash(t(s, d, "documents"), "text", "doc_id",
-        bits = 32, maxHamming = 3).select("doc_id")),
+        bits = 60, maxHamming = 3).select("doc_id")),
 
     "q_d_pipeline_emb" -> ((s, d) =>
       Dedup.dedupByEmbedding(
@@ -3984,8 +3988,10 @@ object SparkEntry {
 
     "q_d_pipeline_sim" -> {
       s"WITH RECURSIVE t AS (SELECT doc_id, list_transform($toksSql, x -> ${h60Sql("x")}) AS hs FROM documents), " +
-        s"s AS (SELECT doc_id, ${simhashSql(32)} AS sig FROM t), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE list_sum(list_transform(range(0, 32), j -> CASE WHEN ((a.sig >> j) & 1) <> ((b.sig >> j) & 1) THEN 1 ELSE 0 END)) <= 3), " +
+        s"s AS (SELECT doc_id, ${simhashSql(60)} AS sig FROM t), " +
+        // hamming via one bit_count(xor) intrinsic — same reduction
+        // TextFns.hamming compiles to on the Spark side
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sig, b.sig)) <= 3), " +
         ccTailSql("p", "t", "doc_id")
     },
 

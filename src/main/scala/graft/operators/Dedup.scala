@@ -153,7 +153,13 @@ object Dedup {
     * the brute-force oracle), never O(n²). Signatures ride along in
     * the buckets, so the hamming confirm needs no join back.
     * `maxBucket` caps degenerate buckets (boilerplate corpora) — past
-    * it recall is no longer guaranteed, so size it to the corpus. */
+    * it recall is no longer guaranteed, so size it to the corpus.
+    * SIZE `bits` TO THE CORPUS: the bucket keyspace is
+    * `blocks * 2^(bits/blocks)`; occupancy is corpus/keyspace and
+    * in-bucket pair work is occupancy², so once docs outnumber the
+    * keyspace the kernel goes quadratic. 32/4 (keyspace 1k) is fine
+    * to ~10⁴ docs; 60/4 (131k) carries ~10⁶–10⁷; beyond that raise
+    * `bits` (≤ 60 here — token hashes are 60-bit). */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       bits: Int = 16, maxHamming: Int = 3,
                       maxBucket: Int = 10000): DataFrame = {
