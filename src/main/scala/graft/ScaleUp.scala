@@ -74,8 +74,19 @@ object ScaleUp {
     wr(rd("region"), "region")
     wr(rd("nation"), "nation")
 
+    // c_name is REBUILT from the shifted key ("Customer#%09d"), not
+    // cloned: the linkage queries derive agreement fields from name
+    // substrings (digits of the key), so 10 verbatim clones of every
+    // name would read as 10 copies of every entity — cross-copy
+    // agreement, and q_r_erclust's positive-evidence edge set, would
+    // be a clone artifact rather than the blocked-pair growth the
+    // fixed blocking keys already imply. A tag at either end is no
+    // better: a suffix sits exactly where substr(c_name,-4) reads.
     val cust = rd("customer"); val cs = stride(cust, "c_custkey")
-    wr(fan(cust).select(shifted("c_custkey", cs), col("c_name"),
+    val shiftedCK = col("c_custkey") + col("__k") * cs
+    wr(fan(cust).select(shiftedCK.as("c_custkey"),
+      concat(lit("Customer#"), lpad(shiftedCK.cast("string"), 9, "0"))
+        .as("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
       "customer")
 

@@ -1860,11 +1860,15 @@ object SparkEntry {
     // ---- §2.2 P9: deterministic batching — scalable range-partitioned
     //      form (identical output to ntile(10) OVER (ORDER BY ...),
     //      which the oracle uses; no single-task global window) ----
+    // batch_total in exact integer cents then ONE division: a double
+    // sum is summation-order-sensitive and drifts off the oracle at
+    // sf1 magnitudes (~3.7e10) even though it matches at sf<=0.1
     "q_p9_ntile" -> ((s, d) =>
       Batching.ntileByRange(t(s, d, "orders"), "o_orderkey", 10)
         .groupBy("batch")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 4).as("batch_total"))),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("batch_total"))),
 
     // ---- IVF ANN (nProbe = k degrades to exact ⇒ oracle = brute force) ----
     "q_s_ivf" -> ((s, d) => {
@@ -3545,7 +3549,7 @@ object SparkEntry {
         |""".stripMargin,
 
     "q_p9_ntile" ->
-      "SELECT batch, count(*) AS n, round(sum(o_totalprice), 4) AS batch_total FROM (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_orderkey) AS batch FROM orders) GROUP BY batch",
+      "SELECT batch, count(*) AS n, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS batch_total FROM (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_orderkey) AS batch FROM orders) GROUP BY batch",
 
     "q_x_salted" ->
       "SELECT custkey, o_orderkey, o_totalprice, c_name FROM (SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0) o FULL OUTER JOIN (SELECT c_custkey AS custkey, c_name FROM customer) c USING (custkey)",
