@@ -370,6 +370,40 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "Exchange") == 1, plan)
   }
 
+  test("closest: no window over the pair set, no cartesian, binned overlap leg") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val part = Tables.load(spark, "/root/testdata/sf0.001", "part")
+    val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val a = part.select(col("p_partkey").as("g_id"),
+      (col("p_partkey") % 23).as("chrom"),
+      ((col("p_partkey") * 37) % 100000).as("g_start"),
+      ((col("p_partkey") * 37) % 100000 + 60).as("g_end"))
+    val b = ord.select(col("o_orderkey").as("s_id"),
+      (col("o_orderkey") % 23).as("chrom"),
+      ((col("o_orderkey") * 53) % 100000).as("s_start"),
+      ((col("o_orderkey") * 53) % 100000 + 100).as("s_end"))
+    val qe = graft.operators.Intervals.closest(a, b, Seq("chrom"),
+      "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
+      binWidth = 10000).queryExecution
+    // the best-neighbor pick must be the min(struct) AGGREGATION, not
+    // a row_number window sorting the enumerated overlap-pair set —
+    // the sf1 stall mode (one task TimSorting ~10^8 pair rows). The
+    // TWO windows that remain are the as-of legs' per-key running
+    // last() over the n+m union — neither may order by the pair
+    // distance (the old implementation's signature).
+    val wins = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.size == 2, qe.optimizedPlan.toString)
+    assert(wins.forall(!_.orderSpec.exists(
+      _.child.references.exists(_.name == "dist"))),
+      qe.optimizedPlan.toString)
+    val sp = qe.sparkPlan.toString
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"), sp)
+    assert(!sp.contains("WindowGroupLimit"), sp)
+  }
+
   test("skyline2D: one range-frame window, one exchange, no join") {
     val df = (1 to 40).map(i => ("g", (i % 7).toLong, i))
       .toDF("k", "cost", "q")
