@@ -80,11 +80,14 @@ object Bench {
       names.foreach(run(warmDir, _))
 
     // two timed passes, min per query: one GC/host stall shouldn't
-    // masquerade as a plan regression
+    // masquerade as a plan regression. Per-query stderr progress so a
+    // stalled query is identifiable live (the Verify lesson).
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       val ok = run(sfDir, name)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name ${if (ok) "ok" else "FAIL"} $secs%.2f s")
+      name -> (if (ok) secs else -1.0)
     }.toMap
     val (p1, p2) = (timedPass(), timedPass())
     val results = names.map { n =>
