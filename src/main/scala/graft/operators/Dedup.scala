@@ -209,10 +209,93 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIterations: Int = 20,
                   checkpointEvery: Int = 3,
                   localSolveMaxEdges: Long = 1000000L): DataFrame = {
-    // symmetric edge list incl. self-loops
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Cache the BARE pair list once (two longs/row) — every path
+    // below re-reads it, and the pair producer (an FS score pass, an
+    // LSH bucket kernel) is the expensive leg we must not recompute.
+    val p = pairs.select(col("id_a"), col("id_b")).cache()
+    val nPairs = p.count()
+    // Small graph: collect the pairs directly (union-find dedups and
+    // symmetrizes implicitly) — 2 jobs, no shuffle, the round-5
+    // adaptive-local-solve license. Disable with localSolveMaxEdges=0.
+    if (nPairs > 0 && 2 * nPairs <= localSolveMaxEdges)
+      return localSolve(p)
+    // LEVEL-0 MIN-CONTRACTION — the big-graph path. One aggregation
+    // over the cached pairs computes first(v) = min(N(v) ∪ {v});
+    // edges rewrite through that mapping and self-edges drop.
+    // Duplicate-rich graphs (near-dup clusters, ER clone groups)
+    // collapse almost entirely in this one hop — the 90M-pair
+    // q_r_erclust edge set contracts below the local-solve cap, so
+    // the iterative machinery never touches the full edge list at
+    // all (it used to cache 180M symmetrized rows and re-scan them
+    // every round: 71 s; contracted: 17 s at sf1). Correctness:
+    // first(v) stays inside v's component, and a component's global
+    // min m has first(m) = m, so m survives contraction, the
+    // contracted graph connects exactly the original components, and
+    // composing base ∘ first restores every node's global-min label.
+    val sym0 = p
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val first = sym0.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("lbl"))
+      .cache() // node-sized
+    // contracted edge list, deduped AFTER the collapse (map-side
+    // partial dedup makes this distinct cheap precisely when the
+    // contraction worked; when it didn't, it costs what the old
+    // up-front distinct cost)
+    val contracted = sym0
+      .join(first.select(col("id").as("src"), col("lbl").as("__sl")), Seq("src"))
+      .join(first.select(col("id").as("dst"), col("lbl").as("__dl")), Seq("dst"))
+      .filter(col("__sl") =!= col("__dl"))
+      .select(col("__sl").as("src"), col("__dl").as("dst"))
       .distinct()
+    val base = clustersCore(contracted, maxIterations, checkpointEvery,
+      localSolveMaxEdges)
+    // base ∘ first; contracted-away singleton labels keep first(v)
+    first
+      .join(base.withColumnRenamed("id", "lbl"), Seq("lbl"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("lbl")).as("cluster_id"))
+  }
+
+  /** Driver-side union-find over a collected pair list: (id,
+    * cluster_id = min member) for every id appearing in `p`. */
+  private def localSolve(p: DataFrame): DataFrame = {
+    val es = p
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min id: root IS the cluster id
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val out = ids.iterator.map(id => (id, find(id))).toSeq
+    val spark = p.sparkSession
+    import spark.implicits._
+    out.toDF("id", "cluster_id")
+  }
+
+  /** The iterative engine behind [[dupClusters]], operating on an
+    * already-symmetrized edge list (duplicates tolerated — every step
+    * is a min()). Kept as the post-contraction path: by the time this
+    * runs, the edge list is the CONTRACTED graph. */
+  private def clustersCore(symEdges: DataFrame, maxIterations: Int,
+                           checkpointEvery: Int,
+                           localSolveMaxEdges: Long): DataFrame = {
+    val edges = symEdges
+      .union(symEdges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
     // Adaptive local solve: each distributed round costs several
     // scheduled stages regardless of data volume, so on a graph whose
@@ -222,31 +305,10 @@ object Dedup {
     // straight past the cap. Disable with localSolveMaxEdges = 0.
     val nEdges = edges.count()
     if (nEdges > 0 && nEdges <= localSolveMaxEdges) {
-      val es = edges.select(col("src"), col("dst"))
-        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
-        .collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x // path compression
-        while (parent.getOrDefault(c, c) != c) {
-          val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
-        }
-        r
-      }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // union by min id: root IS the cluster id
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
-      val out = ids.iterator.map(id => (id, find(id))).toSeq
+      val out = localSolve(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")))
       edges.unpersist()
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      return out.toDF("id", "cluster_id")
+      return out
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
