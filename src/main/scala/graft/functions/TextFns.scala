@@ -206,10 +206,19 @@ object TextFns {
     * Engine-exact via the LangModel integer trick: entropy
     * = (n·ln n − Σ_c k_c·ln k_c)/n, with each ln rounded to integer
     * micro-nats FIRST so the sum is exact long arithmetic and the
-    * only float op is the final division. Pure Column HOFs — fuses
-    * into the scan projection, no shuffle. 0.0 for empty documents;
-    * cost O(len · distinct-chars) per row (alphabet-bounded). */
+    * only float op is the final division. Native kernel
+    * (graft.plans.CharEntropy) — one compiled pass with an
+    * alphabet-bounded count table; `charEntropyHof` below is the
+    * reference implementation it is parity-tested against.
+    * 0.0 for empty documents. */
   def charEntropy(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.CharEntropy(ColumnBridge.expression(c)))
+  }
+
+  /** Interpreted HOF char entropy (semantics baseline for
+    * TextKernelSpec — also the form the DuckDB oracle reproduces). */
+  def charEntropyHof(c: Column): Column = {
     val chs = filter(split(c, ""), ch => ch =!= "")
     val n = size(chs).cast("long")
     def lmicro(x: Column) =

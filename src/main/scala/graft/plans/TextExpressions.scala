@@ -91,6 +91,50 @@ object TextKernels {
     sig
   }
 
+  /** Character-distribution entropy in exact integer micro-nats —
+    * bitwise TextFns.charEntropyHof: counts are per UTF-16 code unit
+    * (the unit Spark's `split(c, "")` yields), L(x) = round(ln(x)·1e6)
+    * as a long (non-negative domain, so Math.round == HALF_UP), and
+    * entropy = round((n·L(n) − Σ_c k_c·L(k_c)) / (n·1e6), 6) with the
+    * same BigDecimal HALF_UP final rounding Spark's `round` applies.
+    * One compiled pass + an alphabet-bounded count table instead of
+    * the interpreted split → array_sort → aggregate HOF chain (which
+    * allocates one UTF8String per character per row). 0.0 for empty. */
+  def charEntropy(text: UTF8String): Double = {
+    if (text == null) return 0.0
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0.0
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Character, Array[Long]] = null
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 128) ascii(c) += 1L
+      else {
+        if (other == null) other = new java.util.HashMap[Character, Array[Long]]()
+        val box = other.get(c)
+        if (box == null) other.put(c, Array(1L)) else box(0) += 1L
+      }
+      i += 1
+    }
+    def lmicro(x: Long): Long = Math.round(Math.log(x.toDouble) * 1e6)
+    var sum = 0L
+    var ci = 0
+    while (ci < 128) {
+      val k = ascii(ci)
+      if (k > 0) sum += k * lmicro(k)
+      ci += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) { val k = it.next()(0); sum += k * lmicro(k) }
+    }
+    val raw = (n * lmicro(n) - sum).toDouble / (n.toDouble * 1e6)
+    java.math.BigDecimal.valueOf(raw)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** All pairs within `maxHamming` popcount distance from a
     * (doc_id, sig) member array — compiled nested loop, survivors
     * only. */
@@ -252,6 +296,29 @@ case class HammingPairs(child: Expression, maxHamming: Int)
   * when the sum of (+1/-1) votes from bit j of each token's hash60 is
   * positive. Bitwise-identical to TextFns.simhashHof; one compiled
   * pass, no interpreted aggregate per bit. */
+/** Compiled character-entropy screen — TextKernels.charEntropy;
+  * bitwise-parity-tested against the HOF chain (TextKernelSpec). */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -94,6 +94,23 @@ class TextKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("charEntropy: native kernel == HOF chain, fixture + random strings") {
+    val rnd = new scala.util.Random(7)
+    val randoms = (0 until 60).map { i =>
+      val len = rnd.nextInt(200)
+      (100L + i, (0 until len).map(_ =>
+        "abcdefgh XYZ.,!ü€\t\n".charAt(rnd.nextInt(19))).mkString)
+    }
+    val df = (docs ++ randoms).toDF("id", "text")
+    val both = df.select(col("id"),
+      TextFns.charEntropy(col("text")).as("native"),
+      TextFns.charEntropyHof(col("text")).as("hof"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, n, h) =>
+      assert(n == h, s"charEntropy drift at id=$id: native=$n hof=$h")
+    }
+  }
+
   test("hashed shingle sets: two-stage tokenHashes64 path preserves set size") {
     // cardinality structure (not values) is the contract: distinct
     // shingle strings <-> distinct hash triples
