@@ -650,6 +650,23 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, w: Int = 4): DataFrame = {
     require(n >= 1 && w >= 1, "winnow: n and w must be positive")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFns.ngramHashesNative(col(textCol), n).as("__hs"))
+    // one compiled O(len) deque pass (graft.plans.WinnowPicks) — the
+    // HOF window scan below is the parity baseline it replaces
+    // (O(len·w) interpreted, one window array allocation per start)
+    val picks = ColumnBridge.column(graft.plans.WinnowPicks(
+      ColumnBridge.expression(col("__hs")), w))
+    base.select(col("doc_id"), explode(picks).as("__p"))
+      .select(col("doc_id"), col("__p.pos").as("pos"), col("__p.fp").as("fp"))
+  }
+
+  /** Interpreted HOF winnowing (semantics baseline for TextKernelSpec
+    * — also the window form the DuckDB oracle reproduces). */
+  def winnowFingerprintsHof(docs: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, "winnow: n and w must be positive")
     val base = docs.select(col(idCol).as("doc_id"),
       TextFns.ngramHashesNative(col(textCol), n).as("__hs"))
     val m = size(col("__hs"))

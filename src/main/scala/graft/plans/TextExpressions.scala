@@ -135,6 +135,50 @@ object TextKernels {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  /** MOSS winnowing picks over an n-gram hash array: for every
+    * length-`w` window, the minimum hash with RIGHTMOST tie-break,
+    * deduplicated to (pos, fp) — bitwise the HOF form in
+    * Dedup.winnowFingerprintsHof (slice → array_min → rightmost
+    * array_max scan per window, then array_distinct), but one O(len)
+    * pass with a monotone deque instead of O(len·w) interpreted with
+    * a fresh window array per start. `>=` back-pops make the deque
+    * front the LATEST index among equal minima (the rightmost-tie
+    * rule); a picked pos repeats only in consecutive windows, so
+    * last-pos dedup equals array_distinct. Docs shorter than one
+    * window emit their single best pick; empty arrays emit none. */
+  def winnowPicks(hashes: ArrayData, w: Int): ArrayData = {
+    val m = hashes.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val hs = hashes.toLongArray()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    def pick(pos: Int): Any =
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](pos.toLong, hs(pos)))
+    if (m < w) {
+      var best = 0
+      var i = 1
+      while (i < m) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      out += pick(best)
+    } else {
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0 // exclusive
+      var lastPos = -1
+      var i = 0
+      while (i < m) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) {
+          val p = dq(head)
+          if (p != lastPos) { out += pick(p); lastPos = p }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** All pairs within `maxHamming` popcount distance from a
     * (doc_id, sig) member array — compiled nested loop, survivors
     * only. */
@@ -296,6 +340,33 @@ case class HammingPairs(child: Expression, maxHamming: Int)
   * when the sum of (+1/-1) votes from bit j of each token's hash60 is
   * positive. Bitwise-identical to TextFns.simhashHof; one compiled
   * pass, no interpreted aggregate per bit. */
+/** Compiled winnowing pick kernel — TextKernels.winnowPicks;
+  * parity-tested against the HOF window scan (TextKernelSpec). */
+case class WinnowPicks(child: Expression, w: Int) extends UnaryExpression {
+
+  private val elemType = new org.apache.spark.sql.types.StructType()
+    .add("pos", LongType, nullable = false)
+    .add("fp", LongType, nullable = false)
+  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+  override def prettyName: String = "graft_winnow_picks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnowPicks(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.winnowPicks($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Compiled character-entropy screen — TextKernels.charEntropy;
   * bitwise-parity-tested against the HOF chain (TextKernelSpec). */
 case class CharEntropy(child: Expression) extends UnaryExpression {

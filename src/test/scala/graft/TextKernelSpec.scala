@@ -111,6 +111,26 @@ class TextKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("winnowPicks: native deque kernel == HOF window scan, all (n, w)") {
+    val rnd = new scala.util.Random(13)
+    val randoms = (0 until 40).map { i =>
+      val len = rnd.nextInt(60)
+      (200L + i, (0 until len).map(_ =>
+        "abcdefg"(rnd.nextInt(7)).toString).mkString(" "))
+    }
+    val df = (docs ++ randoms).toDF("id", "text")
+    for (n <- Seq(1, 3); w <- Seq(1, 2, 4, 9)) {
+      val native = graft.operators.Dedup
+        .winnowFingerprints(df, "text", "id", n, w)
+        .as[(Long, Long, Long)].collect().toSet
+      val hof = graft.operators.Dedup
+        .winnowFingerprintsHof(df, "text", "id", n, w)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(native == hof,
+        s"winnow drift at n=$n w=$w: ${native.diff(hof)} / ${hof.diff(native)}")
+    }
+  }
+
   test("hashed shingle sets: two-stage tokenHashes64 path preserves set size") {
     // cardinality structure (not values) is the contract: distinct
     // shingle strings <-> distinct hash triples
