@@ -1508,6 +1508,20 @@ object SparkEntry {
       Dedup.dedupBySimhash(t(s, d, "documents"), "text", "doc_id",
         bits = 60, maxHamming = 3).select("doc_id")),
 
+    // quality-aware representative selection: same 60-bit SimHash
+    // clusters as q_d_pipeline_sim, but each cluster keeps its
+    // HIGHEST-quality member (integer micro-unit score, ties -> min
+    // id) instead of the min id — the form a real pretraining
+    // pipeline ships (the best copy survives, not the first-crawled)
+    "q_d_keepbest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.simhashNearDups(docs, "text", "doc_id",
+        bits = 60, maxHamming = 3).select("id_a", "id_b")
+      Dedup.dedupKeepBest(docs, pairs, "doc_id",
+        round(TF.qualityScore(col("text")) * 1e6).cast("long"))
+        .select("doc_id")
+    }),
+
     "q_d_pipeline_emb" -> ((s, d) =>
       Dedup.dedupByEmbedding(
         t(s, d, "embeddings").filter(col("vec_id") < 300),
@@ -3997,6 +4011,22 @@ object SparkEntry {
         // TextFns.hamming compiles to on the Spark side
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sig, b.sig)) <= 3), " +
         ccTailSql("p", "t", "doc_id")
+    },
+
+    // same pair CTE as q_d_pipeline_sim, then cluster labels (not the
+    // keep-min filter), micro-unit quality, and one argmax window
+    "q_d_keepbest" -> {
+      s"WITH RECURSIVE t AS (SELECT doc_id, list_transform($toksSql, x -> ${h60Sql("x")}) AS hs FROM documents), " +
+        s"s AS (SELECT doc_id, ${simhashSql(60)} AS sig FROM t), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sig, b.sig)) <= 3), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "walk(node, lbl) AS (SELECT src, src FROM edges UNION SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node), " +
+        "cc AS (SELECT node, min(lbl) AS cluster FROM walk GROUP BY 1), " +
+        s"q AS (SELECT doc_id, len($toksSql)::DOUBLE AS nw, len(list_filter($toksSql, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE AS hits, $punctSql AS pr FROM documents), " +
+        "qm AS (SELECT doc_id, CAST(round(round((least(nw / 100.0, 1.0) + least(hits / greatest(nw, 1.0) * 5.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) * 1e6) AS BIGINT) AS micros FROM q), " +
+        "m AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster, qm.micros FROM documents d JOIN qm USING (doc_id) LEFT JOIN cc ON cc.node = d.doc_id), " +
+        "r AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster ORDER BY micros DESC, doc_id) AS rk FROM m) " +
+        "SELECT doc_id FROM r WHERE rk = 1"
     },
 
     "q_d_pipeline_emb" -> {

@@ -359,6 +359,34 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware dedup: resolve near-dup `pairs` into clusters and
+    * keep each cluster's member MAXIMIZING `scoreCol` (ties break to
+    * the smallest id) — what a real training pipeline does, versus
+    * the keep-min-id convenience of the `dedupBy*` family: the best
+    * copy of a syndicated article survives, not the one that crawled
+    * first. Rows untouched by any pair keep themselves (singleton
+    * clusters). Score ties are engine-exact when `scoreCol` is an
+    * integer form (e.g. micro-units) — pass doubles through a
+    * round-and-scale first.
+    *
+    * Scale shape: dupClusters' contraction machinery for the
+    * clusters; ONE hash aggregation (`max(struct(score, -id))`) picks
+    * winners — no per-cluster window sort. */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    scoreCol: Column): DataFrame = {
+    val clusters = dupClusters(pairs).withColumnRenamed("id", idCol)
+    val member = docs.select(col(idCol), scoreCol.as("__q"))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("__c"), col("__q"))
+    // lexicographic max: highest score, then smallest id (negated)
+    val best = member.groupBy(col("__c"))
+      .agg(max(struct(col("__q").as("q"), (-col(idCol)).as("nid")))
+        .as("__b"))
+      .select((-col("__b").getField("nid")).as(idCol))
+    docs.join(best, Seq(idCol), "left_semi")
+  }
+
   /** Embedding-cosine near-duplicate pairs (the semantic-dedup leg of
     * the training-data pipeline): exact form for modest corpora, SRP-
     * bucketed ANN (`Similarity.lshBucketed`) as the 100 TB path;

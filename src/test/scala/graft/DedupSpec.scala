@@ -192,6 +192,23 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(2L) && kept.contains(3L))
   }
 
+  test("dedupKeepBest: cluster keeps the highest-score member, not the min id") {
+    val docs = Seq(
+      (1L, "short dup", 10L),        // cluster {1,4}: 4 scores higher
+      (4L, "short dup", 90L),
+      (7L, "solo survivor", 5L))     // singleton: kept regardless
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupKeepBest(docs, pairs, "doc_id", col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 7L), kept)
+    // tie on score -> min id wins
+    val tied = docs.withColumn("score", lit(1L))
+    val keptTie = Dedup.dedupKeepBest(tied, pairs, "doc_id", col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTie == Set(1L, 7L), keptTie)
+  }
+
   test("dedupByEmbedding: near-identical vectors collapse to one representative") {
     def vec(base: Double, jitter: Double): Array[Double] =
       Array.tabulate(8)(i => base + i + jitter)
