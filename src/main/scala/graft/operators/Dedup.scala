@@ -536,9 +536,25 @@ object Dedup {
     val prefixes = e.join(dfreq, Seq("__g"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select(col("__id"), col("__g"))
+      .select(col("__id"), col("__g"), col("__sz"), col("__rn"))
+    // PPJoin filters inside the index join, both necessary conditions
+    // of J >= t so exactness is preserved:
+    //  - length: t·|b| <= |a| <= |b|/t;
+    //  - position: at a pair's FIRST shared prefix token no common
+    //    element precedes it (both sets sort in the same global
+    //    (df, g) order), so inter <= 1 + min(|a|-rn_a, |b|-rn_b),
+    //    and J >= t forces inter >= t/(1+t)·(|a|+|b|). A true pair
+    //    passes at its first shared token, so any-pass + distinct
+    //    loses nothing; false candidates sharing only a late prefix
+    //    token die here instead of in the set-verify join.
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("a.__sz") + col("b.__sz")))
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
+          col("a.__sz") * lit(threshold) <= col("b.__sz") &&
+          col("b.__sz") * lit(threshold) <= col("a.__sz") &&
+          lit(1) + least(col("a.__sz") - col("a.__rn"),
+            col("b.__sz") - col("b.__rn")) >= alpha)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
     ngramJaccardOnSets(cand, sets)
