@@ -849,7 +849,7 @@ object SparkEntry {
     "q_j13_closest" -> ((s, d) =>
       Intervals.closest(genes(s, d), segs(s, d), Seq("chrom"),
         "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
-        binWidth = 10000)),
+        binWidth = 1000)),
 
     // bedtools complement: uncovered gaps between merged islands
     "q_j14_complement" -> ((s, d) =>
