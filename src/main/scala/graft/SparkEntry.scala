@@ -140,14 +140,14 @@ object SparkEntry {
     // ---- §2.3 joins ----
     "q_j1_interval" -> ((s, d) =>
       IntervalJoin.overlapBinned(genes(s, d), segs(s, d), Seq("chrom"),
-        "g_start", "g_end", "s_start", "s_end", frac = 0.5, binWidth = 10000)
+        "g_start", "g_end", "s_start", "s_end", frac = 0.5, binWidth = 1000)
         .select("g_id", "s_id", "overlap_len")),
 
     // bedtools -r: the overlap must cover half of BOTH intervals
     "q_j17_reciprocal" -> ((s, d) =>
       IntervalJoin.fractionFilter(
         IntervalJoin.overlapBinned(genes(s, d), segs(s, d), Seq("chrom"),
-          "g_start", "g_end", "s_start", "s_end", binWidth = 10000),
+          "g_start", "g_end", "s_start", "s_end", binWidth = 1000),
         "g_start", "g_end", "s_start", "s_end",
         fracA = 0.5, fracB = 0.5)
         .select("g_id", "s_id", "overlap_len")),
