@@ -84,9 +84,12 @@ object ScaleUp {
     // better: a suffix sits exactly where substr(c_name,-4) reads.
     val cust = rd("customer"); val cs = stride(cust, "c_custkey")
     val shiftedCK = col("c_custkey") + col("__k") * cs
+    // format_string, not lpad: lpad TRUNCATES strings longer than its
+    // len, so once shifted keys exceed 9 digits names would silently
+    // collide and corrupt the name-substring-derived linkage fields.
+    // %09d pads short keys and passes long ones through intact.
     wr(fan(cust).select(shiftedCK.as("c_custkey"),
-      concat(lit("Customer#"), lpad(shiftedCK.cast("string"), 9, "0"))
-        .as("c_name"),
+      format_string("Customer#%09d", shiftedCK).as("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
       "customer")
 

@@ -217,8 +217,11 @@ object Dedup {
     // Small graph: collect the pairs directly (union-find dedups and
     // symmetrizes implicitly) — 2 jobs, no shuffle, the round-5
     // adaptive-local-solve license. Disable with localSolveMaxEdges=0.
-    if (nPairs > 0 && 2 * nPairs <= localSolveMaxEdges)
-      return localSolve(p)
+    if (nPairs > 0 && 2 * nPairs <= localSolveMaxEdges) {
+      val out = localSolve(p) // collects eagerly — safe to release now
+      p.unpersist()
+      return out
+    }
     // LEVEL-0 MIN-CONTRACTION — the big-graph path. One aggregation
     // over the cached pairs computes first(v) = min(N(v) ∪ {v});
     // edges rewrite through that mapping and self-edges drop.
@@ -251,11 +254,18 @@ object Dedup {
       .distinct()
     val base = clustersCore(contracted, maxIterations, checkpointEvery,
       localSolveMaxEdges)
-    // base ∘ first; contracted-away singleton labels keep first(v)
-    first
+    // base ∘ first; contracted-away singleton labels keep first(v).
+    // localCheckpoint (eager, node-sized) pins the composition so the
+    // caches built above — p, first, and clustersCore's final labels —
+    // can all be released HERE instead of accumulating in executor
+    // storage memory across a 245-query session.
+    val composed = first
       .join(base.withColumnRenamed("id", "lbl"), Seq("lbl"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("lbl")).as("cluster_id"))
+      .localCheckpoint()
+    p.unpersist(); first.unpersist(); base.unpersist()
+    composed
   }
 
   /** Driver-side union-find over a collected pair list: (id,
@@ -535,7 +545,15 @@ object Dedup {
     val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
     val prefixes = e.join(dfreq, Seq("__g"))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      // ceil(x − 1e-9), not ceil(x): t·|s| computed in double can
+      // land a hair ABOVE the exact rational (t=0.8 at |s|=63,117,…),
+      // which would shorten the prefix and silently drop a true pair
+      // with J exactly == t. The epsilon can only lengthen the prefix
+      // by one token on exact-integer boundaries — more candidates,
+      // never fewer, so exactness is preserved (the verify join is
+      // exact). Same treatment on every bound below.
+      .filter(col("__rn") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
       .select(col("__id"), col("__g"), col("__sz"), col("__rn"))
     // PPJoin filters inside the index join, both necessary conditions
     // of J >= t so exactness is preserved:
@@ -548,11 +566,11 @@ object Dedup {
     //    loses nothing; false candidates sharing only a late prefix
     //    token die here instead of in the set-verify join.
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("a.__sz") + col("b.__sz")))
+      (col("a.__sz") + col("b.__sz")) - lit(1e-9))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
-          col("a.__sz") * lit(threshold) <= col("b.__sz") &&
-          col("b.__sz") * lit(threshold) <= col("a.__sz") &&
+          col("a.__sz") * lit(threshold) - lit(1e-9) <= col("b.__sz") &&
+          col("b.__sz") * lit(threshold) - lit(1e-9) <= col("a.__sz") &&
           lit(1) + least(col("a.__sz") - col("a.__rn"),
             col("b.__sz") - col("b.__rn")) >= alpha)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))

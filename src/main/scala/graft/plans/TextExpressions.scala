@@ -92,31 +92,35 @@ object TextKernels {
   }
 
   /** Character-distribution entropy in exact integer micro-nats —
-    * bitwise TextFns.charEntropyHof: counts are per UTF-16 code unit
-    * (the unit Spark's `split(c, "")` yields), L(x) = round(ln(x)·1e6)
-    * as a long (non-negative domain, so Math.round == HALF_UP), and
-    * entropy = round((n·L(n) − Σ_c k_c·L(k_c)) / (n·1e6), 6) with the
-    * same BigDecimal HALF_UP final rounding Spark's `round` applies.
+    * bitwise TextFns.charEntropyHof: counts are per Unicode CODE
+    * POINT (the unit Spark's `split(c, "")` yields — it keeps
+    * surrogate pairs intact, so '😀' is ONE symbol, not two UTF-16
+    * units), L(x) = round(ln(x)·1e6) as a long (non-negative domain,
+    * so Math.round == HALF_UP), and entropy =
+    * round((n·L(n) − Σ_c k_c·L(k_c)) / (n·1e6), 6) with the same
+    * BigDecimal HALF_UP final rounding Spark's `round` applies.
     * One compiled pass + an alphabet-bounded count table instead of
     * the interpreted split → array_sort → aggregate HOF chain (which
     * allocates one UTF8String per character per row). 0.0 for empty. */
   def charEntropy(text: UTF8String): Double = {
     if (text == null) return 0.0
     val s = text.toString
-    val n = s.length
-    if (n == 0) return 0.0
+    val len = s.length
+    if (len == 0) return 0.0
     val ascii = new Array[Long](128)
-    var other: java.util.HashMap[Character, Array[Long]] = null
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var n = 0L // code-point count, not UTF-16 length
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c < 128) ascii(c) += 1L
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
       else {
-        if (other == null) other = new java.util.HashMap[Character, Array[Long]]()
-        val box = other.get(c)
-        if (box == null) other.put(c, Array(1L)) else box(0) += 1L
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val box = other.get(cp)
+        if (box == null) other.put(cp, Array(1L)) else box(0) += 1L
       }
-      i += 1
+      n += 1L
+      i += Character.charCount(cp)
     }
     def lmicro(x: Long): Long = Math.round(Math.log(x.toDouble) * 1e6)
     var sum = 0L

@@ -445,6 +445,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefixFilterPairs: boundary pairs with J exactly == t survive") {
+    // |A|=28 ⊂ |B|=35 word trigrams → J = 28/35 = 0.8 EXACTLY, with
+    // |A|+|B| = 63 — a size sum where double ceil(t/(1+t)·(sza+szb))
+    // and t·|b| both drift a hair above the exact rational for t=0.8,
+    // so without the float-safe (−1e-9) bounds the candidate filters
+    // drop a true pair. Same construction at t=0.9 (63/70, sum 133).
+    val words = (1 to 80).map(i => f"tok$i%03d")
+    def doc(k: Int) = words.take(k).mkString(" ")
+    val docs = Seq((1L, doc(30)), (2L, doc(37)),  // J(1,2) = 28/35 = 0.8
+                   (3L, doc(65)), (4L, doc(72)))  // J(3,4) = 63/70 = 0.9
+      .toDF("doc_id", "text")
+    val got8 = Dedup.prefixFilterPairs(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got8.contains((1L, 2L)), s"J==t pair dropped at t=0.8: $got8")
+    val got9 = Dedup.prefixFilterPairs(docs, "text", "doc_id", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got9.contains((3L, 4L)), s"J==t pair dropped at t=0.9: $got9")
+    assert(!got9.contains((1L, 2L))) // 0.8 < 0.9 stays excluded
+  }
+
   test("prefixFilterPairs: frequent shingles stay out of prefixes at high t") {
     // every doc shares the frequent head; only 1/2 are real near-dups
     val docs = Seq(

@@ -111,6 +111,31 @@ class TextKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("charEntropy: supplementary characters are ONE code point (HOF parity)") {
+    // Spark's split(c, "") keeps surrogate pairs intact, so the HOF
+    // baseline counts code points; the native kernel must too — a
+    // UTF-16 code-unit loop silently diverges on any non-BMP text.
+    val rnd = new scala.util.Random(11)
+    val toks = Array("a", "b", "😀", "🚀", "𝕏", "é", " ", "字")
+    val fixtures = Seq((500L, "a😀b😀"), (501L, "😀"), (502L, "𝕏𝕏🚀"))
+    val randoms = (0 until 40).map { i =>
+      (510L + i, (0 until rnd.nextInt(60))
+        .map(_ => toks(rnd.nextInt(toks.length))).mkString)
+    }
+    val df = (fixtures ++ randoms).toDF("id", "text")
+    val both = df.select(col("id"),
+      TextFns.charEntropy(col("text")).as("native"),
+      TextFns.charEntropyHof(col("text")).as("hof"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, n, h) =>
+      assert(n == h, s"charEntropy supplementary drift at id=$id: native=$n hof=$h")
+    }
+    // hand check: "a😀b😀" = 4 code points {a:1, b:1, 😀:2} →
+    // H = 1.5·ln 2 = 1.039721 (NOT 1.329661, the 6-code-unit answer)
+    val e = both.find(_._1 == 500L).get._2
+    assert(math.abs(e - 1.039721) < 1e-9, s"a😀b😀 gave $e")
+  }
+
   test("winnowPicks: native deque kernel == HOF window scan, all (n, w)") {
     val rnd = new scala.util.Random(13)
     val randoms = (0 until 40).map { i =>
