@@ -100,23 +100,25 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(full)
-    // The driver's artifact keeps only the LAST ~2000 chars of stdout
-    // and parses JSON out of that tail — the full 240-query line is
-    // ~6 KB, so its head (metric/value) never survives. Persist the
-    // full JSON to a file, then END stdout with a compact line that is
-    // (a) complete within the tail window, (b) also metric "total" so
-    // any "find the total line" scan lands on parseable JSON, and
-    // (c) points at the full per-query map on disk.
+    // Persist the canonical full JSON (metric/value first) to a file —
+    // the durable record every scale claim cites.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}")
     }
+    // Stdout ordering for the driver's artifact, which keeps only the
+    // LAST ~2000 chars of stdout: first a compact slowest-25 summary
+    // (complete within the window for a human reading the capture),
+    // then the FULL per-query map as the LAST line — with "queries"
+    // first inside the object and total/sf at the line's END, so the
+    // tail window always closes on `…,"unit":"sec","value":N}` even
+    // though the ~6 KB map's head scrolls past the window.
     val slowest = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to_slowest_25":true,"all_queries_file":"$benchFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }
