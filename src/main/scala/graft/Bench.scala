@@ -109,16 +109,15 @@ object Bench {
       System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}")
     }
     // Stdout ordering for the driver's artifact, which keeps only the
-    // LAST ~2000 chars of stdout: first a compact slowest-25 summary
-    // (complete within the window for a human reading the capture),
-    // then the FULL per-query map as the LAST line — with "queries"
-    // first inside the object and total/sf at the line's END, so the
-    // tail window always closes on `…,"unit":"sec","value":N}` even
-    // though the ~6 KB map's head scrolls past the window.
+    // LAST ~2000 chars of stdout: the FULL per-query map first (its
+    // ~6 KB head may scroll past the window — BENCH_LOCAL.json holds
+    // the durable copy), then a compact slowest-25 summary as the LAST
+    // line, so a complete parseable JSON object with metric/value
+    // always survives inside the tail window.
+    println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
     val slowest = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to_slowest_25":true,"all_queries_file":"$benchFile","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -81,24 +81,42 @@ object SparkEntry {
         "mid" -> "substr(c_name, -4, 2)"))
 
   // ---- derived interval tables for J1 (shared Spark/SQL definition) ----
+  // The coordinate space GROWS with the data: L = max(100000,
+  // 5·count(part)), which is exactly 100000 at every driver SF
+  // (part(sf0.1) = 20000 rows, so results at or below sf0.1 are
+  // bit-identical to the fixed-space derivation) and 10×/100× wider
+  // at the ScaleUp sf1/sf10 decades. A fixed space densified
+  // [0,100k)×23 quadratically at sf10 — a test-geometry artifact,
+  // not an operator property; scaling L with row count keeps
+  // interval density (and join selectivity per row) constant across
+  // decades, the way a growing cohort adds samples over a fixed
+  // genome rather than squaring per-base density. Both tables read L
+  // from part's count so they share one space; the 1-row agg rides a
+  // broadcast — no driver action.
+  private def coordSpace(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").agg(
+      greatest(lit(100000L), lit(5L) * count(lit(1))).as("__L"))
+
   private def genes(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "part").select(
+    t(s, dir, "part").crossJoin(broadcast(coordSpace(s, dir))).select(
       col("p_partkey").as("g_id"),
       (col("p_partkey") % 23).as("chrom"),
-      ((col("p_partkey") * 37) % 100000).as("g_start"),
-      ((col("p_partkey") * 37) % 100000 + 50 + col("p_size") * 10).as("g_end"))
+      ((col("p_partkey") * 37) % col("__L")).as("g_start"),
+      ((col("p_partkey") * 37) % col("__L") + 50 + col("p_size") * 10).as("g_end"))
 
   private def segs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").select(
+    t(s, dir, "orders").crossJoin(broadcast(coordSpace(s, dir))).select(
       col("o_orderkey").as("s_id"),
       (col("o_orderkey") % 23).as("chrom"),
-      ((col("o_orderkey") * 53) % 100000).as("s_start"),
-      ((col("o_orderkey") * 53) % 100000 + 100 + col("o_orderkey") % 500).as("s_end"))
+      ((col("o_orderkey") * 53) % col("__L")).as("s_start"),
+      ((col("o_orderkey") * 53) % col("__L") + 100 + col("o_orderkey") % 500).as("s_end"))
 
+  private val coordSpaceSql =
+    "(SELECT greatest(100000, 5 * count(*)) AS __L FROM part)"
   private val genesSql =
-    "SELECT p_partkey AS g_id, p_partkey % 23 AS chrom, (p_partkey*37) % 100000 AS g_start, (p_partkey*37) % 100000 + 50 + p_size*10 AS g_end FROM part"
+    s"SELECT p_partkey AS g_id, p_partkey % 23 AS chrom, (p_partkey*37) % __L AS g_start, (p_partkey*37) % __L + 50 + p_size*10 AS g_end FROM part, $coordSpaceSql"
   private val segsSql =
-    "SELECT o_orderkey AS s_id, o_orderkey % 23 AS chrom, (o_orderkey*53) % 100000 AS s_start, (o_orderkey*53) % 100000 + 100 + o_orderkey % 500 AS s_end FROM orders"
+    s"SELECT o_orderkey AS s_id, o_orderkey % 23 AS chrom, (o_orderkey*53) % __L AS s_start, (o_orderkey*53) % __L + 100 + o_orderkey % 500 AS s_end FROM orders, $coordSpaceSql"
 
   /** Flagship: the CNV-style interval-join pipeline (SURVEY §3.1 step
     * 8) on sf0.001; driver smoke-checks rows>0. */

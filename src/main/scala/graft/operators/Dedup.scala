@@ -205,6 +205,16 @@ object Dedup {
     * every `checkpointEvery` rounds so plans don't grow unboundedly.
     * Returns (id, cluster_id) where cluster_id = min member id; the
     * kept representative per cluster is id == cluster_id.
+    *
+    * The returned frame is `localCheckpoint()`ed (eager, node-sized):
+    * lineage back through the iterative rounds is cut so the interim
+    * caches can be released immediately. Two consequences callers
+    * should know: the blocks are NOT replicated, so an executor loss
+    * after this returns makes the result unrecoverable mid-query
+    * (re-run the call — it is deterministic); and the blocks are
+    * reclaimed by ContextCleaner GC rather than an explicit
+    * unpersist, so a driver that holds the reference across many
+    * queries delays reclamation until the reference drops.
     */
   def dupClusters(pairs: DataFrame, maxIterations: Int = 20,
                   checkpointEvery: Int = 3,
@@ -545,15 +555,19 @@ object Dedup {
     val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
     val prefixes = e.join(dfreq, Seq("__g"))
       .withColumn("__rn", row_number().over(w))
-      // ceil(x − 1e-9), not ceil(x): t·|s| computed in double can
+      // ceil(x − ε·|s|), not ceil(x): t·|s| computed in double can
       // land a hair ABOVE the exact rational (t=0.8 at |s|=63,117,…),
       // which would shorten the prefix and silently drop a true pair
-      // with J exactly == t. The epsilon can only lengthen the prefix
-      // by one token on exact-integer boundaries — more candidates,
-      // never fewer, so exactness is preserved (the verify join is
-      // exact). Same treatment on every bound below.
+      // with J exactly == t. The epsilon is SIZE-RELATIVE (1e-12·|s|,
+      // ~4e3 ulps of t·|s|) so it still dominates the half-ulp product
+      // rounding when |s| grows past ~1e7, where an absolute 1e-9
+      // would fall below the error it guards against. It can only
+      // lengthen the prefix by one token on exact-integer boundaries —
+      // more candidates, never fewer, so exactness is preserved (the
+      // verify join is exact). Same treatment on every bound below.
       .filter(col("__rn") <=
-        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+        col("__sz") - ceil(lit(threshold) * col("__sz")
+          - lit(1e-12) * col("__sz")) + 1)
       .select(col("__id"), col("__g"), col("__sz"), col("__rn"))
     // PPJoin filters inside the index join, both necessary conditions
     // of J >= t so exactness is preserved:
@@ -566,11 +580,14 @@ object Dedup {
     //    loses nothing; false candidates sharing only a late prefix
     //    token die here instead of in the set-verify join.
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("a.__sz") + col("b.__sz")) - lit(1e-9))
+      (col("a.__sz") + col("b.__sz"))
+      - lit(1e-12) * (col("a.__sz") + col("b.__sz")))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
-          col("a.__sz") * lit(threshold) - lit(1e-9) <= col("b.__sz") &&
-          col("b.__sz") * lit(threshold) - lit(1e-9) <= col("a.__sz") &&
+          col("a.__sz") * lit(threshold)
+            - lit(1e-12) * col("a.__sz") <= col("b.__sz") &&
+          col("b.__sz") * lit(threshold)
+            - lit(1e-12) * col("b.__sz") <= col("a.__sz") &&
           lit(1) + least(col("a.__sz") - col("a.__rn"),
             col("b.__sz") - col("b.__rn")) >= alpha)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))

@@ -160,12 +160,18 @@ object Profile {
     val spine = spark.range(bins).toDF("bin")
     val ra = (col("n_ref") + 1.0) / (col("__tr") + bins)
     val rc = (col("n_cur") + 1.0) / (col("__tc") + bins)
-    spine.join(nr, Seq("bin"), "left").join(nc, Seq("bin"), "left")
+    val out = spine.join(nr, Seq("bin"), "left").join(nc, Seq("bin"), "left")
       .crossJoin(broadcast(tr)).crossJoin(broadcast(tc))
       .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
       .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
       .withColumn("psi_term", round((ra - rc) * log(ra / rc), 6))
       .drop("__tr", "__tc")
+    // pin the bins-sized result, then release the binned-count caches
+    // (same discipline as dupClusters: a persist with no unpersist
+    // accumulates across a long multi-query session)
+    val pinned = out.localCheckpoint()
+    nr.unpersist(); nc.unpersist()
+    pinned
   }
 
   /** Equi-depth histogram: bucket by QUANTILE boundaries instead of
