@@ -579,9 +579,23 @@ object Dedup {
     //    passes at its first shared token, so any-pass + distinct
     //    loses nothing; false candidates sharing only a late prefix
     //    token die here instead of in the set-verify join.
-    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("a.__sz") + col("b.__sz"))
-      - lit(1e-12) * (col("a.__sz") + col("b.__sz")))
+    def alphaOf(szSum: Column): Column =
+      ceil(lit(threshold / (1.0 + threshold)) * szSum - lit(1e-12) * szSum)
+    val alpha = alphaOf(col("a.__sz") + col("b.__sz"))
+    // Candidate pairs: instead of any-pass + distinct, AGGREGATE the
+    // shared-prefix-token rows per pair and apply the ACCUMULATED
+    // positional filter — PPJoin's real filter, strictly tighter than
+    // the single-token bound: inter <= cpre + min(|a|-rn_a_last,
+    // |b|-rn_b_last), where cpre counts shared prefix tokens and
+    // rn_last their last positions. Validity with the per-token
+    // in-join condition still present: that condition is monotone in
+    // token rank (later shared tokens have larger rn on BOTH sides),
+    // so the surviving rows are a rank-prefix of the shared tokens,
+    // and at the last survivor every lower-ranked shared token is in
+    // both prefixes and counted — the textbook A[y]+1+min(remaining)
+    // bound. The groupBy shuffles the same volume the old distinct
+    // did (map-side combine collapses to one row per pair either way)
+    // and kills false candidates BEFORE the expensive set join.
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
           col("a.__sz") * lit(threshold)
@@ -590,12 +604,46 @@ object Dedup {
             - lit(1e-12) * col("b.__sz") <= col("a.__sz") &&
           lit(1) + least(col("a.__sz") - col("a.__rn"),
             col("b.__sz") - col("b.__rn")) >= alpha)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
-    ngramJaccardOnSets(cand, sets)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__sz").as("__sza"), col("b.__sz").as("__szb"),
+        col("a.__rn").as("__rna"), col("b.__rn").as("__rnb"))
+      .groupBy("id_a", "id_b", "__sza", "__szb")
+      .agg(count(lit(1)).cast("int").as("__cpre"),
+        max(col("__rna")).as("__lna"), max(col("__rnb")).as("__lnb"))
+      .filter(col("__cpre") + least(col("__sza") - col("__lna"),
+        col("__szb") - col("__lnb")) >= alphaOf(col("__sza") + col("__szb")))
+    // Verify on SORTED sets with the early-abort merge kernel
+    // (SortedOverlapAtLeast): the scan abandons a false candidate as
+    // soon as count_so_far + min(remaining) drops below the required
+    // overlap — the dynamic form of PPJoin+ suffix filtering — and
+    // returns the EXACT intersection size otherwise (-1 rows fail the
+    // jaccard filter). union derives as |a|+|b|-inter; no hash-set or
+    // output-array allocation per pair.
+    val ss = sets.select(col("__id"), sort_array(col("__set")).as("__ss"))
+    val req = alphaOf(col("__sza") + col("__szb")).cast("int")
+    cand
+      .join(ss.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__ss", "__seta"), Seq("id_a"))
+      .join(ss.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__ss", "__setb"), Seq("id_b"))
+      .withColumn("inter",
+        sortedOverlapAtLeast(col("__seta"), col("__setb"), req))
+      .withColumn("union", col("__sza") + col("__szb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union"))
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
+      .select("id_a", "id_b", "inter", "union", "jaccard")
   }
+
+  /** Column wrapper for the early-abort sorted-merge intersection
+    * kernel (see `graft.plans.SortedOverlapAtLeast`). */
+  private def sortedOverlapAtLeast(a: Column, b: Column,
+                                   required: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SortedOverlapAtLeast(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(required)))
 
   /** N-gram duplication census — the substring-level dedup signal
     * ("Deduplicating Training Data Makes Language Models Better":
