@@ -80,6 +80,20 @@ object SparkEntry {
         "tail" -> "substr(c_name, -2, 2)",
         "mid" -> "substr(c_name, -4, 2)"))
 
+  // capped FS (q_r_fscapped + q_r_fscap_report): blocking on key
+  // digit-count × segment makes block sizes exponentially skewed, so
+  // maxBlock=12 genuinely splits the census at every SF — the cap and
+  // the report leg are both exercised, not vacuous
+  private def fsCapped(customer: DataFrame): Linkage.FsCandidates =
+    Linkage.fellegiSunterCapped(
+      customer.withColumn("c_keydigits",
+        length(col("c_custkey").cast("string"))),
+      "c_custkey", Seq("c_keydigits", "c_mktsegment"),
+      Seq("bal" -> "cast(floor(c_acctbal / 100) as bigint)",
+        "tail" -> "substr(c_name, -2, 2)",
+        "mid" -> "substr(c_name, -4, 2)"),
+      maxBlock = 12)
+
   // ---- derived interval tables for J1 (shared Spark/SQL definition) ----
   // The coordinate space GROWS with the data: L = max(100000,
   // 5·count(part)), which is exactly 100000 at every driver SF
@@ -697,6 +711,15 @@ object SparkEntry {
           .filter(col("score_unats") > 0)
           .select(col("id_a"), col("id_b")))
         .select(col("id").as("node"), col("cluster_id").as("cluster"))),
+
+    // block-capped FS: the Θ(Σ block²) guard rail — scores restricted
+    // to blocks <= maxBlock, plus (next row) the skipped-block report
+    "q_r_fscapped" -> ((s, d) => fsCapped(t(s, d, "customer")).scores),
+
+    "q_r_fscap_report" -> ((s, d) =>
+      fsCapped(t(s, d, "customer")).oversized.select(
+        col("c_keydigits").as("block_digits"),
+        col("c_mktsegment").as("block_segment"), col("block_n"))),
 
     // integer-micro PageRank (3 iterations) on the order->part graph
     // per-node triangle counts on an md5-randomized 150-node graph
@@ -3004,6 +3027,27 @@ object SparkEntry {
     // (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) so both engines
     // compute the identical constant
     "q_r_fs" -> s"WITH $fsOracleCtes SELECT * FROM fs",
+
+    // capped FS: same field/weight CTEs, blocking on digit-count ×
+    // segment, pairs only from blocks of <= 12 records
+    "q_r_fscapped" ->
+      (s"WITH $fsOracleCtes, " +
+        "fb AS (SELECT f.*, length(CAST(id AS VARCHAR)) AS bk0 FROM f), " +
+        "bs AS (SELECT bk0, bk2, count(*) AS block_n FROM fb GROUP BY 1, 2), " +
+        "keep AS (SELECT fb.* FROM fb JOIN bs USING (bk0, bk2) WHERE block_n <= 12) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CASE WHEN a.f_bal = b.f_bal THEN 1 ELSE 0 END + CASE WHEN a.f_tail = b.f_tail THEN 1 ELSE 0 END + CASE WHEN a.f_mid = b.f_mid THEN 1 ELSE 0 END AS n_agree, " +
+        "CASE WHEN a.f_bal = b.f_bal THEN wa_bal ELSE wd_bal END + CASE WHEN a.f_tail = b.f_tail THEN wa_tail ELSE wd_tail END + CASE WHEN a.f_mid = b.f_mid THEN wa_mid ELSE wd_mid END AS score_unats, " +
+        "CASE WHEN a.f_bal = b.f_bal THEN 1 ELSE 0 END AS agree_bal, " +
+        "CASE WHEN a.f_tail = b.f_tail THEN 1 ELSE 0 END AS agree_tail, " +
+        "CASE WHEN a.f_mid = b.f_mid THEN 1 ELSE 0 END AS agree_mid " +
+        "FROM keep a JOIN keep b ON a.bk0 = b.bk0 AND a.bk2 = b.bk2 AND a.id < b.id CROSS JOIN w"),
+
+    "q_r_fscap_report" ->
+      (s"WITH $fsOracleCtes, " +
+        "fb AS (SELECT f.*, length(CAST(id AS VARCHAR)) AS bk0 FROM f), " +
+        "bs AS (SELECT bk0, bk2, count(*) AS block_n FROM fb GROUP BY 1, 2) " +
+        "SELECT bk0 AS block_digits, bk2 AS block_segment, block_n FROM bs WHERE block_n > 12"),
 
     // min-label components over the positive-evidence FS edges —
     // the oracle replays the WHOLE pipeline (scoring + clustering)

@@ -196,12 +196,59 @@ object Linkage {
                     fieldExprs: Seq[(String, String)],
                     m: Double = 0.95): DataFrame = {
     val weights = fieldWeights(df, fieldExprs, m)
-
     // field values are computed ONCE per record, pre-join — the pair
     // join then only compares precomputed scalars
-    val proj = df.select(
+    val proj = fsProjection(df, idCol, blockCols, fieldExprs)
+    pairAndScore(proj, weights, blockCols, fieldExprs)
+  }
+
+  /** Scored pairs from blocks at or under `maxBlock`, plus the
+    * oversized-block report. */
+  case class FsCandidates(scores: DataFrame, oversized: DataFrame)
+
+  /** `fellegiSunter` with a block-size cap — the 100 TB guard rail.
+    *
+    * Blocked pair generation is Θ(Σ block²): one degenerate blocking
+    * value (an empty string, a default date, a top-city key) turns
+    * the whole job into that block's quadratic. Real linkage at scale
+    * caps the block size and REPORTS what it skipped — the operator
+    * must not silently degrade recall, and the report is the signal
+    * to refine the blocking key (same contract as
+    * `Dedup.minhashLshCandidates`' oversize-bucket report).
+    *
+    * `scores` = the fellegiSunter output restricted to records whose
+    * block holds at most `maxBlock` records; `oversized` = one row
+    * per skipped block (its key columns + `block_n`). The size census
+    * is one aggregation on the blocking key; oversized keys are
+    * rare by construction, so the anti-join back is broadcast-sized.
+    */
+  def fellegiSunterCapped(df: DataFrame, idCol: String,
+                          blockCols: Seq[String],
+                          fieldExprs: Seq[(String, String)],
+                          m: Double = 0.95,
+                          maxBlock: Int = 10000): FsCandidates = {
+    require(maxBlock >= 2, s"maxBlock $maxBlock would emit no pairs")
+    val weights = fieldWeights(df, fieldExprs, m)
+    val proj = fsProjection(df, idCol, blockCols, fieldExprs)
+    val oversized = proj.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("block_n"))
+      .filter(col("block_n") > maxBlock)
+    val kept = proj.join(broadcast(oversized.select(blockCols.map(col): _*)),
+      blockCols, "left_anti")
+    FsCandidates(pairAndScore(kept, weights, blockCols, fieldExprs),
+      oversized)
+  }
+
+  private def fsProjection(df: DataFrame, idCol: String,
+                           blockCols: Seq[String],
+                           fieldExprs: Seq[(String, String)]): DataFrame =
+    df.select(
       (col(idCol).as("__id") +: blockCols.map(col)) ++
         fieldExprs.map { case (name, ex) => expr(ex).as(s"__f_$name") }: _*)
+
+  private def pairAndScore(proj: DataFrame, weights: DataFrame,
+                           blockCols: Seq[String],
+                           fieldExprs: Seq[(String, String)]): DataFrame = {
     val a = proj.as("a")
     val b = proj.as("b")
     val pairCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -213,7 +260,6 @@ object Linkage {
             Seq(col(s"a.__f_$name").as(s"__fa_$name"),
               col(s"b.__f_$name").as(s"__fb_$name"))
           }): _*)
-
     scorePairs(pairs.crossJoin(broadcast(weights)), fieldExprs,
       Seq(col("id_a"), col("id_b")))
   }

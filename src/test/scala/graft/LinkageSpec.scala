@@ -132,4 +132,35 @@ class LinkageSpec extends SparkSpec {
     // disagreement weights are negative (m=0.95 vs u well below 1)
     assert(odd._2 < 0L)
   }
+
+  test("fellegiSunterCapped: oversized blocks skipped and reported, " +
+    "kept blocks score identically to the uncapped join") {
+    val df = ((1L to 8L).map(i => (i, 10, "AA", s"p$i", s"m$i")) ++ // big block
+      Seq((20L, 20, "BB", "555", "x@y"), (21L, 20, "BB", "555", "x@y"),
+        (22L, 30, "CC", "111", "a@a"))) // small blocks
+      .toDF("id", "nation", "seg", "phone", "mail")
+    val fields = Seq("phone" -> "phone", "mail" -> "mail")
+    val capped = Linkage.fellegiSunterCapped(df, "id",
+      Seq("nation", "seg"), fields, m = 0.95, maxBlock = 4)
+    // report: exactly the 8-record block, with its size
+    val over = capped.oversized.collect()
+    assert(over.length == 1)
+    assert(over(0).getAs[Int]("nation") == 10 &&
+      over(0).getAs[Long]("block_n") == 8L)
+    // scores: only the small-block pair; weights are computed over
+    // the FULL frame (u-probabilities are corpus statistics, not
+    // block statistics), so the kept pair matches the uncapped run
+    val full = Linkage.fellegiSunter(df, "id", Seq("nation", "seg"),
+      fields, m = 0.95)
+      .filter(col("id_a") === 20L && col("id_b") === 21L).collect()
+    val kept = capped.scores.collect()
+    assert(kept.length == 1)
+    assert(kept(0).toSeq == full(0).toSeq)
+    // maxBlock large enough: report empty, scores = uncapped
+    val uncap = Linkage.fellegiSunterCapped(df, "id",
+      Seq("nation", "seg"), fields, m = 0.95, maxBlock = 100)
+    assert(uncap.oversized.isEmpty)
+    assert(uncap.scores.count() ==
+      Linkage.fellegiSunter(df, "id", Seq("nation", "seg"), fields).count())
+  }
 }
