@@ -1104,16 +1104,18 @@ object SparkEntry {
         ("customer_nation", t(s, d, "customer"), "c_nationkey",
           t(s, d, "nation"), "n_nationkey")))),
 
-    // duplication concentration: dup-group deciles by copy count
-    "q_d_dupconc" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id")
-        .withColumn("decile", ntile(10).over(
-            Window.orderBy(col("dup_count").desc, col("content_hash")))
-          .cast("long"))
+    // duplication concentration: dup-group deciles by copy count.
+    // The decile over the dup-GROUP frame (data-sized: one row per
+    // distinct content) rides the range-partitioned ntile skeleton —
+    // a bare Window.orderBy here would funnel every group through one
+    // task at corpus scale.
+    "q_d_dupconc" -> ((s, d) =>
+      Batching.ntileByRange(
+          Dedup.exactByContent(t(s, d, "documents"), "text", "doc_id"),
+          Seq(col("dup_count").desc, col("content_hash")), 10, 0)
+        .withColumn("decile", col("batch").cast("long"))
         .groupBy("decile")
-        .agg(count(lit(1)).as("n_groups"), sum(col("dup_count")).as("n_docs"))
-    }),
+        .agg(count(lit(1)).as("n_groups"), sum(col("dup_count")).as("n_docs"))),
 
     // normalization-aware exact dedup: case/punct/whitespace variants
     // collapse to one canonical form before hashing (C4 convention)
@@ -1393,11 +1395,13 @@ object SparkEntry {
     // fusion, nano-unit integer scores
     "q_s_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // lexical top-20 via TakeOrdered (the BM25 frame is
+      // corpus-sized), rank only the 20 survivors
       val lexical = Tfidf.bm25(t(s, d, "documents"), "text", "doc_id",
           Seq("spark", "join", "vector"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rank") <= 20)
         .select(col("doc_id").as("id"), col("rank"))
       val emb = t(s, d, "embeddings")
       val vector = Similarity.bruteForceTopK(emb,

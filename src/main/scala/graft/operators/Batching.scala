@@ -198,10 +198,17 @@ object Batching {
     * `numPartitions` bounds the per-partition window size; the driver
     * collect is one row per partition (offsets), never data. */
   def ntileByRange(df: DataFrame, orderCol: String, n: Int,
-                   numPartitions: Int = 0): DataFrame = {
+                   numPartitions: Int = 0): DataFrame =
+    ntileByRange(df, Seq(col(orderCol)), n, numPartitions)
+
+  /** Multi-column form (descending keys allowed — repartitionByRange
+    * honors the sort direction); `orderCols` together must be a total
+    * order. */
+  def ntileByRange(df: DataFrame, orderCols: Seq[Column], n: Int,
+                   numPartitions: Int): DataFrame = {
     val (withPid, offsetDf, total) = partitionOffsets(df,
-      Seq(col(orderCol)), count(lit(1)), numPartitions)
-    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
+      orderCols, count(lit(1)), numPartitions)
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
     withPid
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn("__rank", col("__offset") + row_number().over(w))

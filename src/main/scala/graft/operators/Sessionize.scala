@@ -124,10 +124,13 @@ object Sessionize {
         array_sort(collect_list(struct(col(tsCol) +: tiebreak :+
           col(typeCol).as("__t"): _*))),
         e => e.getField("__t"))).as("path"))
+    // top-k via TakeOrdered before ranking: the path frame is
+    // data-sized (one row per distinct session path), so a bare
+    // global window here would single-task the whole corpus
     perSession.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path"))))
-      .filter(col("rank") <= k)
   }
 
   /** First-order Markov transition model of the event stream: for

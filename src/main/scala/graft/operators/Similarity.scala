@@ -245,11 +245,14 @@ object Similarity {
     val all = rankings.map(_.select(col(idCol).as("id"),
         round(lit(1e9) / (col(rankCol) + k)).cast("long").as("__c")))
       .reduce(_ unionByName _)
+    // top-N via TakeOrdered before ranking: the fused id frame is as
+    // big as the union of the input lists (corpus-sized when callers
+    // fuse full rankings), so rank only the ≤topN survivors
     all.groupBy("id")
       .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("id")).limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("rrf_micro").desc, col("id"))))
-      .filter(col("rank") <= topN)
   }
 
   /** Exact mean vector per group (label centroids, chunk→document

@@ -108,12 +108,16 @@ object Tfidf {
     * intercept), 6 dp. */
   def zipfSlope(docs: DataFrame, textCol: String,
                 topN: Int = 1000): DataFrame = {
+    // top-N FIRST (TakeOrdered: per-partition heads merged, no
+    // vocabulary-sized single-task window), THEN rank the ≤topN
+    // survivors — identical rows and ranks, scale-safe head
     val ranked = Explodes
       .nonEmpty(docs, TextFns.tokens(col(textCol)), "term")
       .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("freq").desc, col("term"))))
-      .filter(col("rank") <= topN)
       .select(round(log(col("rank").cast("double")) * 1e6)
           .cast("long").as("__x"),
         round(log(col("freq").cast("double")) * 1e6)
@@ -181,9 +185,11 @@ object Tfidf {
           ((col("__c1").cast("double") / col("__n1")) *
             (col("__c2").cast("double") / col("__n1")))), 6))
       .select(col("w1"), col("w2"), col("cnt").as("c12"), col("pmi"))
-    scored.withColumn("rank", row_number().over(
+    // top-k via TakeOrdered, then rank the k survivors — never a
+    // bigram-type-sized single-task window
+    scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rank", row_number().over(
         Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
-      .filter(col("rank") <= k)
   }
 
   /** Distinctive terms per group — Monroe/Colaresi/Quinn "Fightin'
