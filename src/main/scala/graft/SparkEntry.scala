@@ -614,14 +614,14 @@ object SparkEntry {
 
     // rank-normalize value to [0,1] within each event type
     "q_e_prank" -> ((s, d) =>
-      Features.percentRank(t(s, d, "events"), Seq("event_type"),
+      Features.percentRankByRange(t(s, d, "events"), "event_type",
           "value", Seq(col("event_id")))
         .select("event_id", "event_type", "prank")),
 
     // lag-1 autocorrelation of value per event type (ts, id order)
     "q_e_autocorr" -> ((s, d) =>
-      Features.autocorrelation(t(s, d, "events"), Seq("event_type"),
-        "ts", "value", Seq(col("event_id")))),
+      Features.autocorrelationByRange(t(s, d, "events"),
+        Seq("event_type"), "ts", "value", Seq(col("event_id")))),
 
     // smoothed target encoding of event_type against value
     "q_x_target" -> ((s, d) =>
@@ -986,7 +986,7 @@ object SparkEntry {
     // DuckDB timestamps are µs-precision, so both engines must key
     // on the identical (µs, id) pair
     "q_e_shift" -> ((s, d) =>
-      Features.meanShiftPoints(
+      Features.meanShiftPointsByRange(
         t(s, d, "events").withColumn("ts_us", expr("ts div 1000")),
         Seq("event_type"), "ts_us", "value", k = 8,
         thresholdMilli = 30000L, tiebreak = Seq(col("event_id")))

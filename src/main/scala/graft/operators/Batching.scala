@@ -192,6 +192,85 @@ object Batching {
       .drop("__pid", "__grp", "__offset")
   }
 
+  /** Halo/ghost-row skeleton for per-key ORDERED SCANS (lag, lead,
+    * ±k sliding frames) whose keys are low-cardinality: a
+    * `Window.partitionBy(key)` collapses to #keys tasks — 5 event
+    * types over 10¹² rows is 5 tasks doing everything. Here the data
+    * range-repartitions on (grpCols, orderCols) so each key SPANS
+    * many partitions, and every partition's first/last `halo` rows
+    * are COPIED to the neighboring partition (ghost rows, the
+    * stencil-halo trick): a ROWS frame bounded by ±halo then never
+    * reaches past what its partition holds, so the caller windows by
+    * `(col("__hpid"), grpCols…)` instead of the bare key and filters
+    * `__home` to drop the ghosts from the output.
+    *
+    * Driver traffic is one COUNT per partition (metadata) — used to
+    * chain halo targets across empty partitions and to verify every
+    * partition holds ≥ halo rows (a partition thinner than the halo
+    * would need ghosts from 2+ partitions away; the skeleton retries
+    * with half the partitions until fat enough — at toy scale that
+    * can mean ONE partition, which is exactly the plain window).
+    * Ghost rows of a key absent from the target partition are inert:
+    * the window partitions by the key, the ghosts rank among
+    * themselves, and `__home` filters them. Null group keys are fine
+    * — no key value ever reaches the driver. */
+  def withOrderedHalo(df: DataFrame, grpCols: Seq[Column],
+                      orderCols: Seq[Column], halo: Int,
+                      numPartitions: Int = 0): DataFrame = {
+    require(halo > 0, s"halo must be positive, got $halo")
+    require(orderCols.nonEmpty, "withOrderedHalo: no order columns")
+    val sortCols = grpCols ++ orderCols
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def attempt(np: Int): Either[Int, DataFrame] = {
+      val parts =
+        if (np > 0) df.repartitionByRange(np, sortCols: _*)
+        else df.repartitionByRange(sortCols: _*)
+      val withPid = parts.withColumn("__hpid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = withPid.groupBy("__hpid").agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val nonEmpty = counts.filter(_._2 > 0)
+      if (nonEmpty.length > 1 && nonEmpty.map(_._2).min < halo) {
+        withPid.unpersist()
+        Left(math.max(1, nonEmpty.length / 2))
+      } else {
+        // neighbor map over NONEMPTY partitions only, so halo rows
+        // hop across empty ranges instead of vanishing into them
+        val pids = nonEmpty.map(_._1)
+        val nbr = pids.zipWithIndex.map { case (p, i) =>
+          (p,
+            if (i > 0) pids(i - 1) else -1,
+            if (i < pids.length - 1) pids(i + 1) else -1)
+        }.toSeq.toDF("__hpid", "__prev", "__next")
+        val w = Window.partitionBy("__hpid").orderBy(sortCols: _*)
+        val cnt = Window.partitionBy("__hpid")
+        val edged = withPid
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(cnt))
+          .join(broadcast(nbr), Seq("__hpid"))
+        val heads = edged
+          .filter(col("__rn") <= halo && col("__prev") >= 0)
+          .withColumn("__hpid", col("__prev"))
+        val tails = edged
+          .filter(col("__n") - col("__rn") < halo && col("__next") >= 0)
+          .withColumn("__hpid", col("__next"))
+        Right(edged.withColumn("__home", lit(true))
+          .unionByName(heads.withColumn("__home", lit(false)))
+          .unionByName(tails.withColumn("__home", lit(false)))
+          .drop("__rn", "__n", "__prev", "__next"))
+      }
+    }
+    var np = numPartitions
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) attempt(np) match {
+      case Right(d) => out = Some(d)
+      case Left(smaller) => np = smaller
+    }
+    out.get
+  }
+
   /** Scalable twin of `globalNtile`: identical `batch` column, no
     * single-task window. `orderCol` must be a total order (unique) for
     * a deterministic result — same caveat as any rank-based batching.

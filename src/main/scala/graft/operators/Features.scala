@@ -158,6 +158,26 @@ object Features {
       .drop("__rk", "__n")
   }
 
+  /** Scalable twin of `percentRank` for LOW-CARDINALITY keys: the
+    * per-group rank rides `Batching.groupedRankByRange` (a huge group
+    * spans many range partitions; driver sees only per-partition
+    * counts) and the per-group size joins back from a #groups-row
+    * aggregate — no #keys-task window anywhere. Identical output
+    * contract: every input column plus `prank`. */
+  def percentRankByRange(df: DataFrame, key: String, valueCol: String,
+                         tiebreak: Seq[Column],
+                         numPartitions: Int = 0): DataFrame = {
+    val ranked = Batching.groupedRankByRange(df, key,
+      col(valueCol) +: tiebreak, numPartitions)
+    val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("__gn"))
+    ranked.join(broadcast(sizes), Seq(key))
+      .withColumn("prank",
+        when(col("__gn") === 1, 0.0)
+          .otherwise(round((col("__grank") - 1).cast("double") /
+            (col("__gn") - 1), 6)))
+      .drop("__grank", "__gn")
+  }
+
   /** Per-key inter-arrival gaps: (keys…, gap) rows for every
     * consecutive event pair in (order, tiebreak) sequence — feed to
     * `Profile.groupedPercentiles` for the gap distribution that
@@ -212,6 +232,81 @@ object Features {
           .otherwise(round(num / sqrt(dx * dy), 6) + lit(0.0))
           .as("r1")
       }: _*)
+  }
+
+  /** Scalable twin of `autocorrelation` for LOW-CARDINALITY keys: the
+    * lag-1 pairing rides `Batching.withOrderedHalo` (each partition
+    * borrows ONE ghost row from its left neighbor, so the lag window
+    * keys on the dense partition id instead of the #keys-task group
+    * key); the moment sums are the same exact-long aggregation, which
+    * parallelizes by itself. Identical output. */
+  def autocorrelationByRange(df: DataFrame, keys: Seq[String],
+                             orderCol: String, valueCol: String,
+                             tiebreak: Seq[Column],
+                             numPartitions: Int = 0): DataFrame = {
+    val ord = col(orderCol) +: tiebreak
+    val halod = Batching.withOrderedHalo(df.withColumn("__y",
+        round(col(valueCol) * 1e3).cast("long")),
+      keys.map(col), ord, halo = 1, numPartitions)
+    val w = Window.partitionBy(col("__hpid") +: keys.map(col): _*)
+      .orderBy(ord: _*)
+    val paired = halod
+      .withColumn("__yl", lag(col("__y"), 1).over(w))
+      .filter(col("__home") && col("__yl").isNotNull)
+    paired.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__y")).as("__sx"), sum(col("__yl")).as("__sy"),
+        sum(col("__y") * col("__yl")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__sxx"),
+        sum(col("__yl") * col("__yl")).as("__syy"))
+      .select(keys.map(col) :+ col("n_pairs") :+ {
+        val num = col("n_pairs").cast("double") * col("__sxy") -
+          col("__sx").cast("double") * col("__sy")
+        val dx = col("n_pairs").cast("double") * col("__sxx") -
+          col("__sx").cast("double") * col("__sx")
+        val dy = col("n_pairs").cast("double") * col("__syy") -
+          col("__sy").cast("double") * col("__sy")
+        when(col("n_pairs") < 3 || dx <= 0.0 || dy <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(num / sqrt(dx * dy), 6) + lit(0.0))
+          .as("r1")
+      }: _*)
+  }
+
+  /** Scalable twin of `meanShiftPoints` for LOW-CARDINALITY keys:
+    * both ±k ROWS frames ride `Batching.withOrderedHalo` with a
+    * k-row ghost margin, windowed on the dense partition id — no
+    * #keys-task wall. Identical output (the full-frames filter plays
+    * the same role; ghost rows guarantee interior positions near a
+    * partition edge still see both full windows). */
+  def meanShiftPointsByRange(df: DataFrame, keys: Seq[String],
+                             orderCol: String, valueCol: String,
+                             k: Int, thresholdMilli: Long,
+                             tiebreak: Seq[Column],
+                             numPartitions: Int = 0): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    val ord = col(orderCol) +: tiebreak
+    val halod = Batching.withOrderedHalo(df.withColumn("__y",
+        round(col(valueCol) * 1e3).cast("long")),
+      keys.map(col), ord, halo = k, numPartitions)
+    val base = Window.partitionBy(col("__hpid") +: keys.map(col): _*)
+      .orderBy(ord: _*)
+    val left = base.rowsBetween(-k, -1)
+    val right = base.rowsBetween(Window.currentRow, k - 1)
+    halod
+      .withColumn("__ln", count(col("__y")).over(left))
+      .withColumn("__lsum", sum(col("__y")).over(left))
+      .withColumn("__rn", count(col("__y")).over(right))
+      .withColumn("__rsum", sum(col("__y")).over(right))
+      .filter(col("__home") && col("__ln") === k && col("__rn") === k)
+      .select(
+        (keys.map(col) :+ col(orderCol)) ++ Seq(
+          col("__lsum").as("lsum_milli"),
+          col("__rsum").as("rsum_milli"),
+          (round((col("__rsum") - col("__lsum")).cast("double") / k)
+            .cast("long")).as("shift_milli"),
+          (abs(col("__rsum") - col("__lsum")) > lit(thresholdMilli) * k)
+            .cast("int").as("is_shift")): _*)
   }
 
   /** Smoothed target encoding — the categorical featurization that

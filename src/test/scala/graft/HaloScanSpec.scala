@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** The halo/ghost-row skeleton (`Batching.withOrderedHalo`) and its
+  * Features twins must be BITWISE equivalent to the plain per-key
+  * window forms — the whole point is changing the task topology, not
+  * the answer. Partition counts are forced small so group spans cross
+  * many range-partition boundaries, which is exactly where a missing
+  * or misplaced ghost row would show.
+  */
+class HaloScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 keys × 400 rows: every key spans several of the 8 range
+  // partitions; values collide (ties) so the tiebreak matters
+  private def series = {
+    val rng = new scala.util.Random(11)
+    (for (k <- Seq("a", "b", "c"); i <- 0 until 400) yield
+      (k, i.toLong * 1000 + rng.nextInt(3), i.toLong,
+        math.rint(rng.nextGaussian() * 50) / 10.0 + (if (k == "b" && i >= 200) 40.0 else 0.0)))
+      .toDF("k", "ts", "id", "value")
+  }
+
+  test("autocorrelationByRange == autocorrelation (8 forced partitions)") {
+    val df = series
+    val plain = Features.autocorrelation(df, Seq("k"), "ts", "value",
+      Seq(col("id"))).orderBy("k").collect().toSeq
+    val halo = Features.autocorrelationByRange(df, Seq("k"), "ts", "value",
+      Seq(col("id")), numPartitions = 8).orderBy("k").collect().toSeq
+    assert(halo == plain)
+  }
+
+  test("meanShiftPointsByRange == meanShiftPoints, incl. the step flag") {
+    val df = series
+    val plain = Features.meanShiftPoints(df, Seq("k"), "ts", "value",
+      k = 8, thresholdMilli = 20000L, tiebreak = Seq(col("id")))
+      .orderBy("k", "ts").collect().toSeq
+    val halo = Features.meanShiftPointsByRange(df, Seq("k"), "ts", "value",
+      k = 8, thresholdMilli = 20000L, tiebreak = Seq(col("id")),
+      numPartitions = 8).orderBy("k", "ts").collect().toSeq
+    assert(halo == plain)
+    assert(plain.exists(_.getInt(5) == 1)) // the b-key step is detected
+  }
+
+  test("percentRankByRange == percentRank (ties broken by id)") {
+    val df = series.withColumn("value", round(col("value"))) // force ties
+    val plain = Features.percentRank(df, Seq("k"), "value", Seq(col("id")))
+      .select("k", "id", "prank").orderBy("k", "id").collect().toSeq
+    val halo = Features.percentRankByRange(df, "k", "value", Seq(col("id")),
+      numPartitions = 8)
+      .select("k", "id", "prank").orderBy("k", "id").collect().toSeq
+    assert(halo == plain)
+  }
+
+  test("thin partitions retry down until every partition >= halo") {
+    // 12 rows over 8 partitions -> ~1-2 rows each, far thinner than
+    // halo=5: the skeleton must coarsen rather than drop frame rows
+    val tiny = (0 until 12).map(i => ("x", i.toLong, i.toLong, i.toDouble))
+      .toDF("k", "ts", "id", "value")
+    val plain = Features.meanShiftPoints(tiny, Seq("k"), "ts", "value",
+      k = 5, thresholdMilli = 1L, tiebreak = Seq(col("id")))
+      .orderBy("ts").collect().toSeq
+    val halo = Features.meanShiftPointsByRange(tiny, Seq("k"), "ts", "value",
+      k = 5, thresholdMilli = 1L, tiebreak = Seq(col("id")),
+      numPartitions = 8).orderBy("ts").collect().toSeq
+    assert(halo == plain && plain.nonEmpty)
+  }
+
+  test("null group keys survive the skeleton (never sent to the driver)") {
+    val withNull = series.withColumn("k",
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("k")))
+    val plain = Features.autocorrelation(withNull, Seq("k"), "ts", "value",
+      Seq(col("id"))).orderBy(col("k").asc_nulls_first).collect().toSeq
+    val halo = Features.autocorrelationByRange(withNull, Seq("k"), "ts",
+      "value", Seq(col("id")), numPartitions = 8)
+      .orderBy(col("k").asc_nulls_first).collect().toSeq
+    assert(halo == plain)
+  }
+
+  test("withOrderedHalo: ghosts are marked, homes partition-disjoint") {
+    val halod = Batching.withOrderedHalo(series, Seq(col("k")),
+      Seq(col("ts"), col("id")), halo = 3, numPartitions = 8)
+    val homes = halod.filter(col("__home")).count()
+    assert(homes == 1200) // every input row exactly once as home
+    val ghosts = halod.filter(!col("__home")).count()
+    assert(ghosts > 0 && ghosts <= 2L * 3 * 8) // <= 2*halo per partition
+  }
+}
