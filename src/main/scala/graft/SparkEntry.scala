@@ -1478,6 +1478,18 @@ object SparkEntry {
         keyCols = Seq("id_a", "id_b"))
     }),
 
+    // second recall point under a TIGHT bucket budget (maxBucket = 5
+    // genuinely drops buckets at every driver SF): the recall/cost
+    // tradeoff of the capped path, oracle-gated like the FS cap rows
+    "q_s_recall_mp2" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 300)
+      Similarity.recallReport(
+        Similarity.lshBucketedMultiProbe(emb, "vec_id", "embedding",
+          minCos = 0.2, maxBucket = 5).pairs,
+        Similarity.thresholdPairs(emb, "vec_id", "embedding", minCos = 0.2),
+        keyCols = Seq("id_a", "id_b"))
+    }),
+
     // PCA under the gate: exact integer-unit covariance (one
     // distributed pass) -> driver power iteration with deflation over
     // the dims^2 matrix (metadata-sized, fixed start + 50 iters =
@@ -1963,6 +1975,16 @@ object SparkEntry {
     "q_x_profile" -> ((s, d) =>
       Profile.numeric(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // the 100 TB cheap twin of q_x_profile: HLL distincts +
+    // quantile-summary medians (bounded state, ONE scan — no Expand,
+    // no exact-percentile value buffer; sf10: 4.7 s vs 14.7 s exact).
+    // Approx values are engine-specific, so this row is rows-only at
+    // the driver gate (no DuckDB oracle)
+    "q_x_profile_approx" -> ((s, d) =>
+      Profile.numeric(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        approxDistinct = true, approxMedian = true)),
 
     "q_x_topvalues" -> ((s, d) =>
       Profile.frequentValues(t(s, d, "orders"),
@@ -3531,6 +3553,12 @@ object SparkEntry {
     // q_s_multiprobe) measured against the same exact threshold pairs
     "q_s_recall_mp" ->
       s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), pr AS (SELECT vec_id, unnest(list_concat([bucket], list_transform(range(0, 8), p -> xor(bucket, (1::BIGINT << p))))) AS pbucket FROM b), cand AS (SELECT DISTINCT a.vec_id AS id_a, h.vec_id AS id_b FROM pr a JOIN b h ON a.pbucket = h.bucket AND a.vec_id < h.vec_id), approx AS (SELECT c.id_a, c.id_b FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b WHERE ${cosSql("ea.v", "eb.v")} >= 0.2), exact AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM e a JOIN e c ON a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2) SELECT count(*) AS exact_count, CAST(count(ap.id_a) AS BIGINT) AS hit_count, count(ap.id_a) * 1.0 / count(*) AS recall FROM exact ex LEFT JOIN approx ap ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b",
+
+    // the capped-mp2 oracle replays the bucket census: buckets over 5
+    // members are dropped from BOTH the probe and the home side before
+    // pairing, exactly as lshBucketedMultiProbe(maxBucket = 5)
+    "q_s_recall_mp2" ->
+      s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300), b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e), cs AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1), vv AS (SELECT b.vec_id, b.v, b.bucket FROM b JOIN cs ON b.bucket = cs.bucket WHERE cs.c <= 5), pr AS (SELECT vec_id, unnest(list_concat([bucket], list_transform(range(0, 8), p -> xor(bucket, (1::BIGINT << p))))) AS pbucket FROM vv), cand AS (SELECT DISTINCT a.vec_id AS id_a, h.vec_id AS id_b FROM pr a JOIN vv h ON a.pbucket = h.bucket AND a.vec_id < h.vec_id), approx AS (SELECT c.id_a, c.id_b FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b WHERE ${cosSql("ea.v", "eb.v")} >= 0.2), exact AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM e a JOIN e c ON a.vec_id < c.vec_id WHERE ${cosSql("a.v", "c.v")} >= 0.2) SELECT count(*) AS exact_count, CAST(count(ap.id_a) AS BIGINT) AS hit_count, count(ap.id_a) * 1.0 / count(*) AS recall FROM exact ex LEFT JOIN approx ap ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b",
 
     // PCA: the q_s_cov covariance (exact, 6-dp-rounded -> identical
     // doubles in both engines), then power iteration as recursive

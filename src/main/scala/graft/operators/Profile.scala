@@ -40,7 +40,7 @@ object Profile {
     * Exact `percentile`'s per-partition buffer scales with the
     * partition's DISTINCT value count — fine for measure-like columns,
     * heavy for near-unique ones (l_extendedprice-shaped). At full
-    * corpus scale flip `approxMedian`/`approxDistinct` (t-digest /
+    * corpus scale flip `approxMedian`/`approxDistinct` (quantile-summary /
     * HLL: one-pass, bounded state, not oracle-exact — which is why the
     * checked query keeps the exact forms). */
   def numeric(df: DataFrame, cols: Seq[String],
@@ -55,7 +55,7 @@ object Profile {
         round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
         round(avg(col(c)), 4).as(s"${c}__mean"),
         round((if (approxMedian)
-          expr(s"approx_percentile($c, 0.5D, 10000)").cast("double")
+          expr(s"approx_percentile($c, 0.5D, 1000)").cast("double")
         else expr(s"percentile($c, 0.5D)")), 6).as(s"${c}__median"))
     }
     val distinctAggs = cols.map { c =>
@@ -63,8 +63,16 @@ object Profile {
        else countDistinct(col(c))).as(s"${c}__distinct")
     }
     val narrow = df.select(cols.map(col): _*)
-    val wide = narrow.agg(basicAggs.head, basicAggs.tail: _*)
-      .crossJoin(narrow.agg(distinctAggs.head, distinctAggs.tail: _*))
+    // the two-pass split exists because EXACT countDistinct plans an
+    // Expand of (n_cols+1)× the input; approx_count_distinct is a
+    // plain HLL aggregate with no Expand, so the fully-approx profile
+    // collapses to ONE scan
+    val wide =
+      if (approxDistinct && approxMedian)
+        narrow.agg((basicAggs ++ distinctAggs).head,
+          (basicAggs ++ distinctAggs).tail: _*)
+      else narrow.agg(basicAggs.head, basicAggs.tail: _*)
+        .crossJoin(narrow.agg(distinctAggs.head, distinctAggs.tail: _*))
     val structs = cols.map { c =>
       struct(lit(c).as("column"),
         col(s"${c}__n").as("n"),
