@@ -79,6 +79,16 @@ class HaloScanSpec extends SparkSpec {
     assert(halo == plain)
   }
 
+  test("multi-column group keys: composite-key autocorr equals the window form") {
+    val df = series.withColumn("k2", (col("id") % 2).cast("string"))
+    val plain = Features.autocorrelation(df, Seq("k", "k2"), "ts", "value",
+      Seq(col("id"))).orderBy("k", "k2").collect().toSeq
+    val halo = Features.autocorrelationByRange(df, Seq("k", "k2"), "ts",
+      "value", Seq(col("id")), numPartitions = 8)
+      .orderBy("k", "k2").collect().toSeq
+    assert(halo == plain && plain.length == 6)
+  }
+
   test("withOrderedHalo: ghosts are marked, homes partition-disjoint") {
     val halod = Batching.withOrderedHalo(series, Seq(col("k")),
       Seq(col("ts"), col("id")), halo = 3, numPartitions = 8)
