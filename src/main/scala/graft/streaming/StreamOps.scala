@@ -607,4 +607,61 @@ object StreamOps {
       pairs.crossJoin(broadcast(weights)), fieldExprs,
       Seq(col("stream_id"), col("ref_id")))
   }
+
+  /** One emitted change-point probe — the streaming twin of
+    * `Features.meanShiftPoints`' output row (`ts` is the probe
+    * position's order value). */
+  final case class ShiftPoint(event_type: String, ts: Long,
+                              lsum_milli: Long, rsum_milli: Long,
+                              shift_milli: Long, is_shift: Int)
+  /** Bounded sliding buffer: the last ≤ 2k (ts, milli) pairs per key
+    * (public for encoder codegen). */
+  final case class ShiftState(ts: Seq[Long], milli: Seq[Long])
+
+  /** Streaming twin of `Features.meanShiftPoints`: per event type,
+    * the trailing k rows vs the leading k rows around every position,
+    * emitted as soon as the position's leading window completes —
+    * change-point detection that keeps up with the stream instead of
+    * re-scanning history. State is a BOUNDED 2k-row buffer per key
+    * (the only rows any future emission can touch), so state size is
+    * keys × 2k regardless of stream length. Exact integer milli sums
+    * and Spark-round (HALF_UP) parity with the batch op; positions
+    * without both full windows are never emitted, exactly like the
+    * batch filter. Events must arrive time-ordered per key across
+    * batches (the in-batch iterator is sorted defensively) — the
+    * `sessionizeStream` caveat. */
+  def meanShiftStream(events: Dataset[Event], k: Int,
+                      thresholdMilli: Long): Dataset[ShiftPoint] = {
+    require(k > 0, s"window size must be positive, got $k")
+    import events.sparkSession.implicits._
+    def halfUp(d: Double): Long =
+      BigDecimal.valueOf(d).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[ShiftState, ShiftPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (typ, it, state: GroupState[ShiftState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var ts = state.getOption.map(_.ts.toVector)
+            .getOrElse(Vector.empty[Long])
+          var ml = state.getOption.map(_.milli.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[ShiftPoint]
+          sorted.foreach { e =>
+            ts :+= e.ts
+            ml :+= halfUp(e.value * 1e3)
+            if (ts.length == 2 * k) {
+              val lsum = ml.take(k).sum
+              val rsum = ml.drop(k).sum
+              out += ShiftPoint(typ, ts(k), lsum, rsum,
+                halfUp((rsum - lsum).toDouble / k),
+                if (math.abs(rsum - lsum) > thresholdMilli * k) 1 else 0)
+              ts = ts.tail
+              ml = ml.tail
+            }
+          }
+          state.update(ShiftState(ts, ml))
+          out.iterator
+      }
+  }
 }

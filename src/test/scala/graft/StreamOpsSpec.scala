@@ -586,4 +586,42 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("meanShiftStream converges to the batch meanShiftPoints") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.meanShiftStream(input.toDS(), k = 3,
+        thresholdMilli = 2000L)
+      .writeStream.format("memory").queryName("shift")
+      .outputMode(OutputMode.Append()).start()
+    // two keys; key "a" steps from ~1.0 to ~6.0 at t=6 (a clean shift
+    // for k=3), key "b" stays flat; values have one decimal so the
+    // milli conversion is exact in both engines
+    val rng = new scala.util.Random(7)
+    def v(base: Double) = math.rint(base * 10 + rng.nextInt(3)) / 10.0
+    val all = (0 until 12).map { i =>
+      Event(1L, (i + 1) * M, i.toLong, "a",
+        v(if (i < 6) 1.0 else 6.0))
+    } ++ (0 until 10).map { i =>
+      Event(2L, (i + 1) * M, 100L + i, "b", v(2.0))
+    }
+    try {
+      // split MID-WINDOW: rows 0-4 of "a" arrive in batch 1, the rest
+      // in batch 2 — emission at the boundary must use carried state
+      val (b1, b2) = all.partition(_.ts <= 5 * M)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("shift")
+        .select("event_type", "ts", "lsum_milli", "rsum_milli",
+          "shift_milli", "is_shift")
+        .as[(String, Long, Long, Long, Long, Int)].collect().toSet
+      val batch = graft.operators.Features.meanShiftPoints(
+        all.toDF(), Seq("event_type"), "ts", "value", k = 3,
+        thresholdMilli = 2000L, tiebreak = Seq(col("event_id")))
+        .as[(String, Long, Long, Long, Long, Int)].collect().toSet
+      assert(got == batch)
+      assert(batch.exists(_._6 == 1)) // the "a" step is detected
+      assert(batch.forall(t => t._1 != "b" || t._6 == 0)) // "b" is calm
+    } finally q.stop()
+  }
 }
