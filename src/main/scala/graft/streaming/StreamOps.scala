@@ -608,6 +608,56 @@ object StreamOps {
       Seq(col("stream_id"), col("ref_id")))
   }
 
+  /** Running lag-1 autocorrelation per key — the streaming twin of
+    * `Features.autocorrelation`, emitted as a running value after each
+    * batch. State is SEVEN longs per key (pair count, five exact
+    * integer-milli moment sums, the previous value) — the entire
+    * Pearson computation is incremental, so a year of stream costs the
+    * same state as a minute. After any prefix, the emitted row equals
+    * the batch operator run over that prefix (same exact-long moment
+    * arithmetic, same <3-pairs/degenerate-variance null, same 6 dp
+    * round with −0.0 canonicalized). Ordered per-key arrival across
+    * batches, as for `meanShiftStream`. */
+  final case class AutocorrPoint(event_type: String, n_pairs: Long,
+                                 r1: Option[Double])
+  /** (public for encoder codegen) */
+  final case class AutocorrState(n: Long, sx: Long, sy: Long, sxy: Long,
+                                 sxx: Long, syy: Long, last: Long,
+                                 hasLast: Boolean)
+
+  def autocorrStream(events: Dataset[Event]): Dataset[AutocorrPoint] = {
+    import events.sparkSession.implicits._
+    def halfUpMilli(d: Double): Long =
+      BigDecimal.valueOf(d * 1e3)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AutocorrState, AutocorrPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (typ, it, state: GroupState[AutocorrState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var s = state.getOption.getOrElse(
+            AutocorrState(0L, 0L, 0L, 0L, 0L, 0L, 0L, hasLast = false))
+          sorted.foreach { e =>
+            val y = halfUpMilli(e.value)
+            if (s.hasLast) {
+              val yl = s.last
+              s = AutocorrState(s.n + 1, s.sx + y, s.sy + yl,
+                s.sxy + y * yl, s.sxx + y * y, s.syy + yl * yl,
+                y, hasLast = true)
+            } else s = s.copy(last = y, hasLast = true)
+          }
+          state.update(s)
+          val num = s.n.toDouble * s.sxy - s.sx.toDouble * s.sy
+          val dx = s.n.toDouble * s.sxx - s.sx.toDouble * s.sx
+          val dy = s.n.toDouble * s.syy - s.sy.toDouble * s.sy
+          val r1 =
+            if (s.n < 3 || dx <= 0.0 || dy <= 0.0) None
+            else Some(BigDecimal.valueOf(num / math.sqrt(dx * dy))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+          Iterator.single(AutocorrPoint(typ, s.n, r1))
+      }
+  }
+
   /** One emitted change-point probe — the streaming twin of
     * `Features.meanShiftPoints`' output row (`ts` is the probe
     * position's order value). */

@@ -624,4 +624,42 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch.forall(t => t._1 != "b" || t._6 == 0)) // "b" is calm
     } finally q.stop()
   }
+
+  test("autocorrStream running value equals the batch autocorrelation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.autocorrStream(input.toDS())
+      .writeStream.format("memory").queryName("acorr")
+      .outputMode(OutputMode.Update()).start()
+    val rng = new scala.util.Random(13)
+    // "up" trends (strong +r1), "alt" alternates (strong -r1),
+    // "tiny" has 2 pairs -> null r1; one-decimal values = exact millis
+    val all = (0 until 20).map { i =>
+      Event(1L, (i + 1) * M, i.toLong, "up",
+        math.rint(i * 10 + rng.nextInt(2)) / 10.0)
+    } ++ (0 until 20).map { i =>
+      Event(2L, (i + 1) * M, 100L + i, "alt",
+        if (i % 2 == 0) 1.0 else 9.0)
+    } ++ (0 until 3).map { i =>
+      Event(3L, (i + 1) * M, 200L + i, "tiny", i * 1.0)
+    }
+    try {
+      val (b1, b2) = all.partition(_.ts <= 9 * M)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("acorr")
+        .groupBy("event_type")
+        .agg(max(struct(col("n_pairs"), col("r1"))).as("s"))
+        .select(col("event_type"), col("s.n_pairs"), col("s.r1"))
+        .as[(String, Long, Option[Double])].collect().toSet
+      val batch = graft.operators.Features.autocorrelation(
+        all.toDF(), Seq("event_type"), "ts", "value",
+        Seq(col("event_id")))
+        .as[(String, Long, Option[Double])].collect().toSet
+      assert(got == batch)
+      val byKey = batch.map(t => t._1 -> t._3).toMap
+      assert(byKey("up").exists(_ > 0.9) && byKey("alt").exists(_ < -0.9))
+      assert(byKey("tiny").isEmpty)
+    } finally q.stop()
+  }
 }
