@@ -89,6 +89,19 @@ class HaloScanSpec extends SparkSpec {
     assert(halo == plain && plain.length == 6)
   }
 
+  test("degenerate inputs: empty frame and single row survive the skeleton") {
+    val empty = series.filter(col("id") < 0)
+    assert(Features.autocorrelationByRange(empty, Seq("k"), "ts", "value",
+      Seq(col("id")), numPartitions = 4).count() == 0)
+    val one = series.filter(col("k") === "a" && col("id") === 0)
+    assert(Features.meanShiftPointsByRange(one, Seq("k"), "ts", "value",
+      k = 3, thresholdMilli = 1L, tiebreak = Seq(col("id")),
+      numPartitions = 4).count() == 0) // no full frames -> no rows, no crash
+    val oneAc = Features.autocorrelationByRange(one, Seq("k"), "ts", "value",
+      Seq(col("id")), numPartitions = 4).collect()
+    assert(oneAc.isEmpty) // zero pairs -> no group row, matching the batch op
+  }
+
   test("withOrderedHalo: ghosts are marked, homes partition-disjoint") {
     val halod = Batching.withOrderedHalo(series, Seq(col("k")),
       Seq(col("ts"), col("id")), halo = 3, numPartitions = 8)
