@@ -182,6 +182,33 @@ object Profile {
     pinned
   }
 
+  /** The reference side of `psi` as driver metadata — (lo, hi,
+    * per-bin counts), bins-sized — for consumers that score MANY
+    * current samples against ONE fixed reference (the streaming drift
+    * gate `StreamOps.psiStream`): the reference scan runs once, and
+    * what ships is bins longs, not data. Same bin formula as `psi`
+    * (equi-width over the reference range). The reference must be
+    * non-empty — a drift gate against nothing is a config error, not
+    * a degradable input. */
+  def psiReference(ref: DataFrame, valueCol: String,
+                   bins: Int = 10): (Double, Double, Array[Long]) = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val nonNull = ref.filter(col(valueCol).isNotNull)
+    val b = nonNull.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi")).collect()(0)
+    require(!b.isNullAt(0), "psiReference: empty reference sample")
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val counts = new Array[Long](bins)
+    nonNull
+      .select(when(lit(hi) === lit(lo), lit(0L))
+        .otherwise(greatest(least(
+          floor((col(valueCol) - lit(lo)) * bins / (lit(hi) - lit(lo))),
+          lit(bins - 1L)), lit(0L))).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    (lo, hi, counts)
+  }
+
   /** Equi-depth histogram: bucket by QUANTILE boundaries instead of
     * width, so every bin holds ~n/bins rows regardless of skew (the
     * histogram a query optimizer or drift monitor actually wants on

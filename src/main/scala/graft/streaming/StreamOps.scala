@@ -658,6 +658,56 @@ object StreamOps {
       }
   }
 
+  /** One per-bucket drift reading — the streaming twin of
+    * `Profile.psi`'s headline number over a time-bucketed stream. */
+  final case class PsiWindow(bucket: Long, n_cur: Long, psi: Double)
+  /** (public for encoder codegen) */
+  final case class PsiState(counts: Seq[Long])
+
+  /** Streaming PSI drift gate: the current sample is each time bucket
+    * of the stream, the reference is FIXED metadata from
+    * `Profile.psiReference` (bins longs — the reference corpus never
+    * rides along). State per bucket is the bins-sized count vector, so
+    * a day of stream costs bins longs per bucket touched. Every batch
+    * re-emits each touched bucket's running PSI (Update mode); after
+    * any prefix the value equals `Profile.psi(ref, that bucket's rows
+    * so far)`'s `round6(Σ psi_term)` — same bin clamping, same Laplace
+    * smoothing, same float-op order, terms summed bin-ascending.
+    * Late data folds into its bucket exactly (counts are additive);
+    * buckets are never dropped — at true 100 TB retention, add a
+    * timeout that finalizes buckets past the watermark. */
+  def psiStream(events: Dataset[Event], refLo: Double, refHi: Double,
+                refCounts: Seq[Long], bucketNs: Long): Dataset[PsiWindow] = {
+    val bins = refCounts.length
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    require(bucketNs > 0, s"bucket must be positive, got $bucketNs")
+    import events.sparkSession.implicits._
+    val refN = refCounts.sum.toDouble
+    def round6(d: Double): Double =
+      BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def bin(v: Double): Int =
+      if (refHi == refLo) 0
+      else math.max(0L, math.min((bins - 1).toLong,
+        math.floor((v - refLo) * bins / (refHi - refLo)).toLong)).toInt
+    events.groupByKey(_.ts / bucketNs)
+      .flatMapGroupsWithState[PsiState, PsiWindow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (bucket, it, state: GroupState[PsiState]) =>
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(new Array[Long](bins))
+          it.foreach(e => counts(bin(e.value)) += 1)
+          state.update(PsiState(counts.toSeq))
+          val n = counts.sum
+          val psi = round6((0 until bins).map { i =>
+            val ra = (refCounts(i) + 1.0) / (refN + bins)
+            val rc = (counts(i) + 1.0) / (n + bins)
+            round6((ra - rc) * math.log(ra / rc))
+          }.sum)
+          Iterator.single(PsiWindow(bucket, n, psi))
+      }
+  }
+
   /** One emitted change-point probe — the streaming twin of
     * `Features.meanShiftPoints`' output row (`ts` is the probe
     * position's order value). */

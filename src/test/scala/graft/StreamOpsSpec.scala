@@ -662,4 +662,48 @@ class StreamOpsSpec extends SparkSpec {
       assert(byKey("tiny").isEmpty)
     } finally q.stop()
   }
+
+  test("psiStream per-bucket drift equals the batch Profile.psi headline") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference ~ N(5, 1)-ish fixed sample; bucket 0 of the stream
+    // matches it, bucket 1 shifts hard right (drift the gate must see)
+    val rng = new scala.util.Random(29)
+    val refVals = (0 until 200).map(_ => math.rint((5.0 + rng.nextGaussian()) * 10) / 10.0)
+    val ref = refVals.toDF("value")
+    val (lo, hi, refCounts) = graft.operators.Profile.psiReference(ref, "value", bins = 8)
+    val input = MemoryStream[Event]
+    val q = StreamOps.psiStream(input.toDS(), lo, hi, refCounts.toSeq,
+        bucketNs = 100 * M)
+      .writeStream.format("memory").queryName("psi")
+      .outputMode(OutputMode.Update()).start()
+    val all = (0 until 150).map { i =>
+      Event(1L, (i + 1) * M, i.toLong, "a",
+        math.rint((5.0 + rng.nextGaussian()) * 10) / 10.0)  // bucket 0: same dist
+    } ++ (0 until 150).map { i =>
+      Event(2L, (i + 101) * M, 500L + i, "a",
+        math.rint((9.0 + rng.nextGaussian()) * 10) / 10.0)  // bucket 1+: shifted
+    }
+    try {
+      val (b1, b2) = all.partition(_.ts <= 120 * M) // split INSIDE bucket 1
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("psi")
+        .groupBy("bucket").agg(max(struct(col("n_cur"), col("psi"))).as("s"))
+        .select(col("bucket"), col("s.n_cur"), col("s.psi"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (b, n, p) => b -> ((n, p)) }.toMap
+      // batch twin per bucket: round6(sum of bin-ascending psi_terms)
+      def round6(d: Double) =
+        BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      all.groupBy(_.ts / (100 * M)).foreach { case (b, evs) =>
+        val cur = evs.map(_.value).toDF("value")
+        val terms = graft.operators.Profile.psi(ref, cur, "value", bins = 8)
+          .orderBy("bin").select("psi_term").as[Double].collect()
+        val expected = round6(terms.sum)
+        assert(got(b)._1 == evs.length && got(b)._2 == expected,
+          s"bucket $b: got ${got(b)}, expected (${evs.length}, $expected)")
+      }
+      assert(got(0L)._2 < 0.1 && got(2L)._2 > 0.5) // calm vs drifted
+    } finally q.stop()
+  }
 }
