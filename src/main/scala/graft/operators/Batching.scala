@@ -213,7 +213,17 @@ object Batching {
     * Ghost rows of a key absent from the target partition are inert:
     * the window partitions by the key, the ghosts rank among
     * themselves, and `__home` filters them. Null group keys are fine
-    * — no key value ever reaches the driver. */
+    * — no key value ever reaches the driver.
+    *
+    * Cost and license: the skeleton moves the data three times (the
+    * range partition, a pid-keyed window for edge-row numbering, and
+    * the caller's final (pid, key) window) versus ONE shuffle for the
+    * plain per-key window — ~0.3–1 s fixed at toy SFs, the price of
+    * key-cardinality-independent parallelism; every pass is linear
+    * and fully parallel. The pinned range partitioning persists and
+    * is NOT released here (the returned lazy frame depends on it) —
+    * the `partitionOffsets` license: long-lived sessions call
+    * `spark.catalog.clearCache()` between batches. */
   def withOrderedHalo(df: DataFrame, grpCols: Seq[Column],
                       orderCols: Seq[Column], halo: Int,
                       numPartitions: Int = 0): DataFrame = {
