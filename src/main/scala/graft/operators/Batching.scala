@@ -216,9 +216,10 @@ object Batching {
     * — no key value ever reaches the driver.
     *
     * Cost and license: the skeleton moves the data three times (the
-    * range partition, a pid-keyed window for edge-row numbering, and
-    * the caller's final (pid, key) window) versus ONE shuffle for the
-    * plain per-key window — ~0.3–1 s fixed at toy SFs, the price of
+    * range partition, a pid-keyed window for edge-row numbering — its
+    * per-pid totals ride the broadcast neighbor frame, not a second
+    * aggregate — and the caller's final (pid, key) window) versus ONE
+    * shuffle for the plain per-key window — ~0.3–1 s fixed at toy SFs, the price of
     * key-cardinality-independent parallelism; every pass is linear
     * and fully parallel. The pinned range partitioning persists and
     * is NOT released here (the returned lazy frame depends on it) —
@@ -239,26 +240,27 @@ object Batching {
         else df.repartitionByRange(sortCols: _*)
       val withPid = parts.withColumn("__hpid", spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // groupBy only yields pids that HOLD rows, so this is already
+      // the nonempty-partition census — empty ranges simply have no
+      // row here, and the neighbor map hops across them
       val counts = withPid.groupBy("__hpid").agg(count(lit(1)).as("__c"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val nonEmpty = counts.filter(_._2 > 0)
-      if (nonEmpty.length > 1 && nonEmpty.map(_._2).min < halo) {
+      if (counts.length > 1 && counts.map(_._2).min < halo) {
         withPid.unpersist()
-        Left(math.max(1, nonEmpty.length / 2))
+        Left(math.max(1, counts.length / 2))
       } else {
-        // neighbor map over NONEMPTY partitions only, so halo rows
-        // hop across empty ranges instead of vanishing into them
-        val pids = nonEmpty.map(_._1)
-        val nbr = pids.zipWithIndex.map { case (p, i) =>
-          (p,
+        // the per-pid total rides the broadcast neighbor frame — the
+        // driver already holds it, so no second window pass over the
+        // data just to find tail rows
+        val pids = counts.map(_._1)
+        val nbr = counts.zipWithIndex.map { case ((p, n), i) =>
+          (p, n,
             if (i > 0) pids(i - 1) else -1,
-            if (i < pids.length - 1) pids(i + 1) else -1)
-        }.toSeq.toDF("__hpid", "__prev", "__next")
+            if (i < counts.length - 1) pids(i + 1) else -1)
+        }.toSeq.toDF("__hpid", "__n", "__prev", "__next")
         val w = Window.partitionBy("__hpid").orderBy(sortCols: _*)
-        val cnt = Window.partitionBy("__hpid")
         val edged = withPid
           .withColumn("__rn", row_number().over(w))
-          .withColumn("__n", count(lit(1)).over(cnt))
           .join(broadcast(nbr), Seq("__hpid"))
         val heads = edged
           .filter(col("__rn") <= halo && col("__prev") >= 0)

@@ -608,6 +608,14 @@ object StreamOps {
       Seq(col("stream_id"), col("ref_id")))
   }
 
+  /** Spark `round()` parity in one place: BigDecimal.valueOf HALF_UP —
+    * every streaming twin's exact-milli conversion and 6 dp output
+    * round must stay bit-identical to the batch Column round, so the
+    * logic lives once. */
+  private def sparkRound(d: Double, scale: Int): java.math.BigDecimal =
+    BigDecimal.valueOf(d)
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP).underlying
+
   /** Running lag-1 autocorrelation per key — the streaming twin of
     * `Features.autocorrelation`, emitted as a running value after each
     * batch. State is SEVEN longs per key (pair count, five exact
@@ -627,9 +635,6 @@ object StreamOps {
 
   def autocorrStream(events: Dataset[Event]): Dataset[AutocorrPoint] = {
     import events.sparkSession.implicits._
-    def halfUpMilli(d: Double): Long =
-      BigDecimal.valueOf(d * 1e3)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[AutocorrState, AutocorrPoint](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
@@ -638,7 +643,7 @@ object StreamOps {
           var s = state.getOption.getOrElse(
             AutocorrState(0L, 0L, 0L, 0L, 0L, 0L, 0L, hasLast = false))
           sorted.foreach { e =>
-            val y = halfUpMilli(e.value)
+            val y = sparkRound(e.value * 1e3, 0).longValue
             if (s.hasLast) {
               val yl = s.last
               s = AutocorrState(s.n + 1, s.sx + y, s.sy + yl,
@@ -652,8 +657,8 @@ object StreamOps {
           val dy = s.n.toDouble * s.syy - s.sy.toDouble * s.sy
           val r1 =
             if (s.n < 3 || dx <= 0.0 || dy <= 0.0) None
-            else Some(BigDecimal.valueOf(num / math.sqrt(dx * dy))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+            else Some(sparkRound(num / math.sqrt(dx * dy), 6)
+              .doubleValue + 0.0)
           Iterator.single(AutocorrPoint(typ, s.n, r1))
       }
   }
@@ -673,6 +678,8 @@ object StreamOps {
     * any prefix the value equals `Profile.psi(ref, that bucket's rows
     * so far)`'s `round6(Σ psi_term)` — same bin clamping, same Laplace
     * smoothing, same float-op order, terms summed bin-ascending.
+    * Buckets are floorDiv(ts, bucketNs), like the rolling siblings
+    * (truncating division would fold two pre-epoch buckets into one).
     * Late data folds into its bucket exactly (counts are additive);
     * buckets are never dropped — at true 100 TB retention, add a
     * timeout that finalizes buckets past the watermark. */
@@ -683,14 +690,16 @@ object StreamOps {
     require(bucketNs > 0, s"bucket must be positive, got $bucketNs")
     import events.sparkSession.implicits._
     val refN = refCounts.sum.toDouble
-    def round6(d: Double): Double =
-      BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+    // NaN lands in bin 0, matching the batch formula empirically
+    // (floor(NaN) stays NaN and the long cast folds it to 0 before the
+    // clamps) — math.floor(NaN).toLong is the same fold, so the plain
+    // expression below already agrees; pinned by the NaN event in
+    // StreamOpsSpec's psi parity test
     def bin(v: Double): Int =
       if (refHi == refLo) 0
       else math.max(0L, math.min((bins - 1).toLong,
         math.floor((v - refLo) * bins / (refHi - refLo)).toLong)).toInt
-    events.groupByKey(_.ts / bucketNs)
+    events.groupByKey(e => Math.floorDiv(e.ts, bucketNs))
       .flatMapGroupsWithState[PsiState, PsiWindow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (bucket, it, state: GroupState[PsiState]) =>
@@ -699,11 +708,11 @@ object StreamOps {
           it.foreach(e => counts(bin(e.value)) += 1)
           state.update(PsiState(counts.toSeq))
           val n = counts.sum
-          val psi = round6((0 until bins).map { i =>
+          val psi = sparkRound((0 until bins).map { i =>
             val ra = (refCounts(i) + 1.0) / (refN + bins)
             val rc = (counts(i) + 1.0) / (n + bins)
-            round6((ra - rc) * math.log(ra / rc))
-          }.sum)
+            sparkRound((ra - rc) * math.log(ra / rc), 6).doubleValue
+          }.sum, 6).doubleValue
           Iterator.single(PsiWindow(bucket, n, psi))
       }
   }
@@ -734,9 +743,6 @@ object StreamOps {
                       thresholdMilli: Long): Dataset[ShiftPoint] = {
     require(k > 0, s"window size must be positive, got $k")
     import events.sparkSession.implicits._
-    def halfUp(d: Double): Long =
-      BigDecimal.valueOf(d).setScale(0, BigDecimal.RoundingMode.HALF_UP)
-        .toLong
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[ShiftState, ShiftPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
@@ -749,12 +755,12 @@ object StreamOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[ShiftPoint]
           sorted.foreach { e =>
             ts :+= e.ts
-            ml :+= halfUp(e.value * 1e3)
+            ml :+= sparkRound(e.value * 1e3, 0).longValue
             if (ts.length == 2 * k) {
               val lsum = ml.take(k).sum
               val rsum = ml.drop(k).sum
               out += ShiftPoint(typ, ts(k), lsum, rsum,
-                halfUp((rsum - lsum).toDouble / k),
+                sparkRound((rsum - lsum).toDouble / k, 0).longValue,
                 if (math.abs(rsum - lsum) > thresholdMilli * k) 1 else 0)
               ts = ts.tail
               ml = ml.tail
