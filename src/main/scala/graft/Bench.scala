@@ -79,6 +79,11 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)) && !skip(n))
+    // skipped rows are recorded IN the artifact (every emitted JSON
+    // line below) so a skip-run total can never be misread later as a
+    // full-suite number
+    val skippedJson = SparkEntry.queries.keys.toSeq.sorted.filter(skip)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       names.foreach(run(warmDir, _))
@@ -103,7 +108,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}"""
     // Persist the canonical full JSON (metric/value first) to a file —
     // the durable record every scale claim cites.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
@@ -118,10 +123,10 @@ object Bench {
     // the durable copy), then a compact slowest-25 summary as the LAST
     // line, so a complete parseable JSON object with metric/value
     // always survives inside the tail window.
-    println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
+    println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},"skipped":$skippedJson,"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
     val slowest = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to_slowest_25":true,"all_queries_file":"$benchFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"skipped":$skippedJson,"queries":$slowest,"queries_truncated_to_slowest_25":true,"all_queries_file":"$benchFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

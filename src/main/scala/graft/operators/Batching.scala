@@ -206,10 +206,14 @@ object Batching {
     *
     * Driver traffic is one COUNT per partition (metadata) — used to
     * chain halo targets across empty partitions and to verify every
-    * partition holds ≥ halo rows (a partition thinner than the halo
-    * would need ghosts from 2+ partitions away; the skeleton retries
-    * with half the partitions until fat enough — at toy scale that
-    * can mean ONE partition, which is exactly the plain window).
+    * bucket holds ≥ halo rows (a bucket thinner than the halo would
+    * need ghosts from 2+ buckets away; thin range partitions are
+    * MERGED into a neighbor bucket by a driver-side relabel of the
+    * census — `__hpid` is a logical bucket id both downstream windows
+    * shuffle on, so no re-partition pass runs and one sparse tail
+    * range can never collapse the whole dataset's parallelism — at
+    * toy scale total < halo still means ONE bucket, which is exactly
+    * the plain window).
     * Ghost rows of a key absent from the target partition are inert:
     * the window partitions by the key, the ghosts rank among
     * themselves, and `__home` filters them. Null group keys are fine
@@ -234,53 +238,75 @@ object Batching {
     val spark = df.sparkSession
     import spark.implicits._
 
-    def attempt(np: Int): Either[Int, DataFrame] = {
-      val parts =
-        if (np > 0) df.repartitionByRange(np, sortCols: _*)
-        else df.repartitionByRange(sortCols: _*)
-      val withPid = parts.withColumn("__hpid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // groupBy only yields pids that HOLD rows, so this is already
-      // the nonempty-partition census — empty ranges simply have no
-      // row here, and the neighbor map hops across them
-      val counts = withPid.groupBy("__hpid").agg(count(lit(1)).as("__c"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      if (counts.length > 1 && counts.map(_._2).min < halo) {
-        withPid.unpersist()
-        Left(math.max(1, counts.length / 2))
-      } else {
-        // the per-pid total rides the broadcast neighbor frame — the
-        // driver already holds it, so no second window pass over the
-        // data just to find tail rows
-        val pids = counts.map(_._1)
-        val nbr = counts.zipWithIndex.map { case ((p, n), i) =>
-          (p, n,
-            if (i > 0) pids(i - 1) else -1,
-            if (i < counts.length - 1) pids(i + 1) else -1)
-        }.toSeq.toDF("__hpid", "__n", "__prev", "__next")
-        val w = Window.partitionBy("__hpid").orderBy(sortCols: _*)
-        val edged = withPid
-          .withColumn("__rn", row_number().over(w))
-          .join(broadcast(nbr), Seq("__hpid"))
-        val heads = edged
-          .filter(col("__rn") <= halo && col("__prev") >= 0)
-          .withColumn("__hpid", col("__prev"))
-        val tails = edged
-          .filter(col("__n") - col("__rn") < halo && col("__next") >= 0)
-          .withColumn("__hpid", col("__next"))
-        Right(edged.withColumn("__home", lit(true))
-          .unionByName(heads.withColumn("__home", lit(false)))
-          .unionByName(tails.withColumn("__home", lit(false)))
-          .drop("__rn", "__n", "__prev", "__next"))
+    val parts =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
+      else df.repartitionByRange(sortCols: _*)
+    val withPid = parts.withColumn("__hpid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // groupBy only yields pids that HOLD rows, so this is already
+    // the nonempty-partition census — empty ranges simply have no
+    // row here, and the neighbor map hops across them
+    val counts = withPid.groupBy("__hpid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // A bucket thinner than the halo can't donate a full ghost set to
+    // its neighbor, so MERGE thin range partitions into a neighbor
+    // bucket: greedy left-to-right over the census (contiguous in
+    // sort order), a bucket closes once it holds >= halo rows, and a
+    // thin final bucket folds back into its predecessor. This is a
+    // driver-side relabel of metadata-sized counts — no re-partition
+    // pass — so one sparse tail range costs one merged bucket, not a
+    // repartition retry that could halve the whole dataset's
+    // parallelism (the pre-round-11 behavior).
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Array[Int], Long)]
+    val open = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var openN = 0L
+    for ((p, n) <- counts) {
+      open += p; openN += n
+      if (openN >= halo) { merged += ((open.toArray, openN)); open.clear(); openN = 0L }
+    }
+    if (open.nonEmpty) {
+      if (merged.nonEmpty) {
+        val (ps, n) = merged.remove(merged.length - 1)
+        merged += ((ps ++ open, n + openN))
+      } else merged += ((open.toArray, openN))
+    }
+    if (merged.length < counts.length)
+      System.err.println(s"[withOrderedHalo] halo=$halo: merged " +
+        s"${counts.length} nonempty range partitions into ${merged.length} " +
+        "buckets (thin-partition floor)")
+    val base =
+      if (merged.length == counts.length) withPid
+      else {
+        val relabel = merged.iterator.flatMap { case (ps, _) =>
+          ps.iterator.map(p => (p, ps.head))
+        }.toSeq.toDF("__hpid", "__gpid")
+        withPid.join(broadcast(relabel), Seq("__hpid"))
+          .withColumn("__hpid", col("__gpid")).drop("__gpid")
       }
-    }
-    var np = numPartitions
-    var out: Option[DataFrame] = None
-    while (out.isEmpty) attempt(np) match {
-      case Right(d) => out = Some(d)
-      case Left(smaller) => np = smaller
-    }
-    out.get
+    // the per-bucket total rides the broadcast neighbor frame — the
+    // driver already holds it, so no second window pass over the
+    // data just to find tail rows
+    val groups = merged.map { case (ps, n) => (ps.head, n) }
+    val gpids = groups.map(_._1)
+    val nbr = groups.zipWithIndex.map { case ((p, n), i) =>
+      (p, n,
+        if (i > 0) gpids(i - 1) else -1,
+        if (i < groups.length - 1) gpids(i + 1) else -1)
+    }.toSeq.toDF("__hpid", "__n", "__prev", "__next")
+    val w = Window.partitionBy("__hpid").orderBy(sortCols: _*)
+    val edged = base
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(nbr), Seq("__hpid"))
+    val heads = edged
+      .filter(col("__rn") <= halo && col("__prev") >= 0)
+      .withColumn("__hpid", col("__prev"))
+    val tails = edged
+      .filter(col("__n") - col("__rn") < halo && col("__next") >= 0)
+      .withColumn("__hpid", col("__next"))
+    edged.withColumn("__home", lit(true))
+      .unionByName(heads.withColumn("__home", lit(false)))
+      .unionByName(tails.withColumn("__home", lit(false)))
+      .drop("__rn", "__n", "__prev", "__next")
   }
 
   /** Scalable twin of `globalNtile`: identical `batch` column, no

@@ -141,7 +141,15 @@ object Profile {
     * format: one row per bin with both counts and the PSI term —
     * `sum(psi_term)` is the headline number, the per-bin rows are
     * the diagnosis. Two aggregations + a bins-sized spine join: the
-    * samples are never joined row-to-row. */
+    * samples are never joined row-to-row.
+    *
+    * EAGER: the result is pinned via `localCheckpoint()` at call time
+    * (so the two binned-count caches can be released immediately —
+    * same discipline as `dupClusters`), which means both samples are
+    * scanned HERE, not when the caller first acts on the returned
+    * frame, and the bins-sized checkpoint blocks are not recomputable
+    * after executor loss — re-call `psi` in that case. Callers
+    * composing lazy plans should call this last. */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
           bins: Int = 10): DataFrame = {
     require(bins >= 2, s"need >= 2 bins, got $bins")

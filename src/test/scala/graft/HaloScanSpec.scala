@@ -54,9 +54,9 @@ class HaloScanSpec extends SparkSpec {
     assert(halo == plain)
   }
 
-  test("thin partitions retry down until every partition >= halo") {
+  test("thin partitions merge into neighbor buckets until every bucket >= halo") {
     // 12 rows over 8 partitions -> ~1-2 rows each, far thinner than
-    // halo=5: the skeleton must coarsen rather than drop frame rows
+    // halo=5: the skeleton must coarsen (merge) rather than drop rows
     val tiny = (0 until 12).map(i => ("x", i.toLong, i.toLong, i.toDouble))
       .toDF("k", "ts", "id", "value")
     val plain = Features.meanShiftPoints(tiny, Seq("k"), "ts", "value",
@@ -66,6 +66,32 @@ class HaloScanSpec extends SparkSpec {
       k = 5, thresholdMilli = 1L, tiebreak = Seq(col("id")),
       numPartitions = 8).orderBy("ts").collect().toSeq
     assert(halo == plain && plain.nonEmpty)
+  }
+
+  test("thin buckets merge LOCALLY — parallelism exceeds the halving floor") {
+    // 22 rows over 5 forced partitions (~4-5 rows each, halo=5): the
+    // pre-round-11 halving retry re-partitioned the WHOLE frame down
+    // to 2 partitions off the thin ranges; the greedy neighbor merge
+    // closes a bucket as soon as it holds >= halo rows, so ~9-row
+    // buckets survive — at least 3 of them — and every bucket >= halo
+    val df22 = (0 until 22).map(i => ("x", i.toLong, i.toLong, i.toDouble))
+      .toDF("k", "ts", "id", "value")
+    val out = Batching.withOrderedHalo(df22, Seq(col("k")),
+      Seq(col("ts"), col("id")), halo = 5, numPartitions = 5)
+      .persist()
+    try {
+      val homeCounts = out.filter(col("__home")).groupBy("__hpid").count()
+        .collect().map(_.getLong(1))
+      assert(homeCounts.length >= 3,
+        s"merge collapsed to halving floor: ${homeCounts.length} buckets")
+      assert(homeCounts.forall(_ >= 5L), homeCounts.mkString(","))
+      // and the skeleton output stays bitwise-equal to the window form
+      val plain = Features.autocorrelation(df22, Seq("k"), "ts", "value",
+        Seq(col("id"))).collect().toSeq
+      val halo = Features.autocorrelationByRange(df22, Seq("k"), "ts", "value",
+        Seq(col("id")), numPartitions = 5).collect().toSeq
+      assert(halo == plain)
+    } finally out.unpersist()
   }
 
   test("null group keys survive the skeleton (never sent to the driver)") {

@@ -682,7 +682,9 @@ class StreamOpsSpec extends SparkSpec {
     } ++ (0 until 150).map { i =>
       Event(2L, (i + 101) * M, 500L + i, "a",
         math.rint((9.0 + rng.nextGaussian()) * 10) / 10.0)  // bucket 1+: shifted
-    } ++ Seq(Event(3L, 2 * M, 900L, "a", Double.NaN)) // NaN -> TOP bin, both engines
+    } ++ Seq(Event(3L, 2 * M, 900L, "a", Double.NaN)) // NaN -> bin 0, both engines
+    // ((long)Math.floor(NaN) == 0 before the clamps — StreamOps.psiStream's fold
+    // and the batch floor/cast expression agree; pinned empirically in round 10)
     try {
       val (b1, b2) = all.partition(_.ts <= 120 * M) // split INSIDE bucket 1
       input.addData(b1: _*); q.processAllAvailable()
