@@ -1976,15 +1976,18 @@ object SparkEntry {
       Profile.numeric(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
-    // the 100 TB cheap twin of q_x_profile: HLL distincts +
-    // quantile-summary medians (bounded state, ONE scan — no Expand,
-    // no exact-percentile value buffer; sf10: 4.7 s vs 14.7 s exact).
-    // Approx values are engine-specific, so this row is rows-only at
-    // the driver gate (no DuckDB oracle)
+    // the 100 TB cheap twin of q_x_profile (HLL distincts +
+    // quantile-summary medians: bounded state, ONE scan — no Expand,
+    // no exact-percentile value buffer; sf10: 4.7 s vs 14.7 s exact),
+    // gated by its ERROR CONTRACT since round 11: the approx estimates
+    // are engine-specific, so the row outputs the exact anchors plus
+    // two booleans — HLL within the 3σ rsd band, approx median's rank
+    // within n/accuracy of n/2 — and the oracle replays the anchors
+    // and emits literal TRUEs (the q_s_recall pattern: accuracy
+    // accounting is the checkable surface of an approximate operator)
     "q_x_profile_approx" -> ((s, d) =>
-      Profile.numeric(t(s, d, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        approxDistinct = true, approxMedian = true)),
+      Profile.approxProfileCheck(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     "q_x_topvalues" -> ((s, d) =>
       Profile.frequentValues(t(s, d, "orders"),
@@ -2642,6 +2645,16 @@ object SparkEntry {
     "q_x_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(profileColSql("lineitem", _)).mkString(" UNION ALL "),
+
+    // the approx row is gated on its error contract: exact anchors
+    // replayed here, booleans are literal TRUE — Spark computes them
+    // from the HLL rsd band / quantile-summary rank guarantee, so a
+    // sketch drifting outside its documented bounds hash-mismatches
+    "q_x_profile_approx" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => "SELECT *, TRUE AS distinct_ok, TRUE AS median_ok " +
+          s"FROM (${profileColSql("lineitem", c)})")
+        .mkString(" UNION ALL "),
 
     "q_x_topvalues" ->
       ("WITH pairs AS (SELECT 'o_orderstatus' AS \"column\", o_orderstatus::VARCHAR AS value FROM orders UNION ALL SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders), " +

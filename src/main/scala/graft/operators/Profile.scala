@@ -86,6 +86,82 @@ object Profile {
     wide.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
 
+  /** Oracle-gateable validation of the approx-profile path: runs the
+    * ONE-scan HLL + quantile-summary profile (the 100 TB cheap twin of
+    * the exact `numeric`) and checks each approx measure against its
+    * documented error contract relative to the exact profile:
+    *
+    *  - HLL distinct: |est − exact| ≤ ceil(3·rsd·exact) + 1 — the 3σ
+    *    band of `approx_count_distinct`'s relative-standard-deviation
+    *    contract (Spark default rsd = 0.05; rsd IS one σ, and the
+    *    realized HLL++ bias at mid-range cardinalities measurably
+    *    exceeds 2σ on some value sets — 1115 vs 1000 exact in the
+    *    spec's probe — so 2σ would gate on statistical noise while 3σ
+    *    still catches any implementation regression), +1 so tiny
+    *    cardinalities where the band rounds to zero admit the
+    *    sketch's ±1;
+    *  - quantile-summary median: the returned value's RANK must lie
+    *    within n/accuracy (+1 tie slack) of n/2 — the
+    *    `approx_percentile(…, accuracy)` rank-error guarantee, checked
+    *    rank-wise so the engine-specific estimate value itself never
+    *    reaches the gate.
+    *
+    * Output is one row per column: the EXACT anchors (n, n_null,
+    * n_distinct, min/max/mean/median — byte-identical to `numeric`'s
+    * checked form) plus the two booleans. Fully deterministic, so a
+    * SQL oracle replays the exact anchors and emits literal TRUEs.
+    * Cost: the approx scan + the exact profile's two passes + one
+    * rank-census scan — this is the GATE query; the cheap-twin
+    * throughput claim is measured on the bare approx `numeric`
+    * (see BASELINE.md sf10 records: 4.7 s approx vs 18 s exact). */
+  def approxProfileCheck(df: DataFrame, cols: Seq[String],
+                         rsd: Double = 0.05,
+                         accuracy: Int = 1000): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val approx = numeric(df, cols, approxDistinct = true, approxMedian = true)
+    val exact = numeric(df, cols)
+    // 1-row wide frame of the approx estimates (bins-sized: one value
+    // pair per profiled column)
+    val awAggs = cols.flatMap { c =>
+      Seq(
+        first(when(col("column") === c, col("median_v")), ignoreNulls = true)
+          .as(s"${c}__amed"),
+        first(when(col("column") === c, col("n_distinct")), ignoreNulls = true)
+          .as(s"${c}__and"))
+    }
+    val aw = approx.agg(awAggs.head, awAggs.tail: _*)
+    // one rank-census scan: how many rows sit strictly below / at-or-
+    // below each approx median (the rank contract is checked against
+    // these two exact counts, never against the estimate's value)
+    val rankAggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c) < col(s"${c}__amed"), 1L).otherwise(0L)).as(s"${c}__lt"),
+        sum(when(col(c) <= col(s"${c}__amed"), 1L).otherwise(0L)).as(s"${c}__le"))
+    }
+    val ranks = df.select(cols.map(col): _*).crossJoin(broadcast(aw))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+      .select(cols.flatMap(c => Seq(col(s"${c}__lt"), col(s"${c}__le"))): _*)
+    def pick(suffix: String): Column =
+      cols.tail.foldLeft(
+        when(col("column") === cols.head, col(s"${cols.head}$suffix"))) {
+        (acc, c) => acc.when(col("column") === c, col(s"$c$suffix"))
+      }
+    val eps = 1.0 / accuracy
+    exact.crossJoin(broadcast(aw)).crossJoin(broadcast(ranks))
+      .withColumn("__approx_nd", pick("__and"))
+      .withColumn("__lt", pick("__lt"))
+      .withColumn("__le", pick("__le"))
+      .withColumn("distinct_ok",
+        abs(col("__approx_nd") - col("n_distinct")) <=
+          ceil(lit(3.0 * rsd) * col("n_distinct")) + lit(1L))
+      .withColumn("median_ok",
+        (col("__lt") <= ceil((lit(0.5) + lit(eps)) * col("n")) + lit(1L)) &&
+          (col("__le") >= floor((lit(0.5) - lit(eps)) * col("n")) - lit(1L)))
+      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"), col("mean_v"), col("median_v"),
+        col("distinct_ok"), col("median_ok"))
+  }
+
   /** Winsorize: clip `valueCol` into its global [loQ, hiQ] exact
     * quantiles (rounded to 6 dp so the bounds are engine-portable) —
     * the outlier treatment between profiling and features. Quantiles

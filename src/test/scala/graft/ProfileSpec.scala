@@ -40,6 +40,23 @@ class ProfileSpec extends SparkSpec {
       s"Expand feeds percentile:\n$plan")
   }
 
+  test("approxProfileCheck: exact anchors match numeric, both contracts hold") {
+    val many = spark.range(1000)
+      .select((col("id") % 97).cast("double").as("a"),
+        (col("id") * 7 % 1000).cast("double").as("b"))
+    val got = Profile.approxProfileCheck(many, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Profile.numeric(many, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("a", "b")) {
+      // anchors are byte-identical to the exact profile's checked form
+      assert((1 to 7).forall(i => got(c).get(i) == exact(c).get(i)),
+        s"$c anchors drifted: ${got(c)} vs ${exact(c)}")
+      assert(got(c).getBoolean(8), s"$c HLL outside its 3-sigma rsd band")
+      assert(got(c).getBoolean(9), s"$c approx median outside its rank bound")
+    }
+  }
+
   test("frequentValues: top-k with deterministic tie-break by value") {
     val t = Seq("x", "x", "y", "y", "z").toDF("c1")
       .withColumn("c2", lit("k"))
