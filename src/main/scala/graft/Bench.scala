@@ -67,7 +67,10 @@ object Bench {
         // queries (q_g_triangles 2.0s solo vs 5.2s in-suite, round 7).
         // Each query builds its frames fresh, so clearing between
         // queries is safe — and the documented license of
-        // groupedRankByRange's cache discipline.
+        // groupedRankByRange's cache discipline. releasePins drains
+        // the skeletons' pin registry (clearCache evicts the blocks
+        // but wouldn't empty the queue).
+        graft.operators.Batching.releasePins()
         spark.catalog.clearCache()
       }
 
@@ -81,8 +84,11 @@ object Bench {
       .filter(n => only.forall(_.contains(n)) && !skip(n))
     // skipped rows are recorded IN the artifact (every emitted JSON
     // line below) so a skip-run total can never be misread later as a
-    // full-suite number
-    val skippedJson = SparkEntry.queries.keys.toSeq.sorted.filter(skip)
+    // full-suite number. Queries excluded by the ONLY whitelist are
+    // folded in too — an only-run's total is equally partial, and the
+    // misread-proofing goal doesn't care which filter trimmed it.
+    val skippedJson = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(names.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)

@@ -959,6 +959,21 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    // the 100 TB monitor form of q_x_drift: both profile scans route
+    // through the one-scan HLL + quantile-summary profile (no Expand,
+    // no exact-percentile buffers). Deltas carry sketch noise, so the
+    // row is throughput-gated (rows only) — the underlying sketches'
+    // error contracts are oracle-gated by q_x_profile_approx on the
+    // same table/columns
+    "q_x_drift_approx" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profile.drift(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        approx = true)
+    }),
+
     // feature-usefulness screen: which metadata predicts the label?
     // per-cell micro-nat rounding -> exact long sums -> one division
     "q_x_infogain" -> ((s, d) => {
@@ -1988,6 +2003,17 @@ object SparkEntry {
     "q_x_profile_approx" -> ((s, d) =>
       Profile.approxProfileCheck(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // the BARE approx profile (numeric's one-scan HLL +
+    // quantile-summary form) — the row that MEASURES the cheap twin's
+    // throughput; q_x_profile_approx times the 3-scan gate form, so
+    // without this row the 4.7-vs-18 s sf10 claim would live only in
+    // prose. Estimates are engine-specific → rows-only gate; their
+    // error contracts are what q_x_profile_approx oracle-gates.
+    "q_x_profile_approx_raw" -> ((s, d) =>
+      Profile.numeric(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        approxDistinct = true, approxMedian = true)),
 
     "q_x_topvalues" -> ((s, d) =>
       Profile.frequentValues(t(s, d, "orders"),

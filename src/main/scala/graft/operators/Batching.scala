@@ -20,6 +20,40 @@ import org.apache.spark.sql.functions._
   */
 object Batching {
 
+  /** Registry of the partitioning pins created by the skeletons below
+    * (`partitionOffsets`, `withOrderedHalo`): each pins its
+    * range-repartitioned input with persist, and the pin backs the
+    * RETURNED lazy frame — it cannot be released inside the call.
+    * Callers that are done with a skeleton's results release the pins
+    * with [[releasePins]] instead of the blunt
+    * `spark.catalog.clearCache()` (which would also evict frames the
+    * caller cached on purpose). Weak references: a pin whose frame was
+    * GC'd is simply skipped. */
+  private val pins =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[DataFrame]]
+
+  private def pin(df: DataFrame): DataFrame = {
+    pins.add(new java.lang.ref.WeakReference(df))
+    df
+  }
+
+  /** Unpersist every partitioning pin created by this object's
+    * skeletons since the last release (non-blocking). Safe to call
+    * after the downstream frames have materialized; a later
+    * re-computation of a still-referenced result would re-run its
+    * deterministic range partition. Long-lived sessions call this (or
+    * `clearCache()`) between batches — the cache license every
+    * skeleton caller carries. */
+  def releasePins(): Unit = {
+    var r = pins.poll()
+    while (r != null) {
+      val df = r.get()
+      if (df != null) df.unpersist(false)
+      r = pins.poll()
+    }
+  }
+
   /** Exact-replay global ntile (single-task window — opt-in only). */
   def globalNtile(df: DataFrame, orderCols: Seq[Column], n: Int): DataFrame =
     df.withColumn("batch", ntile(n).over(Window.orderBy(orderCols: _*)))
@@ -42,8 +76,8 @@ object Batching {
     val parts =
       if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
       else df.repartitionByRange(sortCols: _*)
-    val withPid = parts.withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withPid = pin(parts.withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = withPid.groupBy("__pid").agg(perPartition.as("__v"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -158,9 +192,10 @@ object Batching {
     * (MEMORY_AND_DISK) because the offsets collect and the returned
     * frame must see the SAME range boundaries — the `partitionOffsets`
     * contract. The pin backs the returned lazy frame and cannot be
-    * released here; a long-lived session making many calls should
-    * `spark.catalog.clearCache()` between batches (the same license
-    * every partitionOffsets caller carries). */
+    * released here; a long-lived session making many calls releases
+    * finished pins with [[Batching.releasePins]] (or the blunter
+    * `spark.catalog.clearCache()`) between batches — the same license
+    * every partitionOffsets caller carries. */
   def groupedRankByRange(df: DataFrame, grpCol: String,
                          orderCols: Seq[Column],
                          numPartitions: Int = 0): DataFrame = {
@@ -172,8 +207,8 @@ object Batching {
       if (numPartitions > 0)
         keyed.repartitionByRange(numPartitions, sortCols: _*)
       else keyed.repartitionByRange(sortCols: _*)
-    val withPid = parts.withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withPid = pin(parts.withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = withPid.groupBy("__pid", "__grp")
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
@@ -228,7 +263,7 @@ object Batching {
     * and fully parallel. The pinned range partitioning persists and
     * is NOT released here (the returned lazy frame depends on it) —
     * the `partitionOffsets` license: long-lived sessions call
-    * `spark.catalog.clearCache()` between batches. */
+    * [[Batching.releasePins]] (or `clearCache()`) between batches. */
   def withOrderedHalo(df: DataFrame, grpCols: Seq[Column],
                       orderCols: Seq[Column], halo: Int,
                       numPartitions: Int = 0): DataFrame = {
@@ -241,8 +276,8 @@ object Batching {
     val parts =
       if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
       else df.repartitionByRange(sortCols: _*)
-    val withPid = parts.withColumn("__hpid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withPid = pin(parts.withColumn("__hpid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // groupBy only yields pids that HOLD rows, so this is already
     // the nonempty-partition census — empty ranges simply have no
     // row here, and the neighbor map hops across them

@@ -45,7 +45,9 @@ object Profile {
     * checked query keeps the exact forms). */
   def numeric(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = false,
-              approxMedian: Boolean = false): DataFrame = {
+              approxMedian: Boolean = false,
+              rsd: Double = 0.05,
+              accuracy: Int = 1000): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     val basicAggs = cols.flatMap { c =>
       Seq(
@@ -55,11 +57,15 @@ object Profile {
         round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
         round(avg(col(c)), 4).as(s"${c}__mean"),
         round((if (approxMedian)
-          expr(s"approx_percentile($c, 0.5D, 1000)").cast("double")
+          expr(s"approx_percentile($c, 0.5D, $accuracy)").cast("double")
         else expr(s"percentile($c, 0.5D)")), 6).as(s"${c}__median"))
     }
+    // rsd/accuracy reach the sketches they parameterize (ADVICE r11:
+    // a gate band computed from arguments the sketch never saw would
+    // check a contract that never ran); both default to Spark's own
+    // defaults so the exact forms and existing callers are unchanged
     val distinctAggs = cols.map { c =>
-      (if (approxDistinct) approx_count_distinct(col(c))
+      (if (approxDistinct) approx_count_distinct(col(c), rsd)
        else countDistinct(col(c))).as(s"${c}__distinct")
     }
     val narrow = df.select(cols.map(col): _*)
@@ -110,26 +116,33 @@ object Profile {
     * n_distinct, min/max/mean/median — byte-identical to `numeric`'s
     * checked form) plus the two booleans. Fully deterministic, so a
     * SQL oracle replays the exact anchors and emits literal TRUEs.
-    * Cost: the approx scan + the exact profile's two passes + one
-    * rank-census scan — this is the GATE query; the cheap-twin
+    * Cost: the approx sketch scan + the exact profile's two passes +
+    * one rank-census scan — this is the GATE query; the cheap-twin
     * throughput claim is measured on the bare approx `numeric`
-    * (see BASELINE.md sf10 records: 4.7 s approx vs 18 s exact). */
+    * (see BASELINE.md sf10 records: 4.7 s approx vs 18 s exact).
+    *
+    * The sketch scan computes the SAME expressions `numeric`'s approx
+    * form plans — `approx_percentile(c, 0.5, accuracy)` and
+    * `approx_count_distinct(c, rsd)` — but UNROUNDED: the rank census
+    * must probe the value the sketch actually returned, not its 6-dp
+    * presentation rounding, or data with mass within 1e-6 of the
+    * estimate could shift __lt/__le past the ±1 tie slack and
+    * spuriously flip `median_ok` (ADVICE r11). */
   def approxProfileCheck(df: DataFrame, cols: Seq[String],
                          rsd: Double = 0.05,
                          accuracy: Int = 1000): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
-    val approx = numeric(df, cols, approxDistinct = true, approxMedian = true)
     val exact = numeric(df, cols)
-    // 1-row wide frame of the approx estimates (bins-sized: one value
-    // pair per profiled column)
+    // 1-row wide frame of the UNROUNDED approx estimates (one value
+    // pair per profiled column) — one scan, the same single-scan
+    // bounded-state shape as numeric's fully-approx form
     val awAggs = cols.flatMap { c =>
       Seq(
-        first(when(col("column") === c, col("median_v")), ignoreNulls = true)
+        expr(s"approx_percentile($c, 0.5D, $accuracy)").cast("double")
           .as(s"${c}__amed"),
-        first(when(col("column") === c, col("n_distinct")), ignoreNulls = true)
-          .as(s"${c}__and"))
+        approx_count_distinct(col(c), rsd).cast("long").as(s"${c}__and"))
     }
-    val aw = approx.agg(awAggs.head, awAggs.tail: _*)
+    val aw = df.select(cols.map(col): _*).agg(awAggs.head, awAggs.tail: _*)
     // one rank-census scan: how many rows sit strictly below / at-or-
     // below each approx median (the rank contract is checked against
     // these two exact counts, never against the estimate's value)
@@ -603,13 +616,27 @@ object Profile {
     *
     * Two single-pass profile aggregations (one per frame) + a
     * columns-sized join: nothing here scales with rows beyond the
-    * profile scan. */
-  def drift(ref: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
-    val r = numeric(ref, cols).select(
+    * profile scan.
+    *
+    * `approx = true` routes both profile scans through the one-scan
+    * HLL + quantile-summary form of `numeric` (the 100 TB path: drift
+    * is a MONITOR — a sketch whose error contract `approxProfileCheck`
+    * gates is exactly fit for "did this column move" — and the exact
+    * form's Expand + percentile buffers are the two slowest profile
+    * legs at sf10). Deltas then carry sketch noise, so the
+    * oracle-checked query keeps the exact default; the approx twin is
+    * throughput-gated (rows) like the bare approx profile. */
+  def drift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+            approx: Boolean = false,
+            rsd: Double = 0.05, accuracy: Int = 1000): DataFrame = {
+    def prof(df: DataFrame) = numeric(df, cols,
+      approxDistinct = approx, approxMedian = approx,
+      rsd = rsd, accuracy = accuracy)
+    val r = prof(ref).select(
       col("column"), col("n").as("n_ref"),
       col("n_null").as("null_ref"), col("n_distinct").as("distinct_ref"),
       col("mean_v").as("mean_ref"), col("median_v").as("median_ref"))
-    val c = numeric(cur, cols).select(
+    val c = prof(cur).select(
       col("column"), col("n").as("n_cur"),
       col("n_null").as("null_cur"), col("n_distinct").as("distinct_cur"),
       col("mean_v").as("mean_cur"), col("median_v").as("median_cur"))
