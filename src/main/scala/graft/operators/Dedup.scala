@@ -552,8 +552,15 @@ object Dedup {
       explode_outer(col("__set")).as("__g"))
       .filter(col("__g").isNotNull)
     val dfreq = e.groupBy("__g").agg(count(lit(1)).as("__df"))
+    // shuffle_hash, not sort-merge: the join only DECORATES each token
+    // row with its df — the very next operator re-shuffles by __id for
+    // the rank window, so the SMJ's sort of 100% of token rows by __g
+    // is pure waste (measured ~1 s of the prefix build at sf10; a
+    // binarized-df map-side variant was tried and REVERTED — this
+    // corpus has almost no df=1 shingles, so fine df distinctions
+    // carry the pruning and candidates exploded 6×)
     val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
-    val prefixes = e.join(dfreq, Seq("__g"))
+    val prefixes = e.join(dfreq.hint("shuffle_hash"), Seq("__g"))
       .withColumn("__rn", row_number().over(w))
       // ceil(x − ε·|s|), not ceil(x): t·|s| computed in double can
       // land a hair ABOVE the exact rational (t=0.8 at |s|=63,117,…),
@@ -569,7 +576,25 @@ object Dedup {
         col("__sz") - ceil(lit(threshold) * col("__sz")
           - lit(1e-12) * col("__sz")) + 1)
       .select(col("__id"), col("__g"), col("__sz"), col("__rn"))
-    // PPJoin filters inside the index join, both necessary conditions
+    // STATIC suffix filter (PPJoin+): each prefix row carries its
+    // doc's 68-byte bucket-count sketch (64 saturating byte counters
+    // over a Fibonacci-mixed hash of the set's elements + an overflow
+    // total) so the index self-join below can evaluate
+    // Σ_b min(cntA_b, cntB_b) + min(ovfA, ovfB) — a PROVEN upper
+    // bound on |A∩B|, see BucketCountSketch — per candidate AT
+    // GENERATION. The attach join re-uses the window's __id hash
+    // partitioning (only the sketch side shuffles, one row per doc);
+    // shuffle_hash for the same no-sort reason as above. At sf10 the
+    // in-join bound kills 99.6% of the 7.3M length+position survivors
+    // (only 25.6k are true pairs), so the pair groupBy and the
+    // full-sorted-set verify joins below run on a true-pair-sized
+    // remnant instead of every candidate; the bound is exact-safe, so
+    // recall stays 1.0.
+    val sketchBits = 6
+    val bcs = sets.select(col("__id"),
+      bucketCountSketch(col("__set"), sketchBits).as("__bc"))
+    val prefixesS = prefixes.join(bcs.hint("shuffle_hash"), Seq("__id"))
+    // PPJoin filters inside the index join, all necessary conditions
     // of J >= t so exactness is preserved:
     //  - length: t·|b| <= |a| <= |b|/t;
     //  - position: at a pair's FIRST shared prefix token no common
@@ -579,6 +604,7 @@ object Dedup {
     //    passes at its first shared token, so any-pass + distinct
     //    loses nothing; false candidates sharing only a late prefix
     //    token die here instead of in the set-verify join.
+    //  - suffix: the sketch bound above reaches alpha.
     def alphaOf(szSum: Column): Column =
       ceil(lit(threshold / (1.0 + threshold)) * szSum - lit(1e-12) * szSum)
     val alpha = alphaOf(col("a.__sz") + col("b.__sz"))
@@ -596,14 +622,15 @@ object Dedup {
     // bound. The groupBy shuffles the same volume the old distinct
     // did (map-side combine collapses to one row per pair either way)
     // and kills false candidates BEFORE the expensive set join.
-    val cand = prefixes.as("a").join(prefixes.as("b"),
+    val cand = prefixesS.as("a").join(prefixesS.as("b"),
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
           col("a.__sz") * lit(threshold)
             - lit(1e-12) * col("a.__sz") <= col("b.__sz") &&
           col("b.__sz") * lit(threshold)
             - lit(1e-12) * col("b.__sz") <= col("a.__sz") &&
           lit(1) + least(col("a.__sz") - col("a.__rn"),
-            col("b.__sz") - col("b.__rn")) >= alpha)
+            col("b.__sz") - col("b.__rn")) >= alpha &&
+          bucketBound(col("a.__bc"), col("b.__bc")) >= alpha.cast("int"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__sz").as("__sza"), col("b.__sz").as("__szb"),
         col("a.__rn").as("__rna"), col("b.__rn").as("__rnb"))
@@ -612,6 +639,10 @@ object Dedup {
         max(col("__rna")).as("__lna"), max(col("__rnb")).as("__lnb"))
       .filter(col("__cpre") + least(col("__sza") - col("__lna"),
         col("__szb") - col("__lnb")) >= alphaOf(col("__sza") + col("__szb")))
+      // slim to what verify needs — the pair rows ride two set joins,
+      // so every spare column here is shuffled twice more
+      .select("id_a", "id_b", "__sza", "__szb")
+    val req = alphaOf(col("__sza") + col("__szb")).cast("int")
     // Verify on SORTED sets with the early-abort merge kernel
     // (SortedOverlapAtLeast): the scan abandons a false candidate as
     // soon as count_so_far + min(remaining) drops below the required
@@ -620,7 +651,6 @@ object Dedup {
     // jaccard filter). union derives as |a|+|b|-inter; no hash-set or
     // output-array allocation per pair.
     val ss = sets.select(col("__id"), sort_array(col("__set")).as("__ss"))
-    val req = alphaOf(col("__sza") + col("__szb")).cast("int")
     cand
       .join(ss.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__ss", "__seta"), Seq("id_a"))
@@ -644,6 +674,19 @@ object Dedup {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(required)))
+
+  /** Column wrappers for the PPJoin+ static suffix-filter sketch pair
+    * (see `graft.plans.BucketCountSketch` / `BucketBound`). */
+  private def bucketCountSketch(set: Column, bits: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BucketCountSketch(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(set), bits))
+
+  private def bucketBound(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BucketBound(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** N-gram duplication census — the substring-level dedup signal
     * ("Deduplicating Training Data Makes Language Models Better":

@@ -245,6 +245,53 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS shingle_sets")
   }
 
+  test("bucket-count sketch bound: >= true intersection on random sets (suffix-filter soundness)") {
+    // the static suffix filter is only exact if the sketch bound never
+    // UNDERshoots |A∩B| — probe the pairing across set shapes incl.
+    // saturation (>127 elements per bucket forces the overflow path)
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 40).map { i =>
+      val na = 1 + rnd.nextInt(if (i % 5 == 0) 12000 else 80)
+      val nb = 1 + rnd.nextInt(if (i % 5 == 0) 12000 else 80)
+      val shared = rnd.nextInt(math.min(na, nb) + 1)
+      // element domain small enough that buckets collide + saturate
+      val pool = (0 until (na + nb)).map(_ => rnd.nextLong() % 5000).distinct
+      val common = pool.take(shared)
+      val restA = pool.drop(shared).take(na - shared)
+      val restB = pool.drop(shared + restA.size).take(nb - shared)
+      ((common ++ restA).toArray, (common ++ restB).toArray)
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      cases.map { case (a, b) => org.apache.spark.sql.Row(a, b) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def sk(c: org.apache.spark.sql.Column, bits: Int) =
+      ColumnBridge.column(graft.plans.BucketCountSketch(
+        ColumnBridge.expression(c), bits))
+    def bb(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.plans.BucketBound(
+        ColumnBridge.expression(x), ColumnBridge.expression(y)))
+    for (bits <- Seq(1, 6, 8)) {
+      val got = df.select(
+        bb(sk(col("a"), bits), sk(col("b"), bits)).as("bound"),
+        size(array_intersect(col("a"), col("b"))).as("inter"))
+        .as[(Int, Int)].collect()
+      got.foreach { case (bound, inter) =>
+        assert(bound >= inter, s"bits=$bits: bound $bound < inter $inter")
+      }
+    }
+    // mismatched sketch widths fail safe (-1)
+    val mm = df.select(bb(sk(col("a"), 4), sk(col("b"), 6)).as("bound"))
+      .as[Int].collect()
+    assert(mm.forall(_ == -1))
+  }
+
   test("ngramJaccard: identical=1, disjoint=0") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
