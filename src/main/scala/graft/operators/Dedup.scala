@@ -62,6 +62,46 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Normalized content signatures `(doc_id, sig)` — the rows an
+    * incremental-dedup SIGNATURE STORE holds (md5 over
+    * `TextFns.normalizeText`, the q_d_normdedup normalization, so an
+    * external engine can replay them). */
+  def contentSignatures(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      md5(TextFns.normalizeText(col(textCol))).as("sig"))
+
+  /** Materialize the signature store BUCKETED BY `sig`: the one-time
+    * shuffle that makes every later incremental batch check
+    * exchange-free on the corpus side (see `incrementalExact`). Size
+    * `buckets` so a bucket ≈ one task's memory budget at corpus
+    * scale. */
+  def writeSignatureStore(docs: DataFrame, textCol: String, idCol: String,
+                          table: String, path: String,
+                          buckets: Int): Unit =
+    graft.sources.Storage.writeBucketed(
+      contentSignatures(docs, textCol, idCol), table, path,
+      bucketKeys = Seq("sig"), buckets = buckets)
+
+  /** Incremental exact dedup — the operational shape a 100 TB corpus
+    * dedup actually runs as: the already-ingested corpus lives in a
+    * signature store bucketed by `sig` (`writeSignatureStore`), and
+    * each arriving batch checks ONLY itself against it. The store-side
+    * min-id aggregation and its join leg satisfy their distribution
+    * from the bucketed scan, so the corpus is NEVER re-shuffled
+    * (PlanSpec pins exactly one Exchange — the batch side); per-batch
+    * cost scales with the batch plus one streamed pass of the store
+    * partitions it probes, not with corpus² or corpus-reshuffles.
+    * Returns (doc_id, dup_of, sig): each batch doc whose normalized
+    * content already exists, with the smallest stored owner id. */
+  def incrementalExact(batch: DataFrame, textCol: String, idCol: String,
+                       store: DataFrame): DataFrame = {
+    val owners = store.groupBy("sig").agg(min(col("doc_id")).as("dup_of"))
+    contentSignatures(batch, textCol, idCol)
+      .join(owners, Seq("sig"))
+      .select(col("doc_id"), col("dup_of"), col("sig"))
+  }
+
   /** MinHash signatures: k permutations approximated as
     * (a_i * h + b_i) mod p over word-shingle hashes — one native
     * kernel call per row (graft.plans.MinhashSignature; the HOF chain

@@ -237,6 +237,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), plan) // no full-sort operator
   }
 
+  test("incremental dedup: bucketed signature store joins exchange-free (corpus never re-shuffles)") {
+    val docs = (1L to 200L).map(i => (i, s"text body number ${i % 7}"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("sigstore").toString
+    Dedup.writeSignatureStore(docs.filter(col("doc_id") % 10 =!= 0),
+      "text", "doc_id", "sig_store_test", path + "/tbl", buckets = 4)
+    try {
+      val store = spark.table("sig_store_test")
+      val got = Dedup.incrementalExact(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", store)
+      val plan = got.queryExecution.executedPlan.toString
+      // the store side satisfies BOTH its aggregation and its join leg
+      // from the bucketed scan: the ONLY exchange is the batch side
+      assert(count(plan, "Exchange") == 1, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // semantics: checked against a brute-force two-sided join (the
+      // %7 content cycle guarantees every batch doc has stored dups)
+      val sigs = Dedup.contentSignatures(docs, "text", "doc_id")
+      val brute = sigs.filter(col("doc_id") % 10 === 0).as("b")
+        .join(sigs.filter(col("doc_id") % 10 =!= 0)
+          .groupBy("sig").agg(min("doc_id").as("dup_of")), Seq("sig"))
+        .select("doc_id", "dup_of")
+        .as[(Long, Long)].collect().toSet
+      val gotSet = got.select("doc_id", "dup_of")
+        .as[(Long, Long)].collect().toSet
+      assert(gotSet == brute && gotSet.nonEmpty, s"got=$gotSet")
+    } finally spark.sql("DROP TABLE IF EXISTS sig_store_test")
+  }
+
   test("winnowing fingerprints are map-only: no exchange in the plan") {
     val docs = (1L to 50L).map(i => (i, s"a b c d e f g $i"))
       .toDF("doc_id", "text")
