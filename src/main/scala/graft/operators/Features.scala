@@ -31,11 +31,43 @@ object Features {
       .withColumn("roll_max", max(col(valueCol)).over(w))
   }
 
+  /** Scalable twin of `rollingStats` for LOW-CARDINALITY keys: the
+    * trailing k-row frame rides `Batching.withOrderedHalo` with a
+    * (k−1)-row ghost margin, windowed on the dense partition id
+    * instead of the #keys-task group key. Identical output (ghost
+    * rows let positions near a partition edge see their full trailing
+    * frame; ghosts themselves are dropped by `__home`). */
+  def rollingStatsByRange(df: DataFrame, keys: Seq[String],
+                          orderCol: String, valueCol: String, k: Int,
+                          numPartitions: Int = 0): DataFrame = {
+    require(k > 0, s"window size must be positive, got $k")
+    if (k == 1) return rollingStats(df, keys, orderCol, valueCol, k)
+    val halod = Batching.withOrderedHalo(df, keys.map(col),
+      Seq(col(orderCol).asc), halo = k - 1, numPartitions)
+    val w = Window.partitionBy(col("__hpid") +: keys.map(col): _*)
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(-(k - 1), Window.currentRow)
+    halod
+      .withColumn("roll_n", count(col(valueCol)).over(w))
+      .withColumn("roll_sum", round(sum(col(valueCol)).over(w), 4))
+      .withColumn("roll_avg", round(avg(col(valueCol)).over(w), 4))
+      .withColumn("roll_min", min(col(valueCol)).over(w))
+      .withColumn("roll_max", max(col(valueCol)).over(w))
+      .filter(col("__home"))
+      .drop("__hpid", "__home")
+  }
+
   /** Per-group z-score standardization: (x − μ_g) / σ_g over a
     * whole-partition window (one shuffle, no sort), population σ.
     * Constant groups (σ = 0) standardize to 0 rather than NaN. Output
     * rounded to 4 dp — both μ and σ are distributed sums whose
-    * accumulation order must not leak into comparisons. */
+    * accumulation order must not leak into comparisons.
+    *
+    * Keys are high-cardinality by contract (user/entity ids): the
+    * whole-partition window buffers each key's rows in one task. A
+    * LOW-cardinality caller (5 classes over the corpus) should
+    * compute the (μ, σ) frame with groupBy + broadcast-join it back —
+    * the aggregate parallelizes; only the window form walls. */
   def standardize(df: DataFrame, keys: Seq[String],
                   valueCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
@@ -55,6 +87,25 @@ object Features {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
     lags.foldLeft(df)((d, n) =>
       d.withColumn(s"lag_$n", lag(col(valueCol), n).over(w)))
+  }
+
+  /** Scalable twin of `lagFeatures` for LOW-CARDINALITY keys: all
+    * lags ride one `Batching.withOrderedHalo` pass with a
+    * max(lags)-row ghost margin (one window spec serves every lag,
+    * same as the plain form). Identical output. */
+  def lagFeaturesByRange(df: DataFrame, keys: Seq[String],
+                         orderCol: String, valueCol: String,
+                         lags: Seq[Int],
+                         numPartitions: Int = 0): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"bad lags $lags")
+    val halod = Batching.withOrderedHalo(df, keys.map(col),
+      Seq(col(orderCol).asc), halo = lags.max, numPartitions)
+    val w = Window.partitionBy(col("__hpid") +: keys.map(col): _*)
+      .orderBy(col(orderCol).asc)
+    lags.foldLeft(halod)((d, n) =>
+        d.withColumn(s"lag_$n", lag(col(valueCol), n).over(w)))
+      .filter(col("__home"))
+      .drop("__hpid", "__home")
   }
 
   /** Time-series gap filling: densify a per-key bucketed frame so

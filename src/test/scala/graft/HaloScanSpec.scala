@@ -44,6 +44,30 @@ class HaloScanSpec extends SparkSpec {
     assert(plain.exists(_.getInt(5) == 1)) // the b-key step is detected
   }
 
+  test("rollingStatsByRange == rollingStats (8 forced partitions)") {
+    val df = series
+    val cols = Seq("k", "ts", "id", "value",
+      "roll_n", "roll_sum", "roll_avg", "roll_min", "roll_max")
+    val plain = Features.rollingStats(df, Seq("k"), "ts", "value", k = 7)
+      .select(cols.map(col): _*).orderBy("k", "ts").collect().toSeq
+    val halo = Features.rollingStatsByRange(df, Seq("k"), "ts", "value",
+      k = 7, numPartitions = 8)
+      .select(cols.map(col): _*).orderBy("k", "ts").collect().toSeq
+    assert(halo == plain)
+  }
+
+  test("lagFeaturesByRange == lagFeatures (8 forced partitions, multi-lag)") {
+    val df = series
+    val cols = Seq("k", "ts", "id", "value", "lag_1", "lag_3", "lag_5")
+    val plain = Features.lagFeatures(df, Seq("k"), "ts", "value",
+      Seq(1, 3, 5))
+      .select(cols.map(col): _*).orderBy("k", "ts").collect().toSeq
+    val halo = Features.lagFeaturesByRange(df, Seq("k"), "ts", "value",
+      Seq(1, 3, 5), numPartitions = 8)
+      .select(cols.map(col): _*).orderBy("k", "ts").collect().toSeq
+    assert(halo == plain)
+  }
+
   test("percentRankByRange == percentRank (ties broken by id)") {
     val df = series.withColumn("value", round(col("value"))) // force ties
     val plain = Features.percentRank(df, Seq("k"), "value", Seq(col("id")))
