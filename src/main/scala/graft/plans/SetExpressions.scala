@@ -64,21 +64,30 @@ case class SortedOverlapAtLeast(first: Expression, second: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, r) => {
+      // freshName for every local: two kernel instances (or a kernel
+      // pair) can land in ONE codegen scope when Catalyst collapses
+      // projections — fixed names then fail janino compilation and
+      // silently demote the whole stage to interpreted eval
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val rem = ctx.freshName("rem")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      val pruned = ctx.freshName("pruned")
       s"""
-         |int na = $a.numElements();
-         |int nb = $b.numElements();
-         |int i = 0, j = 0, c = 0;
-         |boolean pruned = false;
-         |while (i < na && j < nb) {
-         |  int rem = (na - i < nb - j) ? (na - i) : (nb - j);
-         |  if (c + rem < $r) { pruned = true; break; }
-         |  long va = $a.getLong(i);
-         |  long vb = $b.getLong(j);
-         |  if (va == vb) { c++; i++; j++; }
-         |  else if (va < vb) { i++; }
-         |  else { j++; }
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |boolean $pruned = false;
+         |while ($i < $na && $j < $nb) {
+         |  int $rem = ($na - $i < $nb - $j) ? ($na - $i) : ($nb - $j);
+         |  if ($c + $rem < $r) { $pruned = true; break; }
+         |  long $va = $a.getLong($i);
+         |  long $vb = $b.getLong($j);
+         |  if ($va == $vb) { $c++; $i++; $j++; }
+         |  else if ($va < $vb) { $i++; }
+         |  else { $j++; }
          |}
-         |${ev.value} = (pruned || c < $r) ? -1 : c;
+         |${ev.value} = ($pruned || $c < $r) ? -1 : $c;
        """.stripMargin
     })
 
@@ -142,19 +151,23 @@ case class BucketCountSketch(child: Expression, bits: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // freshName everywhere — see SortedOverlapAtLeast.doGenCode
+      val out = ctx.freshName("out"); val ovf = ctx.freshName("ovf")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
       s"""
-         |byte[] out = new byte[$nBuckets + 4];
-         |int ovf = 0;
-         |int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  int b = (int) (($a.getLong(i) * 0x9E3779B97F4A7C15L) >>> ${64 - bits});
-         |  if (out[b] == 127) ovf++; else out[b]++;
+         |byte[] $out = new byte[$nBuckets + 4];
+         |int $ovf = 0;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $b = (int) (($a.getLong($i) * 0x9E3779B97F4A7C15L) >>> ${64 - bits});
+         |  if ($out[$b] == 127) $ovf++; else $out[$b]++;
          |}
-         |out[$nBuckets] = (byte) (ovf >>> 24);
-         |out[$nBuckets + 1] = (byte) (ovf >>> 16);
-         |out[$nBuckets + 2] = (byte) (ovf >>> 8);
-         |out[$nBuckets + 3] = (byte) ovf;
-         |${ev.value} = out;
+         |$out[$nBuckets] = (byte) ($ovf >>> 24);
+         |$out[$nBuckets + 1] = (byte) ($ovf >>> 16);
+         |$out[$nBuckets + 2] = (byte) ($ovf >>> 8);
+         |$out[$nBuckets + 3] = (byte) $ovf;
+         |${ev.value} = $out;
        """.stripMargin
     })
 
@@ -200,20 +213,24 @@ case class BucketBound(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everywhere — see SortedOverlapAtLeast.doGenCode
+      val nb = ctx.freshName("nb"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val ovfA = ctx.freshName("ovfA"); val ovfB = ctx.freshName("ovfB")
       s"""
          |if ($a.length != $b.length || $a.length < 5) {
          |  ${ev.value} = -1;
          |} else {
-         |  int nb = $a.length - 4;
-         |  int s = 0;
-         |  for (int i = 0; i < nb; i++) {
-         |    s += Math.min((int) $a[i], (int) $b[i]);
+         |  int $nb = $a.length - 4;
+         |  int $s = 0;
+         |  for (int $i = 0; $i < $nb; $i++) {
+         |    $s += Math.min((int) $a[$i], (int) $b[$i]);
          |  }
-         |  int ovfA = (($a[nb] & 0xff) << 24) | (($a[nb + 1] & 0xff) << 16) |
-         |    (($a[nb + 2] & 0xff) << 8) | ($a[nb + 3] & 0xff);
-         |  int ovfB = (($b[nb] & 0xff) << 24) | (($b[nb + 1] & 0xff) << 16) |
-         |    (($b[nb + 2] & 0xff) << 8) | ($b[nb + 3] & 0xff);
-         |  ${ev.value} = s + Math.min(ovfA, ovfB);
+         |  int $ovfA = (($a[$nb] & 0xff) << 24) | (($a[$nb + 1] & 0xff) << 16) |
+         |    (($a[$nb + 2] & 0xff) << 8) | ($a[$nb + 3] & 0xff);
+         |  int $ovfB = (($b[$nb] & 0xff) << 24) | (($b[$nb + 1] & 0xff) << 16) |
+         |    (($b[$nb + 2] & 0xff) << 8) | ($b[$nb + 3] & 0xff);
+         |  ${ev.value} = $s + Math.min($ovfA, $ovfB);
          |}
        """.stripMargin
     })

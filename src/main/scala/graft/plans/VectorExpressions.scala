@@ -43,13 +43,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local: two instances in one collapsed
+      // codegen scope would otherwise fail janino and demote the
+      // stage to interpreted eval
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -102,18 +107,22 @@ case class SrpBucket(child: Expression, planes: Int, dim: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // freshName everywhere — see DotProduct.doGenCode
+      val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p"); val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $dim);
-         |long bucket = 0L;
-         |for (int p = 0; p < $planes; p++) {
-         |  double s = 0.0;
-         |  for (int j = 0; j < n; j++) {
-         |    s += $a.getDouble(j) *
-         |      (((long)(p * $dim + j) * 2654435761L) % 1009L - 504L);
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $s += $a.getDouble($j) *
+         |      (((long)($p * $dim + $j) * 2654435761L) % 1009L - 504L);
          |  }
-         |  if (s > 0) bucket |= (1L << p);
+         |  if ($s > 0) $bucket |= (1L << $p);
          |}
-         |${ev.value} = bucket;
+         |${ev.value} = $bucket;
        """.stripMargin
     })
 
@@ -156,15 +165,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everywhere — see DotProduct.doGenCode
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $a.getDouble(i);
-         |  double yv = $b.getDouble(i);
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
