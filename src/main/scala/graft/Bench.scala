@@ -42,11 +42,23 @@ object Bench {
     ensureHeap()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions default to the thread count (the driver's
+    // standard config), overridable for scale runs: at sf100 a 25 GB
+    // shuffle over 32 partitions is ~800 MB/partition against ~1.2 GB
+    // of per-task execution memory — every sort/join thrashes in
+    // spill, and AQE only COALESCES partitions (and splits skewed
+    // JOIN sides), it never re-expands a uniformly-oversized layout.
+    // Sizing partitions so each fits in memory at the target SF is
+    // the documented spill-aware knob a real deployment turns; e.g.
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS=256 for the ~22 GB sf100 set.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     System.err.println(s"[bench] heap=${Runtime.getRuntime.maxMemory >> 20}m " +
-      s"cores=${Runtime.getRuntime.availableProcessors} cpus=$cpus sf=$sfDir")
+      s"cores=${Runtime.getRuntime.availableProcessors} cpus=$cpus " +
+      s"shuffle=$shufflePartitions sf=$sfDir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
