@@ -42,17 +42,26 @@ object Bench {
     ensureHeap()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle partitions default to the thread count (the driver's
-    // standard config), overridable for scale runs: at sf100 a 25 GB
-    // shuffle over 32 partitions is ~800 MB/partition against ~1.2 GB
-    // of per-task execution memory — every sort/join thrashes in
-    // spill, and AQE only COALESCES partitions (and splits skewed
-    // JOIN sides), it never re-expands a uniformly-oversized layout.
-    // Sizing partitions so each fits in memory at the target SF is
-    // the documented spill-aware knob a real deployment turns; e.g.
-    // SPARK_GRAFT_SHUFFLE_PARTITIONS=256 for the ~22 GB sf100 set.
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Shuffle partitions are sized to the DATA, not the thread count:
+    // at sf100 a 25 GB shuffle over 32 partitions is ~800 MB/partition
+    // against ~1.2 GB of per-task execution memory — every sort/join
+    // thrashes in spill, and AQE only COALESCES partitions (and splits
+    // skewed JOIN sides), it never re-expands a uniformly-oversized
+    // layout. Measured at sf100: the same binaries run q_j1_interval
+    // 176 s at 32 partitions vs 18 s at 256. Default: one partition
+    // per ~128 MB of on-disk input (the maxPartitionBytes scan
+    // granularity), floored at the thread count so toy SFs keep the
+    // driver's standard 32. SPARK_GRAFT_SHUFFLE_PARTITIONS overrides.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
+      val inputBytes =
+        try {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        } catch { case _: Throwable => 0L }
+      math.max(cpus.toInt, ((inputBytes + (128L << 20) - 1) >> 27).toInt).toString
+    })
     System.err.println(s"[bench] heap=${Runtime.getRuntime.maxMemory >> 20}m " +
       s"cores=${Runtime.getRuntime.availableProcessors} cpus=$cpus " +
       s"shuffle=$shufflePartitions sf=$sfDir")
