@@ -1158,14 +1158,17 @@ object SparkEntry {
     // single batch-side Exchange)
     "q_d_incr" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val path = sys.props("java.io.tmpdir") + "/graft_dedup_store"
+      // per-JVM store name: two graft processes on one host (a Verify
+      // overlapping a Bench) must not Overwrite each other's bucketed
+      // files mid-read
+      val tag = s"graft_dedup_store_${ProcessHandle.current.pid}"
+      val path = sys.props("java.io.tmpdir") + "/" + tag
       Dedup.writeSignatureStore(docs, "text", "doc_id",
-        "graft_dedup_store", path, buckets = 8)
+        tag, path, buckets = 8)
       val batch = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(col("text"), lit(" ***")).as("text"))
-      Dedup.incrementalExact(batch, "text", "doc_id",
-        s.table("graft_dedup_store"))
+      Dedup.incrementalExact(batch, "text", "doc_id", s.table(tag))
     }),
 
     "q_d_minhash" -> ((s, d) =>

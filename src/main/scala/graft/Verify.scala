@@ -45,6 +45,11 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // same cache discipline as Bench: drain the skeletons' pins so
+        // 250+ queries don't accumulate persisted partitioning frames
+        graft.operators.Batching.releasePins()
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -20,37 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object Batching {
 
-  /** Registry of the partitioning pins created by the skeletons below
-    * (`partitionOffsets`, `withOrderedHalo`): each pins its
-    * range-repartitioned input with persist, and the pin backs the
-    * RETURNED lazy frame — it cannot be released inside the call.
-    * Callers that are done with a skeleton's results release the pins
-    * with [[releasePins]] instead of the blunt
-    * `spark.catalog.clearCache()` (which would also evict frames the
-    * caller cached on purpose). Weak references: a pin whose frame was
-    * GC'd is simply skipped. */
+  /** Registry of the partitioning pins created by the range-partition
+    * skeletons (`partitionOffsets`, `withOrderedHalo`,
+    * `Sampling.tokenBudget`): each pins its range-repartitioned input
+    * with persist, and the pin backs the RETURNED lazy frame — it
+    * cannot be released inside the call. Callers that are done with a
+    * skeleton's results release the pins with [[releasePins]] instead
+    * of the blunt `spark.catalog.clearCache()` (which would also evict
+    * frames the caller cached on purpose). Strong references by
+    * design: Spark's CacheManager holds the cached plan regardless of
+    * whether this wrapper is reachable, so a weak reference would not
+    * let the blocks die with the wrapper — it would only lose the
+    * handle needed to unpersist them. The queue is drained (and the
+    * references dropped) on every [[releasePins]]. */
   private val pins =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      java.lang.ref.WeakReference[DataFrame]]
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def pin(df: DataFrame): DataFrame = {
-    pins.add(new java.lang.ref.WeakReference(df))
+  private[operators] def pin(df: DataFrame): DataFrame = {
+    pins.add(df)
     df
   }
 
-  /** Unpersist every partitioning pin created by this object's
-    * skeletons since the last release (non-blocking). Safe to call
-    * after the downstream frames have materialized; a later
-    * re-computation of a still-referenced result would re-run its
-    * deterministic range partition. Long-lived sessions call this (or
-    * `clearCache()`) between batches — the cache license every
-    * skeleton caller carries. */
+  /** Unpersist every partitioning pin created by the skeletons since
+    * the last release (non-blocking). Call ONLY once the skeleton
+    * results are fully materialized and will not be re-computed:
+    * re-materializing a still-referenced result after release re-runs
+    * `repartitionByRange`, whose boundary sampling varies per job
+    * (see [[partitionOffsets]]) — rows could land in different `__pid`
+    * buckets than the collected offsets were built from, silently
+    * misaligning ranks. The registry is session-global, so in a
+    * concurrent session drain it only at batch boundaries when no
+    * skeleton call is in flight. */
   def releasePins(): Unit = {
-    var r = pins.poll()
-    while (r != null) {
-      val df = r.get()
-      if (df != null) df.unpersist(false)
-      r = pins.poll()
+    var df = pins.poll()
+    while (df != null) {
+      df.unpersist(false)
+      df = pins.poll()
     }
   }
 

@@ -580,6 +580,17 @@ object Dedup {
   def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
                         threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
+    // `sets` is referenced by THREE consumers below (the prefix
+    // explode, the sketch side, the sorted-verify side), each a full
+    // recompute of the shingle chain. Deliberate: a MEMORY_AND_DISK
+    // persist of the per-doc (sorted set, sketch) frame was built and
+    // MEASURED at sf10 — 7.8 s → 11.3 s solo — because columnar
+    // caching of corpus-sized array<long> columns (serialize + store +
+    // re-read, and the consumers lose whole-stage fusion with the
+    // shingle projection) costs more on a CPU-rich node than two
+    // codegen'd recomputes. At true IO-bound scale the operator's
+    // documented form (see shingleSets) feeds `sets` from a parquet
+    // store bucketed by __id, where every consumer is one cheap scan.
     val sets = shingleSets(docs, textCol, idCol, n)
     // explode_outer, NOT explode: InferFiltersFromGenerate would infer
     // `size(__set) > 0` for a plain explode and push it below the

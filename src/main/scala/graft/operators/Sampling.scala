@@ -289,9 +289,10 @@ object Sampling {
     val parts =
       if (numPartitions > 0) keyed.repartitionByRange(numPartitions, sortCols: _*)
       else keyed.repartitionByRange(sortCols: _*)
-    // pin the partitioning — same reasoning as Batching.partitionOffsets
-    val withPid = parts.withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin the partitioning — same reasoning as Batching.partitionOffsets;
+    // registered so Batching.releasePins covers this skeleton too
+    val withPid = Batching.pin(parts.withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sums = withPid
       .groupBy(col("__pid"), col(domainCol).cast("string").as("__dom"))
       .agg(coalesce(sum(wcol), lit(0L)).as("__v"))

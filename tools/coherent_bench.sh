@@ -6,7 +6,7 @@
 # spec-output-quadratic rows (q_r_fs blocked-FS pair output and
 # q_r_erclust on top of it are Theta(sum block^2) by definition), same
 # exclusion as the round-10 record for like-with-like ratios.
-set -e
+set -e -o pipefail
 cd /root/repo
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 echo "=== sf0.1 $(date -u +%H:%M:%S)"
