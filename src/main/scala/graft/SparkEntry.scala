@@ -1060,12 +1060,13 @@ object SparkEntry {
     // per row (own projection), score three screens off the bound array.
     "q_t_repetition" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TF.tokens(col("text")).as("__tk"))
+        // one native-kernel pass per document (graft.plans.TokenStats);
+        // all three screens derive from the bound struct
+        .select(col("doc_id"), TF.tokenStats(col("text")).as("__ts"))
         .select(col("doc_id"),
-          round(TF.dupTokenFractionOnTokens(col("__tk")), 6).as("dup_frac"),
-          round(TF.topTokenFractionOnTokens(col("__tk")), 6).as("top_frac"),
-          round(TF.consecRepeatFractionOnTokens(col("__tk")), 6)
-            .as("consec_frac"))),
+          round(TF.dupFracOf(col("__ts")), 6).as("dup_frac"),
+          round(TF.topFracOf(col("__ts")), 6).as("top_frac"),
+          round(TF.consecFracOf(col("__ts")), 6).as("consec_frac"))),
 
     "q_t_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),

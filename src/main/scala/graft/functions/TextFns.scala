@@ -252,14 +252,45 @@ object TextFns {
   // else touches them; at word level these are pure Column HOFs — no
   // UDF, no shuffle, they fuse into the scan projection.
 
-  /** Fraction of tokens that are repeats of an earlier token:
-    * 1 - distinct/total. 0 for empty docs. */
-  def dupTokenFraction(c: Column): Column =
-    dupTokenFractionOnTokens(tokens(c))
+  /** One-pass repetition statistics: struct<n, n_distinct, top_count,
+    * n_consec> from the native kernel (graft.plans.TokenStats) — bind
+    * it once in its own projection and derive every repetition screen
+    * from the fields (the `...OnTokens` HOF forms below are the
+    * semantics baselines TextKernelSpec pins it against). */
+  def tokenStats(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.TokenStats(ColumnBridge.expression(c)))
+  }
 
-  /** `dupTokenFraction` over a pre-tokenized array column — bind the
-    * `tokens(...)` array once in its own projection when computing
-    * several screens per row (CollapseProject leaves the non-cheap
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 - distinct/total. 0 for empty docs. Native kernel pass. */
+  def dupTokenFraction(c: Column): Column =
+    dupFracOf(tokenStats(c))
+
+  /** `dup_frac` from a bound `tokenStats` struct column. */
+  def dupFracOf(ts: Column): Column = {
+    val n = ts.getField("n")
+    when(n === 0, lit(0.0)).otherwise(
+      (n - ts.getField("n_distinct")).cast("double") / n)
+  }
+
+  /** `top_frac` from a bound `tokenStats` struct column. */
+  def topFracOf(ts: Column): Column = {
+    val n = ts.getField("n")
+    when(n === 0, lit(0.0)).otherwise(
+      ts.getField("top_count").cast("double") / n)
+  }
+
+  /** `consec_frac` from a bound `tokenStats` struct column. */
+  def consecFracOf(ts: Column): Column = {
+    val n = ts.getField("n")
+    when(n < 2, lit(0.0)).otherwise(
+      ts.getField("n_consec").cast("double") / (n - 1))
+  }
+
+  /** `dupTokenFraction` over a pre-tokenized array column — the
+    * interpreted HOF semantics baseline (bind the `tokens(...)` array
+    * once in its own projection; CollapseProject leaves the non-cheap
     * split alias alone, so it is evaluated once, not once per screen). */
   def dupTokenFractionOnTokens(t: Column): Column =
     when(size(t) === 0, lit(0.0)).otherwise(
@@ -272,7 +303,7 @@ object TextFns {
     * per row, not the O(n · distinct) of counting each distinct token
     * against the full array. */
   def topTokenFraction(c: Column): Column =
-    topTokenFractionOnTokens(tokens(c))
+    topFracOf(tokenStats(c))
 
   def topTokenFractionOnTokens(t: Column): Column = {
     val best = aggregate(array_sort(t),
@@ -291,7 +322,7 @@ object TextFns {
   /** Fraction of adjacent token positions that repeat (stutter runs:
     * "batch batch batch"). */
   def consecRepeatFraction(c: Column): Column =
-    consecRepeatFractionOnTokens(tokens(c))
+    consecFracOf(tokenStats(c))
 
   def consecRepeatFractionOnTokens(t: Column): Column =
     when(size(t) < 2, lit(0.0)).otherwise(

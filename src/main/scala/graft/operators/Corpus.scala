@@ -27,17 +27,18 @@ object Corpus {
     * dropReport: `drops` aggregated to (stage, n).
     * droppedBuckets: the LSH skew report (band, bucket, size).
     * All four are lazy frames sharing one lineage (no count() action
-    * hides inside), pinned on a shared persisted intermediate — the
-    * exact-dedup survivors feed four consumers. Call `unpersist()`
-    * when done with ALL of them; the frames recompute after that. */
+    * hides inside), pinned on two shared persisted intermediates —
+    * the screened frame and the exact-dedup survivors each feed
+    * multiple consumers. Call `unpersist()` when done with ALL of
+    * them; the frames recompute after that. */
   final case class CleanResult(kept: DataFrame, drops: DataFrame,
                                dropReport: DataFrame,
                                droppedBuckets: DataFrame,
-                               private val pinned: DataFrame) {
-    /** Release the internal cache (pairs with Dedup.dupClusters'
+                               private val pinned: Seq[DataFrame]) {
+    /** Release the internal caches (pairs with Dedup.dupClusters'
       * persist/unpersist discipline — a long-lived session running
       * many cleans must not accumulate corpus-sized cached frames). */
-    def unpersist(): Unit = { pinned.unpersist(); () }
+    def unpersist(): Unit = pinned.foreach(_.unpersist())
   }
 
   def clean(docs: DataFrame, textCol: String, idCol: String,
@@ -48,20 +49,31 @@ object Corpus {
             numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
             minJaccard: Double = 0.5, maxBucket: Int = 1000): CleanResult = {
     val text = col(textCol)
-    // one projection computes every screen; first failing stage wins
-    val stage = when(TextFns.wordCount(text) < minWords ||
-        TextFns.wordCount(text) > maxWords, "length")
+    // one projection computes every screen; first failing stage wins.
+    // The token statistics bind once (native kernel, own alias — the
+    // length and repetition screens read fields, never re-tokenize).
+    val ts = col("__ts")
+    val nw = ts.getField("n")
+    val stage = when(nw < minWords || nw > maxWords, "length")
       .when(!TextFns.langGuess(text).isin(langs: _*), "language")
       .when(TextFns.qualityScore(text) < minQuality, "quality")
-      .when(TextFns.dupTokenFraction(text) > maxDupTokenFrac, "repetition")
-    val staged = docs.withColumn("__stage", stage)
+      .when(TextFns.dupFracOf(ts) > maxDupTokenFrac, "repetition")
+    // Persisted: the screens (the repetition and language kernels
+    // dominate) feed THREE scans — the exact-dedup populate, the
+    // exact-drop anti-join's left side, and the screen-drop
+    // attribution — that would each re-run every text kernel over the
+    // whole corpus otherwise (measured 3 screen passes inside the
+    // attribution query at sf10). MEMORY_AND_DISK: spill, don't
+    // recompute.
+    val staged = docs.withColumn("__ts", TextFns.tokenStats(text))
+      .withColumn("__stage", stage).drop("__ts")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val screened = staged.filter(col("__stage").isNull).drop("__stage")
 
     // exact dedup: keep the min-id representative per content hash.
-    // Persisted: this frame feeds the near-dedup pipeline, both
-    // dedup-drop anti-joins, AND the kept output — four consumers
-    // that would each re-run the screens + window otherwise.
-    // MEMORY_AND_DISK: a big corpus spills instead of recomputing.
+    // Persisted separately: this frame feeds the near-dedup pipeline,
+    // both dedup-drop anti-joins, AND the kept output — each would
+    // re-run the dedup window over the cached screens otherwise.
     val exactKept = Dedup.keepFirst(
       screened.withColumn("__ch", md5(text)), Seq("__ch"),
       Seq(col(idCol).asc)).drop("__ch")
@@ -82,7 +94,7 @@ object Corpus {
       .unionByName(exactDrops).unionByName(nearDrops)
     CleanResult(near.deduped, drops,
       drops.groupBy("stage").agg(count(lit(1)).as("n")),
-      near.droppedBuckets, pinned = exactKept)
+      near.droppedBuckets, pinned = Seq(staged, exactKept))
   }
 
   /** Fixed-width overlapping character chunks — the RAG / context-

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Interval *algebra* beyond the overlap join: island merging and
   * sweep-line coverage depth — the relational re-derivations of
@@ -255,5 +256,196 @@ object Intervals {
       .filter(col("__next").isNotNull && col("depth") > 0)
       .select((kc :+ col("__pos").as("d_start") :+
         col("__next").as("d_end") :+ col("depth")): _*)
+  }
+
+  /** Range-partitioned census shared by the ByRange sweeps below:
+    * range-repartition on (keys..., orderCols...), pin the
+    * partitioning (same persist license as `Batching.withOrderedHalo`
+    * — the census job and the caller's final plan must see identical
+    * partition boundaries), and collect one row per (partition, key
+    * group) with the requested aggregates. Range partitions are
+    * CONTIGUOUS in key order, so the census holds at most
+    * #partitions + #keyGroups rows — metadata, never data. */
+  private def keyedRangeCensus(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[Column], aggs: Seq[Column],
+      numPartitions: Int): (DataFrame, Array[Row]) = {
+    val sortCols = keys.map(col) ++ orderCols
+    val parts =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
+      else df.repartitionByRange(sortCols: _*)
+    val withPid = Batching.pin(
+      parts.withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val census = withPid.groupBy((col("__pid") +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*).collect()
+    (withPid, census)
+  }
+
+  /** Per-key EXCLUSIVE prefix fold of the census (pids in ascending
+    * order within each key group): returns one row per census row,
+    * `__pid :: keyValues :: folded-prefix-state`, where `fold` maps
+    * (accumulated state, census row, has-next-row's-extra) — the
+    * driver-side half of the offsets skeleton. */
+  private def censusOffsets(census: Array[Row], nKeys: Int)(
+      fold: Seq[Row] => Seq[Seq[Any]]): Seq[Row] =
+    census.groupBy(r => (1 to nKeys).map(r.get(_).asInstanceOf[AnyRef]))
+      .toSeq.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_.getInt(0))
+        fold(sorted.toSeq).zip(sorted).map { case (state, r) =>
+          Row.fromSeq(r.toSeq.take(nKeys + 1) ++ state) }
+      }
+
+  /** `coverageDepth`, range-partitioned: the scale twin for
+    * low-cardinality keys (chrom-keyed sweeps collapse to #chroms
+    * tasks in the plain form — 23 tasks for a whole-genome corpus no
+    * matter the cluster). The collapsed event frame range-partitions
+    * on (keys, pos); per-(partition, key) sums and first positions
+    * collect as metadata; each key's running depth then offsets by
+    * the preceding partitions' total, and the segment extent at a
+    * partition tail chains to the NEXT partition's first position for
+    * that key (no ghost rows needed — the lead is exactly one value,
+    * which the census already holds). Bitwise-equal to
+    * `coverageDepth` (IntervalJoinSpec pins it); parallelism =
+    * #partitions, not #keys.
+    *
+    * ADOPTION CONTRACT: flip to this form when cluster parallelism
+    * exceeds #keys by a wide margin. It pays a range-sample pass, a
+    * cache write (pin license: `Batching.releasePins()` between
+    * batches) and one extra exchange — measured at sf10/local[32]
+    * (23 chroms ≈ 32 threads, nothing to reclaim) the plain sweep
+    * wins (9.8 s vs 11.8 s), which is why the bench rows keep it; at
+    * 1000 executors the plain form is a 23-task wall and this one
+    * scales with the cluster. */
+  def coverageDepthByRange(df: DataFrame, keys: Seq[String],
+                           start: String, end: String,
+                           numPartitions: Int = 0): DataFrame = {
+    val kc = keys.map(col)
+    val events =
+      df.select((kc :+ col(start).as("__pos") :+ lit(1L).as("__delta")): _*)
+        .unionByName(
+          df.select((kc :+ col(end).as("__pos") :+ lit(-1L).as("__delta")): _*))
+    val collapsed = events.groupBy((kc :+ col("__pos")): _*)
+      .agg(sum(col("__delta")).as("__d"))
+    val (withPid, census) = keyedRangeCensus(collapsed, keys,
+      Seq(col("__pos")),
+      Seq(sum(col("__d")).as("__s"), min(col("__pos")).as("__first")),
+      numPartitions)
+    val n = keys.length
+    // state per census row: (depth offset, next partition's first pos)
+    val offRows = censusOffsets(census, n) { sorted =>
+      var acc = 0L
+      sorted.zipWithIndex.map { case (r, i) =>
+        val off = acc
+        acc += r.getLong(n + 1)
+        val nextFirst: Any =
+          if (i + 1 < sorted.length) sorted(i + 1).get(n + 2) else null
+        Seq[Any](off, nextFirst)
+      }
+    }
+    val spark = df.sparkSession
+    val posType = withPid.schema("__pos").dataType
+    val offSchema = StructType(
+      StructField("__pid", IntegerType, nullable = false) +:
+        keys.map(k => withPid.schema(k)) ++:
+        Seq(StructField("__offset", LongType, nullable = false),
+          StructField("__next_first", posType, nullable = true)))
+    val offsetDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava),
+      offSchema)
+    val w = Window.partitionBy((col("__pid") +: kc): _*).orderBy(col("__pos"))
+    withPid.join(broadcast(offsetDf), "__pid" +: keys)
+      .withColumn("depth", col("__offset") +
+        sum(col("__d")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__next",
+        coalesce(lead(col("__pos"), 1).over(w), col("__next_first")))
+      .filter(col("__next").isNotNull && col("depth") > 0)
+      .select((kc :+ col("__pos").as("d_start") :+
+        col("__next").as("d_end") :+ col("depth")): _*)
+  }
+
+  /** `mergeOverlaps`, range-partitioned — same scale rationale as
+    * [[coverageDepthByRange]]. Two census passes over one pinned
+    * range partitioning: (1) per-(partition, key) max end → each
+    * partition's rows see the true preceding running max as
+    * `greatest(local window max, prior partitions' max)`; (2) the
+    * island-start flags (computable after pass 1) sum per
+    * (partition, key) → each partition's island ids offset by the
+    * flags before it. Island aggregation is then a plain hash
+    * aggregation on (keys, island id) — balanced, not per-key.
+    * Bitwise-equal to `mergeOverlaps` (IntervalJoinSpec pins it).
+    * Same adoption contract as [[coverageDepthByRange]]: the flag
+    * window runs twice (census + final plan, against the pinned
+    * cache), so at toy parallelism the plain one-exchange form wins —
+    * flip only when #keys caps the cluster. */
+  def mergeOverlapsByRange(df: DataFrame, keys: Seq[String],
+                           start: String, end: String,
+                           minGap: Long = 0L,
+                           numPartitions: Int = 0): DataFrame = {
+    val kc = keys.map(col)
+    val (withPid, census) = keyedRangeCensus(df, keys,
+      Seq(col(start), col(end)),
+      Seq(max(col(end)).as("__maxend")), numPartitions)
+    val n = keys.length
+    val endType = withPid.schema(end).dataType
+    // exclusive running MAX of end per key across partitions
+    val maxRows = censusOffsets(census, n) { sorted =>
+      var acc: Any = null
+      sorted.map { r =>
+        val prior = acc
+        val m = r.get(n + 1)
+        if (acc == null) acc = m
+        else if (m != null && anyToLong(m) > anyToLong(acc)) acc = m
+        Seq[Any](prior)
+      }
+    }
+    val spark = df.sparkSession
+    def offDf(rows: Seq[Row], name: String,
+              tpe: org.apache.spark.sql.types.DataType,
+              nullable: Boolean) =
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(
+          StructField("__pid", IntegerType, nullable = false) +:
+            keys.map(k => withPid.schema(k)) ++:
+            Seq(StructField(name, tpe, nullable = nullable))))
+    val w = Window.partitionBy((col("__pid") +: kc): _*)
+      .orderBy(col(start), col(end))
+    val prevLocal = max(col(end)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    // greatest() skips nulls, so a key's very first row (both null)
+    // stays null — the island-start condition, as in the plain form
+    val flagged = withPid
+      .join(broadcast(offDf(maxRows, "__pmax", endType, nullable = true)),
+        "__pid" +: keys)
+      .withColumn("__prev_max", greatest(prevLocal, col("__pmax")))
+      .withColumn("__new_island",
+        when(col("__prev_max").isNull ||
+          col(start) > col("__prev_max") + lit(minGap), 1L).otherwise(0L))
+    // pass 2: island-id offsets = exclusive prefix sum of flag counts
+    val flagCensus = flagged.groupBy((col("__pid") +: kc): _*)
+      .agg(sum(col("__new_island")).as("__f")).collect()
+    val ioffRows = censusOffsets(flagCensus, n) { sorted =>
+      var acc = 0L
+      sorted.map { r => val o = acc; acc += r.getLong(n + 1); Seq[Any](o) }
+    }
+    flagged
+      .join(broadcast(offDf(ioffRows, "__ioff", LongType, nullable = false)),
+        "__pid" +: keys)
+      .withColumn("__island", col("__ioff") + sum(col("__new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((kc :+ col("__island")): _*)
+      .agg(min(col(start)).as(start), max(col(end)).as(end),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
+  private def anyToLong(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case other => throw new IllegalArgumentException(
+      s"mergeOverlapsByRange: integral end column required, got $other")
   }
 }

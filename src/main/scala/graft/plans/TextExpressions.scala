@@ -301,6 +301,39 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** One-pass token repetition statistics over the standard tokenizer
+    * (lowercase, split \s+, empties dropped): (n, n_distinct,
+    * top_count, n_consec) — token total, distinct tokens, the highest
+    * single-token frequency, and adjacent-equal-pair count. The three
+    * Gopher-style repetition screens all derive from this row. */
+  def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val counts = new java.util.HashMap[String, Integer]()
+    var n = 0
+    var top = 0
+    var consec = 0
+    var prev: String = null
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        n += 1
+        val c = counts.merge(t, 1, IntSum)
+        if (c > top) top = c
+        if (prev != null && prev == t) consec += 1
+        prev = t
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size, top, consec))
+  }
+
+  private val IntSum =
+    new java.util.function.BiFunction[Integer, Integer, Integer] {
+      override def apply(a: Integer, b: Integer): Integer = a + b
+    }
 }
 
 /** `graft_hamming_pairs(members, maxHamming)` over an
@@ -392,6 +425,46 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `graft_token_stats(text)` → struct<n, n_distinct, top_count,
+  * n_consec> — the one-pass repetition-screen row ([[TextKernels
+  * .tokenStats]]). The HOF forms it replaces (array_distinct +
+  * array_sort + two interpreted `aggregate` folds over a split array)
+  * tokenize and scan the document four times, all interpreted; this
+  * is one compiled pass and one hash map. */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenStats.outType
+  override def prettyName: String = "graft_token_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.tokenStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenStats {
+  private[plans] val outType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_count",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_consec",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {

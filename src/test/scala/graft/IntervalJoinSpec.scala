@@ -244,4 +244,73 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got("c2") == ((0L, 7L, 0L, 7L, 0L)))
     assert(got("c3") == ((5L, 0L, 0L, 5L, 0L)))
   }
+
+  // ---- ByRange twins: bitwise parity with the plain per-key forms
+  // under a partitioning that forces every key across many partitions
+  // (the scale shape: #partitions >> #keys) ----
+
+  private def sweepFixture = {
+    // 3 keys with very different densities: nested runs, bookends,
+    // duplicates, coincident starts/ends, a singleton key — the
+    // shapes where a wrong island flag or depth offset shows up
+    val rnd = new scala.util.Random(20260815)
+    val dense = (0 until 400).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      ("chrA", s, s + 1 + rnd.nextInt(120).toLong)
+    }
+    val sparse = (0 until 60).map { i =>
+      val s = (i * 97 + rnd.nextInt(9)).toLong
+      ("chrB", s, s + 1 + rnd.nextInt(6).toLong)
+    }
+    val edge = Seq(
+      ("chrC", 0L, 10L), ("chrC", 10L, 20L),  // bookend pair
+      ("chrC", 0L, 10L),                      // exact duplicate
+      ("chrC", 5L, 6L), ("chrC", 100L, 101L)) // nested + far island
+    (dense ++ sparse ++ edge).toDF("chrom", "s_start", "s_end")
+  }
+
+  test("coverageDepthByRange == coverageDepth bitwise, keys span partitions") {
+    val df = sweepFixture
+    for (np <- Seq(1, 7, 32)) {
+      val want = graft.operators.Intervals
+        .coverageDepth(df, Seq("chrom"), "s_start", "s_end")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      val got = graft.operators.Intervals
+        .coverageDepthByRange(df, Seq("chrom"), "s_start", "s_end",
+          numPartitions = np)
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"np=$np")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("mergeOverlapsByRange == mergeOverlaps bitwise, incl. minGap") {
+    val df = sweepFixture
+    for (np <- Seq(1, 7, 32); gap <- Seq(0L, 15L)) {
+      val want = graft.operators.Intervals
+        .mergeOverlaps(df, Seq("chrom"), "s_start", "s_end", minGap = gap)
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      val got = graft.operators.Intervals
+        .mergeOverlapsByRange(df, Seq("chrom"), "s_start", "s_end",
+          minGap = gap, numPartitions = np)
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"np=$np gap=$gap")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("ByRange twins: single-key and single-row degenerate inputs") {
+    val one = Seq(("k", 5L, 9L)).toDF("chrom", "s_start", "s_end")
+    val gotD = graft.operators.Intervals
+      .coverageDepthByRange(one, Seq("chrom"), "s_start", "s_end",
+        numPartitions = 4)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(gotD == Seq(("k", 5L, 9L, 1L)))
+    val gotM = graft.operators.Intervals
+      .mergeOverlapsByRange(one, Seq("chrom"), "s_start", "s_end",
+        numPartitions = 4)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(gotM == Seq(("k", 5L, 9L, 1L)))
+    spark.catalog.clearCache()
+  }
 }

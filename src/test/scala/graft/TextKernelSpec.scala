@@ -184,4 +184,34 @@ class TextKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
       assert(native == hof, s"n=$n")
     }
   }
+
+  test("tokenStats: native kernel == the three HOF repetition screens") {
+    // the HOF forms are what the DuckDB oracle reproduces; the kernel
+    // must match them bitwise on every fixture doc (unicode case
+    // folding, tab/newline whitespace, repeats, empties) plus random
+    // strings over a tiny alphabet (dense repeat/consec collisions)
+    val rnd = new scala.util.Random(20260815)
+    val fuzz = (1 to 200).map { i =>
+      (1000L + i, (0 until rnd.nextInt(30)).map(_ =>
+        Seq("a", "b", "ab", "A", "  ", "\t", "ü")(rnd.nextInt(7)))
+        .mkString(" "))
+    }
+    val df = (docs ++ fuzz).toDF("id", "text")
+    val got = df.select(col("id"), TextFns.tokenStats(col("text")).as("__ts"))
+      .select(col("id"), TextFns.dupFracOf(col("__ts")).as("d"),
+        TextFns.topFracOf(col("__ts")).as("t"),
+        TextFns.consecFracOf(col("__ts")).as("c"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val want = df.select(col("id"), TextFns.tokens(col("text")).as("__tk"))
+      .select(col("id"), TextFns.dupTokenFractionOnTokens(col("__tk")).as("d"),
+        TextFns.topTokenFractionOnTokens(col("__tk")).as("t"),
+        TextFns.consecRepeatFractionOnTokens(col("__tk")).as("c"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == want.keySet)
+    got.keySet.foreach { id =>
+      assert(got(id) == want(id), s"id=$id: ${got(id)} vs ${want(id)}") }
+  }
+
 }
