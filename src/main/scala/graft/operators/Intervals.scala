@@ -395,7 +395,8 @@ object Intervals {
         val prior = acc
         val m = r.get(n + 1)
         if (acc == null) acc = m
-        else if (m != null && anyToLong(m) > anyToLong(acc)) acc = m
+        else if (m != null &&
+          m.asInstanceOf[Comparable[Any]].compareTo(acc) > 0) acc = m
         Seq[Any](prior)
       }
     }
@@ -441,11 +442,4 @@ object Intervals {
       .drop("__island")
   }
 
-  private def anyToLong(v: Any): Long = v match {
-    case l: java.lang.Long => l.longValue()
-    case i: java.lang.Integer => i.longValue()
-    case s: java.lang.Short => s.longValue()
-    case other => throw new IllegalArgumentException(
-      s"mergeOverlapsByRange: integral end column required, got $other")
-  }
 }

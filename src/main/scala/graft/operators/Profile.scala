@@ -681,17 +681,27 @@ object Profile {
       } yield a
       val distinctAggs = for { c <- cols; s <- 0 to 1 }
         yield countDistinct(side(c, s)).as(s"${c}__${s}__distinct")
-      val wide = u.agg(basicAggs.head, basicAggs.tail: _*)
+      // per-side row counts: an EMPTY snapshot must report null (not
+      // 0) null counts — SQL's sum over no rows, as the per-frame
+      // profile form does — while the masked sum above sees the other
+      // side's rows and would report 0
+      val sideCounts = (0 to 1).map(s =>
+        count(when(col("__side") === s, lit(1))).as(s"__cnt_$s"))
+      val wide = u.agg((basicAggs ++ sideCounts).head,
+          (basicAggs ++ sideCounts).tail: _*)
         .crossJoin(u.agg(distinctAggs.head, distinctAggs.tail: _*))
+      def nulls(c: String, s: Int) =
+        when(col(s"__cnt_$s") === 0, lit(null).cast("long"))
+          .otherwise(col(s"${c}__${s}__nulls"))
       val structs = cols.map { c =>
         struct(lit(c).as("column"),
           col(s"${c}__0__n").as("n_ref"),
-          col(s"${c}__0__nulls").as("null_ref"),
+          nulls(c, 0).as("null_ref"),
           col(s"${c}__0__distinct").cast("long").as("distinct_ref"),
           col(s"${c}__0__mean").as("mean_ref"),
           col(s"${c}__0__median").as("median_ref"),
           col(s"${c}__1__n").as("n_cur"),
-          col(s"${c}__1__nulls").as("null_cur"),
+          nulls(c, 1).as("null_cur"),
           col(s"${c}__1__distinct").cast("long").as("distinct_cur"),
           col(s"${c}__1__mean").as("mean_cur"),
           col(s"${c}__1__median").as("median_cur"))

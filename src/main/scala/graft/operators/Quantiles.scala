@@ -56,12 +56,36 @@ object Quantiles {
     * (the `Profile.psi` contract — compute-then-use operators run
     * their metadata jobs up front). */
   def exactQuantiles(df: DataFrame,
-                     colPs: Seq[(String, Seq[Double])])
+                     colPs: Seq[(String, Seq[Double])],
+                     pin: Boolean = false)
       : Map[String, Seq[Option[Double]]] = {
     require(colPs.nonEmpty, "no quantile requests")
     colPs.foreach { case (c, ps) =>
       require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
         s"fractions out of [0,1] for $c: $ps") }
+    // INPUT LICENSE: the refinement assumes bit-identical data across
+    // its four separate jobs — a value that moves between passes
+    // leaves a rank pointing at a prefix the finer histograms never
+    // saw (NoSuchElementException at best, a shifted rank at worst).
+    // Re-reading a static source (parquet snapshot, cached frame, any
+    // deterministic lineage — every caller in this repo) satisfies
+    // it. Over a VOLATILE source (concurrently-appended table,
+    // nondeterministic upstream like rand()), set `pin = true`: the
+    // projected columns persist for the duration and release before
+    // returning. Not the default because the cache write costs more
+    // than the re-scans it saves on cheap columnar sources (measured
+    // 3× on the tagged-union drift at sf10).
+    if (pin) {
+      val src = df.select(colPs.map(_._1).distinct.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try exactQuantilesOn(src, colPs)
+      finally { src.unpersist(); () }
+    } else exactQuantilesOn(df, colPs)
+  }
+
+  private def exactQuantilesOn(df: DataFrame,
+                               colPs: Seq[(String, Seq[Double])])
+      : Map[String, Seq[Option[Double]]] = {
     val names = colPs.map(_._1)
 
     // pass 0: top-16-bit histogram per column (also yields n per col)

@@ -26,13 +26,17 @@ import org.apache.spark.sql.types._
 private[plans] final class TriBuf {
   var dim: Int = 0
   var products: Array[Long] = Array.emptyLongArray
+  var pcnt: Array[Long] = Array.emptyLongArray // co-present rows per pair
   var counts: Array[Long] = Array.emptyLongArray
   var sums: Array[Long] = Array.emptyLongArray
+  var scnt: Array[Long] = Array.emptyLongArray // non-null rows per dim
 
   def growTo(d: Int): Unit = if (d > dim) {
     products = java.util.Arrays.copyOf(products, d * (d + 1) / 2)
+    pcnt = java.util.Arrays.copyOf(pcnt, d * (d + 1) / 2)
     counts = java.util.Arrays.copyOf(counts, d + 1)
     sums = java.util.Arrays.copyOf(sums, d)
+    scnt = java.util.Arrays.copyOf(scnt, d)
     dim = d
   }
 }
@@ -49,9 +53,17 @@ private[plans] final class TriBuf {
   * long arithmetic (associative + commutative, so bit-equal under any
   * partitioning) in a tight loop and ships ONE ~d²-long state per
   * partition instead — at 1000 executors the shuffle is 1000 small
-  * arrays, not n·d²/2 rows. Null elements contribute to n (the pair
-  * row exists) but not to the product/dimension sums — exactly
-  * `count(lit(1))` + null-skipping `sum` over the exploded form.
+  * arrays, not n·d²/2 rows. Null handling replicates the exploded
+  * form EXACTLY: null elements contribute to n (the pair row exists)
+  * but not to the sums; a pair with ZERO co-present elements reports
+  * p = null (SQL's empty `sum`, so the covariance null-propagates);
+  * pairs touching an all-null dimension are OMITTED (the exploded
+  * form's inner join against the per-dimension sums dropped them).
+  * All accumulation is `Math.addExact`/`multiplyExact` — overflow
+  * fails loudly like the ANSI-mode Column arithmetic it replaced,
+  * instead of wrapping (micro-unit products overflow a long around
+  * Σ|y_i·y_j| ≈ 9.2e18; re-scale the input below ~1e6 rows·1e12
+  * products if that trips).
   *
   * Output: array<struct<i,j,n,p,si,sj>> for i ≤ j < maxDim — the
   * per-pair state the covariance formula needs, with the per-dimension
@@ -91,16 +103,22 @@ case class TriProductSum(
       k += 1
     }
     val products = buf.products
+    val pcnt = buf.pcnt
     val sums = buf.sums
     var j = 0
     while (j < d) {
       if (present(j)) {
         val yj = y(j)
-        sums(j) += yj
+        sums(j) = Math.addExact(sums(j), yj)
+        buf.scnt(j) += 1L
         val base = j * (j + 1) / 2
         var i = 0
         while (i <= j) {
-          if (present(i)) products(base + i) += y(i) * yj
+          if (present(i)) {
+            products(base + i) = Math.addExact(
+              products(base + i), Math.multiplyExact(y(i), yj))
+            pcnt(base + i) += 1L
+          }
           i += 1
         }
       }
@@ -113,11 +131,19 @@ case class TriProductSum(
     if (other.dim == 0) return buf
     buf.growTo(other.dim)
     var k = 0
-    while (k < other.products.length) { buf.products(k) += other.products(k); k += 1 }
+    while (k < other.products.length) {
+      buf.products(k) = Math.addExact(buf.products(k), other.products(k))
+      buf.pcnt(k) += other.pcnt(k)
+      k += 1
+    }
     k = 0
     while (k < other.counts.length) { buf.counts(k) += other.counts(k); k += 1 }
     k = 0
-    while (k < other.sums.length) { buf.sums(k) += other.sums(k); k += 1 }
+    while (k < other.sums.length) {
+      buf.sums(k) = Math.addExact(buf.sums(k), other.sums(k))
+      buf.scnt(k) += other.scnt(k)
+      k += 1
+    }
     buf
   }
 
@@ -129,34 +155,47 @@ case class TriProductSum(
     var j = dim - 1
     var acc = 0L
     while (j >= 0) { acc += buf.counts(j + 1); nAt(j) = acc; j -= 1 }
-    val out = new Array[Any](dim * (dim + 1) / 2)
-    var k = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Any](
+      dim * (dim + 1) / 2)
     var i = 0
     while (i < dim) {
-      var jj = i
-      while (jj < dim) {
-        out(k) = new GenericInternalRow(Array[Any](
-          i, jj, nAt(jj), buf.products(jj * (jj + 1) / 2 + i),
-          buf.sums(i), buf.sums(jj)))
-        k += 1
-        jj += 1
+      if (buf.scnt(i) > 0) {
+        var jj = i
+        while (jj < dim) {
+          // all-null dimension: the exploded form's inner join against
+          // the per-dimension sums dropped these pairs entirely
+          if (buf.scnt(jj) > 0) {
+            val t = jj * (jj + 1) / 2 + i
+            // zero co-present elements: SQL sum over no rows is null
+            val p: Any =
+              if (buf.pcnt(t) == 0L) null else java.lang.Long.valueOf(buf.products(t))
+            out += new GenericInternalRow(Array[Any](
+              i, jj, nAt(jj), p, buf.sums(i), buf.sums(jj)))
+          }
+          jj += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 
   override def serialize(buf: TriBuf): Array[Byte] = {
     val d = buf.dim
     val bb = java.nio.ByteBuffer.allocate(
-      4 + 8 * (buf.products.length + buf.counts.length + buf.sums.length))
+      4 + 8 * (2 * buf.products.length + buf.counts.length +
+        2 * buf.sums.length))
     bb.putInt(d)
     var k = 0
     while (k < buf.products.length) { bb.putLong(buf.products(k)); k += 1 }
     k = 0
+    while (k < buf.pcnt.length) { bb.putLong(buf.pcnt(k)); k += 1 }
+    k = 0
     while (k < buf.counts.length) { bb.putLong(buf.counts(k)); k += 1 }
     k = 0
     while (k < buf.sums.length) { bb.putLong(buf.sums(k)); k += 1 }
+    k = 0
+    while (k < buf.scnt.length) { bb.putLong(buf.scnt(k)); k += 1 }
     bb.array()
   }
 
@@ -169,9 +208,13 @@ case class TriProductSum(
       var k = 0
       while (k < buf.products.length) { buf.products(k) = bb.getLong(); k += 1 }
       k = 0
+      while (k < buf.pcnt.length) { buf.pcnt(k) = bb.getLong(); k += 1 }
+      k = 0
       while (k < buf.counts.length) { buf.counts(k) = bb.getLong(); k += 1 }
       k = 0
       while (k < buf.sums.length) { buf.sums(k) = bb.getLong(); k += 1 }
+      k = 0
+      while (k < buf.scnt.length) { buf.scnt(k) = bb.getLong(); k += 1 }
     }
     buf
   }
@@ -189,7 +232,7 @@ object TriProductSum {
     StructField("i", IntegerType, nullable = false),
     StructField("j", IntegerType, nullable = false),
     StructField("n", LongType, nullable = false),
-    StructField("p", LongType, nullable = false),
+    StructField("p", LongType, nullable = true),
     StructField("si", LongType, nullable = false),
     StructField("sj", LongType, nullable = false))), containsNull = false)
 }

@@ -248,6 +248,31 @@ class OperatorsSpec extends SparkSpec {
       assert(got((i, j)) == ref(i, j), s"cov($i,$j)")
   }
 
+  test("covarianceMatrix: all-null dims omitted, never-co-present pairs null") {
+    // the exploded form's edge semantics: a dimension with NO non-null
+    // values vanished through the inner join against per-dimension
+    // sums (pairs omitted); a pair that never has both elements
+    // present had sum(p) = NULL (SQL empty sum) -> null covariance
+    val rows: Seq[(Long, Array[java.lang.Float])] = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 2.0f, null)),
+      (2L, Array[java.lang.Float](null, 3.0f, null, null)),
+      (3L, Array[java.lang.Float](4.0f, null)))
+    val got = Similarity.covarianceMatrix(rows.toDF("vec_id", "embedding"),
+        "embedding")
+      .select(col("i"), col("j"), col("n"), col("cov"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    val want = Map(
+      (0, 0) -> ((3L, Some(4.333333))),
+      (0, 1) -> ((3L, None)),        // never co-present
+      (0, 2) -> ((2L, Some(-3.0))),
+      (1, 1) -> ((3L, Some(3.0))),
+      (1, 2) -> ((2L, None)),        // never co-present
+      (2, 2) -> ((2L, Some(2.0))))   // dim 3 all-null: no (·,3) rows
+    assert(got == want)
+  }
+
   test("covariance + PCA: exact cov vs Scala reference, components orthonormal") {
     // strongly correlated dims 0,1; independent dim 2
     val rows = (1 to 40).map { i =>

@@ -223,6 +223,23 @@ class ProfileSpec extends SparkSpec {
     assert(m("rel_mean_shift_micro") == 400000L)
   }
 
+  test("drift: nulls counted per side; an EMPTY snapshot reports null, not 0") {
+    val ref = Seq[java.lang.Double](1.0, null, 3.0).toDF("v")
+    val cur = Seq[java.lang.Double](2.0, 4.0).toDF("v")
+    val r = Profile.drift(ref, cur, Seq("v")).collect().head
+    val m = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(m("n_ref") == 2L && m("null_ref") == 1L)
+    assert(m("n_cur") == 2L && m("null_cur") == 0L)
+    // empty ref: the per-frame profile's sum over no rows is NULL —
+    // the tagged-union form must not report the masked sum's 0
+    val e = Profile.drift(ref.filter(lit(false)), cur, Seq("v"))
+      .collect().head
+    val em = e.getValuesMap[Any](e.schema.fieldNames)
+    assert(em("n_ref") == 0L && em("null_ref") == null)
+    assert(em("mean_ref") == null && em("median_ref") == null)
+    assert(em("null_cur") == 0L && em("n_cur") == 2L)
+  }
+
   test("infoGain: perfect predictor recovers H(label); constant feature zero") {
     val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
       .toDF("f", "l")
