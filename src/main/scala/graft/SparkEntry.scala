@@ -2023,6 +2023,23 @@ object SparkEntry {
       Profile.numeric(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // the radix order-statistic engine, gated DIRECTLY: a 7-fraction
+    // exact ladder over a near-unique column (the shape whose
+    // distinct-value buffers sank `percentile`) and a low-cardinality
+    // one (duplicate piles exercise the boundary short-circuits),
+    // both columns riding the SAME four bounded-state scans;
+    // hash-checked against DuckDB's independent quantile_cont
+    "q_x_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val qs = Quantiles.exactQuantiles(t(s, d, "lineitem"),
+        Seq("l_extendedprice" -> ps, "l_quantity" -> ps))
+      Seq("l_extendedprice", "l_quantity").flatMap { c =>
+        ps.zip(qs(c)).map { case (p, v) => (c, p, v) } }
+        .toDF("column", "p", "v")
+        .select(col("column"), col("p"), round(col("v"), 6).as("value"))
+    }),
+
     // the 100 TB cheap twin of q_x_profile (HLL distincts +
     // quantile-summary medians: bounded state, ONE scan — no Expand,
     // no exact-percentile value buffer; sf10: 4.7 s vs 14.7 s exact),
@@ -2712,6 +2729,14 @@ object SparkEntry {
     "q_x_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(profileColSql("lineitem", _)).mkString(" UNION ALL "),
+
+    "q_x_quantiles" ->
+      (for {
+        c <- Seq("l_extendedprice", "l_quantity")
+        p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      } yield s"SELECT '$c' AS column, $p AS p, " +
+        s"round(quantile_cont($c, $p), 6) AS value FROM lineitem")
+        .mkString(" UNION ALL "),
 
     // the approx row is gated on its error contract: exact anchors
     // replayed here, booleans are literal TRUE — Spark computes them
