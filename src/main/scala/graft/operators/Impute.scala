@@ -32,8 +32,20 @@ object Impute {
         base.over(Window.partitionBy(ks.map(col): _*)))
     }
     val g = df.withColumn("__gstat", statOf(valueCol, Some(keys)))
-    val global = df.agg(statOf(valueCol, None).as("__allstat"))
-    g.crossJoin(broadcast(global))
+    // global fallback: the exact GLOBAL median must not ride
+    // `percentile` (its final merge holds every distinct value on one
+    // reducer — the radix engine computes the same value in four
+    // bounded-state scans, eagerly, entering as a literal); the
+    // grouped stat stays a window — group size is the caller's
+    // contract, as with every per-key window in this repo
+    val withGlobal =
+      if (stat == "median")
+        g.withColumn("__allstat",
+          Quantiles.exactQuantiles(df, Seq(valueCol -> Seq(0.5)))(valueCol)
+            .head.map(lit).getOrElse(lit(null).cast("double")))
+      else g.crossJoin(broadcast(
+        df.agg(statOf(valueCol, None).as("__allstat"))))
+    withGlobal
       .withColumn(s"${valueCol}_filled",
         round(coalesce(col(valueCol), col("__gstat"), col("__allstat")), 4))
       .withColumn(s"${valueCol}_imputed",

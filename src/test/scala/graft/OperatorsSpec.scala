@@ -495,6 +495,19 @@ class OperatorsSpec extends SparkSpec {
       Impute.fillFromGroup(df, Seq("k"), "value", "mode"))
   }
 
+  test("fillFromGroup: whole-null group falls to the GLOBAL radix median") {
+    val df = Seq(
+      ("g1", Some(1.0)), ("g1", Some(4.0)), ("g1", Some(100.0)),
+      ("g2", None), ("g2", None)).toDF("k", "value")
+    val got = Impute.fillFromGroup(df, Seq("k"), "value", "median")
+      .filter(col("k") === "g2")
+      .select("value_filled", "value_imputed")
+      .as[(Double, Int)].collect()
+    // global median of (1, 4, 100) = 4.0, via Quantiles (the
+    // percentile form it replaced would agree — QuantilesSpec parity)
+    assert(got.forall(_ == ((4.0, 1))))
+  }
+
   // ---- Batching.packByBudget ----
 
   test("packByBudget == single-window cumulative binning; no split rows") {
