@@ -873,6 +873,35 @@ object SparkEntry {
         .select("event_id", "user_id", "r_event_id", "r_value")
     }),
 
+    // ByRange twins under the SAME DuckDB-native-ASOF oracle, keyed by
+    // event_type — the low-cardinality wall shape the twins exist for
+    // (each key spans many range partitions, so the carry path runs).
+    // Right side pre-aggregates to unique ts per key (the as-of
+    // precondition; min event_id makes the pick total).
+    "q_j9_asof_br" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "event_type", "ts")
+      val r = ev.filter(col("event_id") % 2 === 1)
+        .groupBy(col("event_type"), col("ts"))
+        .agg(min(col("event_id")).as("r_event_id"))
+      AsOfJoin.backwardByRange(l, r, Seq("event_type"), "ts",
+        Seq("r_event_id"))
+        .select("event_id", "event_type", "r_event_id")
+    }),
+
+    "q_j16_asof_fwd_br" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "event_type", "ts")
+      val r = ev.filter(col("event_id") % 2 === 1)
+        .groupBy(col("event_type"), col("ts"))
+        .agg(min(col("event_id")).as("r_event_id"))
+      AsOfJoin.forwardByRange(l, r, Seq("event_type"), "ts",
+        Seq("r_event_id"))
+        .select("event_id", "event_type", "r_event_id")
+    }),
+
     // ---- interval algebra (bedtools merge / genomecov siblings) ----
     "q_j10_merge" -> ((s, d) =>
       Intervals.mergeOverlaps(segs(s, d), Seq("chrom"), "s_start", "s_end")
@@ -3302,6 +3331,12 @@ object SparkEntry {
 
     "q_j16_asof_fwd" ->
       "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts <= r.ts",
+
+    "q_j9_asof_br" ->
+      "SELECT l.event_id, l.event_type, r.r_event_id FROM (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT event_type, ts, min(event_id) AS r_event_id FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2) r ON l.event_type = r.event_type AND l.ts >= r.ts",
+
+    "q_j16_asof_fwd_br" ->
+      "SELECT l.event_id, l.event_type, r.r_event_id FROM (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT event_type, ts, min(event_id) AS r_event_id FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2) r ON l.event_type = r.event_type AND l.ts <= r.ts",
 
     // island chain + lead(): gaps between covered runs
     "q_j14_complement" ->

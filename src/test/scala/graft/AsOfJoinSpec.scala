@@ -56,6 +56,58 @@ class AsOfJoinSpec extends SparkSpec {
         Seq("k"), "ts", Seq("lval")))
   }
 
+  test("byRange twins: fixture parity incl. no-right key and equal ts") {
+    for (strict <- Seq(false, true); parts <- Seq(1, 3, 7)) {
+      val pb = AsOfJoin.backward(left, right, Seq("k"), "ts",
+        Seq("rval"), strict).collect().toSet
+      val rb = AsOfJoin.backwardByRange(left, right, Seq("k"), "ts",
+        Seq("rval"), strict, numPartitions = parts).collect().toSet
+      assert(rb == pb, s"backward strict=$strict parts=$parts")
+      val pf = AsOfJoin.forward(left, right, Seq("k"), "ts",
+        Seq("rval"), strict).collect().toSet
+      val rf = AsOfJoin.forwardByRange(left, right, Seq("k"), "ts",
+        Seq("rval"), strict, numPartitions = parts).collect().toSet
+      assert(rf == pf, s"forward strict=$strict parts=$parts")
+    }
+    graft.operators.Batching.releasePins()
+  }
+
+  test("byRange twins: randomized parity — per-column null " +
+    "fall-through, duplicate left ts, null keys, cross-partition carry") {
+    val rnd = new scala.util.Random(42)
+    // 3 low-cardinality keys (incl. null) so each key spans many of
+    // the 11 range partitions — the carry path is the point
+    val keyVals = Seq[java.lang.Integer](1, 2, null)
+    val l = (0 until 400).map { i =>
+      (keyVals(rnd.nextInt(3)), (rnd.nextInt(180) * 5).toLong, s"l$i")
+    }.toDF("k", "ts", "lval")
+    // right ts unique per key (the as-of precondition); payloads with
+    // INDEPENDENT per-column nulls so a fill can mix right rows
+    val seen = scala.collection.mutable.Set.empty[(Integer, Long)]
+    val r = (0 until 300).flatMap { i =>
+      val k = keyVals(rnd.nextInt(3))
+      val ts = (rnd.nextInt(300) * 3 + 1).toLong
+      if (seen.add((k, ts)))
+        Some((k, ts,
+          if (rnd.nextInt(3) == 0) null else s"a$i",
+          if (rnd.nextInt(3) == 0) null else java.lang.Long.valueOf(i)))
+      else None
+    }.toDF("k", "ts", "pa", "pb")
+    for (strict <- Seq(false, true)) {
+      val pb = AsOfJoin.backward(l, r, Seq("k"), "ts",
+        Seq("pa", "pb"), strict).collect().toSet
+      val rb = AsOfJoin.backwardByRange(l, r, Seq("k"), "ts",
+        Seq("pa", "pb"), strict, numPartitions = 11).collect().toSet
+      assert(rb == pb, s"backward strict=$strict")
+      val pf = AsOfJoin.forward(l, r, Seq("k"), "ts",
+        Seq("pa", "pb"), strict).collect().toSet
+      val rf = AsOfJoin.forwardByRange(l, r, Seq("k"), "ts",
+        Seq("pa", "pb"), strict, numPartitions = 11).collect().toSet
+      assert(rf == pf, s"forward strict=$strict")
+    }
+    graft.operators.Batching.releasePins()
+  }
+
   test("rollingStats + lagFeatures: frame fills, head pads with null") {
     val df = Seq(("u", 1L, 1.0), ("u", 2L, 2.0), ("u", 3L, 3.0),
       ("u", 4L, 4.0)).toDF("k", "ts", "value")
