@@ -921,6 +921,16 @@ object SparkEntry {
         "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
         binWidth = 1000)),
 
+    // range-partitioned twin: the two as-of legs ride
+    // backwardByRange/forwardByRange instead of the 23-task per-chrom
+    // window — key-count-independent parallelism (q_j13 is the
+    // worst sf100/sf10 ratio in the flagship census, and the as-of
+    // legs are its wall). Same oracle SQL as q_j13_closest.
+    "q_j13_closest_br" -> ((s, d) =>
+      Intervals.closestByRange(genes(s, d), segs(s, d), Seq("chrom"),
+        "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
+        binWidth = 1000)),
+
     // bedtools complement: uncovered gaps between merged islands
     "q_j14_complement" -> ((s, d) =>
       Intervals.complement(segs(s, d), Seq("chrom"),
@@ -3396,6 +3406,15 @@ object SparkEntry {
         "SELECT g_id, chrom, sub_start, sub_end FROM u WHERE sub_start < sub_end"),
 
     "q_j13_closest" ->
+      (s"WITH g AS ($genesSql), s AS ($segsSql), " +
+        "p AS (SELECT g.g_id, s.s_id, CASE WHEN g.g_start < s.s_end AND s.s_start < g.g_end THEN 0 ELSE greatest(s.s_start - g.g_end, g.g_start - s.s_end) END AS dist FROM g JOIN s ON g.chrom = s.chrom), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY g_id ORDER BY dist, s_id) AS rn FROM p) " +
+        "SELECT g.g_id, r.s_id AS closest_id, r.dist FROM g LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON g.g_id = r.g_id"),
+
+    // identical contract to q_j13_closest — the twin must match the
+    // same oracle, proving the range-partitioned as-of legs change
+    // topology only
+    "q_j13_closest_br" ->
       (s"WITH g AS ($genesSql), s AS ($segsSql), " +
         "p AS (SELECT g.g_id, s.s_id, CASE WHEN g.g_start < s.s_end AND s.s_start < g.g_end THEN 0 ELSE greatest(s.s_start - g.g_end, g.g_start - s.s_end) END AS dist FROM g JOIN s ON g.chrom = s.chrom), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY g_id ORDER BY dist, s_id) AS rn FROM p) " +

@@ -188,7 +188,42 @@ object Intervals {
   def closest(a: DataFrame, b: DataFrame, keys: Seq[String],
               aId: String, aStart: String, aEnd: String,
               bId: String, bStart: String, bEnd: String,
-              binWidth: Long = 1000000L): DataFrame = {
+              binWidth: Long = 1000000L): DataFrame =
+    closestImpl(a, b, keys, aId, aStart, aEnd, bId, bStart, bEnd,
+      binWidth,
+      (l, r, k, t, p) => AsOfJoin.backward(l, r, k, t, p),
+      (l, r, k, t, p) => AsOfJoin.forward(l, r, k, t, p))
+
+  /** Range-partitioned twin of [[closest]] for LOW-CARDINALITY keys:
+    * the overlap leg already distributes over key×bin, but the two
+    * as-of legs window by key, so 23 chromosomes cap their sorts at 23
+    * tasks regardless of cluster size — at sf100 the as-of legs are
+    * the row's bottleneck. This twin routes them through
+    * [[AsOfJoin.backwardByRange]]/[[AsOfJoin.forwardByRange]]
+    * (parallelism tracks the partition count, not #keys). Identical
+    * output (the twins are bitwise parity-pinned in AsOfJoinSpec;
+    * IntervalsSpec pins this composition against [[closest]]). Costs
+    * two pinned caches — release via [[Batching.releasePins]] between
+    * batches; at ≥ #threads keys prefer [[closest]]. */
+  def closestByRange(a: DataFrame, b: DataFrame, keys: Seq[String],
+                     aId: String, aStart: String, aEnd: String,
+                     bId: String, bStart: String, bEnd: String,
+                     binWidth: Long = 1000000L,
+                     numPartitions: Int = 0): DataFrame =
+    closestImpl(a, b, keys, aId, aStart, aEnd, bId, bStart, bEnd,
+      binWidth,
+      (l, r, k, t, p) =>
+        AsOfJoin.backwardByRange(l, r, k, t, p, numPartitions = numPartitions),
+      (l, r, k, t, p) =>
+        AsOfJoin.forwardByRange(l, r, k, t, p, numPartitions = numPartitions))
+
+  private def closestImpl(
+      a: DataFrame, b: DataFrame, keys: Seq[String],
+      aId: String, aStart: String, aEnd: String,
+      bId: String, bStart: String, bEnd: String, binWidth: Long,
+      asofBack: (DataFrame, DataFrame, Seq[String], String, Seq[String]) => DataFrame,
+      asofFwd: (DataFrame, DataFrame, Seq[String], String, Seq[String]) => DataFrame)
+      : DataFrame = {
     val kc = keys.map(col)
     val overlapLeg = IntervalJoin.overlapBinned(a, b, keys,
       aStart, aEnd, bStart, bEnd, binWidth = binWidth)
@@ -201,7 +236,7 @@ object Intervals {
     val bBack = b.groupBy((kc :+ col(bEnd).as("__t")): _*)
       .agg(min(col(bId)).as("__bid_r"))
       .withColumn("__bt_r", col("__t"))
-    val back = AsOfJoin.backward(
+    val back = asofBack(
       a.select((kc :+ col(aId) :+ col(aStart).as("__t")): _*),
       bBack, keys, "__t", Seq("__bid_r", "__bt_r"))
       .filter(col("__bid_r").isNotNull)
@@ -211,7 +246,7 @@ object Intervals {
     val bFwd = b.groupBy((kc :+ col(bStart).as("__t")): _*)
       .agg(min(col(bId)).as("__bid_r"))
       .withColumn("__bt_r", col("__t"))
-    val fwd = AsOfJoin.forward(
+    val fwd = asofFwd(
       a.select((kc :+ col(aId) :+ col(aEnd).as("__t")): _*),
       bFwd, keys, "__t", Seq("__bid_r", "__bt_r"))
       .filter(col("__bid_r").isNotNull)

@@ -208,6 +208,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(t == ((5L, Some(10L), Some(140L))))
   }
 
+  test("closestByRange: randomized parity with closest — low-cardinality " +
+    "keys spanning many range partitions, overlaps, gaps, empty keys") {
+    val rnd = new scala.util.Random(7)
+    // 3 keys over an 11-partition range split: each key's as-of legs
+    // must cross partition boundaries (the carry path is the point)
+    val keys = Seq("c1", "c2", "c3")
+    val a = (0 until 300).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, keys(rnd.nextInt(3)), s, s + 1 + rnd.nextInt(200))
+    }.toDF("g_id", "chrom", "g_start", "g_end")
+    // B absent entirely on c3 (null-neighbor leg)
+    val b = (0 until 200).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, keys(rnd.nextInt(2)), s, s + 1 + rnd.nextInt(300))
+    }.toDF("s_id", "chrom", "s_start", "s_end")
+    val plain = graft.operators.Intervals.closest(a, b, Seq("chrom"),
+      "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
+      binWidth = 500).collect().toSet
+    val ranged = graft.operators.Intervals.closestByRange(a, b, Seq("chrom"),
+      "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
+      binWidth = 500, numPartitions = 11).collect().toSet
+    assert(ranged == plain)
+    graft.operators.Batching.releasePins()
+  }
+
   test("coverageDepth total base-depth equals sum of interval lengths") {
     val df = segs // reuse the join fixture
     val total = graft.operators.Intervals
