@@ -132,6 +132,21 @@ object SparkEntry {
   private val segsSql =
     s"SELECT o_orderkey AS s_id, o_orderkey % 23 AS chrom, (o_orderkey*53) % __L AS s_start, (o_orderkey*53) % __L + 100 + o_orderkey % 500 AS s_end FROM orders, $coordSpaceSql"
 
+  /** Shared by q_j13_closest and q_j13_closest_br: one string, so the
+    * twin can never silently decouple from the contract it claims to
+    * replay. */
+  private val closestOracleSql =
+    s"WITH g AS ($genesSql), s AS ($segsSql), " +
+      "p AS (SELECT g.g_id, s.s_id, CASE WHEN g.g_start < s.s_end AND s.s_start < g.g_end THEN 0 ELSE greatest(s.s_start - g.g_end, g.g_start - s.s_end) END AS dist FROM g JOIN s ON g.chrom = s.chrom), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY g_id ORDER BY dist, s_id) AS rn FROM p) " +
+      "SELECT g.g_id, r.s_id AS closest_id, r.dist FROM g LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON g.g_id = r.g_id"
+
+  /** Shared by the q_j9/q_j16 _br twins — the two directions differ
+    * only in the as-of comparator. */
+  private def asofBrOracleSql(cmp: String) =
+    "SELECT l.event_id, l.event_type, r.r_event_id FROM (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT event_type, ts, min(event_id) AS r_event_id FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2) r " +
+      s"ON l.event_type = r.event_type AND l.ts $cmp r.ts"
+
   /** Flagship: the CNV-style interval-join pipeline (SURVEY §3.1 step
     * 8) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -3342,11 +3357,9 @@ object SparkEntry {
     "q_j16_asof_fwd" ->
       "SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value FROM (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1) r ON l.user_id = r.user_id AND l.ts <= r.ts",
 
-    "q_j9_asof_br" ->
-      "SELECT l.event_id, l.event_type, r.r_event_id FROM (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT event_type, ts, min(event_id) AS r_event_id FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2) r ON l.event_type = r.event_type AND l.ts >= r.ts",
+    "q_j9_asof_br" -> asofBrOracleSql(">="),
 
-    "q_j16_asof_fwd_br" ->
-      "SELECT l.event_id, l.event_type, r.r_event_id FROM (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 0) l ASOF LEFT JOIN (SELECT event_type, ts, min(event_id) AS r_event_id FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2) r ON l.event_type = r.event_type AND l.ts <= r.ts",
+    "q_j16_asof_fwd_br" -> asofBrOracleSql("<="),
 
     // island chain + lead(): gaps between covered runs
     "q_j14_complement" ->
@@ -3405,20 +3418,11 @@ object SparkEntry {
         "u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3) " +
         "SELECT g_id, chrom, sub_start, sub_end FROM u WHERE sub_start < sub_end"),
 
-    "q_j13_closest" ->
-      (s"WITH g AS ($genesSql), s AS ($segsSql), " +
-        "p AS (SELECT g.g_id, s.s_id, CASE WHEN g.g_start < s.s_end AND s.s_start < g.g_end THEN 0 ELSE greatest(s.s_start - g.g_end, g.g_start - s.s_end) END AS dist FROM g JOIN s ON g.chrom = s.chrom), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY g_id ORDER BY dist, s_id) AS rn FROM p) " +
-        "SELECT g.g_id, r.s_id AS closest_id, r.dist FROM g LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON g.g_id = r.g_id"),
+    "q_j13_closest" -> closestOracleSql,
 
-    // identical contract to q_j13_closest — the twin must match the
-    // same oracle, proving the range-partitioned as-of legs change
-    // topology only
-    "q_j13_closest_br" ->
-      (s"WITH g AS ($genesSql), s AS ($segsSql), " +
-        "p AS (SELECT g.g_id, s.s_id, CASE WHEN g.g_start < s.s_end AND s.s_start < g.g_end THEN 0 ELSE greatest(s.s_start - g.g_end, g.g_start - s.s_end) END AS dist FROM g JOIN s ON g.chrom = s.chrom), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY g_id ORDER BY dist, s_id) AS rn FROM p) " +
-        "SELECT g.g_id, r.s_id AS closest_id, r.dist FROM g LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON g.g_id = r.g_id"),
+    // identical contract to q_j13_closest — the SAME string, proving
+    // the range-partitioned as-of legs change topology only
+    "q_j13_closest_br" -> closestOracleSql,
 
     "q_e_qnorm" ->
       ("WITH m AS (SELECT l_suppkey % 10 AS sample_id, l_partkey % 100 AS gene, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v FROM lineitem GROUP BY 1, 2), " +

@@ -34,9 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, payloadCols: Seq[String],
-               strict: Boolean = false): DataFrame = {
+  /** Shared tagged-union normalization: left rows `__side = 1` with
+    * null payload slots, right rows `__side = 0` with null extra-left
+    * slots — one schema, so every form's running-last fill rides a
+    * single union. Validates the payload/left collision up front (a
+    * clash would otherwise surface as an ambiguous-column analysis
+    * error far from the call). */
+  private def normalize(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], tsCol: String,
+                        payloadCols: Seq[String]): (DataFrame, DataFrame) = {
     require(payloadCols.nonEmpty, "no right payload columns")
     val clash = payloadCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"right payload collides with left: $clash")
@@ -51,6 +57,13 @@ object AsOfJoin {
       .select(keys.map(col) ++ Seq(col(tsCol), col("__side")) ++
         extraLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payloadCols.map(col): _*)
+    (lNorm, rNorm)
+  }
+
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payloadCols: Seq[String],
+               strict: Boolean = false): DataFrame = {
+    val (lNorm, rNorm) = normalize(left, right, keys, tsCol, payloadCols)
     // inclusive: right sorts BEFORE left at equal ts (side 0 < 1) so
     // the running last() sees it; strict flips the pair order instead
     val sideOrd = if (strict) col("__side").desc else col("__side").asc
@@ -112,20 +125,7 @@ object AsOfJoin {
                       keys: Seq[String], tsCol: String,
                       payloadCols: Seq[String], strict: Boolean,
                       fwd: Boolean, numPartitions: Int): DataFrame = {
-    require(payloadCols.nonEmpty, "no right payload columns")
-    val clash = payloadCols.toSet.intersect(left.columns.toSet)
-    require(clash.isEmpty, s"right payload collides with left: $clash")
-    val extraLeft =
-      left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
-    val lNorm = left.withColumn("__side", lit(1))
-      .select(keys.map(col) ++ Seq(col(tsCol), col("__side")) ++
-        extraLeft.map(col) ++
-        payloadCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val rNorm = right.withColumn("__side", lit(0))
-      .select(keys.map(col) ++ Seq(col(tsCol), col("__side")) ++
-        extraLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+    val (lNorm, rNorm) = normalize(left, right, keys, tsCol, payloadCols)
     // same pair-ordering rule as the plain forms, encoded ascending:
     // inclusive sorts the right row first at equal ts, strict the left
     val unioned = lNorm.unionByName(rNorm).withColumn("__sord",
@@ -185,18 +185,7 @@ object AsOfJoin {
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               tsCol: String, payloadCols: Seq[String],
               strict: Boolean = false): DataFrame = {
-    require(payloadCols.nonEmpty, "no right payload columns")
-    val extraLeft =
-      left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
-    val lNorm = left.withColumn("__side", lit(1))
-      .select(keys.map(col) ++ Seq(col(tsCol), col("__side")) ++
-        extraLeft.map(col) ++
-        payloadCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val rNorm = right.withColumn("__side", lit(0))
-      .select(keys.map(col) ++ Seq(col(tsCol), col("__side")) ++
-        extraLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+    val (lNorm, rNorm) = normalize(left, right, keys, tsCol, payloadCols)
     // same pair-ordering rule as backward: at equal ts the right row
     // sorts first iff the match is inclusive
     val sideOrd = if (strict) col("__side").desc else col("__side").asc

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   * statistic when the whole group is null.
   *
   * Shape: group statistics ride a whole-partition window (one hash
-  * shuffle, no sort, no join-back); the global fallback is a 1-row
-  * broadcast cross-join. Nothing collects to the driver. */
+  * shuffle, no sort, no join-back). The global MEAN fallback is a
+  * 1-row broadcast cross-join; the global MEDIAN fallback runs the
+  * radix order-statistic engine EAGERLY at call time (four
+  * bounded-state scans, histogram-sized driver collects — never the
+  * single-reducer `percentile` value buffer) and enters as a literal.
+  * The median path therefore inherits the engine's input license
+  * (bit-identical data across its scans): `fillFromGroup` passes
+  * `pin = true`, so volatile/nondeterministic lineage is safe at the
+  * cost of one released-before-return cache of the value column. */
 object Impute {
 
   /** Fill nulls in `valueCol` with the per-group mean (`"mean"`) or
@@ -38,10 +45,15 @@ object Impute {
     // bounded-state scans, eagerly, entering as a literal); the
     // grouped stat stays a window — group size is the caller's
     // contract, as with every per-key window in this repo
+    // pin = true: df is caller-supplied with arbitrary lineage; the
+    // engine's four scans must see bit-identical data (the crossJoin
+    // form this replaced was one plan and could not desync). The pin
+    // is a projected single-column cache, released before returning.
     val withGlobal =
       if (stat == "median")
         g.withColumn("__allstat",
-          Quantiles.exactQuantiles(df, Seq(valueCol -> Seq(0.5)))(valueCol)
+          Quantiles.exactQuantiles(df, Seq(valueCol -> Seq(0.5)),
+            pin = true)(valueCol)
             .head.map(lit).getOrElse(lit(null).cast("double")))
       else g.crossJoin(broadcast(
         df.agg(statOf(valueCol, None).as("__allstat"))))

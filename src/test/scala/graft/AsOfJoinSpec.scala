@@ -57,7 +57,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("byRange twins: fixture parity incl. no-right key and equal ts") {
-    for (strict <- Seq(false, true); parts <- Seq(1, 3, 7)) {
+    try for (strict <- Seq(false, true); parts <- Seq(1, 3, 7)) {
       val pb = AsOfJoin.backward(left, right, Seq("k"), "ts",
         Seq("rval"), strict).collect().toSet
       val rb = AsOfJoin.backwardByRange(left, right, Seq("k"), "ts",
@@ -68,8 +68,7 @@ class AsOfJoinSpec extends SparkSpec {
       val rf = AsOfJoin.forwardByRange(left, right, Seq("k"), "ts",
         Seq("rval"), strict, numPartitions = parts).collect().toSet
       assert(rf == pf, s"forward strict=$strict parts=$parts")
-    }
-    graft.operators.Batching.releasePins()
+    } finally graft.operators.Batching.releasePins()
   }
 
   test("byRange twins: randomized parity — per-column null " +
@@ -93,7 +92,7 @@ class AsOfJoinSpec extends SparkSpec {
           if (rnd.nextInt(3) == 0) null else java.lang.Long.valueOf(i)))
       else None
     }.toDF("k", "ts", "pa", "pb")
-    for (strict <- Seq(false, true)) {
+    try for (strict <- Seq(false, true)) {
       val pb = AsOfJoin.backward(l, r, Seq("k"), "ts",
         Seq("pa", "pb"), strict).collect().toSet
       val rb = AsOfJoin.backwardByRange(l, r, Seq("k"), "ts",
@@ -104,8 +103,7 @@ class AsOfJoinSpec extends SparkSpec {
       val rf = AsOfJoin.forwardByRange(l, r, Seq("k"), "ts",
         Seq("pa", "pb"), strict, numPartitions = 11).collect().toSet
       assert(rf == pf, s"forward strict=$strict")
-    }
-    graft.operators.Batching.releasePins()
+    } finally graft.operators.Batching.releasePins()
   }
 
   test("rollingStats + lagFeatures: frame fills, head pads with null") {

@@ -223,14 +223,15 @@ class IntervalJoinSpec extends SparkSpec {
       val s = rnd.nextInt(5000).toLong
       (i.toLong, keys(rnd.nextInt(2)), s, s + 1 + rnd.nextInt(300))
     }.toDF("s_id", "chrom", "s_start", "s_end")
-    val plain = graft.operators.Intervals.closest(a, b, Seq("chrom"),
-      "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
-      binWidth = 500).collect().toSet
-    val ranged = graft.operators.Intervals.closestByRange(a, b, Seq("chrom"),
-      "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
-      binWidth = 500, numPartitions = 11).collect().toSet
-    assert(ranged == plain)
-    graft.operators.Batching.releasePins()
+    try {
+      val plain = graft.operators.Intervals.closest(a, b, Seq("chrom"),
+        "g_id", "g_start", "g_end", "s_id", "s_start", "s_end",
+        binWidth = 500).collect().toSet
+      val ranged = graft.operators.Intervals.closestByRange(a, b,
+        Seq("chrom"), "g_id", "g_start", "g_end", "s_id", "s_start",
+        "s_end", binWidth = 500, numPartitions = 11).collect().toSet
+      assert(ranged == plain)
+    } finally graft.operators.Batching.releasePins()
   }
 
   test("coverageDepth total base-depth equals sum of interval lengths") {
