@@ -591,6 +591,13 @@ object Dedup {
     // codegen'd recomputes. At true IO-bound scale the operator's
     // documented form (see shingleSets) feeds `sets` from a parquet
     // store bucketed by __id, where every consumer is one cheap scan.
+    // Scale profile (tools/PrefixProf, sf100): the cost center is the
+    // prefix build's two full-token-frame shuffles + window sort —
+    // shuffle-sort I/O that tracks page-cache state (57–107 s swings
+    // on identical output), 9.2× solo-vs-solo for the sf10→sf100
+    // decade; a hash-agg + per-row array_sort alternative produced
+    // identical rows and was REJECTED 238 s vs 57 s (growing
+    // array-buffer aggregation loses to the external sort).
     val sets = shingleSets(docs, textCol, idCol, n)
     // explode_outer, NOT explode: InferFiltersFromGenerate would infer
     // `size(__set) > 0` for a plain explode and push it below the
