@@ -73,9 +73,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // benchExtras rows (bare approx-sketch forms with no SQL-replayable
+    // oracle) are timed here alongside the oracle-gated queries — the
+    // correctness artifact stays zero-err while the cheap-twin
+    // throughput claims stay measured
+    val allQueries = SparkEntry.queries ++ SparkEntry.benchExtras
     def run(dir: String, name: String): Boolean =
       try {
-        SparkEntry.queries(name)(spark, dir)
+        allQueries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         true
       } catch { case e: Throwable =>
@@ -101,19 +106,41 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = allQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)) && !skip(n))
     // skipped rows are recorded IN the artifact (every emitted JSON
     // line below) so a skip-run total can never be misread later as a
     // full-suite number. Queries excluded by the ONLY whitelist are
     // folded in too — an only-run's total is equally partial, and the
     // misread-proofing goal doesn't care which filter trimmed it.
-    val skippedJson = SparkEntry.queries.keys.toSeq.sorted
+    val skippedJson = allQueries.keys.toSeq.sorted
       .filterNot(names.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       names.foreach(run(warmDir, _))
+
+    // CALIBRATION PROBE: a fixed synthetic job (in-memory range -> md5
+    // -> hash agg; no file I/O, no data dependence) timed after warmup
+    // and recorded in the artifact, so cross-day totals can be
+    // normalized mechanically — the same binaries have measured ~1.3×
+    // ambient day-to-day bands on this host (BASELINE.md), and without
+    // a probe every cross-round comparison needs manual adjudication.
+    // min of two runs, same discipline as the query timings.
+    def calibrationProbe(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 8L << 20, 1L, 32)
+        .select((col("id") % 4096L).as("k"),
+          md5(col("id").cast("string")).as("h"))
+        .groupBy("k").agg(count(lit(1)).as("n"), min("h").as("mn"),
+          max("h").as("mx"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationProbe() // JIT warm for the probe's own codegen
+    val calibration = math.min(calibrationProbe(), calibrationProbe())
+    System.err.println(f"[bench] calibration $calibration%.3f s")
 
     // two timed passes, min per query: one GC/host stall shouldn't
     // masquerade as a plan regression. Per-query stderr progress so a
@@ -134,8 +161,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val cal = s""""calibration":${fmt(calibration)}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}"""
     // Persist the canonical full JSON (metric/value first) to a file —
     // the durable record every scale claim cites.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
@@ -150,10 +178,10 @@ object Bench {
     // the durable copy), then a compact slowest-25 summary as the LAST
     // line, so a complete parseable JSON object with metric/value
     // always survives inside the tail window.
-    println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},"skipped":$skippedJson,"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
+    println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},$cal,"skipped":$skippedJson,"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
     val slowest = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"skipped":$skippedJson,"queries":$slowest,"queries_truncated_to_slowest_25":true,"all_queries_file":"$benchFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"n_queries":${results.size},"skipped":$skippedJson,"queries":$slowest,"queries_truncated_to_slowest_25":true,"all_queries_file":"$benchFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1022,19 +1022,19 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
-    // the 100 TB monitor form of q_x_drift: both profile scans route
-    // through the one-scan HLL + quantile-summary profile (no Expand,
-    // no exact-percentile buffers). Deltas carry sketch noise, so the
-    // row is throughput-gated (rows only) — the underlying sketches'
-    // error contracts are oracle-gated by q_x_profile_approx on the
-    // same table/columns
+    // the 100 TB monitor form of q_x_drift, gated on its ERROR
+    // CONTRACT (the q_x_profile_approx pattern): each side runs the
+    // one-scan HLL + quantile-summary sketches AND the exact anchors,
+    // the four booleans assert the sketches' documented bounds, and
+    // the oracle replays the exact drift report with literal TRUEs.
+    // The bare approx-drift THROUGHPUT (no anchor scans) is measured
+    // by the bench-only q_x_drift_approx_raw row in `benchExtras`
     "q_x_drift_approx" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      Profile.drift(
+      Profile.approxDriftCheck(
         li.filter(col("l_orderkey") % 2 === 0),
         li.filter(col("l_orderkey") % 2 === 1),
-        Seq("l_quantity", "l_extendedprice", "l_discount"),
-        approx = true)
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
     // feature-usefulness screen: which metadata predicts the label?
@@ -2116,17 +2116,6 @@ object SparkEntry {
       Profile.approxProfileCheck(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
-    // the BARE approx profile (numeric's one-scan HLL +
-    // quantile-summary form) — the row that MEASURES the cheap twin's
-    // throughput; q_x_profile_approx times the 3-scan gate form, so
-    // without this row the 4.7-vs-18 s sf10 claim would live only in
-    // prose. Estimates are engine-specific → rows-only gate; their
-    // error contracts are what q_x_profile_approx oracle-gates.
-    "q_x_profile_approx_raw" -> ((s, d) =>
-      Profile.numeric(t(s, d, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        approxDistinct = true, approxMedian = true)),
-
     "q_x_topvalues" -> ((s, d) =>
       Profile.frequentValues(t(s, d, "orders"),
         Seq("o_orderstatus", "o_orderpriority"), k = 3)),
@@ -2381,6 +2370,36 @@ object SparkEntry {
     })
   )
 
+  /** Bench-only rows: timed by `Bench` alongside `queries` but NOT
+    * correctness-dumped by `Verify` — each is the BARE form of an
+    * approximate operator whose estimate values are engine-specific
+    * sketch outputs (HLL / quantile-summary), so no SQL oracle can
+    * replay them value-for-value. Their error CONTRACTS are what the
+    * oracle-gated twins check (`q_x_profile_approx`,
+    * `q_x_drift_approx` — the q_s_recall pattern); these rows exist
+    * so the cheap-twin throughput claims (sf10: approx profile 4.7 s
+    * vs 18 s exact) are measured, not prose. */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the one-scan HLL + quantile-summary profile — numeric's fully
+    // approx form collapses to a single scan (no Expand, no
+    // percentile state)
+    "q_x_profile_approx_raw" -> ((s, d) =>
+      Profile.numeric(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        approxDistinct = true, approxMedian = true)),
+
+    // the bare approx drift monitor (two one-scan sketch profiles,
+    // no exact anchors) — what q_x_drift_approx gated before r13
+    "q_x_drift_approx_raw" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profile.drift(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        approx = true)
+    })
+  )
+
   // ---- shared DuckDB oracle fragments (kept in lockstep with the
   //      TextFns/ColumnFns implementations above) ----
   private def h60Sql(x: String): String =
@@ -2524,6 +2543,38 @@ object SparkEntry {
       "sv AS (SELECT vec_id, sub, list_slice(v, sub*16 + 1, sub*16 + 16) AS svec FROM e CROSS JOIN subs), " +
       s"dists AS (SELECT sv.vec_id, sv.sub, cb.centroid_id, ${l2Sql("sv.svec", "cb.cvec")} AS d FROM sv JOIN cb ON sv.sub = cb.sub), " +
       "enc AS (SELECT vec_id, sub, centroid_id AS code FROM (SELECT vec_id, sub, centroid_id, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, centroid_id) AS rn FROM dists) WHERE rn = 1)"
+
+  /** Exact drift replay mirroring Profile.drift's exact form over the
+    * lineitem even/odd-orderkey split; with `withContractBooleans` it
+    * appends the four literal-TRUE sketch-contract booleans the
+    * approxDriftCheck gate computes (Spark side asserts the HLL rsd
+    * band and the approx-percentile rank guarantee per side). */
+  private def driftOracleSql(withContractBooleans: Boolean): String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def side(tag: String, pred: String) =
+      cols.map { c =>
+        s"SELECT '$c' AS column, count($c) AS n_$tag, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$tag, " +
+          s"count(DISTINCT $c) AS distinct_$tag, " +
+          s"round(avg($c), 4) AS mean_$tag, " +
+          s"round(quantile_cont($c, 0.5), 6) AS median_$tag " +
+          s"FROM lineitem WHERE $pred"
+      }.mkString(" UNION ALL ")
+    val booleans =
+      if (withContractBooleans)
+        ", TRUE AS distinct_ok_ref, TRUE AS median_ok_ref" +
+          ", TRUE AS distinct_ok_cur, TRUE AS median_ok_cur"
+      else ""
+    s"WITH r AS (${side("ref", "l_orderkey % 2 = 0")}), " +
+      s"c AS (${side("cur", "l_orderkey % 2 = 1")}) " +
+      "SELECT r.column, n_ref, null_ref, distinct_ref, mean_ref, median_ref, " +
+      "n_cur, null_cur, distinct_cur, mean_cur, median_cur, " +
+      "round(mean_cur - mean_ref, 4) AS mean_delta, " +
+      "round(median_cur - median_ref, 6) AS median_delta, " +
+      "CAST(round((mean_cur - mean_ref) / greatest(abs(mean_ref), 1e-9) * 1e6) AS BIGINT) AS rel_mean_shift_micro" +
+      booleans +
+      " FROM r JOIN c ON r.column = c.column"
+  }
 
   /** Per-column profile row mirroring Profile.numeric. */
   private def profileColSql(table: String, c: String): String =
@@ -3865,26 +3916,15 @@ object SparkEntry {
         "s AS (SELECT grp, hv FROM r WHERE rn <= 128) " +
         "SELECT grp, count(*) AS n, max(hv) AS kth, round(CASE WHEN count(*) < 128 THEN count(*)::DOUBLE ELSE 127.0 * 1152921504606846976.0 / max(hv) END, 2) AS est FROM s GROUP BY 1"),
 
-    "q_x_drift" -> {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      def side(tag: String, pred: String) =
-        cols.map { c =>
-          s"SELECT '$c' AS column, count($c) AS n_$tag, " +
-            s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$tag, " +
-            s"count(DISTINCT $c) AS distinct_$tag, " +
-            s"round(avg($c), 4) AS mean_$tag, " +
-            s"round(quantile_cont($c, 0.5), 6) AS median_$tag " +
-            s"FROM lineitem WHERE $pred"
-        }.mkString(" UNION ALL ")
-      s"WITH r AS (${side("ref", "l_orderkey % 2 = 0")}), " +
-        s"c AS (${side("cur", "l_orderkey % 2 = 1")}) " +
-        "SELECT r.column, n_ref, null_ref, distinct_ref, mean_ref, median_ref, " +
-        "n_cur, null_cur, distinct_cur, mean_cur, median_cur, " +
-        "round(mean_cur - mean_ref, 4) AS mean_delta, " +
-        "round(median_cur - median_ref, 6) AS median_delta, " +
-        "CAST(round((mean_cur - mean_ref) / greatest(abs(mean_ref), 1e-9) * 1e6) AS BIGINT) AS rel_mean_shift_micro " +
-        "FROM r JOIN c ON r.column = c.column"
-    },
+    "q_x_drift" -> driftOracleSql(withContractBooleans = false),
+
+    // the approx row is gated on its error contract (the
+    // q_x_profile_approx pattern): the exact drift report is replayed
+    // here and the four per-side sketch-contract booleans are literal
+    // TRUE — Spark computes them from the HLL rsd band / the
+    // quantile-summary rank guarantee, so a sketch drifting outside
+    // its documented bounds on either side hash-mismatches
+    "q_x_drift_approx" -> driftOracleSql(withContractBooleans = true),
 
     "q_x_infogain" -> {
       def leg(name: String, fex: String) =

@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   * single-reducer `percentile` value buffer) and enters as a literal.
   * The median path therefore inherits the engine's input license
   * (bit-identical data across its scans): `fillFromGroup` passes
-  * `pin = true`, so volatile/nondeterministic lineage is safe at the
-  * cost of one released-before-return cache of the value column. */
+  * `pin = true`, which makes the engine's four internal rank scans
+  * mutually consistent at the cost of one released-before-return
+  * cache of the value column. NOTE the pin protects ONLY the engine's
+  * internal refinement: the eagerly-computed global-median literal
+  * can still desync from what the main plan re-scans later (the
+  * grouped window and output rows re-evaluate `df` unpinned). Over a
+  * truly volatile source, pin/snapshot `df` itself before calling
+  * `fillFromGroup` — unlike the crossJoin form this replaced, the
+  * call is no longer one plan. */
 object Impute {
 
   /** Fill nulls in `valueCol` with the per-group mean (`"mean"`) or

@@ -202,7 +202,8 @@ object Intervals {
     * [[AsOfJoin.backwardByRange]]/[[AsOfJoin.forwardByRange]]
     * (parallelism tracks the partition count, not #keys). Identical
     * output (the twins are bitwise parity-pinned in AsOfJoinSpec;
-    * IntervalsSpec pins this composition against [[closest]]). Costs
+    * IntervalJoinSpec's randomized closestByRange parity test pins
+    * this composition against [[closest]]). Costs
     * two pinned caches — release via [[Batching.releasePins]] between
     * batches; at ≥ #threads keys prefer [[closest]]. */
   def closestByRange(a: DataFrame, b: DataFrame, keys: Seq[String],

@@ -186,6 +186,56 @@ object Profile {
         col("distinct_ok"), col("median_ok"))
   }
 
+  /** Oracle-gateable validation of the APPROX DRIFT path — the same
+    * error-contract gate as [[approxProfileCheck]], applied per
+    * snapshot side: each side runs the one-scan HLL + quantile-summary
+    * sketches AND the exact profile, checks the sketches against their
+    * documented bounds (HLL 3σ-rsd band; approx-percentile rank within
+    * n/accuracy of n/2), and the drift deltas are computed from the
+    * EXACT anchors — fully deterministic, so a SQL oracle replays the
+    * exact drift report and emits literal TRUEs for the four booleans.
+    * A sketch drifting outside its contract on either side flips its
+    * boolean and hash-mismatches the gate.
+    *
+    * This is the GATE query for the approx-drift monitor path; the
+    * cheap-twin THROUGHPUT claim is measured on the bare
+    * `drift(..., approx = true)` (a bench-only row — its estimate
+    * values are engine-specific sketch outputs, which is exactly why
+    * the checkable surface here is the error contract, the
+    * `q_s_recall` pattern). Output: one row per column — the exact
+    * drift columns of [[drift]]'s exact form, plus
+    * distinct_ok_ref / median_ok_ref / distinct_ok_cur /
+    * median_ok_cur. */
+  def approxDriftCheck(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+                       rsd: Double = 0.05,
+                       accuracy: Int = 1000): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      approxProfileCheck(df, cols, rsd, accuracy).select(
+        col("column"), col("n").as(s"n_$tag"),
+        col("n_null").as(s"null_$tag"),
+        col("n_distinct").as(s"distinct_$tag"),
+        col("mean_v").as(s"mean_$tag"),
+        col("median_v").as(s"median_$tag"),
+        col("distinct_ok").as(s"distinct_ok_$tag"),
+        col("median_ok").as(s"median_ok_$tag"))
+    side(ref, "ref").join(side(cur, "cur"), "column")
+      .withColumn("mean_delta", round(col("mean_cur") - col("mean_ref"), 4))
+      .withColumn("median_delta",
+        round(col("median_cur") - col("median_ref"), 6))
+      .withColumn("rel_mean_shift_micro",
+        round((col("mean_cur") - col("mean_ref")) /
+          greatest(abs(col("mean_ref")), lit(1e-9)) * 1e6).cast("long"))
+      .select(col("column"),
+        col("n_ref"), col("null_ref"), col("distinct_ref"),
+        col("mean_ref"), col("median_ref"),
+        col("n_cur"), col("null_cur"), col("distinct_cur"),
+        col("mean_cur"), col("median_cur"),
+        col("mean_delta"), col("median_delta"),
+        col("rel_mean_shift_micro"),
+        col("distinct_ok_ref"), col("median_ok_ref"),
+        col("distinct_ok_cur"), col("median_ok_cur"))
+  }
+
   /** Winsorize: clip `valueCol` into its global [loQ, hiQ] exact
     * quantiles (rounded to 6 dp so the bounds are engine-portable) —
     * the outlier treatment between profiling and features. Quantiles

@@ -57,6 +57,28 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("approxDriftCheck: deltas match exact drift, all four contracts hold") {
+    val base = spark.range(2000)
+      .select(col("id"), (col("id") % 97).cast("double").as("a"),
+        when(col("id") % 13 === 0, lit(null).cast("double"))
+          .otherwise((col("id") * 7 % 500).cast("double")).as("b"))
+    val ref = base.filter(col("id") % 2 === 0)
+    val cur = base.filter(col("id") % 2 === 1)
+    val got = Profile.approxDriftCheck(ref, cur, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Profile.drift(ref, cur, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("a", "b")) {
+      // the exact drift report (anchors + deltas) is byte-identical to
+      // drift's exact form — that is what the SQL oracle replays
+      assert((1 to 13).forall(i => got(c).get(i) == exact(c).get(i)),
+        s"$c drift anchors drifted: ${got(c)} vs ${exact(c)}")
+      for (i <- 14 to 17)
+        assert(got(c).getBoolean(i),
+          s"$c sketch contract boolean $i failed: ${got(c)}")
+    }
+  }
+
   test("frequentValues: top-k with deterministic tie-break by value") {
     val t = Seq("x", "x", "y", "y", "z").toDF("c1")
       .withColumn("c2", lit("k"))
