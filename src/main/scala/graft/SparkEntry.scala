@@ -611,12 +611,19 @@ object SparkEntry {
     // Spark reads the raw ns longs while DuckDB's TIMESTAMP truncates to
     // µs, so any sub-ms unit makes the two gap multisets (and therefore
     // the interpolated percentiles) genuinely different, not just noisy.
+    // buffer engine: per-USER groups are the many-small-groups regime
+    // (tiny per-group multisets, group count scales with the corpus) —
+    // the hash-agg percentile's buffers are bounded by per-user events
+    // and it scans the windowed interArrival lineage ONCE, where the
+    // radix twin would re-scan it four times and broadcast a
+    // user-cardinality survivors frame (adoption contract in
+    // Profile.groupedPercentiles scaladoc)
     "q_e_gaps" -> ((s, d) =>
       Profile.groupedPercentiles(
         Features.interArrival(
           t(s, d, "events").withColumn("ts_ms", expr("ts div 1000000")),
           Seq("user_id"), "ts_ms", Seq(col("event_id"))),
-        Seq("user_id"), "gap", Seq(0.5, 0.95))),
+        Seq("user_id"), "gap", Seq(0.5, 0.95), engine = "buffer")),
 
     // daily new vs returning users (86400000000000 ns = 1 day)
     "q_e_newusers" -> ((s, d) =>

@@ -256,15 +256,26 @@ object Profile {
   }
 
   /** Per-group exact percentile summary (the p50/p95/p99 latency
-    * table). Exact `percentile` — order-independent and
-    * engine-portable (agrees with quantile_cont; see the winsorize
-    * note). One hash aggregation; the per-partition buffer scales
-    * with per-group distinct count — the documented exact-percentile
-    * caveat (swap approx_percentile past ~10^7 distincts per group).
-    */
+    * table). Exact, order-independent, and engine-portable (agrees
+    * with quantile_cont; see the winsorize note) under BOTH engines:
+    *
+    *  - `"radix"` (default): `Quantiles.groupedExactQuantiles` — four
+    *    bounded-state histogram scans shared by all fractions, rank
+    *    refinement as joins, NO per-group distinct-value buffers.
+    *    The scale path when per-group value sets are wide (the old
+    *    "swap to approx past ~10⁷ distincts per group" caveat is
+    *    gone). Eager (the psi contract) and inherits the engine's
+    *    input license + the groups×fractions broadcast license.
+    *  - `"buffer"`: the classic one-pass hash-agg `percentile` —
+    *    right when groups are MANY and small (per-user multisets:
+    *    buffers are tiny, one scan beats four), or when the input
+    *    lineage is expensive to re-scan.
+    *
+    * Identical values either way (parity pinned in QuantilesSpec). */
   def groupedPercentiles(df: DataFrame, groupCols: Seq[String],
                          valueCol: String,
-                         ps: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+                         ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
+                         engine: String = "radix"): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles out of [0,1]: $ps")
     // p50 / p95 / p99_5 — fractional percentiles keep their digits so
@@ -277,10 +288,20 @@ object Profile {
     }
     val names = ps.map(label)
     require(names.distinct.size == names.size, s"duplicate labels: $names")
-    val aggs = ps.zip(names).map { case (p, n) =>
-      round(expr(s"percentile($valueCol, ${p}D)"), 6).as(n)
+    engine match {
+      case "radix" =>
+        Quantiles.groupedExactQuantiles(df, groupCols, valueCol,
+            names.zip(ps))
+          .select(groupCols.map(col) ++
+            names.map(n => round(col(n), 6).as(n)): _*)
+      case "buffer" =>
+        val aggs = ps.zip(names).map { case (p, n) =>
+          round(expr(s"percentile($valueCol, ${p}D)"), 6).as(n)
+        }
+        df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      case other => throw new IllegalArgumentException(
+        s"engine must be radix or buffer, got $other")
     }
-    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Population Stability Index between a reference and a current

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -151,6 +152,154 @@ object Quantiles {
         }
       }
     }.toMap
+  }
+
+  /** Null-safe multi-key equi-join: right-side key columns are renamed
+    * to positional aliases so self-join lineage (both sides derived
+    * from the same checkpointed histogram) never hits attribute
+    * ambiguity, and `<=>` keeps null group keys matched — `groupBy`
+    * treats null as a group, so the engine must too. */
+  private def joinNS(l: DataFrame, r: DataFrame, keys: Seq[String],
+                     joinType: String = "inner"): DataFrame = {
+    val rr = keys.zipWithIndex.foldLeft(r) { case (d, (k, i)) =>
+      d.withColumnRenamed(k, s"__jk$i") }
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      l(k) <=> rr(s"__jk$i") }.reduce(_ && _)
+    l.join(rr, cond, joinType).drop(keys.indices.map(i => s"__jk$i"): _*)
+  }
+
+  /** Per-GROUP exact order statistics — [[exactQuantiles]] with a group
+    * key, fully RELATIONAL: histograms key by (group, bucket), rank
+    * location and refinement are joins over those bounded histogram
+    * frames, and no per-group value state ever reaches the driver.
+    * This removes `percentile`'s per-group distinct-value buffers (the
+    * documented swap-to-approx-past-~10⁷-distincts caveat) the same
+    * way the global engine removed the single-reducer merge.
+    *
+    * Shape per level: one corpus scan joined (broadcast) against the
+    * surviving (group, prefix) set, one (group, bucket) hash
+    * aggregation, one window over the histogram frame (≤ 65536 rows
+    * per (group, prefix) — metadata, not data). Four corpus scans
+    * total, shared by ALL requested fractions.
+    *
+    * LICENSES: (a) the survivors frame (≤ groups × 2·fractions rows)
+    * is broadcast at each refinement level — group cardinality up to
+    * ~10⁶ is fine, beyond that the hint itself is the limit; (b) the
+    * engine's input license, four scans over bit-identical data
+    * (`exactQuantiles` scaladoc). ADOPTION CONTRACT (the ByRange-twin
+    * discipline): this engine wins when per-group value sets are WIDE
+    * (latency tables over few event types); for MANY small groups
+    * (per-user gap multisets) plain hash-agg `percentile` is the
+    * right plan — its buffers are tiny and it scans once, not four
+    * times. `Profile.groupedPercentiles` exposes both as `engine`.
+    *
+    * EAGER: each refinement level `localCheckpoint`s its located-rank
+    * frame (bounded), cutting the ×2-per-level lineage growth — the
+    * psi contract; blocks are node-local, re-call on executor loss.
+    *
+    * Output: one row per group — group cols ++ one double column per
+    * (label, fraction), unrounded; all-null groups emit nulls, exactly
+    * like `percentile`. Interpolation parity is branch-for-branch with
+    * `Percentile` (floor/ceil order statistics, the integral-position
+    * and equal-boundary short-circuits, `(hi−pos)·lo + (pos−lo)·hi` in
+    * that IEEE order) — pinned in QuantilesSpec. */
+  def groupedExactQuantiles(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String,
+                            labeled: Seq[(String, Double)]): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns")
+    require(labeled.nonEmpty &&
+      labeled.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"fractions out of [0,1]: $labeled")
+    require(labeled.map(_._1).distinct.size == labeled.size,
+      s"duplicate labels: ${labeled.map(_._1)}")
+    val g = groupCols.map(col)
+    val u = uimg(col(valueCol))
+    def ckpt(d: DataFrame): DataFrame = d.localCheckpoint(true)
+
+    // pass 0: (group, top-16-bit bucket, count); the null-bucket rows
+    // keep all-null groups in the spine
+    val h0 = ckpt(df
+      .groupBy((g :+ shiftrightunsigned(u, 48).as("__bk")): _*)
+      .agg(count(lit(1)).as("__c")))
+    val spine = h0.select(g: _*).distinct()
+    val n = h0.filter(col("__bk").isNotNull)
+      .groupBy(g: _*).agg(sum("__c").as("__n"))
+
+    // 0-based order-statistic targets per group: floor and ceil of
+    // every position p·(n−1), deduplicated
+    val targets = n
+      .select(g :+ col("__n") :+ explode(array(
+        labeled.map { case (_, p) => lit(p) }: _*)).as("__p"): _*)
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      .select(g :+ explode(array(floor(col("__pos")).cast("long"),
+        ceil(col("__pos")).cast("long"))).as("__r"): _*)
+      .distinct()
+
+    // locate level 0: walk each group's cumulative histogram to the
+    // bucket holding each rank — as a join, not a driver loop
+    val w0 = Window.partitionBy(g: _*).orderBy("__bk")
+    val cum0 = h0.filter(col("__bk").isNotNull)
+      .withColumn("__below", sum("__c").over(w0) - col("__c"))
+    var loc = ckpt(joinNS(targets, cum0, groupCols)
+      .filter(col("__r") >= col("__below") &&
+        col("__r") < col("__below") + col("__c"))
+      .select(g :+ col("__r") :+ col("__bk").as("__pfx") :+
+        col("__below"): _*))
+
+    // three refinements, 16 bits finer each: after level 3 the prefix
+    // IS the full 64-bit order image
+    for (level <- 1 to 3) {
+      val shift = 48 - 16 * level
+      val surv = loc.select(g :+ col("__pfx").as("__ppfx"): _*).distinct()
+      val hk = joinNS(
+        df.select(g :+ shiftrightunsigned(u, shift + 16).as("__ppfx") :+
+          shiftrightunsigned(u, shift).as("__bk"): _*),
+        broadcast(surv), groupCols :+ "__ppfx")
+        .groupBy((g :+ col("__ppfx") :+ col("__bk")): _*)
+        .agg(count(lit(1)).as("__c"))
+      val wk = Window.partitionBy((g :+ col("__ppfx")): _*).orderBy("__bk")
+      val cumk = hk.withColumn("__blocal", sum("__c").over(wk) - col("__c"))
+      loc = ckpt(joinNS(loc.withColumnRenamed("__pfx", "__ppfx"),
+          cumk, groupCols :+ "__ppfx")
+        .filter(col("__r") >= col("__below") + col("__blocal") &&
+          col("__r") < col("__below") + col("__blocal") + col("__c"))
+        .select(g :+ col("__r") :+ col("__bk").as("__pfx") :+
+          (col("__below") + col("__blocal")).as("__below"): _*))
+    }
+
+    // image -> value: unflip the order transform (self-inverse long
+    // arithmetic), then reinterpret the raw bits
+    val s = col("__pfx").bitwiseXOR(lit(Long.MinValue))
+    val rawBits = when(s >= 0, s).otherwise(s.bitwiseXOR(lit(Long.MaxValue)))
+    val vals = loc.select(g :+ col("__r") :+
+      ColumnBridge.column(graft.plans.DoubleFromBits(
+        ColumnBridge.expression(rawBits))).as("__v"): _*)
+
+    // interpolate per (group, fraction), Percentile-branch parity
+    val withPos = n
+      .select(g :+ col("__n") :+ posexplode(array(
+        labeled.map { case (_, p) => lit(p) }: _*)): _*)
+      .withColumnRenamed("pos", "__pi").withColumnRenamed("col", "__p")
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+    val vlo = vals.withColumnRenamed("__r", "__lo")
+      .withColumnRenamed("__v", "__vlo")
+    val vhi = vals.withColumnRenamed("__r", "__hi")
+      .withColumnRenamed("__v", "__vhi")
+    val scored = joinNS(joinNS(withPos, vlo, groupCols :+ "__lo"),
+        vhi, groupCols :+ "__hi")
+      .withColumn("__val",
+        when(col("__hi") === col("__lo") ||
+            col("__vhi") === col("__vlo"), col("__vlo"))
+          .otherwise(
+            (col("__hi").cast("double") - col("__pos")) * col("__vlo") +
+              (col("__pos") - col("__lo").cast("double")) * col("__vhi")))
+    val wideAggs = labeled.zipWithIndex.map { case ((lab, _), i) =>
+      max(when(col("__pi") === i, col("__val"))).as(lab) }
+    val wide = scored.groupBy(g: _*).agg(wideAggs.head, wideAggs.tail: _*)
+    joinNS(spine, wide, groupCols, "left")
+      .select((g ++ labeled.map(l => col(l._1))): _*)
   }
 
   /** One shared histogram scan: each spec contributes (colIdx, bucket

@@ -195,6 +195,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * any 16-bit prefix range of this image is a contiguous value range,
   * so histogram refinement narrows order statistics without sorting.
   */
+/** Inverse of the IEEE-754 bit layer under [[DoubleOrderBits]]:
+  * reinterprets a raw `doubleToLongBits` long as its double. The
+  * order-image unflip (`s ^ ((s >> 63) & Long.MaxValue)`, self-inverse)
+  * is plain long arithmetic the caller composes relationally; this
+  * expression supplies the one step SQL lacks — `longBitsToDouble` —
+  * so the grouped radix quantile engine can turn a located 64-bit
+  * prefix back into its value without a driver round-trip. */
+case class DoubleFromBits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_double_from_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires long, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(x: Any): Any =
+    java.lang.Double.longBitsToDouble(x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = java.lang.Double.longBitsToDouble($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class DoubleOrderBits(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -75,6 +75,61 @@ class QuantilesSpec extends SparkSpec {
     assert(got("b").map(_.get) == wb)
   }
 
+  test("groupedExactQuantiles: bit-parity vs grouped percentile, adversarial") {
+    val gps = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95, "p100" -> 1.0)
+    val rnd = new scala.util.Random(20260815)
+    // group zoo: a 1-row group, a duplicate pile, signed zeros, an
+    // all-null group, a null GROUP KEY, and random mixes incl. nulls
+    val rows: Seq[(java.lang.Integer, java.lang.Double)] =
+      Seq[(java.lang.Integer, java.lang.Double)](
+        (1, 42.0), (2, 7.25), (2, 7.25), (2, 7.26),
+        (3, -0.0), (3, 0.0), (3, -0.0), (3, 0.0),
+        (4, null), (4, null),
+        (null, 5.0), (null, 6.0), (null, null)) ++
+        (1 to 2000).map(_ => (java.lang.Integer.valueOf(rnd.nextInt(6) + 10),
+          java.lang.Double.valueOf((rnd.nextDouble() - 0.5) * 2e6))) ++
+        (1 to 300).map(_ => (java.lang.Integer.valueOf(rnd.nextInt(6) + 10),
+          null: java.lang.Double))
+    val df = rows.toDF("g", "v")
+    val got = Quantiles.groupedExactQuantiles(df, Seq("g"), "v", gps)
+      .collect().map(r => Option(r.get(0)) -> r).toMap
+    val pctArr = gps.map { case (_, p) => s"${p}D" }
+      .mkString("array(", ", ", ")")
+    val want = df.groupBy("g")
+      .agg(expr(s"percentile(v, $pctArr)").as("q"))
+      .collect().map(r => Option(r.get(0)) -> r).toMap
+    assert(got.keySet == want.keySet, "group spines differ")
+    for ((k, gr) <- got) {
+      val wr = want(k)
+      val wSeq: Seq[Option[Double]] =
+        if (wr.isNullAt(1)) gps.map(_ => None)
+        else wr.getSeq[Double](1).map(Option(_))
+      gps.indices.foreach { i =>
+        val gv = if (gr.isNullAt(i + 1)) None else Some(gr.getDouble(i + 1))
+        (gv, wSeq(i)) match {
+          case (None, None) =>
+          case (Some(a), Some(b)) =>
+            assert(java.lang.Double.doubleToLongBits(a) ==
+              java.lang.Double.doubleToLongBits(b),
+              s"group $k ${gps(i)._1}: got $a want $b")
+          case (a, b) => fail(s"group $k ${gps(i)._1}: got $a want $b")
+        }
+      }
+    }
+  }
+
+  test("groupedPercentiles: radix and buffer engines agree (6-dp gate form)") {
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 5000).map(_ => (s"t${rnd.nextInt(4)}",
+        (rnd.nextDouble() * 1e4).floor / 100.0)).toDF("k", "v")
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().toSeq
+    assert(sorted(operators.Profile.groupedPercentiles(
+        df, Seq("k"), "v", Seq(0.5, 0.95, 0.99))) ==
+      sorted(operators.Profile.groupedPercentiles(
+        df, Seq("k"), "v", Seq(0.5, 0.95, 0.99), engine = "buffer")))
+  }
+
   test("profile median / winsorize / equi-depth route through the engine") {
     // near-unique doubles — the shape percentile buffered whole
     val df = (1 to 3000).map(i => ((i * 2654435761L % 100000L) / 7.0))
