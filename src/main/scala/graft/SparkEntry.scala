@@ -1242,6 +1242,26 @@ object SparkEntry {
       Dedup.incrementalExact(batch, "text", "doc_id", s.table(tag))
     }),
 
+    // incremental NEAR-dedup against a bucketed BAND-SIGNATURE store —
+    // q_d_incr's LSH sibling, the other half of the operational 100 TB
+    // shape: the corpus's minhash band rows are written bucketed by
+    // (band, bucket) once; an arriving batch (re-crawl of every 10th
+    // doc, new ids, trailing-garbage text so matches are band-level,
+    // not byte-level) LSH-probes the store exchange-free on the corpus
+    // side (PlanSpec pins the two batch-sized Exchanges)
+    "q_d_incr_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tag = s"graft_lsh_store_${ProcessHandle.current.pid}"
+      val path = sys.props("java.io.tmpdir") + "/" + tag
+      Dedup.writeBandSignatureStore(docs, "text", "doc_id", tag, path,
+        buckets = 8, numHashes = 8, bands = 4, shingleSize = 3)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" ***")).as("text"))
+      Dedup.incrementalLsh(batch, "text", "doc_id", s.table(tag),
+        numHashes = 8, bands = 4, shingleSize = 3).pairs
+    }),
+
     "q_d_minhash" -> ((s, d) =>
       Dedup.minhashSignature(t(s, d, "documents").select("doc_id", "text"),
         "text", numHashes = 4, shingleSize = 3)
@@ -3626,6 +3646,33 @@ object SparkEntry {
       ("WITH store AS (SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS sig, min(doc_id) AS dup_of FROM documents GROUP BY 1), " +
         "batch AS (SELECT doc_id + 10000000 AS doc_id, md5(trim(regexp_replace(lower(text || ' ***'), '[^a-z0-9]+', ' ', 'g'))) AS sig FROM documents WHERE doc_id % 10 = 0) " +
         "SELECT b.doc_id, s.dup_of, b.sig FROM batch b JOIN store s USING (sig)"),
+
+    // replay: corpus band rows (the q_d_lsh recipe) = the store; batch
+    // band rows over the re-crawl; size-capped equi-join on
+    // (band, bucket); band agreement counts per (batch, corpus) pair
+    "q_d_incr_lsh" -> {
+      val mh = (0 until 8).map { i =>
+        val a = (2654435761L * (i + 1)) % 1000000007L
+        val b = (2246822519L * (i + 1)) % 1000000007L
+        s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
+      }.mkString(", ")
+      def bandSelects(src: String) = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, ${h60Sql(s"mh_${2 * bnd}::VARCHAR || '_' || mh_${2 * bnd + 1}::VARCHAR")} AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+      s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE len($toksSql) >= 3), " +
+        s"d AS (SELECT doc_id, $shinglesSql AS sh FROM t), " +
+        s"sig AS (SELECT doc_id, $mh FROM d), " +
+        s"bk AS (${bandSelects("sig")}), " +
+        "sizes AS (SELECT band, bucket, count(*) AS c FROM bk GROUP BY 1, 2), " +
+        "ok AS (SELECT bk.* FROM bk JOIN sizes USING (band, bucket) WHERE c <= 1000), " +
+        "braw AS (SELECT doc_id + 10000000 AS doc_id, text || ' ***' AS text FROM documents WHERE doc_id % 10 = 0), " +
+        s"bt AS (SELECT doc_id, $toksSql AS tk FROM braw WHERE len($toksSql) >= 3), " +
+        s"bd AS (SELECT doc_id, $shinglesSql AS sh FROM bt), " +
+        s"bsig AS (SELECT doc_id, $mh FROM bd), " +
+        s"bbk AS (${bandSelects("bsig")}) " +
+        "SELECT b.doc_id, a.doc_id AS cand_id, count(*) AS band_matches " +
+        "FROM bbk b JOIN ok a USING (band, bucket) GROUP BY 1, 2"
+    },
 
     "q_d_srcoverlap" ->
       ("WITH hs AS (SELECT DISTINCT md5(text) AS h, source AS src FROM documents) " +

@@ -115,6 +115,100 @@ object Dedup {
       .select(df.columns.toSeq.map(col) ++ (0 until numHashes).map(i =>
         col("__sig").getItem(i).as(s"mh_$i")): _*)
 
+  /** LSH band rows `(doc_id, band, bucket)` — the near-dup analog of
+    * [[contentSignatures]]: what a BAND-SIGNATURE STORE holds so later
+    * batches can LSH-probe the corpus without re-sharding it. Docs
+    * with fewer tokens than the shingle size are filtered (all-null
+    * signature — a shared null bucket would pair every short doc with
+    * every other). Buckets are `hash60` over the band's minhash rows,
+    * replayable in portable SQL (the q_d_lsh oracle recipe). */
+  def bandSignatures(df: DataFrame, textCol: String, idCol: String,
+                     numHashes: Int = 16, bands: Int = 4,
+                     shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    // guard BEFORE the signature projection, on the cheap token count —
+    // a post-hoc filter on the signature alias would be pushdown-
+    // substituted into the projection and the kernel would run twice
+    val withSig = df
+      .filter(size(TextFns.tokens(col(textCol))) >= shingleSize)
+      .withColumn("__sig",
+        TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize))
+      .select(
+        col(idCol).as("doc_id") +:
+          (0 until numHashes).map(i =>
+            col("__sig").getItem(i).as(s"mh_$i")): _*)
+    withSig.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash60(concat_ws("_",
+            (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Materialize the LSH band-signature store BUCKETED BY (band,
+    * bucket) — [[writeSignatureStore]] generalized to near-dup: the
+    * one-time shuffle after which every incremental batch probe
+    * ([[incrementalLsh]]) reads the corpus side exchange-free. */
+  def writeBandSignatureStore(docs: DataFrame, textCol: String,
+                              idCol: String, table: String, path: String,
+                              buckets: Int, numHashes: Int = 16,
+                              bands: Int = 4, shingleSize: Int = 3): Unit =
+    graft.sources.Storage.writeBucketed(
+      bandSignatures(docs, textCol, idCol, numHashes, bands, shingleSize),
+      table, path, bucketKeys = Seq("band", "bucket"), buckets = buckets)
+
+  /** Incremental NEAR-dup probe result: `(doc_id, cand_id,
+    * band_matches)` batch-vs-corpus candidates, plus the oversize
+    * store buckets excluded from pairing (the [[LshCandidates]]
+    * no-silent-drop contract — recall past `maxBucket` is not
+    * guaranteed and the caller must see where). */
+  final case class IncrementalLshResult(pairs: DataFrame,
+                                        droppedBuckets: DataFrame)
+
+  /** Incremental MinHash-LSH near-dedup — the operational 100 TB
+    * shape, completing what [[incrementalExact]] does for exact
+    * signatures: the ingested corpus keeps a band-signature store
+    * bucketed by (band, bucket) ([[writeBandSignatureStore]]); an
+    * arriving batch computes its own band rows and equi-joins the
+    * store on the bucketing keys. The store-side bucket-size guard
+    * (a whole-partition window over (band, bucket)) AND the join leg
+    * both satisfy their distribution from the bucketed scan, so the
+    * corpus is never re-shuffled and never scanned twice (PlanSpec
+    * pins exactly two Exchanges: the batch band shuffle and the
+    * batch-sized pair aggregation). Per-batch cost scales with the
+    * batch plus the store partitions it probes.
+    *
+    * Returns candidates with band agreement counts — feed to a
+    * Jaccard confirm exactly like [[minhashLshCandidates]] output.
+    * `maxBucket` excludes degenerate store buckets (boilerplate
+    * corpora) from pairing; they are REPORTED, not dropped silently. */
+  def incrementalLsh(batch: DataFrame, textCol: String, idCol: String,
+                     store: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                     shingleSize: Int = 3,
+                     maxBucket: Int = 1000): IncrementalLshResult = {
+    import org.apache.spark.sql.expressions.Window
+    // bucket sizes via a window on the bucketed scan: no exchange, no
+    // second store scan (a groupBy-sizes self-join would invite a
+    // BroadcastExchange and read the store twice)
+    val w = Window.partitionBy("band", "bucket")
+    val sized = store.withColumn("__bsize", count(lit(1)).over(w))
+    val dropped = sized.filter(col("__bsize") > maxBucket)
+      .select(col("band"), col("bucket"),
+        col("__bsize").cast("int").as("size"))
+      .distinct()
+    val okStore = sized.filter(col("__bsize") <= maxBucket)
+      .select(col("band"), col("bucket"), col("doc_id").as("cand_id"))
+    val batchBands =
+      bandSignatures(batch, textCol, idCol, numHashes, bands, shingleSize)
+    val pairs = batchBands.join(okStore, Seq("band", "bucket"))
+      .groupBy(col("doc_id"), col("cand_id"))
+      .agg(count(lit(1)).as("band_matches"))
+    IncrementalLshResult(pairs, dropped)
+  }
+
   /** MinHash-LSH result: candidate pairs plus the oversize-bucket
     * accounting (never a silent drop — buckets past `maxBucket` are
     * skew pathologies the caller must see). */
@@ -138,26 +232,8 @@ object Dedup {
                            numHashes: Int = 16, bands: Int = 4,
                            shingleSize: Int = 3,
                            maxBucket: Int = 1000): LshCandidates = {
-    val rows = numHashes / bands
-    // guard BEFORE the signature projection, on the cheap token count —
-    // a post-hoc filter on the signature alias would be pushdown-
-    // substituted into the projection and the kernel would run twice
-    val withSig = df
-      .filter(size(TextFns.tokens(col(textCol))) >= shingleSize)
-      .withColumn("__sig",
-        TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize))
-      .select(
-        col(idCol).as("doc_id") +:
-          (0 until numHashes).map(i =>
-            col("__sig").getItem(i).as(s"mh_$i")): _*)
-    val banded = withSig.select(col("doc_id"), explode(array(
-      (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          hash60(concat_ws("_",
-            (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*))
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded =
+      bandSignatures(df, textCol, idCol, numHashes, bands, shingleSize)
     val grouped = banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
     val dropped = grouped.filter(size(col("ids")) > maxBucket)

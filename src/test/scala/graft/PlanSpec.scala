@@ -266,6 +266,46 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sig_store_test")
   }
 
+  test("incremental LSH: bucketed band store probes exchange-free (corpus never re-shuffles)") {
+    val docs = (1L to 200L).map(i =>
+        (i, s"alpha beta gamma delta body number ${i % 7} tail"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bandstore").toString
+    Dedup.writeBandSignatureStore(docs.filter(col("doc_id") % 10 =!= 0),
+      "text", "doc_id", "band_store_test", path + "/tbl", buckets = 4,
+      numHashes = 8, bands = 4)
+    try {
+      val store = spark.table("band_store_test")
+      val got = Dedup.incrementalLsh(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", store,
+        numHashes = 8, bands = 4)
+      val plan = got.pairs.queryExecution.executedPlan.toString
+      // the store side satisfies BOTH the bucket-size window and its
+      // join leg from the bucketed scan; the only exchanges are the
+      // batch band shuffle and the batch-sized pair aggregation
+      assert(count(plan, "Exchange") == 2, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // semantics: brute-force band self-join (the %7 content cycle
+      // guarantees every batch doc has stored near-dups)
+      val storeBands = Dedup.bandSignatures(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
+        numHashes = 8, bands = 4)
+      val batchBands = Dedup.bandSignatures(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+        numHashes = 8, bands = 4)
+      val brute = batchBands.as("b")
+        .join(storeBands.withColumnRenamed("doc_id", "cand_id"),
+          Seq("band", "bucket"))
+        .groupBy("doc_id", "cand_id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("bm"))
+        .as[(Long, Long, Long)].collect().toSet
+      val gotSet = got.pairs.as[(Long, Long, Long)].collect().toSet
+      assert(gotSet == brute && gotSet.nonEmpty, s"got=$gotSet")
+      // no silent drops at this corpus size
+      assert(got.droppedBuckets.count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS band_store_test")
+  }
+
   test("winnowing fingerprints are map-only: no exchange in the plan") {
     val docs = (1L to 50L).map(i => (i, s"a b c d e f g $i"))
       .toDF("doc_id", "text")
