@@ -83,6 +83,22 @@ class AsOfJoinSpec extends SparkSpec {
     } finally graft.operators.Batching.releasePins()
   }
 
+  test("service pin hygiene: storage returns to baseline after releasePins") {
+    // the long-lived-service contract (README "Embedding graft in a
+    // long-lived service"): skeleton pins are session-global and live
+    // until releasePins — after the drain, NO pinned storage remains
+    spark.catalog.clearCache()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val out = AsOfJoin.backwardByRange(left, right, Seq("k"), "ts",
+      Seq("rval"), numPartitions = 3)
+    out.count() // materialize: the pins now back live blocks
+    assert(spark.sparkContext.getPersistentRDDs.size > baseline,
+      "twin did not pin its partitioning")
+    graft.operators.Batching.releasePins()
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "releasePins left pinned storage behind")
+  }
+
   test("byRange twins: randomized parity — per-column null " +
     "fall-through, duplicate left ts, null keys, cross-partition carry") {
     val rnd = new scala.util.Random(42)
