@@ -676,13 +676,28 @@ object SparkEntry {
         "user_id", "ts_ms", "event_type",
         Seq("view", "click", "purchase"))),
 
-    // per-type latency-style percentile table (exact percentile)
+    // per-type latency-style percentile table — BOTH engines carried
+    // as bench rows (the q_j13/q_j13_br discipline) so the adoption
+    // contract stays MEASURED: the default one-scan hash-agg
+    // percentile wins while per-group buffers fit (solo one-band
+    // sf10 1.45 s / sf100 3.99 s vs radix 6.80 / 32.3 — buffers of
+    // ~10⁶ distincts/group are not the breaking regime); the radix
+    // twin removes the buffers entirely and is the
+    // ≫distincts-per-group memory-safety knob. Identical output,
+    // same oracle
     "q_e_pctl" -> ((s, d) =>
       Profile.groupedPercentiles(t(s, d, "events"), Seq("event_type"),
         "value", Seq(0.5, 0.95, 0.99))),
 
+    "q_e_pctl_radix" -> ((s, d) =>
+      Profile.groupedPercentiles(t(s, d, "events"), Seq("event_type"),
+        "value", Seq(0.5, 0.95, 0.99), engine = "radix")),
+
     // percentile-threshold anomaly flags (composed from the grouped
-    // percentile table, broadcast back onto the stream of events)
+    // percentile table, broadcast back onto the stream of events);
+    // default (buffer) engine — the row's subject is the threshold
+    // join, and the one-scan percentile is the measured winner at
+    // bench scales (see the q_e_pctl twins)
     "q_e_anomaly" -> ((s, d) => {
       val ev = t(s, d, "events")
       val p99 = Profile.groupedPercentiles(ev, Seq("event_type"),
@@ -3122,6 +3137,10 @@ object SparkEntry {
         "FROM u LEFT JOIN t0 ON u.user_id = t0.user_id LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id"),
 
     "q_e_pctl" ->
+      "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
+
+    // bounded-state engine twin of q_e_pctl — same replay
+    "q_e_pctl_radix" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1",
 
     "q_e_attrib" ->

@@ -259,23 +259,31 @@ object Profile {
     * table). Exact, order-independent, and engine-portable (agrees
     * with quantile_cont; see the winsorize note) under BOTH engines:
     *
-    *  - `"radix"` (default): `Quantiles.groupedExactQuantiles` — four
+    *  - `"buffer"` (default): the classic one-pass hash-agg
+    *    `percentile` — per-(group, partition) distinct-value buffers.
+    *    The MEASURED winner while those buffers fit: solo one-band
+    *    q_e_pctl twins, sf10 1.45 s / sf100 3.99 s vs radix
+    *    6.80 / 32.3 (~10⁶ distincts per group is comfortably inside
+    *    the buffer regime). Also right for MANY small groups
+    *    (per-user multisets) and for expensive-to-re-scan lineage
+    *    (one scan, not four).
+    *  - `"radix"`: `Quantiles.groupedExactQuantiles` — four
     *    bounded-state histogram scans shared by all fractions, rank
-    *    refinement as joins, NO per-group distinct-value buffers.
-    *    The scale path when per-group value sets are wide (the old
-    *    "swap to approx past ~10⁷ distincts per group" caveat is
-    *    gone). Eager (the psi contract) and inherits the engine's
-    *    input license + the groups×fractions broadcast license.
-    *  - `"buffer"`: the classic one-pass hash-agg `percentile` —
-    *    right when groups are MANY and small (per-user multisets:
-    *    buffers are tiny, one scan beats four), or when the input
-    *    lineage is expensive to re-scan.
+    *    refinement as joins, NO per-group value buffers. The
+    *    memory-safety knob once per-group distinct counts reach the
+    *    regime where percentile buffers (and their single-object
+    *    merges) break — ~10⁷+ distincts per group — where "swap to
+    *    approx" used to be the only exit; now exactness survives.
+    *    Eager (the psi contract); inherits the radix input license +
+    *    the groups×fractions broadcast license.
     *
-    * Identical values either way (parity pinned in QuantilesSpec). */
+    * Identical values either way (parity pinned in QuantilesSpec;
+    * both engine rows carried in the bench — the q_j13/q_j13_br
+    * adoption-contract discipline). */
   def groupedPercentiles(df: DataFrame, groupCols: Seq[String],
                          valueCol: String,
                          ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
-                         engine: String = "radix"): DataFrame = {
+                         engine: String = "buffer"): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles out of [0,1]: $ps")
     // p50 / p95 / p99_5 — fractional percentiles keep their digits so

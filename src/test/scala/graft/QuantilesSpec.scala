@@ -125,7 +125,7 @@ class QuantilesSpec extends SparkSpec {
     def sorted(d: org.apache.spark.sql.DataFrame) =
       d.orderBy("k").collect().toSeq
     assert(sorted(operators.Profile.groupedPercentiles(
-        df, Seq("k"), "v", Seq(0.5, 0.95, 0.99))) ==
+        df, Seq("k"), "v", Seq(0.5, 0.95, 0.99), engine = "radix")) ==
       sorted(operators.Profile.groupedPercentiles(
         df, Seq("k"), "v", Seq(0.5, 0.95, 0.99), engine = "buffer")))
   }
