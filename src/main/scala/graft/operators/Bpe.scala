@@ -90,10 +90,26 @@ object Bpe {
     * word lengths) fits under the cap are collected and merged
     * driver-side (see object doc); the default 32M symbols is a few
     * hundred MB of driver heap. Set it to 0 to force the distributed
-    * path. */
+    * path.
+    *
+    * `batch` (distributed path only): merges up to `batch`
+    * symbol-disjoint top pairs per driver round-trip, cutting the
+    * per-step job latency that dominates real vocab sizes (k in the
+    * tens of thousands = tens of thousands of Spark jobs at
+    * batch = 1). At `batch = 1` (the default and every oracle row)
+    * the table is EXACTLY the sequential BPE table. At `batch > 1`
+    * the table is a documented approximation: every merge in a round
+    * had a pre-round count ≥ every pair left out of the round and the
+    * round's merges share no symbol, but a merge can CREATE pairs
+    * (x, l+r) / (l+r, y) that sequential BPE would have ranked before
+    * the round's later picks — after the first such round the tables
+    * can diverge (the standard batched-BPE trade; parity at batch = 1
+    * is pinned in BpeSpec). */
   def learnMerges(docs: DataFrame, textCol: String, k: Int,
-                  localSymbolCap: Long = 32L * 1024 * 1024): DataFrame = {
+                  localSymbolCap: Long = 32L * 1024 * 1024,
+                  batch: Int = 1): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(batch >= 1, s"batch must be positive, got $batch")
     val spark = docs.sparkSession
     import spark.implicits._
     val words = wordFreqs(docs, textCol).persist()
@@ -105,7 +121,7 @@ object Bpe {
           .as[(Long, Array[String])].collect()
         words.unpersist()
         learnMergesLocal(vocab, k)
-      } else learnMergesDistributed(words, k)
+      } else learnMergesDistributed(words, k, batch)
     merges.toDF("step", "left", "right", "cnt")
   }
 
@@ -172,10 +188,16 @@ object Bpe {
   }
 
   /** The distributed fallback for vocabularies above the local cap:
-    * one pair-count aggregation + a one-row argmax + a map-only merge
-    * fold per step. */
+    * one pair-count aggregation + a top-`batch` collect + a map-only
+    * merge fold per ROUND. Each round applies the highest-count pairs
+    * that are pairwise symbol-disjoint (greedy scan of the sorted
+    * top-`batch` rows, skipping any pair touching a symbol an earlier
+    * pick used or produced) — at batch = 1 this is exactly the
+    * one-merge-per-job sequential loop; see [[learnMerges]] for the
+    * batch > 1 semantics. */
   private def learnMergesDistributed(
-      words0: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+      words0: DataFrame, k: Int,
+      batch: Int = 1): Seq[(Int, String, String, Long)] = {
     var words = words0
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
@@ -188,21 +210,39 @@ object Bpe {
         .select(col("freq"), col("__p.0").as("l"), col("__p.1").as("r"))
         .groupBy("l", "r").agg(sum(col("freq")).as("cnt"))
       val best = pairs
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(batch).collect()
       if (best.isEmpty) done = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, l, r, c))
+        // greedy disjoint selection in sorted order; the merged token
+        // joins the used set so a later pick can never reference a
+        // symbol this round just created (its pre-round count is for
+        // a symbol that no longer exists unmerged)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val chosen = scala.collection.mutable
+          .ArrayBuffer.empty[(String, String, Long)]
+        var bi = 0
+        while (bi < best.length && step + chosen.length <= k) {
+          val (l, r, c) = (best(bi).getString(0), best(bi).getString(1),
+            best(bi).getLong(2))
+          if (!used(l) && !used(r)) {
+            chosen += ((l, r, c))
+            used += l; used += r; used += (l + r)
+          }
+          bi += 1
+        }
+        var merged = col("ss")
+        chosen.foreach { case (l, r, c) =>
+          merges += ((step, l, r, c))
+          merged = mergeOnce(merged, l, r)
+          step += 1
+        }
         // localCheckpoint (eager) TRUNCATES lineage — a persist chain
         // keeps every predecessor's cached plan nested inside the
         // current one, and those plan strings grow super-linearly in
         // step count (OOMs the driver before the data ever would)
-        val next = words.withColumn("ss", mergeOnce(col("ss"), l, r))
-          .localCheckpoint()
+        val next = words.withColumn("ss", merged).localCheckpoint()
         words.unpersist()
         words = next
-        step += 1
       }
     }
     words.unpersist()

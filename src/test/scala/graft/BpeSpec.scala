@@ -57,6 +57,46 @@ class BpeSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("batched distributed rounds: disjoint picks merge together, " +
+    "overlaps defer, independent tops match sequential") {
+    // overlapping pairs: 'x y' outranks 'y z' but shares y — a batch=2
+    // round must pick only (x,y), then the next round picks the pair
+    // sequential BPE would ((x y, z) once xy exists). Independent
+    // words c d / e f have disjoint top pairs that batch together.
+    // words (BPE merges chars WITHIN words): xyz -> pairs (x,y)/(y,z)
+    // tied at 50; cd and ef are independent
+    val docs = (
+      Seq.fill(50)("xyz") ++ Seq.fill(30)("cd") ++ Seq.fill(20)("ef")
+    ).toDF("text")
+    val seqTable = Bpe.learnMerges(docs, "text", k = 4,
+        localSymbolCap = 0L)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val batTable = Bpe.learnMerges(docs, "text", k = 4,
+        localSymbolCap = 0L, batch = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // sequential: (x,y) then the pair its merge CREATED, (xy,z) at 50,
+    // before (c,d) at 30 — the exact divergence the scaladoc documents
+    assert(seqTable.map(m => (m._2, m._3)) ==
+      Seq(("x", "y"), ("xy", "z"), ("c", "d"), ("e", "f")), seqTable)
+    // batched round 1: (x,y) picked, (y,z) deferred (shares y), (c,d)
+    // batched alongside (disjoint); round 2 picks (xy,z) then (e,f).
+    // Same merge SET, order diverges exactly where documented
+    assert(batTable.map(m => (m._2, m._3)) ==
+      Seq(("x", "y"), ("c", "d"), ("xy", "z"), ("e", "f")), batTable)
+    assert(batTable.map(m => (m._2, m._3)).toSet ==
+      seqTable.map(m => (m._2, m._3)).toSet)
+  }
+
+  test("batched distributed rounds: batch=1 is exactly the sequential path") {
+    val seqTable = Bpe.learnMerges(corpus, "text", k = 8,
+        localSymbolCap = 0L)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val b1 = Bpe.learnMerges(corpus, "text", k = 8,
+        localSymbolCap = 0L, batch = 1)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(seqTable == b1)
+  }
+
   test("encode: compiled kernel == mergeOnce fold chain, k=25") {
     val merges = Bpe.learnMerges(corpus, "text", k = 25)
     def rows(df: org.apache.spark.sql.DataFrame) =
