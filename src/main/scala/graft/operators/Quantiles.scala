@@ -236,11 +236,15 @@ object Quantiles {
       .distinct()
 
     // locate level 0: walk each group's cumulative histogram to the
-    // bucket holding each rank — as a join, not a driver loop
+    // bucket holding each rank — as a join, not a driver loop. The
+    // checkpointed frames carry no stats, so without hints these
+    // metadata-sized joins plan as SortMergeJoins; the targets/located
+    // side is ≤ groups × 2·fractions rows BY CONSTRUCTION (the same
+    // broadcast license as the survivors), so it is hinted explicitly
     val w0 = Window.partitionBy(g: _*).orderBy("__bk")
     val cum0 = h0.filter(col("__bk").isNotNull)
       .withColumn("__below", sum("__c").over(w0) - col("__c"))
-    var loc = ckpt(joinNS(targets, cum0, groupCols)
+    var loc = ckpt(joinNS(broadcast(targets), cum0, groupCols)
       .filter(col("__r") >= col("__below") &&
         col("__r") < col("__below") + col("__c"))
       .select(g :+ col("__r") :+ col("__bk").as("__pfx") :+
@@ -259,7 +263,7 @@ object Quantiles {
         .agg(count(lit(1)).as("__c"))
       val wk = Window.partitionBy((g :+ col("__ppfx")): _*).orderBy("__bk")
       val cumk = hk.withColumn("__blocal", sum("__c").over(wk) - col("__c"))
-      loc = ckpt(joinNS(loc.withColumnRenamed("__pfx", "__ppfx"),
+      loc = ckpt(joinNS(broadcast(loc.withColumnRenamed("__pfx", "__ppfx")),
           cumk, groupCols :+ "__ppfx")
         .filter(col("__r") >= col("__below") + col("__blocal") &&
           col("__r") < col("__below") + col("__blocal") + col("__c"))
@@ -287,8 +291,8 @@ object Quantiles {
       .withColumnRenamed("__v", "__vlo")
     val vhi = vals.withColumnRenamed("__r", "__hi")
       .withColumnRenamed("__v", "__vhi")
-    val scored = joinNS(joinNS(withPos, vlo, groupCols :+ "__lo"),
-        vhi, groupCols :+ "__hi")
+    val scored = joinNS(joinNS(withPos, broadcast(vlo), groupCols :+ "__lo"),
+        broadcast(vhi), groupCols :+ "__hi")
       .withColumn("__val",
         when(col("__hi") === col("__lo") ||
             col("__vhi") === col("__vlo"), col("__vlo"))
@@ -298,7 +302,7 @@ object Quantiles {
     val wideAggs = labeled.zipWithIndex.map { case ((lab, _), i) =>
       max(when(col("__pi") === i, col("__val"))).as(lab) }
     val wide = scored.groupBy(g: _*).agg(wideAggs.head, wideAggs.tail: _*)
-    joinNS(spine, wide, groupCols, "left")
+    joinNS(spine, broadcast(wide), groupCols, "left")
       .select((g ++ labeled.map(l => col(l._1))): _*)
   }
 
