@@ -348,6 +348,74 @@ object StreamOps {
       .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
   }
 
+  /** Streaming NEAR-dup dedup (the MinHash-LSH leg) — the streaming
+    * twin of `Dedup.incrementalLsh` / the q_d_incr_lsh operational
+    * shape, completing the store-probing family (SimHash / SRP /
+    * MinHash). Each microbatch:
+    *   1. dedupes internally via the checked LSH pipeline
+    *      (`Dedup.dedupByLshChecked`: banded candidates → exact
+    *      n-gram-Jaccard confirm → CC representatives);
+    *   2. probes the accumulated BAND store ((band, bucket)
+    *      equi-join — the `bandSignatures` rows `incrementalLsh`
+    *      probes), confirming with the MINHASH-AGREEMENT estimator: a
+    *      batch doc drops when the fraction of agreeing signature
+    *      slots with ANY colliding stored doc ≥ `minJaccard`. The
+    *      store carries the k-slot signature alongside each band row
+    *      precisely so the cross-batch confirm is self-contained —
+    *      stored TEXT is gone, so the estimator (unbiased for
+    *      Jaccard, ±1/√k) stands in for the exact confirm the
+    *      in-batch leg runs; size `numHashes` to the tolerance;
+    *   3. writes survivors to `outDir/batch_id=<id>` and their
+    *      (band, bucket, signature) rows to `storeDir/batch_id=<id>`.
+    * Replay safety as in the SimHash twin: both writes overwrite
+    * their own batch_id slice and the screen reads only
+    * `batch_id < current`. Docs shorter than the shingle size carry
+    * no bands: never screened, never stored (they cannot near-dup
+    * via LSH), but kept in the output. */
+  def minhashLshDedupBatchStep(storeDir: String, outDir: String,
+                               textCol: String, idCol: String,
+                               numHashes: Int = 16, bands: Int = 4,
+                               shingleSize: Int = 3,
+                               minJaccard: Double = 0.5,
+                               maxBucket: Int = 1000)
+  : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    val spark = batch.sparkSession
+    val internal = Dedup.dedupByLshChecked(batch, textCol, idCol,
+      numHashes, bands, shingleSize, minJaccard, maxBucket).deduped
+    // band rows + the k-slot signature riding along for the confirm
+    val banded = Dedup.bandSignatures(internal, textCol, idCol,
+        numHashes, bands, shingleSize)
+      .join(internal
+        .filter(size(TextFns.tokens(col(textCol))) >= shingleSize)
+        .select(col(idCol).as("doc_id"),
+          TextFns.minhashSignatureNative(col(textCol), numHashes,
+            shingleSize).as("__mh")),
+        Seq("doc_id"))
+    val stored =
+      try Some(spark.read.parquet(storeDir)
+        .filter(col("batch_id") < batchId)
+        .select(col("band"), col("bucket"), col("__mh").as("__smh")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val minAgree = math.ceil(minJaccard * numHashes).toLong
+    val survivors = stored match {
+      case None => internal
+      case Some(st) =>
+        val agree = (0 until numHashes).map(i =>
+          when(col("__mh").getItem(i) === col("__smh").getItem(i), 1L)
+            .otherwise(0L)).reduce(_ + _)
+        val dupIds = banded.join(st, Seq("band", "bucket"))
+          .filter(agree >= minAgree)
+          .select(col("doc_id").as(idCol)).distinct()
+        internal.join(dupIds, Seq(idCol), "left_anti")
+    }
+    survivors.write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId")
+    banded.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
+
   /** Streaming SEMANTIC dedup (the embedding leg, twin of
     * `Dedup.dedupByEmbedding(exact = false, multiProbe = true)`) as a
     * `foreachBatch` step against an accumulated signature store —

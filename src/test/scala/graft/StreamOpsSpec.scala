@@ -268,6 +268,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashLshDedupBatchStep: near-dups dropped across batches via the band store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-stream-lshdedup")
+    val (store, out) = (s"$dirs/store", s"$dirs/out")
+    val input = MemoryStream[(Long, String)]
+    val step = StreamOps.minhashLshDedupBatchStep(store, out, "text",
+      "doc_id", numHashes = 8, bands = 4)
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(step).start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"), // in-batch dup
+        (3L, "completely different vocabulary about other topics entirely"),
+        (6L, "xy")) // < shingleSize tokens: no bands, kept, never stored
+      q.processAllAvailable()
+      input.addData(
+        (4L, "alpha beta gamma delta epsilon zeta eta theta"), // cross-batch dup
+        (5L, "fresh unrelated content with novel words and phrasing"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L, 6L))
+      // the band store holds rows only for survivors WITH bands
+      val storedIds = spark.read.parquet(store)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(storedIds == Set(1L, 3L, 5L))
+      // replay idempotence: batch 0 re-run screens only batch_id < 0
+      val replay = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3L, "completely different vocabulary about other topics entirely"),
+        (6L, "xy")).toDF("doc_id", "text")
+      step(replay, 0L)
+      val after = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after == Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("srpDedupBatchStep: embedding near-dups dropped across batches via the store") {
     implicit val sqlCtx = spark.sqlContext
     val dirs = java.nio.file.Files.createTempDirectory("graft-stream-embdedup")
