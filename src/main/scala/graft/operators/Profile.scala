@@ -677,21 +677,54 @@ object Profile {
 
   /** Robust per-group dispersion: exact median and MAD (median
     * absolute deviation) — the outlier scale that a few wild values
-    * cannot drag the way stddev-based z-scores can. Two grouped
-    * exact-percentile aggregations (median, then median of |x−med|
-    * after a broadcast-back join); both round to 6 dp so the stats
-    * are engine-comparable. Output: (groups..., n, median, mad). */
+    * cannot drag the way stddev-based z-scores can. Both stats round
+    * to 6 dp so they are engine-comparable; deviations are taken
+    * against the ROUNDED median on both engines (identical output).
+    * Output: (groups..., n, median, mad); rows whose group key is
+    * null drop at the broadcast-back join (both engines).
+    *
+    *  - `"buffer"` (default): two grouped exact-percentile
+    *    aggregations — per-group distinct-value buffers, one scan
+    *    each; the measured-winner regime (see
+    *    [[groupedPercentiles]]'s contract).
+    *  - `"radix"`: two `Quantiles.groupedExactQuantiles` invocations
+    *    (values, then deviations) — EIGHT bounded-state scans total,
+    *    no per-group buffers; the ≫10⁷-distincts-per-group
+    *    memory-safety knob. Eager; radix input license applies. */
   def madStats(df: DataFrame, groupCols: Seq[String],
-               valueCol: String): DataFrame = {
-    val med = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        round(expr(s"percentile($valueCol, 0.5D)"), 6).as("median"))
-    df.join(broadcast(med), groupCols)
-      .withColumn("__dev", abs(col(valueCol) - col("median")))
-      .groupBy(groupCols.map(col): _*)
-      .agg(max(col("n")).as("n"), max(col("median")).as("median"),
-        round(expr("percentile(__dev, 0.5D)"), 6).as("mad"))
-  }
+               valueCol: String, engine: String = "buffer"): DataFrame =
+    engine match {
+      case "buffer" =>
+        val med = df.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("n"),
+            round(expr(s"percentile($valueCol, 0.5D)"), 6).as("median"))
+        df.join(broadcast(med), groupCols)
+          .withColumn("__dev", abs(col(valueCol) - col("median")))
+          .groupBy(groupCols.map(col): _*)
+          .agg(max(col("n")).as("n"), max(col("median")).as("median"),
+            round(expr("percentile(__dev, 0.5D)"), 6).as("mad"))
+      case "radix" =>
+        val med = Quantiles
+          .groupedExactQuantiles(df, groupCols, valueCol,
+            Seq("median" -> 0.5))
+          .select(groupCols.map(col) :+
+            round(col("median"), 6).as("median"): _*)
+        val n = df.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+        val dev = df.join(broadcast(med), groupCols)
+          .withColumn("__dev", abs(col(valueCol) - col("median")))
+        val mad = Quantiles
+          .groupedExactQuantiles(dev, groupCols, "__dev",
+            Seq("mad" -> 0.5))
+          .select(groupCols.map(col) :+ round(col("mad"), 6).as("mad"): _*)
+        // inner usingColumns joins: null-key groups drop, exactly as
+        // the buffer path's broadcast-back join drops them
+        n.join(med, groupCols).join(mad, groupCols)
+          .select(groupCols.map(col) ++
+            Seq(col("n"), col("median"), col("mad")): _*)
+      case other => throw new IllegalArgumentException(
+        s"engine must be buffer or radix, got $other")
+    }
 
   /** Column-level drift report between a reference snapshot and the
     * current frame — the train/serve-skew and pipeline-regression

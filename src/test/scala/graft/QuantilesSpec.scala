@@ -130,6 +130,20 @@ class QuantilesSpec extends SparkSpec {
         df, Seq("k"), "v", Seq(0.5, 0.95, 0.99), engine = "buffer")))
   }
 
+  test("madStats: radix and buffer engines agree (incl. null values and groups)") {
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 3000).map(_ => (s"g${rnd.nextInt(5)}",
+        java.lang.Double.valueOf((rnd.nextDouble() - 0.3) * 1e4))) ++
+        (1 to 100).map(_ => (s"g${rnd.nextInt(5)}", null: java.lang.Double)) ++
+        Seq((null: String, 3.0), (null, 9.0), ("lone", 42.0))
+    val df = rows.toDF("k", "v")
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().toSeq
+    assert(sorted(operators.Profile.madStats(df, Seq("k"), "v")) ==
+      sorted(operators.Profile.madStats(df, Seq("k"), "v", engine = "radix")))
+  }
+
   test("profile median / winsorize / equi-depth route through the engine") {
     // near-unique doubles — the shape percentile buffered whole
     val df = (1 to 3000).map(i => ((i * 2654435761L % 100000L) / 7.0))
