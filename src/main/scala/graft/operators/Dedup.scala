@@ -430,9 +430,20 @@ object Dedup {
   private def clustersCore(symEdges: DataFrame, maxIterations: Int,
                            checkpointEvery: Int,
                            localSolveMaxEdges: Long): DataFrame = {
+    // Eager localCheckpoint, NOT cache: a cache keeps the pair
+    // producer's whole LOGICAL plan (the SimHash/LSH pipeline subtree,
+    // repeated 4x through the two symmetrizing unions) in every
+    // frame derived from `edges`, so each loop round below re-analyzes
+    // and re-stringifies that huge tree on the driver — at sf100 a
+    // 17-round loop ran 162 s with the EXECUTORS IDLE, all of it
+    // Catalyst analysis + plan-description generation (jstack-
+    // adjudicated). Checkpointing makes `edges` a LogicalRDD leaf, so
+    // per-round driver work is O(the round's own operators). Same
+    // k-core discipline as Graph.kCore; blocks are reclaimed by
+    // ContextCleaner when the reference drops (see dupClusters doc).
     val edges = symEdges
       .union(symEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
+      .localCheckpoint()
     // Adaptive local solve: each distributed round costs several
     // scheduled stages regardless of data volume, so on a graph whose
     // edge list is driver-safe (~16 MB at the default cap) a collected
@@ -441,10 +452,8 @@ object Dedup {
     // straight past the cap. Disable with localSolveMaxEdges = 0.
     val nEdges = edges.count()
     if (nEdges > 0 && nEdges <= localSolveMaxEdges) {
-      val out = localSolve(
+      return localSolve(
         edges.select(col("src").as("id_a"), col("dst").as("id_b")))
-      edges.unpersist()
-      return out
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
@@ -486,7 +495,8 @@ object Dedup {
       labels = next.drop("__old")
       i += 1
     }
-    edges.unpersist()
+    // edges is localCheckpoint'd (not cached) — its blocks are
+    // reclaimed by ContextCleaner once the reference drops here.
     if (changed > 0)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIterations rounds " +
