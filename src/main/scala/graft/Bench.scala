@@ -11,6 +11,65 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Per-job-group I/O aggregates (bytes) — what the r13 verdict asked
+    * for (#3): shuffle read/write, spill (memory+disk), input read,
+    * and peak per-task execution memory, recorded per query so scale
+    * anomalies (page-cache contention vs a real plan regression) are
+    * adjudicated from the artifact instead of manual solo reruns. */
+  private final class IoAgg {
+    var shufRead = 0L; var shufWrite = 0L; var spillMem = 0L
+    var spillDisk = 0L; var input = 0L; var peakMem = 0L; var tasks = 0L
+  }
+
+  /** Attributes task metrics to the query that ran them via the job
+    * group (stage → group via onJobStart; groups are set around each
+    * query run, tagged per timed pass so the recorded metrics match
+    * the recorded min-time pass). Listener delivery is async — the
+    * bus is drained once before the artifact is written. */
+  private final class QueryMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val stageGroup =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val byGroup =
+      new java.util.concurrent.ConcurrentHashMap[String, IoAgg]()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val g = if (js.properties == null) null
+              else js.properties.getProperty("spark.jobGroup.id")
+      if (g != null)
+        js.stageIds.foreach(sid => stageGroup.put(sid, g))
+    }
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val g = stageGroup.get(te.stageId)
+      val m = te.taskMetrics
+      if (g != null && m != null) {
+        val a = byGroup.computeIfAbsent(g, _ => new IoAgg)
+        a.synchronized {
+          a.shufRead += m.shuffleReadMetrics.totalBytesRead
+          a.shufWrite += m.shuffleWriteMetrics.bytesWritten
+          a.spillMem += m.memoryBytesSpilled
+          a.spillDisk += m.diskBytesSpilled
+          a.input += m.inputMetrics.bytesRead
+          a.peakMem = math.max(a.peakMem, m.peakExecutionMemory)
+          a.tasks += 1
+        }
+      }
+    }
+  }
+
+  /** Wait for queued listener events (async bus) before reading the
+    * aggregates. `LiveListenerBus.waitUntilEmpty` is private[spark]
+    * (public in bytecode) — reflection, with a sleep fallback. */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .fold(Thread.sleep(2000)){ m => m.invoke(bus); () }
+    } catch { case _: Throwable => Thread.sleep(2000) }
+
   /** A cramped heap (spark-submit's 1g default) turns the array-heavy
     * dedup queries into GC benchmarks. If this JVM was started small,
     * re-exec the same main with a sane heap and inherit stdio — the
@@ -78,14 +137,18 @@ object Bench {
     // correctness artifact stays zero-err while the cheap-twin
     // throughput claims stay measured
     val allQueries = SparkEntry.queries ++ SparkEntry.benchExtras
-    def run(dir: String, name: String): Boolean =
+    val ioListener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(ioListener)
+    def run(dir: String, name: String, group: String = "warm"): Boolean =
       try {
+        spark.sparkContext.setJobGroup(group, group)
         allQueries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       } finally {
+        spark.sparkContext.clearJobGroup()
         // Queries that pin frames (iterative graph ops, the
         // partitionOffsets family) have no unpersist hook through the
         // queries() signature; over 3 full passes the leaked blocks
@@ -145,25 +208,50 @@ object Bench {
     // two timed passes, min per query: one GC/host stall shouldn't
     // masquerade as a plan regression. Per-query stderr progress so a
     // stalled query is identifiable live (the Verify lesson).
-    def timedPass(): Map[String, Double] = names.map { name =>
+    def timedPass(pass: Int): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      val ok = run(sfDir, name)
+      val ok = run(sfDir, name, s"$name@$pass")
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name ${if (ok) "ok" else "FAIL"} $secs%.2f s")
       name -> (if (ok) secs else -1.0)
     }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
+    // SPARK_GRAFT_PASSES=1 for fourth-decade full sweeps (a 258-row
+    // sf100 pass is ~95 min; r13-s2 measured in-suite numbers there
+    // are page-cache-dominated anyway, so the second pass buys little)
+    // — the artifact still records which discipline produced it via
+    // the runbook entry in BASELINE.md
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val p1 = timedPass(1)
+    val p2 = if (passes >= 2) timedPass(2) else p1
     val results = names.map { n =>
       val (a, b) = (p1(n), p2(n))
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    // per-query I/O from the pass whose time was recorded (work bytes
+    // are plan-deterministic; SPILL is not — it belongs to the pass
+    // the seconds came from)
+    drainListenerBus(spark)
+    val ioJson = names.flatMap { n =>
+      val (a, b) = (p1(n), p2(n))
+      val pass = if (b < 0 || (a >= 0 && a <= b)) 1 else 2
+      Option(ioListener.byGroup.get(s"$n@$pass")).map { m =>
+        "\"" + n + "\":{" +
+          s""""shuffle_read":${m.shufRead},"shuffle_write":${m.shufWrite},""" +
+          s""""spill_mem":${m.spillMem},"spill_disk":${m.spillDisk},""" +
+          s""""input":${m.input},"peak_exec_mem":${m.peakMem},""" +
+          s""""tasks":${m.tasks}}"""
+      }
+    }.mkString("{", ",", "}")
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cal = s""""calibration":${fmt(calibration)}"""
+    // "io" rides only in the durable FILE artifact (per-query bytes ≈
+    // 25 KB at 258 rows) — the stdout lines keep their tail-window
+    // contract unchanged
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"queries":$qs,"io":$ioJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
     // Persist the canonical full JSON (metric/value first) to a file —
     // the durable record every scale claim cites.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")

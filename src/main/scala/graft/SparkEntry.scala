@@ -1277,6 +1277,32 @@ object SparkEntry {
         numHashes = 8, bands = 4, shingleSize = 3).pairs
     }),
 
+    // the APPEND leg of the band-store lifecycle (r13 verdict #1):
+    // generation 0 (even doc ids) is written bucketed; generation 1
+    // (odd ids) is FOLDED IN via Storage.appendBucketed under the
+    // table's own catalog spec — no store rewrite; the re-crawl batch
+    // then probes store∪batch1 exchange-free on the store side
+    // (PlanSpec pins it on exactly this appended table). The DuckDB
+    // oracle replays both generations as an explicit UNION ALL of
+    // band rows. Compaction (one file per bucket, probe-plan
+    // invariance) is pinned in StorageSpec — a maintenance op, not a
+    // query-path stage.
+    "q_d_incr_lsh2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tag = s"graft_lsh_store2_${ProcessHandle.current.pid}"
+      val path = sys.props("java.io.tmpdir") + "/" + tag
+      Dedup.writeBandSignatureStore(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", tag, path,
+        buckets = 8, numHashes = 8, bands = 4, shingleSize = 3)
+      Dedup.appendBandSignatures(docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", tag, numHashes = 8, bands = 4, shingleSize = 3)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" ***")).as("text"))
+      Dedup.incrementalLsh(batch, "text", "doc_id", s.table(tag),
+        numHashes = 8, bands = 4, shingleSize = 3).pairs
+    }),
+
     "q_d_minhash" -> ((s, d) =>
       Dedup.minhashSignature(t(s, d, "documents").select("doc_id", "text"),
         "text", numHashes = 4, shingleSize = 3)
@@ -3682,6 +3708,38 @@ object SparkEntry {
         s"d AS (SELECT doc_id, $shinglesSql AS sh FROM t), " +
         s"sig AS (SELECT doc_id, $mh FROM d), " +
         s"bk AS (${bandSelects("sig")}), " +
+        "sizes AS (SELECT band, bucket, count(*) AS c FROM bk GROUP BY 1, 2), " +
+        "ok AS (SELECT bk.* FROM bk JOIN sizes USING (band, bucket) WHERE c <= 1000), " +
+        "braw AS (SELECT doc_id + 10000000 AS doc_id, text || ' ***' AS text FROM documents WHERE doc_id % 10 = 0), " +
+        s"bt AS (SELECT doc_id, $toksSql AS tk FROM braw WHERE len($toksSql) >= 3), " +
+        s"bd AS (SELECT doc_id, $shinglesSql AS sh FROM bt), " +
+        s"bsig AS (SELECT doc_id, $mh FROM bd), " +
+        s"bbk AS (${bandSelects("bsig")}) " +
+        "SELECT b.doc_id, a.doc_id AS cand_id, count(*) AS band_matches " +
+        "FROM bbk b JOIN ok a USING (band, bucket) GROUP BY 1, 2"
+    },
+
+    // two-generation replay: the store's band rows are an explicit
+    // UNION ALL of gen0 (even ids, the initial bucketed write) and
+    // gen1 (odd ids, the append) — byte-for-byte what the appended
+    // table holds; probe recipe identical to q_d_incr_lsh
+    "q_d_incr_lsh2" -> {
+      val mh = (0 until 8).map { i =>
+        val a = (2654435761L * (i + 1)) % 1000000007L
+        val b = (2246822519L * (i + 1)) % 1000000007L
+        s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
+      }.mkString(", ")
+      def bandSelects(src: String) = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, ${h60Sql(s"mh_${2 * bnd}::VARCHAR || '_' || mh_${2 * bnd + 1}::VARCHAR")} AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+      def genBands(gen: String, parity: Int) =
+        s"t$gen AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id % 2 = $parity AND len($toksSql) >= 3), " +
+          s"d$gen AS (SELECT doc_id, $shinglesSql AS sh FROM t$gen), " +
+          s"sig$gen AS (SELECT doc_id, $mh FROM d$gen), " +
+          s"bk$gen AS (${bandSelects(s"sig$gen")})"
+      s"WITH ${genBands("0", 0)}, " +
+        s"${genBands("1", 1)}, " +
+        "bk AS (SELECT * FROM bk0 UNION ALL SELECT * FROM bk1), " +
         "sizes AS (SELECT band, bucket, count(*) AS c FROM bk GROUP BY 1, 2), " +
         "ok AS (SELECT bk.* FROM bk JOIN sizes USING (band, bucket) WHERE c <= 1000), " +
         "braw AS (SELECT doc_id + 10000000 AS doc_id, text || ' ***' AS text FROM documents WHERE doc_id % 10 = 0), " +

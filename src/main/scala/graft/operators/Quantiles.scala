@@ -184,7 +184,15 @@ object Quantiles {
     *
     * LICENSES: (a) the survivors frame (≤ groups × 2·fractions rows)
     * is broadcast at each refinement level — group cardinality up to
-    * ~10⁶ is fine, beyond that the hint itself is the limit; (b) the
+    * ~10⁶ is fine, beyond that the hint itself is the limit. The
+    * license is now CHECKED, not assumed (r13 verdict #5): the group
+    * count is read off the already-materialized pass-0 histogram (one
+    * metadata-sized job, no extra corpus scan), and past
+    * `maxBroadcastGroups` every metadata join falls back to the
+    * UNHINTED plan (shuffled joins — slower, never a driver OOM),
+    * with a stderr note. Adversarial test in QuantilesSpec pins both
+    * the fallback plan (no BroadcastExchange) and its results;
+    * (b) the
     * engine's input license, four scans over bit-identical data
     * (`exactQuantiles` scaladoc). ADOPTION CONTRACT (the ByRange-twin
     * discipline): this engine wins when per-group value sets are WIDE
@@ -205,7 +213,8 @@ object Quantiles {
     * that IEEE order) — pinned in QuantilesSpec. */
   def groupedExactQuantiles(df: DataFrame, groupCols: Seq[String],
                             valueCol: String,
-                            labeled: Seq[(String, Double)]): DataFrame = {
+                            labeled: Seq[(String, Double)],
+                            maxBroadcastGroups: Long = 1000000L): DataFrame = {
     require(groupCols.nonEmpty, "no group columns")
     require(labeled.nonEmpty &&
       labeled.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
@@ -224,6 +233,17 @@ object Quantiles {
     val spine = h0.select(g: _*).distinct()
     val n = h0.filter(col("__bk").isNotNull)
       .groupBy(g: _*).agg(sum("__c").as("__n"))
+
+    // broadcast-license guard: count groups off the CHECKPOINTED
+    // pass-0 histogram (metadata-sized job over materialized blocks,
+    // no extra corpus scan); past the license, drop the hints — the
+    // metadata joins plan shuffled instead of OOMing the driver
+    val nGroups = spine.count()
+    val hinted = nGroups <= maxBroadcastGroups
+    if (!hinted) System.err.println(
+      s"[groupedExactQuantiles] $nGroups groups > maxBroadcastGroups=" +
+        s"$maxBroadcastGroups: metadata joins fall back to unhinted plans")
+    def bhint(d: DataFrame): DataFrame = if (hinted) broadcast(d) else d
 
     // 0-based order-statistic targets per group: floor and ceil of
     // every position p·(n−1), deduplicated
@@ -244,7 +264,7 @@ object Quantiles {
     val w0 = Window.partitionBy(g: _*).orderBy("__bk")
     val cum0 = h0.filter(col("__bk").isNotNull)
       .withColumn("__below", sum("__c").over(w0) - col("__c"))
-    var loc = ckpt(joinNS(broadcast(targets), cum0, groupCols)
+    var loc = ckpt(joinNS(bhint(targets), cum0, groupCols)
       .filter(col("__r") >= col("__below") &&
         col("__r") < col("__below") + col("__c"))
       .select(g :+ col("__r") :+ col("__bk").as("__pfx") :+
@@ -258,12 +278,12 @@ object Quantiles {
       val hk = joinNS(
         df.select(g :+ shiftrightunsigned(u, shift + 16).as("__ppfx") :+
           shiftrightunsigned(u, shift).as("__bk"): _*),
-        broadcast(surv), groupCols :+ "__ppfx")
+        bhint(surv), groupCols :+ "__ppfx")
         .groupBy((g :+ col("__ppfx") :+ col("__bk")): _*)
         .agg(count(lit(1)).as("__c"))
       val wk = Window.partitionBy((g :+ col("__ppfx")): _*).orderBy("__bk")
       val cumk = hk.withColumn("__blocal", sum("__c").over(wk) - col("__c"))
-      loc = ckpt(joinNS(broadcast(loc.withColumnRenamed("__pfx", "__ppfx")),
+      loc = ckpt(joinNS(bhint(loc.withColumnRenamed("__pfx", "__ppfx")),
           cumk, groupCols :+ "__ppfx")
         .filter(col("__r") >= col("__below") + col("__blocal") &&
           col("__r") < col("__below") + col("__blocal") + col("__c"))
@@ -291,8 +311,8 @@ object Quantiles {
       .withColumnRenamed("__v", "__vlo")
     val vhi = vals.withColumnRenamed("__r", "__hi")
       .withColumnRenamed("__v", "__vhi")
-    val scored = joinNS(joinNS(withPos, broadcast(vlo), groupCols :+ "__lo"),
-        broadcast(vhi), groupCols :+ "__hi")
+    val scored = joinNS(joinNS(withPos, bhint(vlo), groupCols :+ "__lo"),
+        bhint(vhi), groupCols :+ "__hi")
       .withColumn("__val",
         when(col("__hi") === col("__lo") ||
             col("__vhi") === col("__vlo"), col("__vlo"))
@@ -302,7 +322,7 @@ object Quantiles {
     val wideAggs = labeled.zipWithIndex.map { case ((lab, _), i) =>
       max(when(col("__pi") === i, col("__val"))).as(lab) }
     val wide = scored.groupBy(g: _*).agg(wideAggs.head, wideAggs.tail: _*)
-    joinNS(spine, broadcast(wide), groupCols, "left")
+    joinNS(spine, bhint(wide), groupCols, "left")
       .select((g ++ labeled.map(l => col(l._1))): _*)
   }
 

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed/partitioned storage helpers (SURVEY.md §4 "partitioning /
   * shuffle"): pre-shuffle tables ONCE at write time so every later
@@ -28,6 +29,67 @@ object Storage {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Append `df` into an existing bucketed table under the TABLE'S OWN
+    * bucket spec (keys, count, sort) read from the catalog — the
+    * ingest leg of a store lifecycle: write once with
+    * [[writeBucketed]], then fold each accepted batch in without
+    * rewriting the corpus. Each append adds ≤ one file per bucket;
+    * reads stay bucketed (a bucket's files are one scan partition),
+    * so probe joins on the bucket keys remain exchange-free across
+    * generations. After many small batches, reclaim the file count
+    * with [[compactBucketed]]. The spec is taken from the catalog
+    * rather than caller arguments so a drifted caller cannot corrupt
+    * the table's co-location contract — Spark itself re-verifies the
+    * spec on append. */
+  def appendBucketed(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table is not bucketed; appendBucketed requires a bucketed table"))
+    var w = df.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    if (spec.sortColumnNames.nonEmpty)
+      w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  /** Compact a bucketed table accumulated by [[appendBucketed]] back
+    * to ONE file per bucket, preserving the bucket spec (probe plans
+    * are invariant — pinned in StorageSpec), with ZERO shuffle: the
+    * bucketed scan already yields exactly one partition per bucket,
+    * so the bucketed re-write opens exactly one file per task. The
+    * only subtlety is `autoBucketedScan`: with nothing downstream
+    * "needing" the distribution, the planner would decompose the scan
+    * into file splits (and an explicit repartition is elided BEFORE
+    * that decision, measured — 13 files out of a 4-bucket rewrite),
+    * so bucketed scanning is forced ON for the duration. The new
+    * generation lands at `newPath` as a temp table, then swaps names
+    * — never an in-place overwrite, so the old files stay readable
+    * until the swap commits. Returns the OLD generation's directory
+    * for deferred deletion by the caller's retention policy.
+    * A maintenance op run every N batches, never on the query path. */
+  def compactBucketed(spark: SparkSession, table: String,
+                      newPath: String): String = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table is not bucketed; compactBucketed requires a bucketed table"))
+    val oldPath = meta.location.toString
+    val tmp = table + "_compacting"
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(auto)
+    try {
+      spark.conf.set(auto, "false")
+      writeBucketed(spark.table(table), tmp, newPath,
+        spec.bucketColumnNames, spec.numBuckets, spec.sortColumnNames)
+    } finally spark.conf.set(auto, prev)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    oldPath
+  }
 
   /** Plain partitioned-parquet write (no catalog table): one directory
     * per partition value, so reads filtered on `partitionKeys` prune

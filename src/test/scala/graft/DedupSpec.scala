@@ -138,6 +138,70 @@ class DedupSpec extends SparkSpec {
       == Seq(1L))
   }
 
+  test("cache-in-loop guard: per-round plan size stays O(1) in rounds (the sf100 driver-planning bug class)") {
+    // The r13 session-2 bug: a .cache() preserving a huge producer
+    // plan feeding the CC loop re-analyzed that plan EVERY round on
+    // the driver (162 s of idle executors at sf100). The discipline is
+    // lineage truncation at the loop's edge (eager checkpoint) plus a
+    // bounded cache window (checkpointEvery). This guard pins it: the
+    // analyzed-plan size observed per round must not grow with rounds
+    // — only with the bounded in-window chain. A 200-node chain forces
+    // ≥6 distributed rounds; a PRODUCER with a deliberately deep plan
+    // (10 stacked projections + a union) stands in for the LSH subtree.
+    val base = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val deep = (1 to 10).foldLeft(base)((d, _) =>
+      d.select(col("id_a") + 1 - 1 as "id_a", col("id_b")))
+    val producer = deep.unionAll(deep).distinct()
+    val sizes = scala.collection.mutable.Map[Int, Int]()
+    graft.operators.Dedup.roundProbe = (round, frame) =>
+      sizes(round) = frame.queryExecution.analyzed.treeString.length
+    try {
+      val got = Dedup.dupClusters(producer, maxIterations = 12,
+        checkpointEvery = 3, localSolveMaxEdges = 0)
+      assert(got.select("cluster_id").distinct().count() == 1)
+      assert(sizes.size >= 6, s"expected >=6 rounds, saw ${sizes.keys}")
+      // no growth ACROSS checkpoint windows: within a window the chain
+      // deepens by design (bounded by checkpointEvery), so the pin is
+      // that NO later round exceeds the first window's max by more
+      // than expr-id-digit noise. Leaked producer lineage (the bug
+      // class) grows the per-round plan by the whole producer tree —
+      // orders of magnitude past this bound.
+      val firstWindowMax = sizes.filter(_._1 < 3).values.max
+      sizes.foreach { case (r, s) =>
+        assert(s <= 2 * firstWindowMax,
+          s"round $r plan $s > 2x first-window max $firstWindowMax — " +
+            s"lineage leaking across rounds: $sizes")
+      }
+    } finally graft.operators.Dedup.roundProbe = null
+  }
+
+  test("dupClusters: reliable checkpoint dir (cluster knob) — loop is green and uses the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = Dedup.dupClusters(pairs, maxIterations = 12,
+        localSolveMaxEdges = 0)
+      assert(got.count() == 64 &&
+        got.select("cluster_id").distinct().count() == 1)
+      // the reliable path actually wrote checkpoint data
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        s"no checkpoint data under $dir")
+    } finally {
+      // clear the sticky session-level dir so later tests keep the
+      // localCheckpoint path; setCheckpointDir(null) may NPE in the
+      // non-local-path warning, so fall back to the bytecode setter
+      try spark.sparkContext.setCheckpointDir(null)
+      catch { case _: Throwable =>
+        spark.sparkContext.getClass.getMethods
+          .find(_.getName == "checkpointDir_$eq")
+          .foreach(_.invoke(spark.sparkContext, None))
+      }
+    }
+  }
+
   test("dupClusters: hitting maxIterations throws instead of returning split clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {

@@ -306,6 +306,46 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS band_store_test")
   }
 
+  test("incremental LSH: store stays exchange-free AFTER appendBandSignatures (two generations)") {
+    val docs = (1L to 200L).map(i =>
+        (i, s"alpha beta gamma delta body number ${i % 7} tail"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bandstore2").toString
+    // gen0 = even corpus ids; gen1 = odd corpus ids folded in via append
+    Dedup.writeBandSignatureStore(
+      docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 2 === 0),
+      "text", "doc_id", "band_store_app", path + "/tbl", buckets = 4,
+      numHashes = 8, bands = 4)
+    Dedup.appendBandSignatures(
+      docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 2 === 1),
+      "text", "doc_id", "band_store_app", numHashes = 8, bands = 4)
+    try {
+      val store = spark.table("band_store_app")
+      val got = Dedup.incrementalLsh(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", store,
+        numHashes = 8, bands = 4)
+      val plan = got.pairs.queryExecution.executedPlan.toString
+      // the append must not cost the store its bucketed-scan
+      // distribution: still exactly the two batch-sided exchanges
+      assert(count(plan, "Exchange") == 2, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // semantics: identical to a store written in ONE generation
+      val oneShot = Dedup.bandSignatures(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
+        numHashes = 8, bands = 4)
+      val brute = Dedup.bandSignatures(
+          docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+          numHashes = 8, bands = 4)
+        .join(oneShot.withColumnRenamed("doc_id", "cand_id"),
+          Seq("band", "bucket"))
+        .groupBy("doc_id", "cand_id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("bm"))
+        .as[(Long, Long, Long)].collect().toSet
+      val gotSet = got.pairs.as[(Long, Long, Long)].collect().toSet
+      assert(gotSet == brute && gotSet.nonEmpty, s"got=$gotSet")
+    } finally spark.sql("DROP TABLE IF EXISTS band_store_app")
+  }
+
   test("winnowing fingerprints are map-only: no exchange in the plan") {
     val docs = (1L to 50L).map(i => (i, s"a b c d e f g $i"))
       .toDF("doc_id", "text")

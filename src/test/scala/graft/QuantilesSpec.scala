@@ -75,6 +75,37 @@ class QuantilesSpec extends SparkSpec {
     assert(got("b").map(_.get) == wb)
   }
 
+  test("groupedExactQuantiles: past maxBroadcastGroups the hints fall back (no BroadcastExchange, same results)") {
+    // r13 verdict #5: the ~10^6-group broadcast license was documented
+    // but never checked — past it the hinted metadata joins OOM the
+    // driver. Adversarial setting: a threshold of 3 with 8 groups must
+    // (a) plan WITHOUT any broadcast, (b) return bit-identical results
+    val rnd = new scala.util.Random(14)
+    val df = (1 to 800).map(_ =>
+      (rnd.nextInt(8), (rnd.nextDouble() - 0.5) * 1e4)).toDF("g", "v")
+    val gps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    // isolate HINT-driven broadcasts: the auto threshold also
+    // broadcasts tiny sides from size stats, which self-limits and is
+    // not the OOM class the guard removes
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = Quantiles.groupedExactQuantiles(df, Seq("g"), "v", gps)
+      val fallback = Quantiles.groupedExactQuantiles(df, Seq("g"), "v", gps,
+        maxBroadcastGroups = 3)
+      val plan = fallback.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"fallback plan still broadcasts:\n$plan")
+      // the hinted plan DOES broadcast (the guard changed only the plan)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+      val a = hinted.orderBy("g").collect().toSeq
+      val b = fallback.orderBy("g").collect().toSeq
+      assert(a == b, s"fallback diverged:\n$a\nvs\n$b")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("groupedExactQuantiles: bit-parity vs grouped percentile, adversarial") {
     val gps = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95, "p100" -> 1.0)
     val rnd = new scala.util.Random(20260815)

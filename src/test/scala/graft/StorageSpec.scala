@@ -44,6 +44,89 @@ class StorageSpec extends SparkSpec {
     assert(dirs.length == 4)
   }
 
+  test("appendBucketed: folds a batch in under the catalog spec; bucketed join still exchange-free") {
+    val dir = Files.createTempDirectory("graft-append")
+    val gen0 = (1 to 500).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val gen1 = (501 to 800).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    Storage.writeBucketed(gen0, "ap_t", s"$dir/t", Seq("k"), buckets = 8)
+    try {
+      Storage.appendBucketed(spark, gen1, "ap_t")
+      val t = spark.table("ap_t")
+      assert(t.count() == 800)
+      // both generations present
+      assert(t.filter(col("v") > 500).count() == 300)
+      // join on the bucket key stays exchange-free across generations
+      val other = (1 to 100).map(i => (i.toLong % 50, i.toLong)).toDF("k", "w")
+      Storage.writeBucketed(other, "ap_o", s"$dir/o", Seq("k"), buckets = 8)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.table("ap_t").join(spark.table("ap_o"), Seq("k"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"appended bucketed join should not shuffle:\n$plan")
+        assert(joined.count() ==
+          gen0.unionAll(gen1).join(other, Seq("k")).count())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // non-bucketed table refuses loudly
+      (1 to 5).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+        .write.mode("overwrite").option("path", s"$dir/plain")
+        .saveAsTable("ap_plain")
+      intercept[IllegalArgumentException] {
+        Storage.appendBucketed(spark, gen1, "ap_plain")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ap_t")
+      spark.sql("DROP TABLE IF EXISTS ap_o")
+      spark.sql("DROP TABLE IF EXISTS ap_plain")
+    }
+  }
+
+  test("compactBucketed: N appends collapse to one file per bucket; probe plan and rows invariant") {
+    val dir = Files.createTempDirectory("graft-compact")
+    val gen0 = (1 to 400).map(i => (i.toLong % 32, i.toLong)).toDF("k", "v")
+    Storage.writeBucketed(gen0, "cp_t", s"$dir/t0", Seq("k"), buckets = 4)
+    try {
+      // three appended generations -> up to 4 files per bucket
+      for (g <- 1 to 3) {
+        val gen = (g * 1000 + 1 to g * 1000 + 100)
+          .map(i => (i.toLong % 32, i.toLong)).toDF("k", "v")
+        Storage.appendBucketed(spark, gen, "cp_t")
+      }
+      val before = spark.table("cp_t").orderBy("k", "v").collect()
+      def parquetFiles(p: String) = new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(parquetFiles(s"$dir/t0") > 4,
+        "appends should have accumulated files")
+      val probe = (1 to 50).map(i => (i.toLong % 32, i.toLong)).toDF("k", "w")
+      Storage.writeBucketed(probe, "cp_p", s"$dir/p", Seq("k"), buckets = 4)
+      def probePlan(): String = {
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.table("cp_t").join(spark.table("cp_p"), Seq("k"))
+            .queryExecution.executedPlan.toString
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+      val planBefore = probePlan()
+      val oldPath = Storage.compactBucketed(spark, "cp_t", s"$dir/t1")
+      assert(oldPath.contains("t0"), s"old generation path: $oldPath")
+      // one file per bucket, same rows, probe plan shape invariant
+      assert(parquetFiles(s"$dir/t1") == 4,
+        s"expected 4 files, got ${parquetFiles(s"$dir/t1")}")
+      val after = spark.table("cp_t").orderBy("k", "v").collect()
+      assert(after.toSeq == before.toSeq)
+      val planAfter = probePlan()
+      assert(!planAfter.contains("Exchange hashpartitioning"), planAfter)
+      assert(planBefore.contains("Bucketed: true") &&
+        planAfter.contains("Bucketed: true"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cp_t")
+      spark.sql("DROP TABLE IF EXISTS cp_p")
+      spark.sql("DROP TABLE IF EXISTS cp_t_compacting")
+    }
+  }
+
   test("compact: fragmented input becomes a bounded file count") {
     val frag = (1L to 1000L).toDF("id").repartition(37)
     val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"

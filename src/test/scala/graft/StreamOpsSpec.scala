@@ -308,6 +308,59 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("band-store maintenance parity: streaming store and batch write+append probe interchangeably") {
+    // r13 verdict #6: once the batch store gained an append leg, pin
+    // that the STREAMING store (per-batch_id slices) and the BATCH
+    // store (bucketed write + appendBucketed) are interchangeable as
+    // incrementalLsh probe targets. Corpus of all-distinct docs split
+    // in two: streaming ingests it as two microbatches; batch writes
+    // gen0 then appends gen1. Same probe, same pairs.
+    import graft.operators.Dedup
+    val docs = (1L to 60L).map(i =>
+      (i, s"alpha beta gamma delta body number ${i % 7} tail"))
+    val (gen0, gen1) = docs.partition(_._1 % 2 == 0)
+    val dirs = java.nio.file.Files.createTempDirectory("graft-store-parity")
+    val (sDir, oDir) = (s"$dirs/store", s"$dirs/out")
+    val step = StreamOps.minhashLshDedupBatchStep(sDir, oDir, "text",
+      "doc_id", numHashes = 8, bands = 4, minJaccard = 0.95)
+    // near-dups exist (the %7 cycle) — run both stores over the SAME
+    // surviving population: feed streaming first, then build the batch
+    // store from exactly the docs the streaming store retained
+    step(gen0.toDF("doc_id", "text"), 0L)
+    step(gen1.toDF("doc_id", "text"), 1L)
+    val streamStore = spark.read.parquet(sDir)
+      .select("doc_id", "band", "bucket")
+    val survivorIds = streamStore.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    val surv0 = docs.filter(d => survivorIds(d._1) && d._1 % 2 == 0)
+    val surv1 = docs.filter(d => survivorIds(d._1) && d._1 % 2 == 1)
+    Dedup.writeBandSignatureStore(surv0.toDF("doc_id", "text"), "text",
+      "doc_id", "parity_store", s"$dirs/tbl", buckets = 4,
+      numHashes = 8, bands = 4)
+    Dedup.appendBandSignatures(surv1.toDF("doc_id", "text"), "text",
+      "doc_id", "parity_store", numHashes = 8, bands = 4)
+    try {
+      // the stores hold identical band rows...
+      val sm = streamStore.as[(Long, Int, Long)].collect().toSet
+      val bm = spark.table("parity_store")
+        .select("doc_id", "band", "bucket")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(sm == bm && sm.nonEmpty,
+        s"store contents diverge: stream-only=${sm -- bm} batch-only=${bm -- sm}")
+      // ...and probe identically through incrementalLsh
+      val probe = (1L to 6L).map(i =>
+        (i + 1000L, s"alpha beta gamma delta body number ${i % 7} tail"))
+        .toDF("doc_id", "text")
+      val viaStream = Dedup.incrementalLsh(probe, "text", "doc_id",
+        streamStore, numHashes = 8, bands = 4)
+        .pairs.as[(Long, Long, Long)].collect().toSet
+      val viaBatch = Dedup.incrementalLsh(probe, "text", "doc_id",
+        spark.table("parity_store"), numHashes = 8, bands = 4)
+        .pairs.as[(Long, Long, Long)].collect().toSet
+      assert(viaStream == viaBatch && viaStream.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS parity_store")
+  }
+
   test("srpDedupBatchStep: embedding near-dups dropped across batches via the store") {
     implicit val sqlCtx = spark.sqlContext
     val dirs = java.nio.file.Files.createTempDirectory("graft-stream-embdedup")
