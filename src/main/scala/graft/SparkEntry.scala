@@ -1303,6 +1303,34 @@ object SparkEntry {
         numHashes = 8, bands = 4, shingleSize = 3).pairs
     }),
 
+    // the COMPLETE ingest loop as one operator (probe → agreement
+    // confirm → accept → append), run twice against one
+    // signature-carrying store: batch1 (even ids) dedupes internally
+    // and seeds the corpus; batch2 (odd ids) dedupes internally AND
+    // drops its cross-batch near-dups of batch-1 survivors via the
+    // minhash-agreement screen (≥ ceil(0.5·8) = 4 agreeing slots).
+    // Output = (batch, surviving doc_id); the oracle replays BOTH CC
+    // rounds (recursive CTEs) and the agreement screen over the
+    // replayed signatures. Short docs pre-filtered (the q_d_pipeline
+    // convention); their keep-semantics are pinned in DedupSpec.
+    "q_d_ingest2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(TF.wordCount(col("text")) >= 3)
+      val tag = s"graft_ingest_store_${ProcessHandle.current.pid}"
+      val path = sys.props("java.io.tmpdir") + "/" + tag
+      Dedup.writeBandSignatureStore(docs.filter(lit(false)), "text",
+        "doc_id", tag, path, buckets = 8, numHashes = 8, bands = 4,
+        shingleSize = 3, withSignatures = true)
+      val r1 = Dedup.lshIngestBatch(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", tag, numHashes = 8, bands = 4,
+        shingleSize = 3, minJaccard = 0.5)
+      val r2 = Dedup.lshIngestBatch(docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", tag, numHashes = 8, bands = 4,
+        shingleSize = 3, minJaccard = 0.5)
+      r1.survivors.select(lit(1).as("batch"), col("doc_id"))
+        .unionAll(r2.survivors.select(lit(2).as("batch"), col("doc_id")))
+    }),
+
     "q_d_minhash" -> ((s, d) =>
       Dedup.minhashSignature(t(s, d, "documents").select("doc_id", "text"),
         "text", numHashes = 4, shingleSize = 3)
@@ -2570,11 +2598,19 @@ object SparkEntry {
     * pointer-jumped iteration), then everything that is NOT a
     * non-representative member of a cluster. Prepend `WITH RECURSIVE`
     * to the full query when splicing this in. */
+  /** Connected-components CTEs (recursive min-label propagation) with
+    * a name prefix so two independent CC rounds can live in one
+    * WITH RECURSIVE (the q_d_ingest2 two-batch replay). Produces
+    * `{p}edges`/`{p}cc`/`{p}dropped`; `{p}dropped` holds every id
+    * that is NOT its cluster's min. */
+  private def ccCtesSql(pairsCte: String, p: String): String =
+    s"${p}edges AS (SELECT id_a AS src, id_b AS dst FROM $pairsCte UNION SELECT id_b, id_a FROM $pairsCte), " +
+      s"${p}cc AS (SELECT src AS id, src AS lbl FROM ${p}edges UNION SELECT e.dst, ${p}cc.lbl FROM ${p}cc JOIN ${p}edges e ON ${p}cc.id = e.src WHERE ${p}cc.lbl < e.dst), " +
+      s"${p}dropped AS (SELECT id FROM (SELECT id, min(lbl) AS c FROM ${p}cc GROUP BY id) WHERE id <> c)"
+
   private def ccTailSql(pairsCte: String, keepFrom: String,
                         idCol: String): String =
-    s"edges AS (SELECT id_a AS src, id_b AS dst FROM $pairsCte UNION SELECT id_b, id_a FROM $pairsCte), " +
-      "cc AS (SELECT src AS id, src AS lbl FROM edges UNION SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src WHERE cc.lbl < e.dst), " +
-      "dropped AS (SELECT id FROM (SELECT id, min(lbl) AS c FROM cc GROUP BY id) WHERE id <> c) " +
+    ccCtesSql(pairsCte, "") + " " +
       s"SELECT $idCol FROM $keepFrom WHERE $idCol NOT IN (SELECT id FROM dropped)"
 
   /** q_v3_wide's explicit pivot-value list — the cBio
@@ -3749,6 +3785,45 @@ object SparkEntry {
         s"bbk AS (${bandSelects("bsig")}) " +
         "SELECT b.doc_id, a.doc_id AS cand_id, count(*) AS band_matches " +
         "FROM bbk b JOIN ok a USING (band, bucket) GROUP BY 1, 2"
+    },
+
+    // two-batch ingest replay: per-batch pipeline dedup (bands →
+    // candidates → exact-Jaccard confirm → CC as prefixed recursive
+    // CTEs), then the cross-batch minhash-agreement screen of batch-2
+    // representatives against batch-1 survivors' stored signatures.
+    // Heavy per-batch CTEs are MATERIALIZED (each is referenced 2-3×;
+    // default inlining re-expands the whole chain per reference).
+    "q_d_ingest2" -> {
+      val mh = (0 until 8).map { i =>
+        val a = (2654435761L * (i + 1)) % 1000000007L
+        val b = (2246822519L * (i + 1)) % 1000000007L
+        s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
+      }.mkString(", ")
+      def bandSelects(src: String) = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, ${h60Sql(s"mh_${2 * bnd}::VARCHAR || '_' || mh_${2 * bnd + 1}::VARCHAR")} AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+      val jac = "CASE WHEN len(list_distinct(list_concat(da.sh, db.sh))) = 0 THEN 0.0 ELSE len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) END"
+      def gen(g: Int, parity: Int): String =
+        s"t$g AS MATERIALIZED (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id % 2 = $parity AND len($toksSql) >= 3), " +
+          s"d$g AS MATERIALIZED (SELECT doc_id, $shinglesSql AS sh FROM t$g), " +
+          s"sig$g AS MATERIALIZED (SELECT doc_id, $mh FROM d$g), " +
+          s"bk$g AS MATERIALIZED (${bandSelects(s"sig$g")}), " +
+          s"cand$g AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk$g a JOIN bk$g b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+          s"conf$g AS (SELECT id_a, id_b FROM cand$g JOIN d$g da ON da.doc_id = cand$g.id_a JOIN d$g db ON db.doc_id = cand$g.id_b WHERE $jac >= 0.5), " +
+          ccCtesSql(s"conf$g", s"c$g")
+      val agree8 = (0 until 8).map(i =>
+        s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+      "WITH RECURSIVE " + gen(1, 0) + ", " + gen(2, 1) + ", " +
+        "surv1 AS MATERIALIZED (SELECT doc_id FROM t1 WHERE doc_id NOT IN (SELECT id FROM c1dropped)), " +
+        // the store after batch 1 = batch-1 survivors' band rows;
+        // bucket-size guard over exactly those rows (<= 1000)
+        "sbk AS MATERIALIZED (SELECT bk1.* FROM bk1 JOIN surv1 USING (doc_id)), " +
+        "sizes AS (SELECT band, bucket, count(*) AS c FROM sbk GROUP BY 1, 2), " +
+        "okst AS (SELECT sbk.* FROM sbk JOIN sizes USING (band, bucket) WHERE c <= 1000), " +
+        s"xdup AS (SELECT DISTINCT b2.doc_id FROM bk2 b2 JOIN okst ON b2.band = okst.band AND b2.bucket = okst.bucket " +
+        s"JOIN sig2 sa ON sa.doc_id = b2.doc_id JOIN sig1 sb ON sb.doc_id = okst.doc_id WHERE ($agree8) >= 4) " +
+        "SELECT 1 AS batch, doc_id FROM surv1 " +
+        "UNION ALL SELECT 2, doc_id FROM t2 WHERE doc_id NOT IN (SELECT id FROM c2dropped) AND doc_id NOT IN (SELECT doc_id FROM xdup)"
     },
 
     "q_d_srcoverlap" ->

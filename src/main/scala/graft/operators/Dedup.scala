@@ -124,7 +124,26 @@ object Dedup {
     * replayable in portable SQL (the q_d_lsh oracle recipe). */
   def bandSignatures(df: DataFrame, textCol: String, idCol: String,
                      numHashes: Int = 16, bands: Int = 4,
-                     shingleSize: Int = 3): DataFrame = {
+                     shingleSize: Int = 3): DataFrame =
+    bandRows(df, textCol, idCol, numHashes, bands, shingleSize,
+      withMh = false)
+
+  /** [[bandSignatures]] plus the full k-slot signature riding along as
+    * `mh: array<long>` — what a SIGNATURE-CARRYING store holds so the
+    * cross-batch near-dup confirm is self-contained (the stored TEXT
+    * is gone; the minhash-agreement estimator — unbiased for Jaccard,
+    * ±1/√k — stands in for the exact confirm, exactly as the
+    * streaming twin's store does). */
+  private[graft] def bandSignaturesMh(df: DataFrame, textCol: String,
+                                      idCol: String, numHashes: Int = 16,
+                                      bands: Int = 4,
+                                      shingleSize: Int = 3): DataFrame =
+    bandRows(df, textCol, idCol, numHashes, bands, shingleSize,
+      withMh = true)
+
+  private def bandRows(df: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int, bands: Int, shingleSize: Int,
+                       withMh: Boolean): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     // guard BEFORE the signature projection, on the cheap token count —
@@ -135,17 +154,20 @@ object Dedup {
       .withColumn("__sig",
         TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize))
       .select(
-        col(idCol).as("doc_id") +:
+        col(idCol).as("doc_id") +: col("__sig") +:
           (0 until numHashes).map(i =>
             col("__sig").getItem(i).as(s"mh_$i")): _*)
-    withSig.select(col("doc_id"), explode(array(
+    val banded = withSig.select(col("doc_id") +: col("__sig") +: Seq(explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash60(concat_ws("_",
             (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*))
             .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      }: _*)).as("bb")): _*)
+    if (withMh)
+      banded.select(col("doc_id"), col("bb.band"), col("bb.bucket"),
+        col("__sig").as("mh"))
+    else banded.select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
   /** Materialize the LSH band-signature store BUCKETED BY (band,
@@ -155,10 +177,19 @@ object Dedup {
   def writeBandSignatureStore(docs: DataFrame, textCol: String,
                               idCol: String, table: String, path: String,
                               buckets: Int, numHashes: Int = 16,
-                              bands: Int = 4, shingleSize: Int = 3): Unit =
-    graft.sources.Storage.writeBucketed(
-      bandSignatures(docs, textCol, idCol, numHashes, bands, shingleSize),
+                              bands: Int = 4, shingleSize: Int = 3,
+                              withSignatures: Boolean = false): Unit = {
+    // withSignatures: carry the k-slot minhash alongside each band row
+    // so later batches can CONFIRM (minhash agreement), not just
+    // collide — required by [[lshIngestBatch]]; plain probes
+    // ([[incrementalLsh]]) work against either layout
+    val rows =
+      if (withSignatures)
+        bandSignaturesMh(docs, textCol, idCol, numHashes, bands, shingleSize)
+      else bandSignatures(docs, textCol, idCol, numHashes, bands, shingleSize)
+    graft.sources.Storage.writeBucketed(rows,
       table, path, bucketKeys = Seq("band", "bucket"), buckets = buckets)
+  }
 
   /** Fold a new batch's band rows INTO an existing band-signature
     * store — the append leg that closes the operational loop
@@ -175,10 +206,16 @@ object Dedup {
   def appendBandSignatures(batch: DataFrame, textCol: String,
                            idCol: String, table: String,
                            numHashes: Int = 16, bands: Int = 4,
-                           shingleSize: Int = 3): Unit =
-    graft.sources.Storage.appendBucketed(batch.sparkSession,
-      bandSignatures(batch, textCol, idCol, numHashes, bands, shingleSize),
-      table)
+                           shingleSize: Int = 3): Unit = {
+    // layout inferred from the TABLE (signature-carrying or plain) so
+    // appended generations can never fork the store's schema
+    val withMh = batch.sparkSession.table(table).columns.contains("mh")
+    val rows =
+      if (withMh)
+        bandSignaturesMh(batch, textCol, idCol, numHashes, bands, shingleSize)
+      else bandSignatures(batch, textCol, idCol, numHashes, bands, shingleSize)
+    graft.sources.Storage.appendBucketed(batch.sparkSession, rows, table)
+  }
 
   /** Incremental NEAR-dup probe result: `(doc_id, cand_id,
     * band_matches)` batch-vs-corpus candidates, plus the oversize
@@ -227,6 +264,99 @@ object Dedup {
       .groupBy(col("doc_id"), col("cand_id"))
       .agg(count(lit(1)).as("band_matches"))
     IncrementalLshResult(pairs, dropped)
+  }
+
+  /** One ingested batch's outcome: the docs that entered the corpus
+    * (and whose band rows were appended to the store), the cross-batch
+    * near-dup report `(doc_id, cand_id, agree)` (batch doc → stored
+    * owner, agreeing signature slots), and the oversize store buckets
+    * excluded from screening (the no-silent-drop contract). */
+  final case class IngestResult(survivors: DataFrame,
+                                crossBatchDups: DataFrame,
+                                droppedBuckets: DataFrame)
+
+  /** The COMPLETE per-batch near-dedup ingest loop — probe → confirm →
+    * accept → append — as one call, the batch substrate of the
+    * operational 100 TB shape (streaming twin:
+    * `StreamOps.minhashLshDedupBatchStep`, semantics matched
+    * step-for-step and pinned interchangeable in StreamOpsSpec):
+    *
+    *   1. the batch dedupes INTERNALLY via the checked LSH pipeline
+    *      ([[dedupByLshChecked]]: banded candidates → exact
+    *      n-gram-Jaccard confirm → CC representatives);
+    *   2. survivors' band rows probe the SIGNATURE-CARRYING bucketed
+    *      store (`writeBandSignatureStore(withSignatures = true)`)
+    *      exchange-free on the store side, and each collision is
+    *      CONFIRMED by minhash agreement: the batch doc drops when
+    *      agreeing slots ≥ ceil(minJaccard · numHashes) against any
+    *      stored doc (unbiased Jaccard estimator, ±1/√k — size
+    *      `numHashes` to the tolerance; the stored text is gone, so
+    *      the estimator stands in for the exact confirm);
+    *   3. accepted survivors' band rows (signatures riding along) are
+    *      APPENDED to the store under its own catalog bucket spec
+    *      ([[appendBandSignatures]]) — the next batch probes
+    *      store ∪ this batch with no rewrite. Run
+    *      `Storage.compactBucketed` every N batches.
+    *
+    * Survivors are eagerly `localCheckpoint`ed (batch-sized, never
+    * corpus-sized) so the append job and the returned frame share one
+    * materialization. Docs shorter than the shingle size carry no
+    * bands: never screened, never stored, always kept — they cannot
+    * near-dup via LSH. Oracle row `q_d_ingest2` replays a two-batch
+    * ingest end-to-end in portable SQL (both CC rounds as recursive
+    * CTEs, the agreement confirm over the replayed signatures). */
+  def lshIngestBatch(batch: DataFrame, textCol: String, idCol: String,
+                     table: String, numHashes: Int = 16, bands: Int = 4,
+                     shingleSize: Int = 3, minJaccard: Double = 0.5,
+                     maxBucket: Int = 1000): IngestResult = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val store = spark.table(table)
+    require(store.columns.contains("mh"),
+      s"$table is not signature-carrying; write it with " +
+        "writeBandSignatureStore(withSignatures = true)")
+    val internal = dedupByLshChecked(batch, textCol, idCol, numHashes,
+      bands, shingleSize, minJaccard, maxBucket).deduped
+    val bandedMh = bandSignaturesMh(internal, textCol, idCol,
+      numHashes, bands, shingleSize)
+    // store-side bucket-size guard: a window on the bucketed scan —
+    // no exchange, no second store scan (the incrementalLsh shape)
+    val w = Window.partitionBy("band", "bucket")
+    val sized = store.withColumn("__bsize", count(lit(1)).over(w))
+    val dropped = sized.filter(col("__bsize") > maxBucket)
+      .select(col("band"), col("bucket"),
+        col("__bsize").cast("int").as("size"))
+      .distinct()
+    val okStore = sized.filter(col("__bsize") <= maxBucket)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("cand_id"), col("mh").as("__smh"))
+    val minAgree = math.ceil(minJaccard * numHashes).toLong
+    val agree = (0 until numHashes).map(i =>
+      when(col("mh").getItem(i) === col("__smh").getItem(i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    // EAGER pins BEFORE the append: every returned frame reads the
+    // store lazily, and the append below mutates it — an unpinned
+    // report re-evaluated after return would match this batch's docs
+    // against their own freshly-appended rows (caught by DedupSpec's
+    // three-batch test). Both are batch-bounded, never corpus-sized;
+    // pinning dups also means the probe runs ONCE (the survivors
+    // anti-join reuses the materialized result).
+    val dups = bandedMh.join(okStore, Seq("band", "bucket"))
+      .withColumn("__agree", agree)
+      .filter(col("__agree") >= minAgree)
+      .groupBy(col("doc_id"), col("cand_id"))
+      .agg(max(col("__agree")).as("agree"))
+      .localCheckpoint(true)
+    val droppedP = dropped.localCheckpoint(true)
+    val survivors = internal
+      .join(dups.select(col("doc_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    graft.sources.Storage.appendBucketed(spark,
+      bandedMh.join(survivors.select(col(idCol).as("doc_id")),
+        Seq("doc_id")),
+      table)
+    IngestResult(survivors, dups, droppedP)
   }
 
   /** MinHash-LSH result: candidate pairs plus the oversize-bucket

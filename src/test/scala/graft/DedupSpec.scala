@@ -69,6 +69,58 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("lshIngestBatch: probe-confirm-accept-append closes the loop across three batches") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val tag = "ingest_test_store"
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "completely different vocabulary about other topics entirely"
+    val c = "fresh unrelated content with novel words and phrasing"
+    Dedup.writeBandSignatureStore(mk(Seq.empty), "text", "doc_id", tag,
+      s"$dirs/tbl", buckets = 4, numHashes = 8, bands = 4,
+      withSignatures = true)
+    try {
+      // batch 1: in-batch dup (1,2) collapses; all reps enter corpus
+      val r1 = Dedup.lshIngestBatch(mk(Seq(1L -> a, 2L -> a, 3L -> b)),
+        "text", "doc_id", tag, numHashes = 8, bands = 4)
+      assert(r1.survivors.select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L))
+      assert(r1.crossBatchDups.count() == 0)
+      // batch 2: 4 is a cross-batch dup of stored 1; 5 is novel;
+      // 6 is SHORT (no bands) — kept, never screened, never stored
+      val r2 = Dedup.lshIngestBatch(
+        mk(Seq(4L -> a, 5L -> c, 6L -> "xy")),
+        "text", "doc_id", tag, numHashes = 8, bands = 4)
+      assert(r2.survivors.select("doc_id").as[Long].collect().toSet
+        == Set(5L, 6L))
+      assert(r2.crossBatchDups.select("doc_id", "cand_id")
+        .as[(Long, Long)].collect().toSet == Set(4L -> 1L))
+      // batch 3: dup of batch-2's survivor — the APPEND leg works
+      // (the store now holds batch 2's acceptance, not just batch 1)
+      val r3 = Dedup.lshIngestBatch(mk(Seq(7L -> c)),
+        "text", "doc_id", tag, numHashes = 8, bands = 4)
+      assert(r3.survivors.count() == 0)
+      assert(r3.crossBatchDups.select("doc_id", "cand_id")
+        .as[(Long, Long)].collect().toSet == Set(7L -> 5L))
+      // store contents: exactly the accepted banded docs, with mh
+      val stored = spark.table(tag)
+      assert(stored.select("doc_id").distinct().as[Long].collect().toSet
+        == Set(1L, 3L, 5L))
+      assert(stored.columns.contains("mh"))
+      // a plain (signature-free) store refuses loudly
+      Dedup.writeBandSignatureStore(mk(Seq(9L -> a)), "text", "doc_id",
+        "ingest_plain", s"$dirs/plain", buckets = 4, numHashes = 8,
+        bands = 4)
+      intercept[IllegalArgumentException] {
+        Dedup.lshIngestBatch(mk(Seq(10L -> a)), "text", "doc_id",
+          "ingest_plain", numHashes = 8, bands = 4)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tag")
+      spark.sql("DROP TABLE IF EXISTS ingest_plain")
+    }
+  }
+
   test("dupClusters: connected components via label propagation") {
     // components: {1,2,3,4} (chain), {10,11}, singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))

@@ -361,6 +361,56 @@ class StreamOpsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS parity_store")
   }
 
+  test("ingest parity: batch lshIngestBatch and streaming minhashLshDedupBatchStep keep the same survivors") {
+    // the two substrates of the same operational loop — bucketed
+    // catalog store vs per-batch_id parquet slices — must agree
+    // batch-for-batch on who enters the corpus, including in-batch
+    // dup resolution, the cross-batch agreement screen, and short-doc
+    // passthrough
+    import graft.operators.Dedup
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val c = "fresh unrelated content with novel words and phrasing"
+    val batch1 = Seq(1L -> a, 2L -> a,
+      3L -> "completely different vocabulary about other topics entirely",
+      6L -> "xy")
+    val batch2 = Seq(4L -> a, 5L -> c)
+    val batch3 = Seq(7L -> c, 8L -> "yet another novel set of words here")
+    val dirs = java.nio.file.Files.createTempDirectory("graft-ingest-parity")
+    // streaming substrate
+    val step = StreamOps.minhashLshDedupBatchStep(s"$dirs/store",
+      s"$dirs/out", "text", "doc_id", numHashes = 8, bands = 4,
+      minJaccard = 0.5)
+    Seq(batch1, batch2, batch3).zipWithIndex.foreach { case (rows, i) =>
+      step(rows.toDF("doc_id", "text"), i.toLong) }
+    def streamSurvivors(i: Int): Set[Long] =
+      spark.read.parquet(s"$dirs/out/batch_id=$i")
+        .select("doc_id").as[Long].collect().toSet
+    // batch substrate
+    Dedup.writeBandSignatureStore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id",
+      "parity_ingest", s"$dirs/tbl", buckets = 4, numHashes = 8,
+      bands = 4, withSignatures = true)
+    try {
+      val got = Seq(batch1, batch2, batch3).map { rows =>
+        Dedup.lshIngestBatch(rows.toDF("doc_id", "text"), "text",
+            "doc_id", "parity_ingest", numHashes = 8, bands = 4,
+            minJaccard = 0.5)
+          .survivors.select("doc_id").as[Long].collect().toSet
+      }
+      Seq(0, 1, 2).foreach { i =>
+        assert(got(i) == streamSurvivors(i),
+          s"batch $i diverged: batch=${got(i)} stream=${streamSurvivors(i)}")
+      }
+      assert(got(0).nonEmpty && got(1).nonEmpty)
+      // and the stores carry the same banded population
+      val sIds = spark.read.parquet(s"$dirs/store")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      val bIds = spark.table("parity_ingest")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(sIds == bIds, s"stores diverge: stream=$sIds batch=$bIds")
+    } finally spark.sql("DROP TABLE IF EXISTS parity_ingest")
+  }
+
   test("srpDedupBatchStep: embedding near-dups dropped across batches via the store") {
     implicit val sqlCtx = spark.sqlContext
     val dirs = java.nio.file.Files.createTempDirectory("graft-stream-embdedup")
