@@ -57,6 +57,11 @@ object Storage {
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
     if (spec.sortColumnNames.nonEmpty)
       w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    // the catalog's PARTITION columns ride along too — without them
+    // Spark rejects the append on a partitioned+bucketed table
+    // ("specified partitioning does not match the existing table")
+    if (meta.partitionColumnNames.nonEmpty)
+      w = w.partitionBy(meta.partitionColumnNames: _*)
     w.saveAsTable(table)
   }
 
@@ -88,8 +93,11 @@ object Storage {
     val prev = spark.conf.get(auto)
     try {
       spark.conf.set(auto, "false")
+      // partition columns preserved — dropping them here would
+      // silently cost the new generation its directory pruning
       writeBucketed(spark.table(table), tmp, newPath,
-        spec.bucketColumnNames, spec.numBuckets, spec.sortColumnNames)
+        spec.bucketColumnNames, spec.numBuckets, spec.sortColumnNames,
+        meta.partitionColumnNames)
     } finally spark.conf.set(auto, prev)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")

@@ -127,6 +127,35 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("append + compactBucketed preserve PARTITION columns on a partitioned+bucketed table") {
+    val dir = Files.createTempDirectory("graft-partbk")
+    val gen0 = (1 to 200).map(i =>
+      (i.toLong % 16, i.toLong, (i % 2).toString)).toDF("k", "v", "shard")
+    Storage.writeBucketed(gen0, "pb_t", s"$dir/t0", Seq("k"), buckets = 4,
+      partitionKeys = Seq("shard"))
+    try {
+      val gen1 = (201 to 300).map(i =>
+        (i.toLong % 16, i.toLong, (i % 2).toString)).toDF("k", "v", "shard")
+      Storage.appendBucketed(spark, gen1, "pb_t")
+      assert(spark.table("pb_t").count() == 300)
+      val oldPath = Storage.compactBucketed(spark, "pb_t", s"$dir/t1")
+      assert(oldPath.contains("t0"))
+      assert(spark.table("pb_t").count() == 300)
+      // the new generation still has partition directories (pruning
+      // survives compaction), and partition filters prune in the scan
+      val dirs1 = new java.io.File(s"$dir/t1").listFiles()
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs1.toSeq == Seq("shard=0", "shard=1"), dirs1.toSeq.toString)
+      val scan = spark.table("pb_t").filter(col("shard") === "1")
+        .queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+        scan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pb_t")
+      spark.sql("DROP TABLE IF EXISTS pb_t_compacting")
+    }
+  }
+
   test("compact: fragmented input becomes a bounded file count") {
     val frag = (1L to 1000L).toDF("id").repartition(37)
     val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
