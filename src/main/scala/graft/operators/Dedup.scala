@@ -189,6 +189,38 @@ object Dedup {
       else bandSignatures(docs, textCol, idCol, numHashes, bands, shingleSize)
     graft.sources.Storage.writeBucketed(rows,
       table, path, bucketKeys = Seq("band", "bucket"), buckets = buckets)
+    // the LSH hyperparameters are part of the store's SEMANTIC schema:
+    // rows written under a different (numHashes, bands, shingleSize)
+    // are column-compatible but mean different things (band hashes
+    // don't collide across recipes; getItem past a shorter stored mh
+    // yields null), so they ride as table properties and every
+    // append/ingest REQUIRES a match — drift fails loudly instead of
+    // silently missing near-dups
+    docs.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        s"'graft.lsh.numHashes'='$numHashes','graft.lsh.bands'='$bands'," +
+        s"'graft.lsh.shingleSize'='$shingleSize')")
+  }
+
+  /** Require the caller's LSH hyperparameters to match the ones the
+    * store was written with (table properties set by
+    * [[writeBandSignatureStore]]). Stores predating the properties
+    * (or created by hand) are let through — the properties are the
+    * guard, not a gate on legacy layouts. */
+  private def requireLshParams(spark: org.apache.spark.sql.SparkSession,
+                               table: String, numHashes: Int, bands: Int,
+                               shingleSize: Int): Unit = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).properties
+    def check(key: String, got: Int): Unit =
+      props.get(s"graft.lsh.$key").foreach(stored =>
+        require(stored == got.toString,
+          s"$table was written with $key=$stored but the caller passed " +
+            s"$got — appending under a different LSH recipe would write " +
+            "schema-compatible rows that silently never collide"))
+    check("numHashes", numHashes)
+    check("bands", bands)
+    check("shingleSize", shingleSize)
   }
 
   /** Fold a new batch's band rows INTO an existing band-signature
@@ -207,6 +239,7 @@ object Dedup {
                            idCol: String, table: String,
                            numHashes: Int = 16, bands: Int = 4,
                            shingleSize: Int = 3): Unit = {
+    requireLshParams(batch.sparkSession, table, numHashes, bands, shingleSize)
     // layout inferred from the TABLE (signature-carrying or plain) so
     // appended generations can never fork the store's schema
     val withMh = batch.sparkSession.table(table).columns.contains("mh")
@@ -298,9 +331,15 @@ object Dedup {
     *      store ∪ this batch with no rewrite. Run
     *      `Storage.compactBucketed` every N batches.
     *
-    * Survivors are eagerly `localCheckpoint`ed (batch-sized, never
-    * corpus-sized) so the append job and the returned frame share one
-    * materialization. Docs shorter than the shingle size carry no
+    * Survivors, the dup report, AND the batch's band rows are eagerly
+    * `localCheckpoint`ed (each batch-sized, never corpus-sized), so
+    * the probe, the append job, and the returned frames share one
+    * materialization — the signature kernel runs once per batch.
+    * After a crash mid-append, run `Storage.recoverToManifest(table)`
+    * before the next call: the append is non-transactional parquet,
+    * and the manifest written after each successful append is the
+    * last-good file set recovery restores. Docs shorter than the
+    * shingle size carry no
     * bands: never screened, never stored, always kept — they cannot
     * near-dup via LSH. Oracle row `q_d_ingest2` replays a two-batch
     * ingest end-to-end in portable SQL (both CC rounds as recursive
@@ -315,10 +354,14 @@ object Dedup {
     require(store.columns.contains("mh"),
       s"$table is not signature-carrying; write it with " +
         "writeBandSignatureStore(withSignatures = true)")
+    requireLshParams(spark, table, numHashes, bands, shingleSize)
     val internal = dedupByLshChecked(batch, textCol, idCol, numHashes,
       bands, shingleSize, minJaccard, maxBucket).deduped
+    // eagerly pinned so the signature kernel runs ONCE per batch: both
+    // the probe join and the append leg below consume these rows
+    // (batch-sized × bands, never corpus-sized)
     val bandedMh = bandSignaturesMh(internal, textCol, idCol,
-      numHashes, bands, shingleSize)
+      numHashes, bands, shingleSize).localCheckpoint(true)
     // store-side bucket-size guard: a window on the bucketed scan —
     // no exchange, no second store scan (the incrementalLsh shape)
     val w = Window.partitionBy("band", "bucket")

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions.col
   */
 object Storage {
 
+  /** Parse a possibly database-qualified table name (`tbl` or
+    * `db.tbl`) through the session's own SQL parser — raw-string
+    * `TableIdentifier(name)` would treat `db.tbl` as one unqualified
+    * name and whole-name backtick quoting would produce an invalid
+    * identifier in DDL. */
+  private def ident(spark: SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.TableIdentifier =
+    spark.sessionState.sqlParser.parseTableIdentifier(table)
+
   /** Write `df` bucketed by `bucketKeys` (sorted within buckets) as a
     * catalog table backed by parquet at `path`. */
   def writeBucketed(df: DataFrame, table: String, path: String,
@@ -47,9 +56,9 @@ object Storage {
     * rather than caller arguments so a drifted caller cannot corrupt
     * the table's co-location contract — Spark itself re-verifies the
     * spec on append. */
-  def appendBucketed(spark: SparkSession, df: DataFrame, table: String): Unit = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
+  def appendBucketed(spark: SparkSession, df: DataFrame, table: String,
+                     commitManifest: Boolean = true): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(ident(spark, table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table is not bucketed; appendBucketed requires a bucketed table"))
     var w = df.write.mode(SaveMode.Append).format("parquet")
@@ -63,6 +72,16 @@ object Storage {
     if (meta.partitionColumnNames.nonEmpty)
       w = w.partitionBy(meta.partitionColumnNames: _*)
     w.saveAsTable(table)
+    // CRASH-SAFETY CONTRACT: parquet append is not transactional — a
+    // failure during job commit can leave a PARTIAL generation's files
+    // visible (task files move one by one from _temporary into place).
+    // The manifest written after each SUCCESSFUL append records the
+    // committed file set; after a crash, [[recoverToManifest]] deletes
+    // any stray files the interrupted append left behind, restoring
+    // the last-good generation. Cost per append is one recursive
+    // listing of the table directory — bounded when compactBucketed
+    // runs on its documented every-N-batches cadence.
+    if (commitManifest) writeManifest(spark, table)
   }
 
   /** Compact a bucketed table accumulated by [[appendBucketed]] back
@@ -78,30 +97,150 @@ object Storage {
     * generation lands at `newPath` as a temp table, then swaps names
     * — never an in-place overwrite, so the old files stay readable
     * until the swap commits. Returns the OLD generation's directory
-    * for deferred deletion by the caller's retention policy.
-    * A maintenance op run every N batches, never on the query path. */
+    * for deferred deletion under the caller's retention policy
+    * ([[retire]] is that policy's executor).
+    * A maintenance op run every N batches, never on the query path.
+    *
+    * SWAP ATOMICITY: the catalog swap is rename-aside —
+    * `<t>` → `<t>_precompact`, then `<t>_compacting` → `<t>`, then
+    * DROP `<t>_precompact` — so the no-table window is ONE metadata
+    * rename wide (the old DROP-then-RENAME form left the whole
+    * compaction write inside it). A concurrent reader planning inside
+    * that window fails loudly with TABLE_OR_VIEW_NOT_FOUND (retry);
+    * readers planned before the swap keep reading the old files,
+    * which stay on disk until [[retire]]. CRASH RECOVERY: if a
+    * failure lands between the renames, the data is intact under
+    * `<t>_precompact` — run `ALTER TABLE <t>_precompact RENAME TO
+    * <t>` (and drop `<t>_compacting`) to restore. */
   def compactBucketed(spark: SparkSession, table: String,
                       newPath: String): String = {
     val cat = spark.sessionState.catalog
-    val meta = cat.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val id = ident(spark, table)
+    val meta = cat.getTableMetadata(id)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table is not bucketed; compactBucketed requires a bucketed table"))
     val oldPath = meta.location.toString
-    val tmp = table + "_compacting"
+    val tmpId = id.copy(table = id.table + "_compacting")
+    val asideId = id.copy(table = id.table + "_precompact")
     val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(auto)
     try {
       spark.conf.set(auto, "false")
       // partition columns preserved — dropping them here would
       // silently cost the new generation its directory pruning
-      writeBucketed(spark.table(table), tmp, newPath,
+      writeBucketed(spark.table(table), tmpId.quotedString, newPath,
         spec.bucketColumnNames, spec.numBuckets, spec.sortColumnNames,
         meta.partitionColumnNames)
     } finally spark.conf.set(auto, prev)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    // rename-aside swap: the only window with no live `table` is
+    // between the two renames (one catalog op), and a crash inside it
+    // leaves the old generation recoverable under `_precompact`
+    spark.sql(s"ALTER TABLE ${id.quotedString} RENAME TO ${asideId.quotedString}")
+    spark.sql(s"ALTER TABLE ${tmpId.quotedString} RENAME TO ${id.quotedString}")
+    spark.sql(s"DROP TABLE ${asideId.quotedString}")
+    // the compacted generation is the new last-good for crash recovery
+    writeManifest(spark, table)
     oldPath
+  }
+
+  private val ManifestName = "_graft_manifest"
+
+  private def fsOf(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Data files (relative to `root`) currently visible to a reader:
+    * everything except hidden files/dirs (`_`/`.` prefixes — Spark's
+    * own listing convention, which also skips `_temporary` and this
+    * manifest). */
+  private def listDataFiles(spark: SparkSession,
+                            root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(dir).toSeq.filterNot(s => hidden(s.getPath.getName))
+        .flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq(s.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+        }
+    if (fs.exists(root)) walk(root) else Seq.empty
+  }
+
+  /** Record the table's CURRENT data-file set as its committed
+    * manifest (`_graft_manifest` at the table root, one relative path
+    * per line, written atomically via temp-file rename). Called by
+    * [[appendBucketed]]/[[compactBucketed]] after every successful
+    * mutation; [[recoverToManifest]] restores to it after a crash. */
+  def writeManifest(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(ident(spark, table))
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = fsOf(spark, root)
+    val files = listDataFiles(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(root, ManifestName), false)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, ManifestName))
+  }
+
+  /** Crash recovery for the non-transactional append path: delete
+    * every data file under the table root that the committed manifest
+    * does not list (the stray partial generation an interrupted
+    * [[appendBucketed]] can leave visible), plus any `_temporary`
+    * job-attempt litter, then refresh the table's file-listing cache.
+    * Run on restart after a crash, BEFORE the next probe/append.
+    * Refuses to run without a manifest (nothing to recover TO — a
+    * store predating the manifest contract should write one first).
+    * Returns the deleted paths (empty = store was clean). */
+  def recoverToManifest(spark: SparkSession, table: String): Seq[String] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(ident(spark, table))
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = fsOf(spark, root)
+    val mf = new org.apache.hadoop.fs.Path(root, ManifestName)
+    require(fs.exists(mf),
+      s"$table has no $ManifestName — write one (writeManifest) before " +
+        "relying on crash recovery")
+    val in = fs.open(mf)
+    val committed =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    val stray = listDataFiles(spark, root).filterNot(committed)
+    stray.foreach(rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
+    val tempDir = new org.apache.hadoop.fs.Path(root, "_temporary")
+    val litter = if (fs.exists(tempDir)) {
+      fs.delete(tempDir, true); Seq(tempDir.toString)
+    } else Seq.empty
+    spark.catalog.refreshTable(table)
+    stray.map(new org.apache.hadoop.fs.Path(root, _).toString) ++ litter
+  }
+
+  /** Retention policy executor for retired generations: delete the
+    * directories [[compactBucketed]] returned, oldest-first, keeping
+    * the most recent `keepLast` as rollback insurance. REFUSES to
+    * touch the table's live location (the one mistake this op must
+    * make impossible) and silently skips already-gone paths
+    * (idempotent re-runs). Returns the deleted directories. The
+    * engine half of the reference's cleanup mode
+    * (workflows/cnv.py:502-516 — retire superseded artifacts, never
+    * the live ones). */
+  def retire(spark: SparkSession, table: String, oldPaths: Seq[String],
+             keepLast: Int = 0): Seq[String] = {
+    require(keepLast >= 0, s"keepLast=$keepLast")
+    val meta = spark.sessionState.catalog.getTableMetadata(ident(spark, table))
+    val live = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath
+      .stripSuffix("/")
+    val toDrop = oldPaths.dropRight(keepLast)
+    toDrop.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      require(hp.toUri.getPath.stripSuffix("/") != live,
+        s"refusing to retire $p: it is $table's LIVE location")
+      val fs = fsOf(spark, hp)
+      if (fs.exists(hp)) { fs.delete(hp, true); Some(p) } else None
+    }
   }
 
   /** Plain partitioned-parquet write (no catalog table): one directory

@@ -121,6 +121,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("band store refuses appends/ingest under a different LSH recipe (table properties)") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft-lshprops")
+    val docs = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("doc_id", "text")
+    Dedup.writeBandSignatureStore(docs, "text", "doc_id", "lshp_t",
+      s"$dirs/t", buckets = 4, numHashes = 8, bands = 4,
+      withSignatures = true)
+    try {
+      // drifted numHashes: schema-compatible, semantically incompatible
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.appendBandSignatures(Seq(2L -> "some other words here now")
+          .toDF("doc_id", "text"), "text", "doc_id", "lshp_t",
+          numHashes = 16, bands = 4)
+      }
+      assert(e1.getMessage.contains("numHashes"))
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.lshIngestBatch(Seq(3L -> "yet more words to ingest today")
+          .toDF("doc_id", "text"), "text", "doc_id", "lshp_t",
+          numHashes = 8, bands = 2)
+      }
+      assert(e2.getMessage.contains("bands"))
+      // matching recipe still works
+      Dedup.appendBandSignatures(Seq(4L -> "fresh content with new words")
+        .toDF("doc_id", "text"), "text", "doc_id", "lshp_t",
+        numHashes = 8, bands = 4)
+      assert(spark.table("lshp_t").select("doc_id").distinct().count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS lshp_t")
+  }
+
   test("dupClusters: connected components via label propagation") {
     // components: {1,2,3,4} (chain), {10,11}, singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))

@@ -156,6 +156,101 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed swap: a frame planned BEFORE the swap still executes after it; old path survives until retire") {
+    val dir = Files.createTempDirectory("graft-swap")
+    val gen0 = (1 to 300).map(i => (i.toLong % 16, i.toLong)).toDF("k", "v")
+    Storage.writeBucketed(gen0, "sw_t", s"$dir/t0", Seq("k"), buckets = 4)
+    try {
+      Storage.appendBucketed(spark,
+        (301 to 400).map(i => (i.toLong % 16, i.toLong)).toDF("k", "v"), "sw_t")
+      // plan (resolve + list files) against the OLD generation
+      val preplanned = spark.table("sw_t").filter(col("v") <= 400)
+      preplanned.queryExecution.executedPlan // force planning now
+      val oldPath = Storage.compactBucketed(spark, "sw_t", s"$dir/t1")
+      // the swap never deletes the old generation's files, so the
+      // pre-planned frame still executes correctly after the swap
+      assert(preplanned.count() == 400)
+      assert(new java.io.File(oldPath.stripPrefix("file:")).exists())
+      // retire deletes the returned old generation but REFUSES the live one
+      val live = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("sw_t"))
+        .location.toString
+      intercept[IllegalArgumentException] {
+        Storage.retire(spark, "sw_t", Seq(live))
+      }
+      // keepLast retains the newest entries of the retired list
+      assert(Storage.retire(spark, "sw_t", Seq(oldPath), keepLast = 1).isEmpty)
+      val deleted = Storage.retire(spark, "sw_t", Seq(oldPath))
+      assert(deleted == Seq(oldPath))
+      assert(!new java.io.File(oldPath.stripPrefix("file:")).exists())
+      // idempotent: a second retire of a gone path is a no-op
+      assert(Storage.retire(spark, "sw_t", Seq(oldPath)).isEmpty)
+      assert(spark.table("sw_t").count() == 400)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sw_t")
+      spark.sql("DROP TABLE IF EXISTS sw_t_compacting")
+      spark.sql("DROP TABLE IF EXISTS sw_t_precompact")
+    }
+  }
+
+  test("append crash-safety: recoverToManifest deletes stray files a failed append left, keeps committed ones") {
+    val dir = Files.createTempDirectory("graft-recover")
+    val gen0 = (1 to 200).map(i => (i.toLong % 8, i.toLong)).toDF("k", "v")
+    Storage.writeBucketed(gen0, "rc_t", s"$dir/t", Seq("k"), buckets = 4)
+    try {
+      // writeBucketed does not write a manifest; recovery refuses
+      intercept[IllegalArgumentException] {
+        Storage.recoverToManifest(spark, "rc_t")
+      }
+      Storage.appendBucketed(spark,
+        (201 to 300).map(i => (i.toLong % 8, i.toLong)).toDF("k", "v"), "rc_t")
+      val committedRows = spark.table("rc_t").count()
+      assert(committedRows == 300)
+      // simulate a crashed append: a partial generation's file becomes
+      // visible with no manifest update (copy an existing data file
+      // under a fresh part- name), plus _temporary litter
+      val tblDir = new java.io.File(s"$dir/t")
+      val aFile = tblDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      // keep the _000NN bucket suffix — bucketed reads parse it from
+      // the file name, exactly as a real interrupted append would
+      val stray = new java.io.File(tblDir,
+        aFile.getName.replaceFirst("^part-\\d+", "part-99999"))
+      java.nio.file.Files.copy(aFile.toPath, stray.toPath)
+      new java.io.File(tblDir, "_temporary/0").mkdirs()
+      spark.catalog.refreshTable("rc_t")
+      assert(spark.table("rc_t").count() > committedRows,
+        "stray file should be visible before recovery")
+      val deleted = Storage.recoverToManifest(spark, "rc_t")
+      assert(deleted.exists(_.contains("part-99999")), deleted.toString)
+      assert(deleted.exists(_.contains("_temporary")), deleted.toString)
+      assert(!stray.exists())
+      assert(spark.table("rc_t").count() == committedRows)
+      // clean store: recovery is a no-op
+      assert(Storage.recoverToManifest(spark, "rc_t").isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS rc_t")
+  }
+
+  test("qualified table names: append and compact work on db.tbl") {
+    val dir = Files.createTempDirectory("graft-qual")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_qdb")
+    val gen0 = (1 to 100).map(i => (i.toLong % 8, i.toLong)).toDF("k", "v")
+    Storage.writeBucketed(gen0, "graft_qdb.q_t", s"$dir/t0", Seq("k"), buckets = 2)
+    try {
+      Storage.appendBucketed(spark,
+        (101 to 150).map(i => (i.toLong % 8, i.toLong)).toDF("k", "v"),
+        "graft_qdb.q_t")
+      assert(spark.table("graft_qdb.q_t").count() == 150)
+      val oldPath = Storage.compactBucketed(spark, "graft_qdb.q_t", s"$dir/t1")
+      assert(oldPath.contains("t0"))
+      assert(spark.table("graft_qdb.q_t").count() == 150)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_qdb.q_t")
+      spark.sql("DROP TABLE IF EXISTS graft_qdb.q_t_compacting")
+      spark.sql("DROP TABLE IF EXISTS graft_qdb.q_t_precompact")
+      spark.sql("DROP DATABASE IF EXISTS graft_qdb")
+    }
+  }
+
   test("compact: fragmented input becomes a bounded file count") {
     val frag = (1L to 1000L).toDF("id").repartition(37)
     val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
