@@ -2695,8 +2695,8 @@ object SparkEntry {
     * Splice after WITH RECURSIVE; ends at the `conf` CTE. */
   private val cleanPrefixSql: String = {
     val mh = (0 until 8).map { i =>
-      val a = (2654435761L * (i + 1)) % 1000000007L
-      val b = (2246822519L * (i + 1)) % 1000000007L
+      val a = graft.functions.TextFns.minhashA(i)
+      val b = graft.functions.TextFns.minhashB(i)
       s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
     }.mkString(", ")
     val bandSelects = (0 until 4).map { bnd =>
@@ -3733,8 +3733,8 @@ object SparkEntry {
     // (band, bucket); band agreement counts per (batch, corpus) pair
     "q_d_incr_lsh" -> {
       val mh = (0 until 8).map { i =>
-        val a = (2654435761L * (i + 1)) % 1000000007L
-        val b = (2246822519L * (i + 1)) % 1000000007L
+        val a = graft.functions.TextFns.minhashA(i)
+        val b = graft.functions.TextFns.minhashB(i)
         s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
       }.mkString(", ")
       def bandSelects(src: String) = (0 until 4).map { bnd =>
@@ -3761,8 +3761,8 @@ object SparkEntry {
     // table holds; probe recipe identical to q_d_incr_lsh
     "q_d_incr_lsh2" -> {
       val mh = (0 until 8).map { i =>
-        val a = (2654435761L * (i + 1)) % 1000000007L
-        val b = (2246822519L * (i + 1)) % 1000000007L
+        val a = graft.functions.TextFns.minhashA(i)
+        val b = graft.functions.TextFns.minhashB(i)
         s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
       }.mkString(", ")
       def bandSelects(src: String) = (0 until 4).map { bnd =>
@@ -3795,8 +3795,8 @@ object SparkEntry {
     // default inlining re-expands the whole chain per reference).
     "q_d_ingest2" -> {
       val mh = (0 until 8).map { i =>
-        val a = (2654435761L * (i + 1)) % 1000000007L
-        val b = (2246822519L * (i + 1)) % 1000000007L
+        val a = graft.functions.TextFns.minhashA(i)
+        val b = graft.functions.TextFns.minhashB(i)
         s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
       }.mkString(", ")
       def bandSelects(src: String) = (0 until 4).map { bnd =>
@@ -3843,8 +3843,8 @@ object SparkEntry {
 
     "q_d_minhash" -> {
       val mh = (0 until 4).map { i =>
-        val a = (2654435761L * (i + 1)) % 1000000007L
-        val b = (2246822519L * (i + 1)) % 1000000007L
+        val a = graft.functions.TextFns.minhashA(i)
+        val b = graft.functions.TextFns.minhashB(i)
         s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
       }.mkString(", ")
       s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), d AS (SELECT doc_id, $shinglesSql AS sh FROM t) SELECT doc_id, $mh FROM d"
@@ -4488,8 +4488,8 @@ object SparkEntry {
 
     "q_d_lsh" -> {
       val mh = (0 until 8).map { i =>
-        val a = (2654435761L * (i + 1)) % 1000000007L
-        val b = (2246822519L * (i + 1)) % 1000000007L
+        val a = graft.functions.TextFns.minhashA(i)
+        val b = graft.functions.TextFns.minhashB(i)
         s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
       }.mkString(", ")
       val bandSelects = (0 until 4).map { bnd =>
@@ -4505,8 +4505,8 @@ object SparkEntry {
     // iteratively) -> representative filter
     "q_d_pipeline" -> {
       val mh = (0 until 8).map { i =>
-        val a = (2654435761L * (i + 1)) % 1000000007L
-        val b = (2246822519L * (i + 1)) % 1000000007L
+        val a = graft.functions.TextFns.minhashA(i)
+        val b = graft.functions.TextFns.minhashB(i)
         s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
       }.mkString(", ")
       val bandSelects = (0 until 4).map { bnd =>

@@ -322,9 +322,20 @@ object Dedup {
     *      exchange-free on the store side, and each collision is
     *      CONFIRMED by minhash agreement: the batch doc drops when
     *      agreeing slots ≥ ceil(minJaccard · numHashes) against any
-    *      stored doc (unbiased Jaccard estimator, ±1/√k — size
-    *      `numHashes` to the tolerance; the stored text is gone, so
-    *      the estimator stands in for the exact confirm);
+    *      stored doc (the stored text is gone, so the estimator
+    *      stands in for the exact confirm). MEASURED SIZING RULE
+    *      (graft.tools.ConfirmCensus at sf0.1, recorded in
+    *      CONFIRM_CENSUS.json / BASELINE.md): the agreement fraction
+    *      is an unbiased Jaccard estimator with ~1/√k std, so
+    *      decisions are reliable only OUTSIDE a ±2/√k window around
+    *      `minJaccard` — choose numHashes ≥ (2/w)² for tolerance
+    *      window w (k=16 → w≈0.5, k=64 → ±0.15 measured clean,
+    *      k=128 → ±0.10; pairs with |J−minJaccard| inside the window
+    *      split per the normal tail Φ(−|J−t|·√k), an inherent
+    *      property of ANY k). Pairs far from the threshold are safe:
+    *      post-census FP at J<0.3 is 0 at k≥64 (the rank-1
+    *      coefficient degeneracy that once produced them is fixed and
+    *      pinned in DedupSpec);
     *   3. accepted survivors' band rows (signatures riding along) are
     *      APPENDED to the store under its own catalog bucket spec
     *      ([[appendBandSignatures]]) — the next batch probes

@@ -256,8 +256,8 @@ object TextKernels {
     val bs = new Array[Long](k)
     i = 0
     while (i < k) {
-      as(i) = (2654435761L * (i + 1)) % P
-      bs(i) = (2246822519L * (i + 1)) % P
+      as(i) = graft.functions.TextFns.minhashA(i)
+      bs(i) = graft.functions.TextFns.minhashB(i)
       i += 1
     }
     val md = md5Local.get()

@@ -150,6 +150,60 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lshp_t")
   }
 
+  test("minhash coefficient family is not rank-1 (the confirm-census degeneracy class)") {
+    // the pre-r15 family a_i = c1·(i+1), b_i = c2·(i+1) satisfies
+    // a_i·b_j ≡ a_j·b_i (mod P) for ALL slot pairs — slot values
+    // collapse to (i+1)·g and one small-g shingle dominates every
+    // slot (measured: J=0.01 pairs agreeing on 60–95 of 128 slots).
+    // Pin that the current family breaks proportionality.
+    import graft.functions.TextFns
+    val P = BigInt(TextFns.P)
+    val proportional = (0 until 16).combinations(2).forall { case Seq(i, j) =>
+      (BigInt(TextFns.minhashA(i)) * TextFns.minhashB(j) -
+       BigInt(TextFns.minhashA(j)) * TextFns.minhashB(i)).mod(P) == 0
+    }
+    assert(!proportional, "minhash coefficients are a rank-1 family — " +
+      "one shared small-g shingle would dominate every slot again")
+  }
+
+  test("minhash agreement estimator: within ±3.5/√k of exact Jaccard on fixture pairs, k=16/64/128") {
+    // The sizing contract lshIngestBatch's cross-batch confirm relies
+    // on (measured corpus-wide by graft.tools.ConfirmCensus): the
+    // agreement fraction is an unbiased Jaccard estimator with ~1/√k
+    // std. Fixture pairs span J ≈ 0.1–0.9; deterministic hashes make
+    // this a fixed-point pin, the 3.5σ+0.02 slack is the documented
+    // band.
+    import graft.functions.TextFns
+    val base = (0 until 60).map(i => s"w$i")
+    val docs = (1 to 9).flatMap { m =>
+      val keep = 6 * m // shared prefix length
+      val a = base.mkString(" ")
+      val b = (base.take(keep) ++ (0 until (60 - keep)).map(i => s"x${m}_$i"))
+        .mkString(" ")
+      Seq((m * 2L, a), (m * 2L + 1, b))
+    }.toDF("doc_id", "text")
+    val pairs = (1 to 9).map(m => (m * 2L, m * 2L + 1)).toDF("id_a", "id_b")
+    val exact = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", 3)
+      .select("id_a", "jaccard")
+    val sigs = docs.select(col("doc_id"),
+      TextFns.minhashSignatureNative(col("text"), 128, 3).as("mh"))
+    val joined = exact
+      .join(sigs.select(col("doc_id").as("id_a"), col("mh").as("ma")), Seq("id_a"))
+      .join(pairs, Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("mh").as("mb")), Seq("id_b"))
+    def agree(k: Int) = (0 until k).map(i =>
+      when(col("ma").getItem(i) === col("mb").getItem(i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    val rows = joined.select(col("jaccard"), agree(16).as("e16"),
+      agree(64).as("e64"), agree(128).as("e128")).collect()
+    assert(rows.length == 9)
+    for (r <- rows; (k, idx) <- Seq((16, 1), (64, 2), (128, 3))) {
+      val (j, est) = (r.getDouble(0), r.getDouble(idx))
+      assert(math.abs(est - j) <= 3.5 / math.sqrt(k) + 0.02,
+        s"k=$k: estimate $est vs exact J $j out of band")
+    }
+  }
+
   test("dupClusters: connected components via label propagation") {
     // components: {1,2,3,4} (chain), {10,11}, singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
