@@ -39,6 +39,16 @@ object Bench {
       if (g != null)
         js.stageIds.foreach(sid => stageGroup.put(sid, g))
     }
+    // prune on completion: bounds the map over a 260-query run and
+    // stops a resubmitted attempt's tasks from double-counting into
+    // the recorded pass (task-end events for an attempt precede its
+    // stage-completed on the ordered bus; tasks of a LATER resubmit
+    // of the same stage are then unattributed — an UNDERcount, noted
+    // here, preferred over silent inflation of the min-time pass)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stageGroup.remove(sc.stageInfo.stageId); ()
+    }
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val g = stageGroup.get(te.stageId)
@@ -246,7 +256,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val cal = s""""calibration":${fmt(calibration)}"""
+    // the artifact declares the exact tree it measured — scale claims
+    // cite versioned BENCH files, and "ran on the final tree" must be
+    // checkable from the file itself, not from session notes
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+      val sha = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      p.waitFor()
+      val d = new ProcessBuilder("git", "status", "--porcelain").start()
+      val dirty = scala.io.Source.fromInputStream(d.getInputStream)
+        .mkString.trim.nonEmpty
+      d.waitFor()
+      if (sha.matches("[0-9a-f]{40}")) sha + (if (dirty) "-dirty" else "")
+      else "unknown"
+    } catch { case _: Exception => "unknown" }
+    val cal = s""""calibration":${fmt(calibration)},"commit":"$commit""""
     // "io" rides only in the durable FILE artifact (per-query bytes ≈
     // 25 KB at 258 rows) — the stdout lines keep their tail-window
     // contract unchanged

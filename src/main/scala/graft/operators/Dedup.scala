@@ -143,7 +143,8 @@ object Dedup {
 
   private def bandRows(df: DataFrame, textCol: String, idCol: String,
                        numHashes: Int, bands: Int, shingleSize: Int,
-                       withMh: Boolean): DataFrame = {
+                       withMh: Boolean,
+                       withSet: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     // guard BEFORE the signature projection, on the cheap token count —
@@ -155,19 +156,23 @@ object Dedup {
         TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize))
       .select(
         col(idCol).as("doc_id") +: col("__sig") +:
+          (if (withSet) Seq(sort_array(TextFns.shingleHashes64(
+            col(textCol), shingleSize)).as("__ss")) else Seq.empty) ++:
           (0 until numHashes).map(i =>
             col("__sig").getItem(i).as(s"mh_$i")): _*)
-    val banded = withSig.select(col("doc_id") +: col("__sig") +: Seq(explode(array(
+    val carried = col("__sig") +:
+      (if (withSet) Seq(col("__ss")) else Seq.empty)
+    val banded = withSig.select(col("doc_id") +: (carried :+ explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash60(concat_ws("_",
             (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*))
             .as("bucket"))
       }: _*)).as("bb")): _*)
-    if (withMh)
-      banded.select(col("doc_id"), col("bb.band"), col("bb.bucket"),
-        col("__sig").as("mh"))
-    else banded.select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val out = Seq(col("doc_id"), col("bb.band"), col("bb.bucket")) ++
+      (if (withMh) Seq(col("__sig").as("mh")) else Seq.empty) ++
+      (if (withSet) Seq(col("__ss").as("sset")) else Seq.empty)
+    banded.select(out: _*)
   }
 
   /** Materialize the LSH band-signature store BUCKETED BY (band,
@@ -178,13 +183,26 @@ object Dedup {
                               idCol: String, table: String, path: String,
                               buckets: Int, numHashes: Int = 16,
                               bands: Int = 4, shingleSize: Int = 3,
-                              withSignatures: Boolean = false): Unit = {
+                              withSignatures: Boolean = false,
+                              withShingleSets: Boolean = false): Unit = {
     // withSignatures: carry the k-slot minhash alongside each band row
     // so later batches can CONFIRM (minhash agreement), not just
     // collide — required by [[lshIngestBatch]]; plain probes
-    // ([[incrementalLsh]]) work against either layout
+    // ([[incrementalLsh]]) work against either layout.
+    // withShingleSets additionally carries the SORTED hashed shingle
+    // set (`sset: array<long>`) so the cross-batch confirm can be the
+    // EXACT n-gram Jaccard (`lshIngestBatch(exactConfirm = true)`) —
+    // the tight-tolerance knob for pipelines where the estimator's
+    // ±2/√k decision window around minJaccard (see the measured
+    // sizing rule on lshIngestBatch) is too loose. COST: the set is
+    // duplicated per band row, so the store grows by
+    // bands × |shingles| longs per doc versus numHashes longs — pay
+    // it only when the tolerance demands exactness.
     val rows =
-      if (withSignatures)
+      if (withShingleSets)
+        bandRows(docs, textCol, idCol, numHashes, bands, shingleSize,
+          withMh = true, withSet = true)
+      else if (withSignatures)
         bandSignaturesMh(docs, textCol, idCol, numHashes, bands, shingleSize)
       else bandSignatures(docs, textCol, idCol, numHashes, bands, shingleSize)
     graft.sources.Storage.writeBucketed(rows,
@@ -240,11 +258,15 @@ object Dedup {
                            numHashes: Int = 16, bands: Int = 4,
                            shingleSize: Int = 3): Unit = {
     requireLshParams(batch.sparkSession, table, numHashes, bands, shingleSize)
-    // layout inferred from the TABLE (signature-carrying or plain) so
-    // appended generations can never fork the store's schema
-    val withMh = batch.sparkSession.table(table).columns.contains("mh")
+    // layout inferred from the TABLE (shingle-set-carrying,
+    // signature-carrying, or plain) so appended generations can never
+    // fork the store's schema
+    val cols = batch.sparkSession.table(table).columns
     val rows =
-      if (withMh)
+      if (cols.contains("sset"))
+        bandRows(batch, textCol, idCol, numHashes, bands, shingleSize,
+          withMh = true, withSet = true)
+      else if (cols.contains("mh"))
         bandSignaturesMh(batch, textCol, idCol, numHashes, bands, shingleSize)
       else bandSignatures(batch, textCol, idCol, numHashes, bands, shingleSize)
     graft.sources.Storage.appendBucketed(batch.sparkSession, rows, table)
@@ -301,9 +323,11 @@ object Dedup {
 
   /** One ingested batch's outcome: the docs that entered the corpus
     * (and whose band rows were appended to the store), the cross-batch
-    * near-dup report `(doc_id, cand_id, agree)` (batch doc → stored
-    * owner, agreeing signature slots), and the oversize store buckets
-    * excluded from screening (the no-silent-drop contract). */
+    * near-dup report — `(doc_id, cand_id, agree)` (agreeing signature
+    * slots) under the default estimator confirm, `(doc_id, cand_id,
+    * jaccard)` (exact n-gram Jaccard) under `exactConfirm = true` —
+    * and the oversize store buckets excluded from screening (the
+    * no-silent-drop contract). */
   final case class IngestResult(survivors: DataFrame,
                                 crossBatchDups: DataFrame,
                                 droppedBuckets: DataFrame)
@@ -335,7 +359,12 @@ object Dedup {
     *      property of ANY k). Pairs far from the threshold are safe:
     *      post-census FP at J<0.3 is 0 at k≥64 (the rank-1
     *      coefficient degeneracy that once produced them is fixed and
-    *      pinned in DedupSpec);
+    *      pinned in DedupSpec). When the tolerance window is too
+    *      loose at any affordable k, pass `exactConfirm = true`
+    *      against a `withShingleSets = true` store: the confirm
+    *      becomes the EXACT n-gram Jaccard over the stored sorted
+    *      shingle sets (early-abort merge kernel), at the documented
+    *      store-size cost;
     *   3. accepted survivors' band rows (signatures riding along) are
     *      APPENDED to the store under its own catalog bucket spec
     *      ([[appendBandSignatures]]) — the next batch probes
@@ -358,21 +387,27 @@ object Dedup {
   def lshIngestBatch(batch: DataFrame, textCol: String, idCol: String,
                      table: String, numHashes: Int = 16, bands: Int = 4,
                      shingleSize: Int = 3, minJaccard: Double = 0.5,
-                     maxBucket: Int = 1000): IngestResult = {
+                     maxBucket: Int = 1000,
+                     exactConfirm: Boolean = false): IngestResult = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val store = spark.table(table)
     require(store.columns.contains("mh"),
       s"$table is not signature-carrying; write it with " +
         "writeBandSignatureStore(withSignatures = true)")
+    val storeHasSet = store.columns.contains("sset")
+    require(!exactConfirm || storeHasSet,
+      s"$table carries no shingle sets; exactConfirm requires a store " +
+        "written with writeBandSignatureStore(withShingleSets = true)")
     requireLshParams(spark, table, numHashes, bands, shingleSize)
     val internal = dedupByLshChecked(batch, textCol, idCol, numHashes,
       bands, shingleSize, minJaccard, maxBucket).deduped
     // eagerly pinned so the signature kernel runs ONCE per batch: both
     // the probe join and the append leg below consume these rows
     // (batch-sized × bands, never corpus-sized)
-    val bandedMh = bandSignaturesMh(internal, textCol, idCol,
-      numHashes, bands, shingleSize).localCheckpoint(true)
+    val bandedMh = bandRows(internal, textCol, idCol,
+      numHashes, bands, shingleSize, withMh = true, withSet = storeHasSet)
+      .localCheckpoint(true)
     // store-side bucket-size guard: a window on the bucketed scan —
     // no exchange, no second store scan (the incrementalLsh shape)
     val w = Window.partitionBy("band", "bucket")
@@ -382,8 +417,9 @@ object Dedup {
         col("__bsize").cast("int").as("size"))
       .distinct()
     val okStore = sized.filter(col("__bsize") <= maxBucket)
-      .select(col("band"), col("bucket"),
-        col("doc_id").as("cand_id"), col("mh").as("__smh"))
+      .select(Seq(col("band"), col("bucket"),
+        col("doc_id").as("cand_id"), col("mh").as("__smh")) ++
+        (if (exactConfirm) Seq(col("sset").as("__sss")) else Seq.empty): _*)
     val minAgree = math.ceil(minJaccard * numHashes).toLong
     val agree = (0 until numHashes).map(i =>
       when(col("mh").getItem(i) === col("__smh").getItem(i), 1L)
@@ -395,12 +431,29 @@ object Dedup {
     // three-batch test). Both are batch-bounded, never corpus-sized;
     // pinning dups also means the probe runs ONCE (the survivors
     // anti-join reuses the materialized result).
-    val dups = bandedMh.join(okStore, Seq("band", "bucket"))
-      .withColumn("__agree", agree)
-      .filter(col("__agree") >= minAgree)
-      .groupBy(col("doc_id"), col("cand_id"))
-      .agg(max(col("__agree")).as("agree"))
-      .localCheckpoint(true)
+    val collided = bandedMh.join(okStore, Seq("band", "bucket"))
+    val dups = (if (exactConfirm) {
+      // EXACT cross-batch confirm over the stored sorted shingle sets:
+      // the early-abort merge kernel abandons a candidate once the
+      // required intersection (J ≥ t ⟺ inter ≥ t/(1+t)·(|a|+|b|))
+      // is unreachable — same discipline as prefixFilterPairs' verify
+      val sz = size(col("sset")) + size(col("__sss"))
+      val req = ceil(lit(minJaccard / (1.0 + minJaccard)) * sz
+        - lit(1e-12) * sz).cast("int")
+      collided
+        .withColumn("__i",
+          sortedOverlapAtLeast(col("sset"), col("__sss"), req))
+        .withColumn("__j", col("__i").cast("double") / (sz - col("__i")))
+        .filter(col("__i") > 0 && col("__j") >= minJaccard)
+        .groupBy(col("doc_id"), col("cand_id"))
+        .agg(round(max(col("__j")), 6).as("jaccard"))
+    } else {
+      collided
+        .withColumn("__agree", agree)
+        .filter(col("__agree") >= minAgree)
+        .groupBy(col("doc_id"), col("cand_id"))
+        .agg(max(col("__agree")).as("agree"))
+    }).localCheckpoint(true)
     val droppedP = dropped.localCheckpoint(true)
     val survivors = internal
       .join(dups.select(col("doc_id").as(idCol)).distinct(),

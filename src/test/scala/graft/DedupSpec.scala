@@ -121,6 +121,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshIngestBatch exactConfirm: shingle-set store, exact Jaccard decisions, append preserves layout") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft-exactconf")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c = "fresh unrelated content with novel words and phrasing today"
+    Dedup.writeBandSignatureStore(Seq(1L -> a).toDF("doc_id", "text"),
+      "text", "doc_id", "exc_t", s"$dirs/t", buckets = 4, numHashes = 8,
+      bands = 4, withShingleSets = true)
+    try {
+      val stored = spark.table("exc_t")
+      assert(stored.columns.contains("sset") && stored.columns.contains("mh"))
+      // batch: 2 is an exact dup of stored 1 (J=1.0); 3 is novel
+      val r = Dedup.lshIngestBatch(Seq(2L -> a, 3L -> c).toDF("doc_id", "text"),
+        "text", "doc_id", "exc_t", numHashes = 8, bands = 4,
+        exactConfirm = true)
+      val dups = r.crossBatchDups.select("doc_id", "cand_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(dups == Set((2L, 1L, 1.0)), dups.toString)
+      assert(r.survivors.select("doc_id").as[Long].collect().toSet == Set(3L))
+      // the appended generation carries the shingle-set layout too
+      val afterCols = spark.table("exc_t").columns.toSet
+      assert(afterCols.contains("sset"))
+      assert(spark.table("exc_t").select("doc_id").distinct()
+        .as[Long].collect().toSet == Set(1L, 3L))
+      // second batch: near-dup of 3 below J=0.5 must SURVIVE under the
+      // exact confirm (deterministic — no estimator noise near the
+      // threshold): 4 shares a 4-token run with 3 (2 shared shingles
+      // of 8+8 total -> J = 2/14 < 0.5)
+      val nearMiss = "fresh unrelated content with altered trailing words appended here"
+      val exactJ = Dedup.ngramJaccard(Seq((3L, 4L)).toDF("id_a", "id_b"),
+        Seq(3L -> c, 4L -> nearMiss).toDF("doc_id", "text"),
+        "text", "doc_id", 3).select("jaccard").as[Double].head()
+      assert(exactJ > 0 && exactJ < 0.5, s"fixture J=$exactJ")
+      val r2 = Dedup.lshIngestBatch(Seq(4L -> nearMiss).toDF("doc_id", "text"),
+        "text", "doc_id", "exc_t", numHashes = 8, bands = 4,
+        exactConfirm = true)
+      assert(r2.survivors.select("doc_id").as[Long].collect().toSet == Set(4L))
+      assert(r2.crossBatchDups.count() == 0)
+      // a store without sset refuses exactConfirm loudly
+      Dedup.writeBandSignatureStore(Seq(9L -> a).toDF("doc_id", "text"),
+        "text", "doc_id", "exc_plain", s"$dirs/p", buckets = 4,
+        numHashes = 8, bands = 4, withSignatures = true)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.lshIngestBatch(Seq(10L -> a).toDF("doc_id", "text"),
+          "text", "doc_id", "exc_plain", numHashes = 8, bands = 4,
+          exactConfirm = true)
+      }
+      assert(e.getMessage.contains("withShingleSets"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS exc_t")
+      spark.sql("DROP TABLE IF EXISTS exc_plain")
+    }
+  }
+
   test("band store refuses appends/ingest under a different LSH recipe (table properties)") {
     val dirs = java.nio.file.Files.createTempDirectory("graft-lshprops")
     val docs = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
