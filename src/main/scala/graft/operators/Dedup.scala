@@ -155,9 +155,16 @@ object Dedup {
       .withColumn("__sig",
         TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize))
       .select(
+        // the shingle set rides as the compiled hash60 n-gram kernel's
+        // distinct sorted output — Jaccard is hash-family-invariant
+        // (the DuckDB replay uses string shingles), and the
+        // interpreted xxhash64 HOF chain this replaces dominated the
+        // exact-confirm ingest at scale (q_d_ingest3 sf100: 716.7 s
+        // in-suite pre-fix — the round-15 sweep's slowest row)
         col(idCol).as("doc_id") +: col("__sig") +:
-          (if (withSet) Seq(sort_array(TextFns.shingleHashes64(
-            col(textCol), shingleSize)).as("__ss")) else Seq.empty) ++:
+          (if (withSet) Seq(sort_array(array_distinct(
+            TextFns.ngramHashesNative(col(textCol), shingleSize)))
+            .as("__ss")) else Seq.empty) ++:
           (0 until numHashes).map(i =>
             col("__sig").getItem(i).as(s"mh_$i")): _*)
     val carried = col("__sig") +:
