@@ -4,11 +4,13 @@ import java.nio.file.{Files, Paths}
 
 /** Dump the formatted physical plan of every SparkEntry query —
   * the plan-quality audit trail (pushdown, pruning, broadcast,
-  * whole-stage codegen spans). Usage: runMain graft.Explain <sfDir> <outFile> */
+  * whole-stage codegen spans).
+  * Usage: runMain graft.Explain <sfDir> <outFile> [onlyCsv] */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "PLANS.txt"
+    val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -16,7 +18,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       sb.append(s"\n${"=" * 72}\n== $name\n${"=" * 72}\n")
       try sb.append(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
