@@ -263,7 +263,12 @@ object Bench {
       val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
       val sha = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
       p.waitFor()
-      val d = new ProcessBuilder("git", "status", "--porcelain").start()
+      // tracked files only: untracked bench artifacts (often written
+      // by the sweep itself moments earlier) must not spend the
+      // "-dirty" marker, which readers take to mean "unreproducible
+      // source tree"
+      val d = new ProcessBuilder("git", "status", "--porcelain",
+        "--untracked-files=no").start()
       val dirty = scala.io.Source.fromInputStream(d.getInputStream)
         .mkString.trim.nonEmpty
       d.waitFor()

@@ -1348,10 +1348,39 @@ object SparkEntry {
         shingleSize = 3, withShingleSets = true)
       val r1 = Dedup.lshIngestBatch(docs.filter(col("doc_id") % 2 === 0),
         "text", "doc_id", tag, numHashes = 8, bands = 4,
-        shingleSize = 3, minJaccard = 0.5, exactConfirm = true)
+        shingleSize = 3, minJaccard = 0.5, confirm = "exact")
       val r2 = Dedup.lshIngestBatch(docs.filter(col("doc_id") % 2 === 1),
         "text", "doc_id", tag, numHashes = 8, bands = 4,
-        shingleSize = 3, minJaccard = 0.5, exactConfirm = true)
+        shingleSize = 3, minJaccard = 0.5, confirm = "exact")
+      r1.survivors.select(lit(1).as("batch"), col("doc_id"))
+        .unionAll(r2.survivors.select(lit(2).as("batch"), col("doc_id")))
+    }),
+
+    // the HYBRID-CONFIRM twin (round-16 two-tier router): the
+    // estimator alone decides collided pairs whose agreement falls
+    // strictly outside ±0.25 of the threshold (here: agree ≥ 7 → dup,
+    // agree < 2 → keep, both without touching a shingle set); only
+    // the in-band pairs (2..6 of 8 slots) pay the exact merge kernel.
+    // The window is explicit (not the 4/√k default, which at k=8
+    // routes everything) so BOTH estimator fast paths and the exact
+    // band are exercised against the oracle, which replays the same
+    // integer cuts from Dedup.hybridCuts.
+    "q_d_ingest4" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(TF.wordCount(col("text")) >= 3)
+      val tag = s"graft_ingest4_store_${ProcessHandle.current.pid}"
+      val path = sys.props("java.io.tmpdir") + "/" + tag
+      Dedup.writeBandSignatureStore(docs.filter(lit(false)), "text",
+        "doc_id", tag, path, buckets = 8, numHashes = 8, bands = 4,
+        shingleSize = 3, withShingleSets = true)
+      val r1 = Dedup.lshIngestBatch(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", tag, numHashes = 8, bands = 4,
+        shingleSize = 3, minJaccard = 0.5, confirm = "hybrid",
+        hybridWindow = 0.25)
+      val r2 = Dedup.lshIngestBatch(docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", tag, numHashes = 8, bands = 4,
+        shingleSize = 3, minJaccard = 0.5, confirm = "hybrid",
+        hybridWindow = 0.25)
       r1.survivors.select(lit(1).as("batch"), col("doc_id"))
         .unionAll(r2.survivors.select(lit(2).as("batch"), col("doc_id")))
     }),
@@ -3879,6 +3908,44 @@ object SparkEntry {
         "okst AS (SELECT sbk.* FROM sbk JOIN sizes USING (band, bucket) WHERE c <= 1000), " +
         s"xdup AS (SELECT DISTINCT b2.doc_id FROM bk2 b2 JOIN okst ON b2.band = okst.band AND b2.bucket = okst.bucket " +
         s"JOIN d2 da ON da.doc_id = b2.doc_id JOIN d1 db ON db.doc_id = okst.doc_id WHERE $jac >= 0.5) " +
+        "SELECT 1 AS batch, doc_id FROM surv1 " +
+        "UNION ALL SELECT 2, doc_id FROM t2 WHERE doc_id NOT IN (SELECT id FROM c2dropped) AND doc_id NOT IN (SELECT doc_id FROM xdup)"
+    },
+
+    // q_d_ingest3's replay with the cross-batch screen replayed as the
+    // HYBRID router: minhash agreement decides outside the integer
+    // cuts (shared with the engine via Dedup.hybridCuts), the exact
+    // shingle-set Jaccard decides the in-band pairs
+    "q_d_ingest4" -> {
+      val (loCut, hiCut) = graft.operators.Dedup.hybridCuts(8, 0.5, 0.25)
+      val mh = (0 until 8).map { i =>
+        val a = graft.functions.TextFns.minhashA(i)
+        val b = graft.functions.TextFns.minhashB(i)
+        s"list_min(list_transform(sh, g -> ($a * (${h60Sql("g")} % $P) + $b) % $P)) AS mh_$i"
+      }.mkString(", ")
+      def bandSelects(src: String) = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, ${h60Sql(s"mh_${2 * bnd}::VARCHAR || '_' || mh_${2 * bnd + 1}::VARCHAR")} AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+      val jac = "CASE WHEN len(list_distinct(list_concat(da.sh, db.sh))) = 0 THEN 0.0 ELSE len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) END"
+      def gen(g: Int, parity: Int): String =
+        s"t$g AS MATERIALIZED (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id % 2 = $parity AND len($toksSql) >= 3), " +
+          s"d$g AS MATERIALIZED (SELECT doc_id, $shinglesSql AS sh FROM t$g), " +
+          s"sig$g AS MATERIALIZED (SELECT doc_id, $mh FROM d$g), " +
+          s"bk$g AS MATERIALIZED (${bandSelects(s"sig$g")}), " +
+          s"cand$g AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk$g a JOIN bk$g b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+          s"conf$g AS (SELECT id_a, id_b FROM cand$g JOIN d$g da ON da.doc_id = cand$g.id_a JOIN d$g db ON db.doc_id = cand$g.id_b WHERE $jac >= 0.5), " +
+          ccCtesSql(s"conf$g", s"c$g")
+      val agree8 = "(" + (0 until 8).map(i =>
+        s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ") + ")"
+      "WITH RECURSIVE " + gen(1, 0) + ", " + gen(2, 1) + ", " +
+        "surv1 AS MATERIALIZED (SELECT doc_id FROM t1 WHERE doc_id NOT IN (SELECT id FROM c1dropped)), " +
+        "sbk AS MATERIALIZED (SELECT bk1.* FROM bk1 JOIN surv1 USING (doc_id)), " +
+        "sizes AS (SELECT band, bucket, count(*) AS c FROM sbk GROUP BY 1, 2), " +
+        "okst AS (SELECT sbk.* FROM sbk JOIN sizes USING (band, bucket) WHERE c <= 1000), " +
+        s"xdup AS (SELECT DISTINCT b2.doc_id FROM bk2 b2 JOIN okst ON b2.band = okst.band AND b2.bucket = okst.bucket " +
+        s"JOIN sig2 sa ON sa.doc_id = b2.doc_id JOIN sig1 sb ON sb.doc_id = okst.doc_id " +
+        s"JOIN d2 da ON da.doc_id = b2.doc_id JOIN d1 db ON db.doc_id = okst.doc_id " +
+        s"WHERE $agree8 >= $hiCut OR ($agree8 >= $loCut AND $agree8 < $hiCut AND $jac >= 0.5)) " +
         "SELECT 1 AS batch, doc_id FROM surv1 " +
         "UNION ALL SELECT 2, doc_id FROM t2 WHERE doc_id NOT IN (SELECT id FROM c2dropped) AND doc_id NOT IN (SELECT doc_id FROM xdup)"
     },

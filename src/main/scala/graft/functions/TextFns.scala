@@ -91,6 +91,16 @@ object TextFns {
   def minhashA(i: Int): Long = 1L + Math.floorMod(mix64(2L * i), P - 1)
   def minhashB(i: Int): Long = Math.floorMod(mix64(2L * i + 1), P)
 
+  /** Version tag of the minhash coefficient family above. Persisted
+    * into every band-signature store's table properties
+    * (`graft.lsh.hashFamily`) and REQUIRED to match on append/ingest:
+    * signatures from different families are schema-identical longs
+    * that silently never agree, so a store written under the retired
+    * rank-1 family (or any future family change) must fail loudly
+    * instead of never confirming a near-dup again. Bump this string
+    * whenever minhashA/minhashB (or the slot mixing) changes. */
+  val hashFamily: String = "splitmix64-v1"
+
   /** MinHash permutation i over pre-hashed shingles:
     * min of (a_i * h + b_i) mod P. Null for short docs. */
   def minhashPerm(hs: Column, i: Int): Column = {

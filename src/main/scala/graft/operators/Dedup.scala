@@ -198,8 +198,10 @@ object Dedup {
     // ([[incrementalLsh]]) work against either layout.
     // withShingleSets additionally carries the SORTED hashed shingle
     // set (`sset: array<long>`) so the cross-batch confirm can be the
-    // EXACT n-gram Jaccard (`lshIngestBatch(exactConfirm = true)`) —
-    // the tight-tolerance knob for pipelines where the estimator's
+    // EXACT n-gram Jaccard — everywhere (`lshIngestBatch(confirm =
+    // "exact")`) or only inside the estimator's decision band
+    // (`confirm = "hybrid"`, the measured-census router) — the
+    // tight-tolerance knobs for pipelines where the estimator's
     // ±2/√k decision window around minJaccard (see the measured
     // sizing rule on lshIngestBatch) is too loose. COST: the set is
     // duplicated per band row, so the store grows by
@@ -224,14 +226,21 @@ object Dedup {
     docs.sparkSession.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES (" +
         s"'graft.lsh.numHashes'='$numHashes','graft.lsh.bands'='$bands'," +
-        s"'graft.lsh.shingleSize'='$shingleSize')")
+        s"'graft.lsh.shingleSize'='$shingleSize'," +
+        s"'graft.lsh.hashFamily'='${TextFns.hashFamily}')")
   }
 
   /** Require the caller's LSH hyperparameters to match the ones the
     * store was written with (table properties set by
-    * [[writeBandSignatureStore]]). Stores predating the properties
-    * (or created by hand) are let through — the properties are the
-    * guard, not a gate on legacy layouts. */
+    * [[writeBandSignatureStore]]). Tables carrying NO `graft.lsh.*`
+    * properties at all (hand-built layouts) are let through — the
+    * properties are the guard, not a gate on legacy layouts. But a
+    * table that HAS recipe properties must also carry a matching
+    * `hashFamily` tag: a store whose properties predate family
+    * tagging was written by a pre-fix build of THIS library under a
+    * different minhash coefficient family, and its stored signatures
+    * would silently never agree with batch signatures — the exact
+    * quiet-miss failure the guard exists to prevent. */
   private def requireLshParams(spark: org.apache.spark.sql.SparkSession,
                                table: String, numHashes: Int, bands: Int,
                                shingleSize: Int): Unit = {
@@ -246,6 +255,15 @@ object Dedup {
     check("numHashes", numHashes)
     check("bands", bands)
     check("shingleSize", shingleSize)
+    if (props.keys.exists(_.startsWith("graft.lsh."))) {
+      val fam = props.getOrElse("graft.lsh.hashFamily",
+        "<untagged — predates hash-family versioning>")
+      require(fam == TextFns.hashFamily,
+        s"$table holds minhash signatures from hash family $fam but " +
+          s"this build computes ${TextFns.hashFamily} — stored and batch " +
+          "signatures would silently never agree (near-dups never " +
+          "confirm); rewrite the store with writeBandSignatureStore")
+    }
   }
 
   /** Fold a new batch's band rows INTO an existing band-signature
@@ -332,12 +350,37 @@ object Dedup {
     * (and whose band rows were appended to the store), the cross-batch
     * near-dup report — `(doc_id, cand_id, agree)` (agreeing signature
     * slots) under the default estimator confirm, `(doc_id, cand_id,
-    * jaccard)` (exact n-gram Jaccard) under `exactConfirm = true` —
-    * and the oversize store buckets excluded from screening (the
-    * no-silent-drop contract). */
+    * jaccard)` (exact n-gram Jaccard) under `confirm = "exact"`,
+    * `(doc_id, cand_id, agree, jaccard)` under `confirm = "hybrid"`
+    * (jaccard is null for pairs the estimator fast path decided — the
+    * exact kernel never ran for them) — and the oversize store buckets
+    * excluded from screening (the no-silent-drop contract). */
   final case class IngestResult(survivors: DataFrame,
                                 crossBatchDups: DataFrame,
                                 droppedBuckets: DataFrame)
+
+  /** Integer agreement cuts for the hybrid confirm: a collided pair
+    * with `agree ≥ hi` is a duplicate by the estimator alone, one with
+    * `agree < lo` is a non-duplicate by the estimator alone, and the
+    * band `lo ≤ agree < hi` routes to the exact shingle-set kernel.
+    * `window` is the half-width in Jaccard units around `minJaccard`;
+    * NaN (the default) resolves to `4/√numHashes` — TWICE the measured
+    * true-Jaccard error window of the estimator (ConfirmCensus: FP/FN
+    * confined to ±2/√k of the threshold), so a pair whose true J lies
+    * inside the error window still routes to exact even under a 2σ
+    * estimator deviation; the residual escape probability per pair is
+    * the Φ(−4) ≈ 3·10⁻⁵ binomial tail. Integer boundaries round
+    * OUTWARD (est exactly at t±w routes to exact), and both the engine
+    * and the SQL oracle consume these same two integers, so parity is
+    * structural. */
+  def hybridCuts(numHashes: Int, minJaccard: Double,
+                 window: Double = Double.NaN): (Long, Long) = {
+    val w = if (window.isNaN) 4.0 / math.sqrt(numHashes.toDouble) else window
+    require(w >= 0.0, s"hybrid window $w must be non-negative")
+    val lo = math.ceil((minJaccard - w) * numHashes - 1e-9).toLong.max(0L)
+    val hi = math.floor((minJaccard + w) * numHashes + 1e-9).toLong + 1L
+    (lo, hi)
+  }
 
   /** The COMPLETE per-batch near-dedup ingest loop — probe → confirm →
     * accept → append — as one call, the batch substrate of the
@@ -367,11 +410,19 @@ object Dedup {
     *      post-census FP at J<0.3 is 0 at k≥64 (the rank-1
     *      coefficient degeneracy that once produced them is fixed and
     *      pinned in DedupSpec). When the tolerance window is too
-    *      loose at any affordable k, pass `exactConfirm = true`
-    *      against a `withShingleSets = true` store: the confirm
-    *      becomes the EXACT n-gram Jaccard over the stored sorted
-    *      shingle sets (early-abort merge kernel), at the documented
-    *      store-size cost;
+    *      loose at any affordable k, two tighter confirms exist, both
+    *      against a `withShingleSets = true` store:
+    *      `confirm = "exact"` computes the EXACT n-gram Jaccard over
+    *      the stored sorted shingle sets (early-abort merge kernel)
+    *      for EVERY collided pair; `confirm = "hybrid"` converts the
+    *      measured census into a router — the estimator alone decides
+    *      pairs whose agreement falls strictly outside a
+    *      ±`hybridWindow` band around `minJaccard` (default 4/√k,
+    *      twice the measured error window — see [[hybridCuts]]), and
+    *      ONLY the band pairs pay the exact kernel, so decisions are
+    *      exact-grade at the band-fraction of exact's confirm cost
+    *      (the band fraction shrinks as 1/√k while a real corpus's
+    *      collided-pair mass sits bimodally far from the threshold);
     *   3. accepted survivors' band rows (signatures riding along) are
     *      APPENDED to the store under its own catalog bucket spec
     *      ([[appendBandSignatures]]) — the next batch probes
@@ -395,16 +446,20 @@ object Dedup {
                      table: String, numHashes: Int = 16, bands: Int = 4,
                      shingleSize: Int = 3, minJaccard: Double = 0.5,
                      maxBucket: Int = 1000,
-                     exactConfirm: Boolean = false): IngestResult = {
+                     confirm: String = "estimator",
+                     hybridWindow: Double = Double.NaN): IngestResult = {
     import org.apache.spark.sql.expressions.Window
+    require(Set("estimator", "exact", "hybrid")(confirm),
+      s"confirm=$confirm — must be estimator, exact, or hybrid")
+    val needsSets = confirm != "estimator"
     val spark = batch.sparkSession
     val store = spark.table(table)
     require(store.columns.contains("mh"),
       s"$table is not signature-carrying; write it with " +
         "writeBandSignatureStore(withSignatures = true)")
     val storeHasSet = store.columns.contains("sset")
-    require(!exactConfirm || storeHasSet,
-      s"$table carries no shingle sets; exactConfirm requires a store " +
+    require(!needsSets || storeHasSet,
+      s"$table carries no shingle sets; confirm=$confirm requires a store " +
         "written with writeBandSignatureStore(withShingleSets = true)")
     requireLshParams(spark, table, numHashes, bands, shingleSize)
     val internal = dedupByLshChecked(batch, textCol, idCol, numHashes,
@@ -426,7 +481,7 @@ object Dedup {
     val okStore = sized.filter(col("__bsize") <= maxBucket)
       .select(Seq(col("band"), col("bucket"),
         col("doc_id").as("cand_id"), col("mh").as("__smh")) ++
-        (if (exactConfirm) Seq(col("sset").as("__sss")) else Seq.empty): _*)
+        (if (needsSets) Seq(col("sset").as("__sss")) else Seq.empty): _*)
     val minAgree = math.ceil(minJaccard * numHashes).toLong
     val agree = (0 until numHashes).map(i =>
       when(col("mh").getItem(i) === col("__smh").getItem(i), 1L)
@@ -439,27 +494,50 @@ object Dedup {
     // pinning dups also means the probe runs ONCE (the survivors
     // anti-join reuses the materialized result).
     val collided = bandedMh.join(okStore, Seq("band", "bucket"))
-    val dups = (if (exactConfirm) {
-      // EXACT cross-batch confirm over the stored sorted shingle sets:
-      // the early-abort merge kernel abandons a candidate once the
-      // required intersection (J ≥ t ⟺ inter ≥ t/(1+t)·(|a|+|b|))
-      // is unreachable — same discipline as prefixFilterPairs' verify
-      val sz = size(col("sset")) + size(col("__sss"))
-      val req = ceil(lit(minJaccard / (1.0 + minJaccard)) * sz
-        - lit(1e-12) * sz).cast("int")
-      collided
-        .withColumn("__i",
-          sortedOverlapAtLeast(col("sset"), col("__sss"), req))
-        .withColumn("__j", col("__i").cast("double") / (sz - col("__i")))
-        .filter(col("__i") > 0 && col("__j") >= minJaccard)
-        .groupBy(col("doc_id"), col("cand_id"))
-        .agg(round(max(col("__j")), 6).as("jaccard"))
-    } else {
-      collided
-        .withColumn("__agree", agree)
-        .filter(col("__agree") >= minAgree)
-        .groupBy(col("doc_id"), col("cand_id"))
-        .agg(max(col("__agree")).as("agree"))
+    // shared exact-confirm pieces (exact + hybrid): the early-abort
+    // merge kernel abandons a candidate once the required intersection
+    // (J ≥ t ⟺ inter ≥ t/(1+t)·(|a|+|b|)) is unreachable — same
+    // discipline as prefixFilterPairs' verify
+    val sz = size(col("sset")) + size(col("__sss"))
+    val req = ceil(lit(minJaccard / (1.0 + minJaccard)) * sz
+      - lit(1e-12) * sz).cast("int")
+    val dups = (confirm match {
+      case "exact" =>
+        collided
+          .withColumn("__i",
+            sortedOverlapAtLeast(col("sset"), col("__sss"), req))
+          .withColumn("__j", col("__i").cast("double") / (sz - col("__i")))
+          .filter(col("__i") > 0 && col("__j") >= minJaccard)
+          .groupBy(col("doc_id"), col("cand_id"))
+          .agg(round(max(col("__j")), 6).as("jaccard"))
+      case "hybrid" =>
+        // two-tier: the estimator decides pairs strictly outside the
+        // ±window agreement band around minJaccard (measured safe —
+        // ConfirmCensus confines estimator errors to ±2/√k of the
+        // threshold in true-Jaccard; the default window doubles that,
+        // see hybridCuts); ONLY band pairs evaluate the exact kernel.
+        // The `when` guard is load-bearing: CaseWhen codegen evaluates
+        // the kernel branch lazily, so out-of-band pairs never touch
+        // their shingle sets.
+        val (lo, hi) = hybridCuts(numHashes, minJaccard, hybridWindow)
+        val inBand = col("__agree") >= lo && col("__agree") < hi
+        collided
+          .withColumn("__agree", agree)
+          .withColumn("__i", when(inBand,
+            sortedOverlapAtLeast(col("sset"), col("__sss"), req)))
+          .withColumn("__j", when(col("__i") > 0,
+            col("__i").cast("double") / (sz - col("__i"))))
+          .filter(col("__agree") >= hi ||
+            (inBand && coalesce(col("__j") >= minJaccard, lit(false))))
+          .groupBy(col("doc_id"), col("cand_id"))
+          .agg(max(col("__agree")).as("agree"),
+            round(max(col("__j")), 6).as("jaccard"))
+      case _ =>
+        collided
+          .withColumn("__agree", agree)
+          .filter(col("__agree") >= minAgree)
+          .groupBy(col("doc_id"), col("cand_id"))
+          .agg(max(col("__agree")).as("agree"))
     }).localCheckpoint(true)
     val droppedP = dropped.localCheckpoint(true)
     val survivors = internal

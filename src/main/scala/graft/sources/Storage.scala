@@ -137,6 +137,16 @@ object Storage {
     // leaves the old generation recoverable under `_precompact`
     spark.sql(s"ALTER TABLE ${id.quotedString} RENAME TO ${asideId.quotedString}")
     spark.sql(s"ALTER TABLE ${tmpId.quotedString} RENAME TO ${id.quotedString}")
+    // the table's graft.* properties are SEMANTIC metadata (LSH recipe,
+    // hash family — the guards requireLshParams enforces); the rewrite
+    // produced a fresh catalog entry without them, so carry them across
+    // the swap or the every-N-batches compaction would silently disarm
+    // the recipe-drift guard (pinned in DedupSpec's compact-then-drift
+    // test)
+    val semantic = meta.properties.filter(_._1.startsWith("graft."))
+    if (semantic.nonEmpty)
+      spark.sql(s"ALTER TABLE ${id.quotedString} SET TBLPROPERTIES (" +
+        semantic.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
     spark.sql(s"DROP TABLE ${asideId.quotedString}")
     // the compacted generation is the new last-good for crash recovery
     writeManifest(spark, table)
@@ -181,8 +191,14 @@ object Storage {
     try out.write(files.sorted.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(new org.apache.hadoop.fs.Path(root, ManifestName), false)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, ManifestName))
+    // rename WITH overwrite semantics (FileContext — FileSystem.rename
+    // has none): a delete-then-rename pair would open a crash window
+    // with NO manifest at all, losing recovery capability exactly when
+    // recovery is needed
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, ManifestName),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Crash recovery for the non-transactional append path: delete

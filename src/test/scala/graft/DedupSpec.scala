@@ -121,7 +121,7 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("lshIngestBatch exactConfirm: shingle-set store, exact Jaccard decisions, append preserves layout") {
+  test("lshIngestBatch confirm=exact: shingle-set store, exact Jaccard decisions, append preserves layout") {
     val dirs = java.nio.file.Files.createTempDirectory("graft-exactconf")
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val c = "fresh unrelated content with novel words and phrasing today"
@@ -134,7 +134,7 @@ class DedupSpec extends SparkSpec {
       // batch: 2 is an exact dup of stored 1 (J=1.0); 3 is novel
       val r = Dedup.lshIngestBatch(Seq(2L -> a, 3L -> c).toDF("doc_id", "text"),
         "text", "doc_id", "exc_t", numHashes = 8, bands = 4,
-        exactConfirm = true)
+        confirm = "exact")
       val dups = r.crossBatchDups.select("doc_id", "cand_id", "jaccard")
         .as[(Long, Long, Double)].collect().toSet
       assert(dups == Set((2L, 1L, 1.0)), dups.toString)
@@ -155,17 +155,17 @@ class DedupSpec extends SparkSpec {
       assert(exactJ > 0 && exactJ < 0.5, s"fixture J=$exactJ")
       val r2 = Dedup.lshIngestBatch(Seq(4L -> nearMiss).toDF("doc_id", "text"),
         "text", "doc_id", "exc_t", numHashes = 8, bands = 4,
-        exactConfirm = true)
+        confirm = "exact")
       assert(r2.survivors.select("doc_id").as[Long].collect().toSet == Set(4L))
       assert(r2.crossBatchDups.count() == 0)
-      // a store without sset refuses exactConfirm loudly
+      // a store without sset refuses confirm="exact" loudly
       Dedup.writeBandSignatureStore(Seq(9L -> a).toDF("doc_id", "text"),
         "text", "doc_id", "exc_plain", s"$dirs/p", buckets = 4,
         numHashes = 8, bands = 4, withSignatures = true)
       val e = intercept[IllegalArgumentException] {
         Dedup.lshIngestBatch(Seq(10L -> a).toDF("doc_id", "text"),
           "text", "doc_id", "exc_plain", numHashes = 8, bands = 4,
-          exactConfirm = true)
+          confirm = "exact")
       }
       assert(e.getMessage.contains("withShingleSets"))
     } finally {
@@ -201,6 +201,211 @@ class DedupSpec extends SparkSpec {
         numHashes = 8, bands = 4)
       assert(spark.table("lshp_t").select("doc_id").distinct().count() == 2)
     } finally spark.sql("DROP TABLE IF EXISTS lshp_t")
+  }
+
+  test("lshIngestBatch confirm=hybrid: estimator fast paths outside the band, exact kernel inside") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft-hybrid")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c = "fresh unrelated content with novel words and phrasing today"
+    // near-dup of c above the threshold: last token changed ->
+    // 7 shared of 9 distinct shingles, J = 7/9 ~ 0.78
+    val cNear = "fresh unrelated content with novel words and phrasing nowhere"
+    // below-threshold overlap with c (same fixture as the exact test)
+    val cMiss = "fresh unrelated content with altered trailing words appended here"
+    Dedup.writeBandSignatureStore(
+      Seq(1L -> a, 2L -> c).toDF("doc_id", "text"),
+      "text", "doc_id", "hyb_t", s"$dirs/t", buckets = 4, numHashes = 8,
+      bands = 4, withShingleSets = true)
+    try {
+      // window 0.25 at k=8 -> cuts (2, 7): agree >= 7 is an
+      // estimator-decided dup whose exact kernel never ran (jaccard
+      // null in the report); the exact-dup batch doc exercises it
+      assert(Dedup.hybridCuts(8, 0.5, 0.25) == (2L, 7L))
+      val r1 = Dedup.lshIngestBatch(Seq(10L -> a).toDF("doc_id", "text"),
+        "text", "doc_id", "hyb_t", numHashes = 8, bands = 4,
+        minJaccard = 0.5, confirm = "hybrid", hybridWindow = 0.25)
+      assert(r1.survivors.count() == 0)
+      val rep1 = r1.crossBatchDups
+        .select("doc_id", "cand_id", "agree", "jaccard")
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+      assert(rep1 == Set((10L, 1L, 8L, None)), rep1.toString)
+      // window 1.0 -> cuts (0, 13): no estimator fast path, EVERY
+      // collided pair routes to the exact kernel — the in-band leg.
+      // cNear (J ~ 0.78 vs stored 2) drops with a real jaccard;
+      // cMiss (J < 0.5) must SURVIVE even though it collides
+      assert(Dedup.hybridCuts(8, 0.5, 1.0) == (0L, 13L))
+      val exactJ = Dedup.ngramJaccard(Seq((2L, 11L)).toDF("id_a", "id_b"),
+        Seq(2L -> c, 11L -> cNear).toDF("doc_id", "text"),
+        "text", "doc_id", 3).select("jaccard").as[Double].head()
+      assert(exactJ >= 0.5, s"fixture J=$exactJ")
+      val r2 = Dedup.lshIngestBatch(
+        Seq(11L -> cNear).toDF("doc_id", "text"),
+        "text", "doc_id", "hyb_t", numHashes = 8, bands = 4,
+        minJaccard = 0.5, confirm = "hybrid", hybridWindow = 1.0)
+      assert(r2.survivors.count() == 0)
+      val rep2 = r2.crossBatchDups
+        .select("doc_id", "cand_id", "jaccard")
+        .as[(Long, Long, Option[Double])].collect().toSet
+      assert(rep2 == Set((11L, 2L, Some(BigDecimal(exactJ)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))),
+        rep2.toString)
+      val r3 = Dedup.lshIngestBatch(
+        Seq(12L -> cMiss).toDF("doc_id", "text"),
+        "text", "doc_id", "hyb_t", numHashes = 8, bands = 4,
+        minJaccard = 0.5, confirm = "hybrid", hybridWindow = 1.0)
+      assert(r3.survivors.select("doc_id").as[Long].collect().toSet
+        == Set(12L))
+      assert(r3.crossBatchDups.count() == 0)
+      // a signature-only store refuses hybrid loudly
+      Dedup.writeBandSignatureStore(Seq(9L -> a).toDF("doc_id", "text"),
+        "text", "doc_id", "hyb_plain", s"$dirs/p", buckets = 4,
+        numHashes = 8, bands = 4, withSignatures = true)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.lshIngestBatch(Seq(20L -> a).toDF("doc_id", "text"),
+          "text", "doc_id", "hyb_plain", numHashes = 8, bands = 4,
+          confirm = "hybrid")
+      }
+      assert(e.getMessage.contains("withShingleSets"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS hyb_t")
+      spark.sql("DROP TABLE IF EXISTS hyb_plain")
+    }
+  }
+
+  test("hybridCuts: default window is 4/sqrt(k); boundaries round outward into the exact band") {
+    // k=64, t=0.5, default w=0.5: band is the whole agreement range —
+    // everything routes to exact, nothing escapes to the estimator
+    assert(Dedup.hybridCuts(64, 0.5) == (0L, 65L))
+    // k=256, t=0.5, default w=0.25: agree in [64, 193) routes exact;
+    // 192 = (t+w)*k exactly stays IN the band (outward rounding),
+    // 193 is the first estimator-dup
+    assert(Dedup.hybridCuts(256, 0.5) == (64L, 193L))
+    // explicit window wins over the default
+    assert(Dedup.hybridCuts(256, 0.5, 0.125) == (96L, 161L))
+  }
+
+  test("hash-family guard: a store with recipe properties but a foreign/missing family tag fails loudly") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft-hashfam")
+    val docs = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("doc_id", "text")
+    Dedup.writeBandSignatureStore(docs, "text", "doc_id", "fam_t",
+      s"$dirs/t", buckets = 4, numHashes = 8, bands = 4,
+      withSignatures = true)
+    try {
+      // simulate a store written by a pre-fix build: recipe properties
+      // present, hashFamily tag absent — its signatures were computed
+      // under the retired coefficient family and would never agree
+      spark.sql("ALTER TABLE fam_t UNSET TBLPROPERTIES ('graft.lsh.hashFamily')")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendBandSignatures(
+          Seq(2L -> "some other words arriving now today").toDF("doc_id", "text"),
+          "text", "doc_id", "fam_t", numHashes = 8, bands = 4)
+      }
+      assert(e.getMessage.contains("hash family"), e.getMessage)
+      // a drifted (future) family tag fails the same way
+      spark.sql("ALTER TABLE fam_t SET TBLPROPERTIES ('graft.lsh.hashFamily'='other-v9')")
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.lshIngestBatch(
+          Seq(3L -> "yet more words to ingest right now").toDF("doc_id", "text"),
+          "text", "doc_id", "fam_t", numHashes = 8, bands = 4)
+      }
+      assert(e2.getMessage.contains("other-v9"), e2.getMessage)
+      // a hand-built table with NO graft.lsh.* properties at all is a
+      // legacy layout — let through (the guard is not a gate on those)
+      graft.sources.Storage.writeBucketed(
+        Dedup.bandSignatures(docs, "text", "doc_id", 8, 4, 3),
+        "fam_legacy", s"$dirs/l", bucketKeys = Seq("band", "bucket"),
+        buckets = 4)
+      Dedup.appendBandSignatures(
+        Seq(4L -> "fresh legacy content with new words").toDF("doc_id", "text"),
+        "text", "doc_id", "fam_legacy", numHashes = 8, bands = 4)
+      assert(spark.table("fam_legacy").select("doc_id").distinct().count() == 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fam_t")
+      spark.sql("DROP TABLE IF EXISTS fam_legacy")
+    }
+  }
+
+  test("compactBucketed carries graft.* properties: the recipe guard survives compaction") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft-compactprops")
+    val docs = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("doc_id", "text")
+    Dedup.writeBandSignatureStore(docs, "text", "doc_id", "cpr_t",
+      s"$dirs/t0", buckets = 4, numHashes = 8, bands = 4,
+      withSignatures = true)
+    try {
+      Dedup.appendBandSignatures(
+        Seq(2L -> "more content words arriving in batch two").toDF("doc_id", "text"),
+        "text", "doc_id", "cpr_t", numHashes = 8, bands = 4)
+      val old = graft.sources.Storage.compactBucketed(spark, "cpr_t", s"$dirs/t1")
+      // the compacted generation still carries the semantic properties…
+      val props = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("cpr_t")).properties
+      assert(props.get("graft.lsh.numHashes").contains("8"), props.toString)
+      assert(props.get("graft.lsh.hashFamily")
+        .contains(graft.functions.TextFns.hashFamily), props.toString)
+      // …so a drifted-recipe append STILL fails loudly after compaction
+      // (the exact silent-disarm failure the carry-over prevents)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendBandSignatures(
+          Seq(3L -> "drifted recipe content words here").toDF("doc_id", "text"),
+          "text", "doc_id", "cpr_t", numHashes = 16, bands = 4)
+      }
+      assert(e.getMessage.contains("numHashes"))
+      graft.sources.Storage.retire(spark, "cpr_t", Seq(old))
+    } finally spark.sql("DROP TABLE IF EXISTS cpr_t")
+  }
+
+  test("composed ingest crash recovery: interrupted append + recoverToManifest replays to the uninterrupted result") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft-ingestcrash")
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "completely different vocabulary about other topics entirely now"
+    val c = "fresh unrelated content with novel words and phrasing today"
+    val batch1 = Seq(1L -> a, 2L -> b)
+    val batch2 = Seq(5L -> c, 6L -> a) // 6 is a cross-batch dup of 1
+    for ((tag, sub) <- Seq("crash_t" -> "ct", "crash_ref" -> "cr"))
+      Dedup.writeBandSignatureStore(mk(Seq.empty), "text", "doc_id", tag,
+        s"$dirs/$sub", buckets = 4, numHashes = 8, bands = 4,
+        withSignatures = true)
+    try {
+      def ingest(tag: String, rows: Seq[(Long, String)]) =
+        Dedup.lshIngestBatch(mk(rows), "text", "doc_id", tag,
+          numHashes = 8, bands = 4, minJaccard = 0.5)
+      // uninterrupted twin
+      ingest("crash_ref", batch1); val rRef = ingest("crash_ref", batch2)
+      // crashed run: batch 1 commits, then an append DIES after its
+      // files land but before the manifest write — the stray rows are
+      // a copy of c under doc 99, which (if recovery failed to delete
+      // them) would swallow batch 2's doc 5 as a cross-batch dup
+      ingest("crash_t", batch1)
+      graft.sources.Storage.appendBucketed(spark,
+        Dedup.bandSignaturesMh(mk(Seq(99L -> c)), "text", "doc_id", 8, 4, 3),
+        "crash_t", commitManifest = false)
+      assert(spark.table("crash_t").filter(col("doc_id") === 99L).count() > 0)
+      // restart protocol: recover to the last-good manifest first
+      val deleted = graft.sources.Storage.recoverToManifest(spark, "crash_t")
+      assert(deleted.nonEmpty)
+      assert(spark.table("crash_t").filter(col("doc_id") === 99L).count() == 0)
+      val rGot = ingest("crash_t", batch2)
+      assert(rGot.survivors.select("doc_id").as[Long].collect().toSet
+        == rRef.survivors.select("doc_id").as[Long].collect().toSet)
+      assert(rGot.crossBatchDups.select("doc_id", "cand_id")
+        .as[(Long, Long)].collect().toSet
+        == rRef.crossBatchDups.select("doc_id", "cand_id")
+          .as[(Long, Long)].collect().toSet)
+      // the stores themselves converged to identical contents
+      val sGot = spark.table("crash_t")
+        .select("doc_id", "band", "bucket").as[(Long, Int, Long)]
+        .collect().toSet
+      val sRef = spark.table("crash_ref")
+        .select("doc_id", "band", "bucket").as[(Long, Int, Long)]
+        .collect().toSet
+      assert(sGot == sRef)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS crash_t")
+      spark.sql("DROP TABLE IF EXISTS crash_ref")
+    }
   }
 
   test("minhash coefficient family is not rank-1 (the confirm-census degeneracy class)") {

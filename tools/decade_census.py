@@ -35,9 +35,23 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0]: a.split("=", 1)[1] if "=" in a else True
-            for a in sys.argv[1:] if a.startswith("--")}
+    # accept both --opt=value and the documented --opt value form
+    args, opts, argv = [], {}, sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a.split("=", 1)
+                opts[k] = v
+            elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                opts[a] = argv[i + 1]
+                i += 1
+            else:
+                opts[a] = True
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     a, b = load(args[0]), load(args[1])
