@@ -422,7 +422,12 @@ object Dedup {
     *      ONLY the band pairs pay the exact kernel, so decisions are
     *      exact-grade at the band-fraction of exact's confirm cost
     *      (the band fraction shrinks as 1/√k while a real corpus's
-    *      collided-pair mass sits bimodally far from the threshold);
+    *      collided-pair mass sits bimodally far from the threshold).
+    *      MEASURED (ConfirmCensus, CONFIRM_CENSUS.json): hybrid
+    *      FP = FN = 0 at every (k ∈ 16..128, t ∈ {0.5, 0.8}, window
+    *      ∈ {2,4}/√k) cell; at the tight measured-clean window 2/√k
+    *      the routed fraction is 28/19/12% (t=0.5, k=32/64/128) and
+    *      only 6% at the common near-dup setting t=0.8, k=128;
     *   3. accepted survivors' band rows (signatures riding along) are
     *      APPENDED to the store under its own catalog bucket spec
     *      ([[appendBandSignatures]]) — the next batch probes

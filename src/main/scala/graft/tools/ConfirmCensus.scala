@@ -30,14 +30,23 @@ import graft.operators.Dedup
   * the k-slot signature — each smaller k is evaluated on exactly the
   * signature it would compute.
   *
-  * Output: one JSON line per k with overall FP/FN (decision at
-  * minJaccard = 0.5) plus per-band counts (band width 0.05), written
-  * to stdout and CONFIRM_CENSUS.json.
+  * Output: one JSON line per (threshold, k) for the pure estimator
+  * (per-band counts, band width 0.05), plus one line per (threshold,
+  * k, window-multiplier c) for the HYBRID router
+  * (`lshIngestBatch(confirm = "hybrid")`): the estimator decides
+  * pairs with agreement strictly outside the ±c/√k band around the
+  * threshold, the exact Jaccard decides in-band pairs — so hybrid
+  * errors are exactly the pairs that ESCAPE the band with a wrong
+  * estimator call, and `routed_frac` is the fraction of collided
+  * pairs that pay the exact kernel. Thresholds 0.5 AND 0.8 verify
+  * the Φ(−|J−t|·√k) error model generalizes beyond the originally
+  * measured t. Written to stdout and CONFIRM_CENSUS.json.
   * Usage: ConfirmCensus [sfDir] */
 object ConfirmCensus {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val minJ = 0.5
+    val minJs = Seq(0.5, 0.8)
+    val windowCs = Seq(2.0, 4.0)
     val ks = Seq(16, 32, 64, 128)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -88,7 +97,7 @@ object ConfirmCensus {
       .localCheckpoint(true)
 
     val out = new StringBuilder
-    ks.foreach { k =>
+    for (minJ <- minJs; k <- ks) {
       val thr = math.ceil(minJ * k).toInt
       val d = scored.withColumn("dec", col(s"agree_$k") >= thr)
         .withColumn("pos", col("jaccard") >= minJ)
@@ -104,13 +113,42 @@ object ConfirmCensus {
       val bins = rows.map(r => f"""{"j_lo":${r.getLong(0) / 20.0}%.2f,""" +
         s""""n":${r.getLong(1)},"fp":${r.getLong(2)},"fn":${r.getLong(3)}}""")
         .mkString("[", ",", "]")
-      val line = s"""{"k":$k,"min_jaccard":$minJ,"agree_threshold":$thr,""" +
+      val line = s"""{"mode":"estimator","k":$k,"min_jaccard":$minJ,""" +
+        s""""agree_threshold":$thr,""" +
         s""""n_pairs":$n,"n_pos":$nPos,"fp":$fp,"fn":$fn,""" +
         f""""fp_rate_of_neg":${if (n - nPos == 0) 0.0 else fp.toDouble / (n - nPos)}%.4f,""" +
         f""""fn_rate_of_pos":${if (nPos == 0) 0.0 else fn.toDouble / nPos}%.4f,""" +
         s""""bins":$bins}"""
       println(line)
       out.append(line).append('\n')
+      // hybrid router over the SAME pairs: exact decisions in the
+      // band (errors impossible there), estimator outside — errors
+      // are exactly band escapes with a wrong call; routed_frac is
+      // the exact-kernel cost fraction
+      windowCs.foreach { c =>
+        val (lo, hi) = Dedup.hybridCuts(k, minJ, c / math.sqrt(k.toDouble))
+        val inBand = col(s"agree_$k") >= lo && col(s"agree_$k") < hi
+        val h = scored
+          .withColumn("pos", col("jaccard") >= minJ)
+          .withColumn("dec", (col(s"agree_$k") >= hi) ||
+            (inBand && col("jaccard") >= minJ))
+          .withColumn("routed", inBand)
+        val agg = h.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("npos"),
+          sum(when(col("dec") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("dec") && col("pos"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("routed"), 1L).otherwise(0L)).as("routed")).head()
+        val (hn, hnp, hfp, hfn, routed) = (agg.getLong(0), agg.getLong(1),
+          agg.getLong(2), agg.getLong(3), agg.getLong(4))
+        val hline = s"""{"mode":"hybrid","k":$k,"min_jaccard":$minJ,""" +
+          f""""window_c":$c%.0f,"lo":$lo,"hi":$hi,""" +
+          s""""n_pairs":$hn,"n_pos":$hnp,"fp":$hfp,"fn":$hfn,""" +
+          s""""routed":$routed,""" +
+          f""""routed_frac":${if (hn == 0) 0.0 else routed.toDouble / hn}%.4f}"""
+        println(hline)
+        out.append(hline).append('\n')
+      }
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("CONFIRM_CENSUS.json"),
