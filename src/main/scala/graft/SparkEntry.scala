@@ -18,6 +18,36 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Drop a query-scoped tmp store (catalog table + files) NOW — for
+    * queries whose returned frames are eagerly checkpointed inside the
+    * operator (the ingest loop), so the store is dead weight the
+    * moment the lambda returns. An sf100 shingle-set store is ~8 GB;
+    * leaking one per JVM run filled the host disk once (round 16). */
+  private def dropStore(s: SparkSession, tag: String, path: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $tag")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Register a query-scoped tmp store directory for deletion at JVM
+    * exit — for queries whose RETURNED frame still lazily reads the
+    * store (the incremental-probe family), where an eager delete
+    * would break the harness's later materialization. */
+  private val exitPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => exitPaths.forEach { d =>
+      try {
+        def del(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete()
+        }
+        del(new java.io.File(d))
+      } catch { case _: Exception => }
+    }))
+  private def cleanupAtExit(path: String): Unit = {
+    exitHook; exitPaths.add(path)
+  }
+
   /** DuckDB CTE chain ending in `base` = (doc_id, truth, pred) of the
     * trained BoW classifier on the held-out split — shared by the
     * q_c_bowlangid (confusion) and q_c_prf (per-class P/R/F1)
@@ -1249,6 +1279,7 @@ object SparkEntry {
       // files mid-read
       val tag = s"graft_dedup_store_${ProcessHandle.current.pid}"
       val path = sys.props("java.io.tmpdir") + "/" + tag
+      cleanupAtExit(path)
       Dedup.writeSignatureStore(docs, "text", "doc_id",
         tag, path, buckets = 8)
       val batch = docs.filter(col("doc_id") % 10 === 0)
@@ -1268,6 +1299,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val tag = s"graft_lsh_store_${ProcessHandle.current.pid}"
       val path = sys.props("java.io.tmpdir") + "/" + tag
+      cleanupAtExit(path)
       Dedup.writeBandSignatureStore(docs, "text", "doc_id", tag, path,
         buckets = 8, numHashes = 8, bands = 4, shingleSize = 3)
       val batch = docs.filter(col("doc_id") % 10 === 0)
@@ -1291,6 +1323,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val tag = s"graft_lsh_store2_${ProcessHandle.current.pid}"
       val path = sys.props("java.io.tmpdir") + "/" + tag
+      cleanupAtExit(path)
       Dedup.writeBandSignatureStore(docs.filter(col("doc_id") % 2 === 0),
         "text", "doc_id", tag, path,
         buckets = 8, numHashes = 8, bands = 4, shingleSize = 3)
@@ -1327,8 +1360,13 @@ object SparkEntry {
       val r2 = Dedup.lshIngestBatch(docs.filter(col("doc_id") % 2 === 1),
         "text", "doc_id", tag, numHashes = 8, bands = 4,
         shingleSize = 3, minJaccard = 0.5)
-      r1.survivors.select(lit(1).as("batch"), col("doc_id"))
+      val out = r1.survivors.select(lit(1).as("batch"), col("doc_id"))
         .unionAll(r2.survivors.select(lit(2).as("batch"), col("doc_id")))
+      // survivors are eagerly checkpointed inside lshIngestBatch, so
+      // the store is droppable NOW (an sf100 shingle-set store is
+      // ~8 GB of /tmp — leaking one per run once filled the disk)
+      dropStore(s, tag, path)
+      out
     }),
 
     // the EXACT-CONFIRM twin of q_d_ingest2 (round-15 tight-tolerance
@@ -1352,8 +1390,13 @@ object SparkEntry {
       val r2 = Dedup.lshIngestBatch(docs.filter(col("doc_id") % 2 === 1),
         "text", "doc_id", tag, numHashes = 8, bands = 4,
         shingleSize = 3, minJaccard = 0.5, confirm = "exact")
-      r1.survivors.select(lit(1).as("batch"), col("doc_id"))
+      val out = r1.survivors.select(lit(1).as("batch"), col("doc_id"))
         .unionAll(r2.survivors.select(lit(2).as("batch"), col("doc_id")))
+      // survivors are eagerly checkpointed inside lshIngestBatch, so
+      // the store is droppable NOW (an sf100 shingle-set store is
+      // ~8 GB of /tmp — leaking one per run once filled the disk)
+      dropStore(s, tag, path)
+      out
     }),
 
     // the HYBRID-CONFIRM twin (round-16 two-tier router): the
@@ -1381,8 +1424,13 @@ object SparkEntry {
         "text", "doc_id", tag, numHashes = 8, bands = 4,
         shingleSize = 3, minJaccard = 0.5, confirm = "hybrid",
         hybridWindow = 0.25)
-      r1.survivors.select(lit(1).as("batch"), col("doc_id"))
+      val out = r1.survivors.select(lit(1).as("batch"), col("doc_id"))
         .unionAll(r2.survivors.select(lit(2).as("batch"), col("doc_id")))
+      // survivors are eagerly checkpointed inside lshIngestBatch, so
+      // the store is droppable NOW (an sf100 shingle-set store is
+      // ~8 GB of /tmp — leaking one per run once filled the disk)
+      dropStore(s, tag, path)
+      out
     }),
 
     "q_d_minhash" -> ((s, d) =>

@@ -124,6 +124,17 @@ def main():
     print(f"\nVERDICT: {len(bad)} plan-regression candidate(s)"
           + (": " + ", ".join(r[0] for r in bad) if bad else
              " — every inflated row is page-cache or tracks its bytes"))
+    # machine-readable flagged-row list so a sweep script can re-run
+    # the page-cache class solo (min-of-2) without prose adjudication
+    if "--emit-flagged" in opts:
+        flagged = {
+            "page_cache": sorted(r[0] for r in rows if r[4] == "page-cache"),
+            "plan_regression": sorted(r[0] for r in bad),
+            "failed": sorted(r[0] for r in rows if r[4] == "failed-row"),
+        }
+        with open(opts["--emit-flagged"], "w") as f:
+            json.dump(flagged, f, indent=1)
+        print(f"flagged-row list written to {opts['--emit-flagged']}")
 
 
 if __name__ == "__main__":
