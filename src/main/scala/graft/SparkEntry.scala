@@ -3538,9 +3538,12 @@ object SparkEntry {
       def hop(prev: String, out: String) =
         s"c_$out AS (SELECT dst, CAST(sum(pr // outdeg) AS BIGINT) AS insum FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src GROUP BY 1), " +
           s"$out AS (SELECT node, 150000 + 850000 * coalesce(insum, 0) // 1000000 AS pr FROM n LEFT JOIN c_$out ON node = dst)"
-      "WITH e AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem), " +
-        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
-        "d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+      // MATERIALIZED: e is referenced by every hop CTE — inlined, the
+      // 600M-row DISTINCT re-evaluates per reference and DuckDB spilled
+      // past the host disk at sf100
+      "WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem), " +
+        "n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "d AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
         "p0 AS (SELECT node, 1000000::BIGINT AS pr FROM n), " +
         hop("p0", "p1") + ", " + hop("p1", "p2") + ", " + hop("p2", "p3") + " " +
         "SELECT node, pr FROM p3"
@@ -3553,9 +3556,12 @@ object SparkEntry {
       def hop(prev: String, out: String) =
         s"c_$out AS (SELECT dst, CAST(sum(pr // outdeg) AS BIGINT) AS insum FROM e JOIN d USING (src) JOIN $prev ON $prev.node = e.src GROUP BY 1), " +
           s"$out AS (SELECT node, (CASE WHEN node % 97 = 0 THEN 150000 ELSE 0 END) + 850000 * coalesce(insum, 0) // 1000000 AS pr FROM n LEFT JOIN c_$out ON node = dst)"
-      "WITH e AS (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem), " +
-        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
-        "d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+      // MATERIALIZED: e is referenced by every hop CTE — inlined, the
+      // 600M-row DISTINCT re-evaluates per reference and DuckDB spilled
+      // past the host disk at sf100
+      "WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem), " +
+        "n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "d AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
         "p0 AS (SELECT node, CASE WHEN node % 97 = 0 THEN 1000000::BIGINT ELSE 0::BIGINT END AS pr FROM n), " +
         hop("p0", "p1") + ", " + hop("p1", "p2") + ", " + hop("p2", "p3") + " " +
         "SELECT node, pr FROM p3"
