@@ -1904,6 +1904,36 @@ object SparkEntry {
         multiProbe = true)
         .select("vec_id")),
 
+    // the EMBEDDING ingest loop (the semantic twin of q_d_ingest2):
+    // two batches against one bucket-bucketed SRP vector store —
+    // in-batch multi-probe ANN dedup, cross-batch probe of the store
+    // (home + Hamming-1 buckets) with the EXACT cosine confirm
+    // against the stored vector, accepted survivors appended. The
+    // corpus slice is plane-count-appropriate (vec_id < 2000 keeps
+    // the fixed 8-plane replay's buckets under the guard at every
+    // SF — see planesFor: a grown corpus needs re-planing, which the
+    // hardcoded-plane oracle cannot follow). The oracle replays both
+    // CC rounds, the multiprobe expansion, and the store probe.
+    "q_s_ingest" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 2000)
+      val tag = s"graft_srp_store_${ProcessHandle.current.pid}"
+      val path = sys.props("java.io.tmpdir") + "/" + tag
+      Similarity.writeSrpStore(emb.filter(lit(false)), "vec_id",
+        "embedding", tag, path, buckets = 8)
+      val r1 = Similarity.srpIngestBatch(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        tag, minCos = 0.3)
+      val r2 = Similarity.srpIngestBatch(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        tag, minCos = 0.3)
+      val out = r1.survivors.select(lit(1).as("batch"), col("vec_id"))
+        .unionAll(r2.survivors.select(lit(2).as("batch"), col("vec_id")))
+      // survivors are eagerly checkpointed inside srpIngestBatch, so
+      // the tmp store is droppable NOW (the q_d_ingest* discipline)
+      dropStore(s, tag, path)
+      out
+    }),
+
     // ---- skew tooling (§4): salted full outer == plain full outer —
     //      the oracle is the unsalted SQL join, so the decomposition
     //      (salted inner + salted anti legs) is hash-checked whole ----
@@ -4740,6 +4770,32 @@ object SparkEntry {
         "cand AS (SELECT DISTINCT a.vec_id AS id_a, h.vec_id AS id_b FROM pr a JOIN b h ON a.pbucket = h.bucket AND a.vec_id < h.vec_id), " +
         s"p AS (SELECT c.id_a, c.id_b FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b WHERE ${cosSql("ea.v", "eb.v")} >= 0.3), " +
         ccTailSql("p", "e", "vec_id")
+    },
+
+    // the embedding ingest loop replayed whole: per batch the
+    // in-batch multiprobe ANN dedup (cand/conf + recursive-CTE CC,
+    // the q_d_pipeline_emb_ann shape), then the store after batch 1
+    // (= batch-1 survivors' bucket rows) screens batch 2 through the
+    // same multiprobe expansion with the exact cosine confirm; the
+    // bucket-size guard is replayed on the store side exactly as the
+    // engine's window applies it
+    "q_s_ingest" -> {
+      def gen(g: Int, parity: Int): String =
+        s"e$g AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000 AND vec_id % 2 = $parity), " +
+          s"b$g AS MATERIALIZED (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e$g), " +
+          s"pr$g AS (SELECT vec_id, unnest(list_concat([bucket], list_transform(range(0, 8), q -> xor(bucket, (1::BIGINT << q))))) AS pbucket FROM b$g), " +
+          s"cand$g AS (SELECT DISTINCT a.vec_id AS id_a, h.vec_id AS id_b FROM pr$g a JOIN b$g h ON a.pbucket = h.bucket AND a.vec_id < h.vec_id), " +
+          s"conf$g AS (SELECT id_a, id_b FROM cand$g JOIN e$g ea ON ea.vec_id = cand$g.id_a JOIN e$g eb ON eb.vec_id = cand$g.id_b WHERE ${cosSql("ea.v", "eb.v")} >= 0.3), " +
+          ccCtesSql(s"conf$g", s"s$g")
+      "WITH RECURSIVE " + gen(1, 0) + ", " + gen(2, 1) + ", " +
+        "surv1 AS MATERIALIZED (SELECT vec_id FROM e1 WHERE vec_id NOT IN (SELECT id FROM s1dropped)), " +
+        "sbk AS MATERIALIZED (SELECT b1.* FROM b1 JOIN surv1 USING (vec_id)), " +
+        "sizes AS (SELECT bucket, count(*) AS c FROM sbk GROUP BY 1), " +
+        "okst AS (SELECT sbk.* FROM sbk JOIN sizes USING (bucket) WHERE c <= 1000), " +
+        "isurv2 AS MATERIALIZED (SELECT vec_id FROM e2 WHERE vec_id NOT IN (SELECT id FROM s2dropped)), " +
+        s"xdup AS (SELECT DISTINCT p2.vec_id FROM pr2 p2 JOIN isurv2 USING (vec_id) JOIN okst ON p2.pbucket = okst.bucket JOIN e2 ea ON ea.vec_id = p2.vec_id WHERE ${cosSql("ea.v", "okst.v")} >= 0.3) " +
+        "SELECT 1 AS batch, vec_id FROM surv1 " +
+        "UNION ALL SELECT 2, vec_id FROM isurv2 WHERE vec_id NOT IN (SELECT vec_id FROM xdup)"
     },
 
     // full IVF cascade with one Lloyd pass: seed assignment -> per-dim

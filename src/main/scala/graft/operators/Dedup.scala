@@ -141,10 +141,10 @@ object Dedup {
     bandRows(df, textCol, idCol, numHashes, bands, shingleSize,
       withMh = true)
 
-  private def bandRows(df: DataFrame, textCol: String, idCol: String,
-                       numHashes: Int, bands: Int, shingleSize: Int,
-                       withMh: Boolean,
-                       withSet: Boolean = false): DataFrame = {
+  private[graft] def bandRows(df: DataFrame, textCol: String, idCol: String,
+                              numHashes: Int, bands: Int, shingleSize: Int,
+                              withMh: Boolean,
+                              withSet: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     // guard BEFORE the signature projection, on the cheap token count —
@@ -382,6 +382,72 @@ object Dedup {
     (lo, hi)
   }
 
+  /** Cross-batch confirm shared by the ingest loop's two substrates —
+    * batch ([[lshIngestBatch]]) and streaming
+    * (`StreamOps.minhashLshDedupBatchStep`): reduce collided (batch
+    * band row × stored band row) pairs — batch side carrying `mh` (and
+    * `sset` when the mode needs it), store side `__smh` (/`__sss`) —
+    * to confirmed duplicate pairs `(doc_id, cand_id, …evidence)` under
+    * the selected confirm mode. The SAME code runs on both engines, so
+    * batch/stream confirm parity is structural, not coincidental
+    * (StreamOpsSpec pins it end-to-end per mode). Evidence columns per
+    * mode are the [[IngestResult.crossBatchDups]] contract. */
+  private[graft] def confirmedDupPairs(collided: DataFrame, numHashes: Int,
+                                       minJaccard: Double, confirm: String,
+                                       hybridWindow: Double): DataFrame = {
+    val minAgree = math.ceil(minJaccard * numHashes).toLong
+    val agree = (0 until numHashes).map(i =>
+      when(col("mh").getItem(i) === col("__smh").getItem(i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    // shared exact-confirm pieces (exact + hybrid): the early-abort
+    // merge kernel abandons a candidate once the required intersection
+    // (J ≥ t ⟺ inter ≥ t/(1+t)·(|a|+|b|)) is unreachable — same
+    // discipline as prefixFilterPairs' verify. Lazy Columns: the
+    // estimator branch never resolves them, so a set-less store is
+    // fine under confirm = "estimator".
+    val sz = size(col("sset")) + size(col("__sss"))
+    val req = ceil(lit(minJaccard / (1.0 + minJaccard)) * sz
+      - lit(1e-12) * sz).cast("int")
+    confirm match {
+      case "exact" =>
+        collided
+          .withColumn("__i",
+            sortedOverlapAtLeast(col("sset"), col("__sss"), req))
+          .withColumn("__j", col("__i").cast("double") / (sz - col("__i")))
+          .filter(col("__i") > 0 && col("__j") >= minJaccard)
+          .groupBy(col("doc_id"), col("cand_id"))
+          .agg(round(max(col("__j")), 6).as("jaccard"))
+      case "hybrid" =>
+        // two-tier: the estimator decides pairs strictly outside the
+        // ±window agreement band around minJaccard (measured safe —
+        // ConfirmCensus confines estimator errors to ±2/√k of the
+        // threshold in true-Jaccard; the default window doubles that,
+        // see hybridCuts); ONLY band pairs evaluate the exact kernel.
+        // The `when` guard is load-bearing: CaseWhen codegen evaluates
+        // the kernel branch lazily, so out-of-band pairs never touch
+        // their shingle sets.
+        val (lo, hi) = hybridCuts(numHashes, minJaccard, hybridWindow)
+        val inBand = col("__agree") >= lo && col("__agree") < hi
+        collided
+          .withColumn("__agree", agree)
+          .withColumn("__i", when(inBand,
+            sortedOverlapAtLeast(col("sset"), col("__sss"), req)))
+          .withColumn("__j", when(col("__i") > 0,
+            col("__i").cast("double") / (sz - col("__i"))))
+          .filter(col("__agree") >= hi ||
+            (inBand && coalesce(col("__j") >= minJaccard, lit(false))))
+          .groupBy(col("doc_id"), col("cand_id"))
+          .agg(max(col("__agree")).as("agree"),
+            round(max(col("__j")), 6).as("jaccard"))
+      case _ =>
+        collided
+          .withColumn("__agree", agree)
+          .filter(col("__agree") >= minAgree)
+          .groupBy(col("doc_id"), col("cand_id"))
+          .agg(max(col("__agree")).as("agree"))
+    }
+  }
+
   /** The COMPLETE per-batch near-dedup ingest loop — probe → confirm →
     * accept → append — as one call, the batch substrate of the
     * operational 100 TB shape (streaming twin:
@@ -452,7 +518,27 @@ object Dedup {
                      shingleSize: Int = 3, minJaccard: Double = 0.5,
                      maxBucket: Int = 1000,
                      confirm: String = "estimator",
-                     hybridWindow: Double = Double.NaN): IngestResult = {
+                     hybridWindow: Double = Double.NaN,
+                     leaseOwner: String = null,
+                     leaseTtlMs: Long = 10L * 60 * 1000): IngestResult = {
+    // CONCURRENT-WRITER SAFETY (opt-in): the append leg is
+    // non-transactional parquet, so two ingests racing the same store
+    // interleave their generations' files and the manifest written by
+    // whichever finishes second silently blesses the union — neither
+    // crash recovery nor the probe can tell the interleaving apart
+    // from a committed state. Passing `leaseOwner` brackets the whole
+    // probe→append→manifest in `Storage.withWriterLease`: a second
+    // writer fails LOUDLY (naming the holder) instead of corrupting,
+    // and a crashed holder's lease expires after `leaseTtlMs` (size it
+    // past the batch wall-clock). Single-writer deployments (the
+    // streaming twin's foreachBatch, a driver-scheduled ingest loop)
+    // can keep the default and pay nothing.
+    if (leaseOwner != null)
+      graft.sources.Storage.withWriterLease(batch.sparkSession, table,
+        leaseOwner, leaseTtlMs)(
+        lshIngestBatch(batch, textCol, idCol, table, numHashes, bands,
+          shingleSize, minJaccard, maxBucket, confirm, hybridWindow))
+    else {
     import org.apache.spark.sql.expressions.Window
     require(Set("estimator", "exact", "hybrid")(confirm),
       s"confirm=$confirm — must be estimator, exact, or hybrid")
@@ -487,10 +573,6 @@ object Dedup {
       .select(Seq(col("band"), col("bucket"),
         col("doc_id").as("cand_id"), col("mh").as("__smh")) ++
         (if (needsSets) Seq(col("sset").as("__sss")) else Seq.empty): _*)
-    val minAgree = math.ceil(minJaccard * numHashes).toLong
-    val agree = (0 until numHashes).map(i =>
-      when(col("mh").getItem(i) === col("__smh").getItem(i), 1L)
-        .otherwise(0L)).reduce(_ + _)
     // EAGER pins BEFORE the append: every returned frame reads the
     // store lazily, and the append below mutates it — an unpinned
     // report re-evaluated after return would match this batch's docs
@@ -499,51 +581,8 @@ object Dedup {
     // pinning dups also means the probe runs ONCE (the survivors
     // anti-join reuses the materialized result).
     val collided = bandedMh.join(okStore, Seq("band", "bucket"))
-    // shared exact-confirm pieces (exact + hybrid): the early-abort
-    // merge kernel abandons a candidate once the required intersection
-    // (J ≥ t ⟺ inter ≥ t/(1+t)·(|a|+|b|)) is unreachable — same
-    // discipline as prefixFilterPairs' verify
-    val sz = size(col("sset")) + size(col("__sss"))
-    val req = ceil(lit(minJaccard / (1.0 + minJaccard)) * sz
-      - lit(1e-12) * sz).cast("int")
-    val dups = (confirm match {
-      case "exact" =>
-        collided
-          .withColumn("__i",
-            sortedOverlapAtLeast(col("sset"), col("__sss"), req))
-          .withColumn("__j", col("__i").cast("double") / (sz - col("__i")))
-          .filter(col("__i") > 0 && col("__j") >= minJaccard)
-          .groupBy(col("doc_id"), col("cand_id"))
-          .agg(round(max(col("__j")), 6).as("jaccard"))
-      case "hybrid" =>
-        // two-tier: the estimator decides pairs strictly outside the
-        // ±window agreement band around minJaccard (measured safe —
-        // ConfirmCensus confines estimator errors to ±2/√k of the
-        // threshold in true-Jaccard; the default window doubles that,
-        // see hybridCuts); ONLY band pairs evaluate the exact kernel.
-        // The `when` guard is load-bearing: CaseWhen codegen evaluates
-        // the kernel branch lazily, so out-of-band pairs never touch
-        // their shingle sets.
-        val (lo, hi) = hybridCuts(numHashes, minJaccard, hybridWindow)
-        val inBand = col("__agree") >= lo && col("__agree") < hi
-        collided
-          .withColumn("__agree", agree)
-          .withColumn("__i", when(inBand,
-            sortedOverlapAtLeast(col("sset"), col("__sss"), req)))
-          .withColumn("__j", when(col("__i") > 0,
-            col("__i").cast("double") / (sz - col("__i"))))
-          .filter(col("__agree") >= hi ||
-            (inBand && coalesce(col("__j") >= minJaccard, lit(false))))
-          .groupBy(col("doc_id"), col("cand_id"))
-          .agg(max(col("__agree")).as("agree"),
-            round(max(col("__j")), 6).as("jaccard"))
-      case _ =>
-        collided
-          .withColumn("__agree", agree)
-          .filter(col("__agree") >= minAgree)
-          .groupBy(col("doc_id"), col("cand_id"))
-          .agg(max(col("__agree")).as("agree"))
-    }).localCheckpoint(true)
+    val dups = confirmedDupPairs(collided, numHashes, minJaccard,
+      confirm, hybridWindow).localCheckpoint(true)
     val droppedP = dropped.localCheckpoint(true)
     val survivors = internal
       .join(dups.select(col("doc_id").as(idCol)).distinct(),
@@ -554,6 +593,7 @@ object Dedup {
         Seq("doc_id")),
       table)
     IngestResult(survivors, dups, droppedP)
+    }
   }
 
   /** MinHash-LSH result: candidate pairs plus the oversize-bucket

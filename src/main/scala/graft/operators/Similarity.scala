@@ -806,6 +806,167 @@ object Similarity {
         col("adist"), col("rank"))
   }
 
+  // ---- SRP ingest loop (the embedding twin of Dedup.lshIngestBatch) ----
+
+  /** One ingested batch's outcome on the SRP store: survivors that
+    * entered the corpus (bucket rows appended), the cross-batch
+    * near-dup report `(vec_id, cand_id, cos)` (exact cosine, 6 dp),
+    * and the oversize store buckets excluded from probing (the
+    * no-silent-drop contract, as everywhere). */
+  final case class SrpIngestResult(survivors: DataFrame,
+                                   crossBatchDups: DataFrame,
+                                   droppedBuckets: DataFrame)
+
+  /** The SRP plane family is part of the store's semantic schema —
+    * signatures from a different plane recipe are column-compatible
+    * longs that silently never collide (the minhash hashFamily
+    * lesson, applied before the bug this time). */
+  private val SrpFamily = "knuth2654435761-mod1009-v1"
+
+  /** Materialize the SRP bucket store BUCKETED BY `bucket` — the
+    * one-time shuffle after which every batch probe reads the corpus
+    * side exchange-free ([[srpIngestBatch]]). Rows are
+    * `(vec_id, bucket, vec)`: the stored vector rides along so the
+    * cross-batch confirm is the EXACT cosine — no estimator tier is
+    * needed on the embedding side (the vector IS the exact evidence,
+    * unlike the text store where the original text is gone). Recipe
+    * (planes, dim, plane family) persists as table properties;
+    * ingest `require`s a match — drift fails loudly. */
+  def writeSrpStore(vecs: DataFrame, idCol: String, vecCol: String,
+                    table: String, path: String, buckets: Int,
+                    planes: Int = 8, dim: Int = 64): Unit = {
+    val rows = vecs
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("bucket", srpBucket(col("vec"), planes, dim))
+      .select("vec_id", "bucket", "vec")
+    graft.sources.Storage.writeBucketed(rows, table, path,
+      bucketKeys = Seq("bucket"), buckets = buckets)
+    vecs.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        s"'graft.srp.planes'='$planes','graft.srp.dim'='$dim'," +
+        s"'graft.srp.family'='$SrpFamily')")
+  }
+
+  private def requireSrpParams(spark: org.apache.spark.sql.SparkSession,
+                               table: String, planes: Int,
+                               dim: Int): Unit = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).properties
+    def check(key: String, got: Int): Unit =
+      props.get(s"graft.srp.$key").foreach(stored =>
+        require(stored == got.toString,
+          s"$table was written with $key=$stored but the caller passed " +
+            s"$got — probing under a different SRP recipe would compare " +
+            "buckets that silently never collide"))
+    check("planes", planes)
+    check("dim", dim)
+    if (props.keys.exists(_.startsWith("graft.srp."))) {
+      val fam = props.getOrElse("graft.srp.family",
+        "<untagged — predates plane-family versioning>")
+      require(fam == SrpFamily,
+        s"$table holds SRP buckets from plane family $fam but this " +
+          s"build computes $SrpFamily — stored and batch buckets would " +
+          "silently never collide; rewrite the store with writeSrpStore")
+    }
+  }
+
+  /** The COMPLETE per-batch EMBEDDING near-dedup ingest loop — the
+    * semantic twin of `Dedup.lshIngestBatch`, closing the ingest
+    * family across both modalities (text → minhash-LSH store,
+    * embeddings → SRP store; streaming twin:
+    * `StreamOps.srpDedupBatchStep`):
+    *
+    *   1. the batch dedupes INTERNALLY via the multi-probe SRP ANN
+    *      path (`Dedup.dedupByEmbedding(exact = false)`: bucket join
+    *      → exact cosine confirm → CC representatives — never
+    *      all-pairs);
+    *   2. survivors probe the bucket-bucketed store exchange-free on
+    *      the store side (home bucket + the `planes` Hamming-1
+    *      flips under `multiProbe` — the recall-recovery knob measured
+    *      by q_s_recall_mp), each collision CONFIRMED by the exact
+    *      cosine against the STORED vector (≥ `minCos`, 6 dp) — no
+    *      estimator window at all, because the embedding store keeps
+    *      the vector itself;
+    *   3. accepted survivors' `(vec_id, bucket, vec)` rows append
+    *      under the store's own catalog bucket spec; the next batch
+    *      probes store ∪ batch with no rewrite. Same manifest
+    *      crash-recovery and `leaseOwner` concurrent-writer fencing
+    *      as the text loop; run `Storage.compactBucketed` every N
+    *      batches.
+    *
+    * SIZING (the knob that is NOT free at 100 TB): expected bucket
+    * population is corpus/2^planes ([[planesFor]]) — a fixed plane
+    * count over a growing corpus drives every bucket past
+    * `maxBucket` and the guard (reported, never silent) starts
+    * excluding them; re-plane the store (rewrite) as the corpus
+    * decades up. Oracle row `q_s_ingest` replays a two-batch ingest
+    * end-to-end in portable SQL (both CC rounds, the multiprobe
+    * expansion, the store probe) on a plane-count-appropriate
+    * corpus slice. */
+  def srpIngestBatch(batch: DataFrame, idCol: String, vecCol: String,
+                     table: String, minCos: Double, planes: Int = 8,
+                     dim: Int = 64, maxBucket: Int = 1000,
+                     multiProbe: Boolean = true,
+                     leaseOwner: String = null,
+                     leaseTtlMs: Long = 10L * 60 * 1000): SrpIngestResult = {
+    if (leaseOwner != null)
+      graft.sources.Storage.withWriterLease(batch.sparkSession, table,
+        leaseOwner, leaseTtlMs)(
+        srpIngestBatch(batch, idCol, vecCol, table, minCos, planes, dim,
+          maxBucket, multiProbe))
+    else {
+      val spark = batch.sparkSession
+      requireSrpParams(spark, table, planes, dim)
+      val store = spark.table(table)
+      require(store.columns.contains("vec"),
+        s"$table is not an SRP vector store; write it with writeSrpStore")
+      val internal = Dedup.dedupByEmbedding(batch, idCol, vecCol, minCos,
+        exact = false, multiProbe = multiProbe, planes = planes,
+        dim = dim, maxBucket = maxBucket)
+      // pinned once: the bucket kernel runs ONE pass per batch, shared
+      // by the probe and the append (batch-sized, never corpus-sized)
+      val sigs = internal
+        .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vec"))
+        .withColumn("bucket", srpBucket(col("vec"), planes, dim))
+        .localCheckpoint(true)
+      // store-side bucket-size guard: a window on the bucketed scan —
+      // no exchange, no second store scan (the lshIngestBatch shape)
+      val w = Window.partitionBy("bucket")
+      val sized = store.withColumn("__bsize", count(lit(1)).over(w))
+      val dropped = sized.filter(col("__bsize") > maxBucket)
+        .select(col("bucket"), col("__bsize").cast("int").as("size"))
+        .distinct()
+      val okStore = sized.filter(col("__bsize") <= maxBucket)
+        .select(col("bucket"), col("vec_id").as("cand_id"),
+          col("vec").as("__sv"))
+      val probes =
+        if (multiProbe)
+          sigs.select(col("vec_id"), col("vec"),
+            explode(array(col("bucket") +: (0 until planes).map(p =>
+              col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+        else sigs.select(col("vec_id"), col("vec"), col("bucket"))
+      // EAGER pins BEFORE the append — the returned frames must not
+      // re-probe a store that now contains this batch's own rows
+      // (the lshIngestBatch three-batch hazard)
+      val dups = probes.join(okStore, Seq("bucket"))
+        .withColumn("cos", round(cosine(col("vec"), col("__sv")), 6))
+        .filter(col("cos") >= minCos)
+        .groupBy(col("vec_id"), col("cand_id"))
+        .agg(max(col("cos")).as("cos"))
+        .localCheckpoint(true)
+      val droppedP = dropped.localCheckpoint(true)
+      val survivors = internal
+        .join(dups.select(col("vec_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      graft.sources.Storage.appendBucketed(spark,
+        sigs.join(survivors.select(col(idCol).as("vec_id")), Seq("vec_id"))
+          .select("vec_id", "bucket", "vec"),
+        table)
+      SrpIngestResult(survivors, dups, droppedP)
+    }
+  }
+
   /** Multi-probe SRP ANN: each vector additionally probes the buckets
     * at sign-space Hamming distance 1 (one plane flipped), so a near
     * pair split by a single hyperplane is still found. This is the

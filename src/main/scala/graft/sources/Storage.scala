@@ -259,6 +259,146 @@ object Storage {
     }
   }
 
+  // ---------- writer lease (concurrent-ingest safety) ----------
+
+  private val LeaseName = "_graft_lease"
+
+  /** A held writer lease on a store table. The random `token` fences
+    * release/renew: only the holder that wrote the CURRENT lease file
+    * may delete or refresh it, so a writer whose expired lease was
+    * broken by a successor can never release the successor's lease. */
+  final case class WriterLease(table: String, owner: String, token: String)
+
+  private def leaseFile(spark: SparkSession, table: String)
+      : org.apache.hadoop.fs.Path = {
+    val meta = spark.sessionState.catalog.getTableMetadata(ident(spark, table))
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(meta.location),
+      LeaseName)
+  }
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): (String, String) = {
+    // (token, owner); a torn/empty file (reader raced the holder's
+    // create) parses as unknown — staleness still works off mtime
+    try {
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .take(1).toList.headOption.getOrElse("")
+        finally in.close()
+      line.split('\t') match {
+        case Array(tok, own, _*) => (tok, own)
+        case _ => ("<unreadable>", "<unknown>")
+      }
+    } catch { case _: java.io.IOException => ("<unreadable>", "<unknown>") }
+  }
+
+  /** Acquire the table's WRITER LEASE, or fail loudly naming the
+    * current holder. The mutation ops on a store ([[appendBucketed]],
+    * [[compactBucketed]], the composed `Dedup.lshIngestBatch`) are
+    * non-transactional parquet + a last-writer-wins manifest: two
+    * writers racing the same table interleave their files, and the
+    * second manifest silently blesses the union — so concurrent
+    * writers must be EXCLUDED, not merged. The lease is a cooperative
+    * fence: every writer brackets its mutation in
+    * [[withWriterLease]]; a second acquire throws
+    * `IllegalStateException` carrying the holder's owner tag and the
+    * lease age, and the caller retries after the holder finishes.
+    *
+    * Mechanics: one `_graft_lease` file at the table root, taken via
+    * atomic `create(overwrite = false)` — mutual exclusion is the
+    * filesystem's create-exclusivity (atomic on HDFS and HDFS-likes;
+    * object stores need a conditional-put flavor — S3 strong
+    * consistency + If-None-Match, GCS generation preconditions — or
+    * an external lock service). A holder that dies without releasing
+    * leaves its file behind: a later acquirer breaks the lease once
+    * its age (file mtime) exceeds `ttlMs`, then re-races the create —
+    * size `ttlMs` past the longest expected batch wall-clock and
+    * [[renewWriterLease]] mid-job if a batch can overrun it. The
+    * break-then-create pair is two FS ops, so two breakers can race;
+    * exactly one wins the create, the loser gets the loud failure —
+    * never two holders. NOT a fence against a dead holder's still-
+    * running executors (that needs job-level fencing tokens in the
+    * file commit protocol); it is restart/concurrency discipline for
+    * cooperative ingest drivers. */
+  def acquireWriterLease(spark: SparkSession, table: String, owner: String,
+                         ttlMs: Long = 10L * 60 * 1000): WriterLease = {
+    require(owner != null && owner.nonEmpty, "lease owner must be non-empty")
+    val p = leaseFile(spark, table)
+    val fs = fsOf(spark, p)
+    val token = java.util.UUID.randomUUID.toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(s"$token\t$owner\t${System.currentTimeMillis}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(p) => false
+      }
+    if (tryCreate()) return WriterLease(table, owner, token)
+    // held — stale-break path: age from mtime survives torn content
+    val ageMs =
+      try System.currentTimeMillis - fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    if (ageMs > ttlMs) {
+      try fs.delete(p, false)
+      catch { case _: java.io.IOException => () }
+      if (tryCreate()) return WriterLease(table, owner, token)
+    }
+    val (_, heldBy) = readLease(fs, p)
+    throw new IllegalStateException(
+      s"$table writer lease is held by '$heldBy' (age ${ageMs} ms, " +
+        s"ttl $ttlMs ms) — a concurrent append would interleave " +
+        "non-transactional generations under one manifest; retry after " +
+        "the holder releases or the lease expires")
+  }
+
+  /** Refresh a held lease's mtime (resets the TTL clock) — call
+    * mid-job when a batch may outlive `ttlMs`. Throws if the lease on
+    * disk is no longer OURS (expired and broken by a successor): the
+    * caller has lost exclusivity and must abort its append rather
+    * than finish and corrupt the successor's generation. */
+  def renewWriterLease(spark: SparkSession, lease: WriterLease): Unit = {
+    val p = leaseFile(spark, lease.table)
+    val fs = fsOf(spark, p)
+    val (tok, own) = readLease(fs, p)
+    if (tok != lease.token)
+      throw new IllegalStateException(
+        s"${lease.table} writer lease was lost: now held by '$own' — " +
+          "this writer's lease expired and was broken; abort the append")
+    val out = fs.create(p, true)
+    try out.write(
+      s"${lease.token}\t${lease.owner}\t${System.currentTimeMillis}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Release a held lease. Returns true if OUR lease file was
+    * deleted; false (touching nothing) when the file is already gone
+    * or a successor broke the expired lease and holds its own —
+    * deleting THAT would hand the table to a third writer. */
+  def releaseWriterLease(spark: SparkSession, lease: WriterLease): Boolean = {
+    val p = leaseFile(spark, lease.table)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return false
+    val (tok, _) = readLease(fs, p)
+    if (tok != lease.token) false
+    else { fs.delete(p, false); true }
+  }
+
+  /** Bracket a store mutation in the writer lease:
+    * acquire → body → release (release runs on failure too; the lease
+    * never outlives the job by more than a crash, and a crashed
+    * holder's file expires after `ttlMs`). */
+  def withWriterLease[T](spark: SparkSession, table: String, owner: String,
+                         ttlMs: Long = 10L * 60 * 1000)(body: => T): T = {
+    val lease = acquireWriterLease(spark, table, owner, ttlMs)
+    try body finally releaseWriterLease(spark, lease)
+  }
+
   /** Plain partitioned-parquet write (no catalog table): one directory
     * per partition value, so reads filtered on `partitionKeys` prune
     * whole directories before any I/O (`PartitionFilters` in the scan,

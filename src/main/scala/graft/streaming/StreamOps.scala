@@ -371,42 +371,63 @@ object StreamOps {
     * their own batch_id slice and the screen reads only
     * `batch_id < current`. Docs shorter than the shingle size carry
     * no bands: never screened, never stored (they cannot near-dup
-    * via LSH), but kept in the output. */
+    * via LSH), but kept in the output.
+    *
+    * `confirm` selects the cross-batch confirm exactly as in the
+    * batch twin — `"estimator"` (default, signature-only store),
+    * `"exact"` (exact n-gram Jaccard over stored shingle sets), or
+    * `"hybrid"` (estimator decides outside the ±`hybridWindow`
+    * agreement band around `minJaccard`, the exact kernel only
+    * inside it — see `Dedup.hybridCuts`); both run the SAME
+    * `Dedup.confirmedDupPairs` code as `lshIngestBatch`, so
+    * batch/stream parity is structural. Exact/hybrid store slices
+    * additionally carry the sorted shingle set per band row (the
+    * `withShingleSets` layout's streaming analogue — same ~bands ×
+    * |shingles| longs/doc storage tax, measured 5.1× at sf10 in
+    * BASELINE.md); restarting an exact/hybrid query over a store
+    * written under `confirm = "estimator"` fails loudly rather than
+    * silently downgrading the confirm. */
   def minhashLshDedupBatchStep(storeDir: String, outDir: String,
                                textCol: String, idCol: String,
                                numHashes: Int = 16, bands: Int = 4,
                                shingleSize: Int = 3,
                                minJaccard: Double = 0.5,
-                               maxBucket: Int = 1000)
+                               maxBucket: Int = 1000,
+                               confirm: String = "estimator",
+                               hybridWindow: Double = Double.NaN)
   : (DataFrame, Long) => Unit = { (batch, batchId) =>
     import graft.operators.Dedup
-    import graft.functions.TextFns
+    require(Set("estimator", "exact", "hybrid")(confirm),
+      s"confirm=$confirm — must be estimator, exact, or hybrid")
+    val needsSets = confirm != "estimator"
     val spark = batch.sparkSession
     val internal = Dedup.dedupByLshChecked(batch, textCol, idCol,
       numHashes, bands, shingleSize, minJaccard, maxBucket).deduped
-    // band rows + the k-slot signature riding along for the confirm
-    val banded = Dedup.bandSignatures(internal, textCol, idCol,
-        numHashes, bands, shingleSize)
-      .join(internal
-        .filter(size(TextFns.tokens(col(textCol))) >= shingleSize)
-        .select(col(idCol).as("doc_id"),
-          TextFns.minhashSignatureNative(col(textCol), numHashes,
-            shingleSize).as("__mh")),
-        Seq("doc_id"))
+    // band rows with the k-slot signature (and, under exact/hybrid,
+    // the sorted shingle set) riding along — ONE kernel pass, same
+    // rows the batch twin's store holds
+    val banded = Dedup.bandRows(internal, textCol, idCol,
+      numHashes, bands, shingleSize, withMh = true, withSet = needsSets)
     val stored =
-      try Some(spark.read.parquet(storeDir)
-        .filter(col("batch_id") < batchId)
-        .select(col("band"), col("bucket"), col("__mh").as("__smh")))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val minAgree = math.ceil(minJaccard * numHashes).toLong
+      try {
+        val st = spark.read.parquet(storeDir)
+          .filter(col("batch_id") < batchId)
+        // legacy slices (pre-confirm-modes builds) named the
+        // signature __mh; read either, write the batch-store names
+        val mhCol = if (st.columns.contains("mh")) "mh" else "__mh"
+        require(!needsSets || st.columns.contains("sset"),
+          s"$storeDir carries no shingle sets; confirm=$confirm requires " +
+            "a store written by an exact/hybrid query from its first batch")
+        Some(st.select(Seq(col("band"), col("bucket"),
+          col("doc_id").as("cand_id"), col(mhCol).as("__smh")) ++
+          (if (needsSets) Seq(col("sset").as("__sss")) else Seq.empty): _*))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
     val survivors = stored match {
       case None => internal
       case Some(st) =>
-        val agree = (0 until numHashes).map(i =>
-          when(col("__mh").getItem(i) === col("__smh").getItem(i), 1L)
-            .otherwise(0L)).reduce(_ + _)
-        val dupIds = banded.join(st, Seq("band", "bucket"))
-          .filter(agree >= minAgree)
+        val dupIds = Dedup.confirmedDupPairs(
+            banded.join(st, Seq("band", "bucket")),
+            numHashes, minJaccard, confirm, hybridWindow)
           .select(col("doc_id").as(idCol)).distinct()
         internal.join(dupIds, Seq(idCol), "left_anti")
     }

@@ -121,6 +121,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshIngestBatch under a writer lease: foreign holder blocks loudly, store untouched; lease released after success") {
+    import graft.sources.Storage
+    val dirs = java.nio.file.Files.createTempDirectory("graft-ingest-lease")
+    val tag = "ingest_lease_store"
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    Dedup.writeBandSignatureStore(Seq.empty[(Long, String)]
+        .toDF("doc_id", "text"), "text", "doc_id", tag,
+      s"$dirs/tbl", buckets = 4, numHashes = 8, bands = 4,
+      withSignatures = true)
+    try {
+      // another job holds the lease: the leased ingest fails LOUDLY
+      // before touching the store (no interleaved generation, no
+      // manifest blessing a half-written union)
+      val other = Storage.acquireWriterLease(spark, tag, "other-ingest")
+      val rowsBefore = spark.table(tag).count()
+      val ex = intercept[IllegalStateException] {
+        Dedup.lshIngestBatch(Seq(1L -> a).toDF("doc_id", "text"),
+          "text", "doc_id", tag, numHashes = 8, bands = 4,
+          leaseOwner = "this-ingest")
+      }
+      assert(ex.getMessage.contains("other-ingest"))
+      assert(spark.table(tag).count() == rowsBefore)
+      // holder releases → the leased ingest proceeds AND releases its
+      // own lease afterward (a follow-up leased ingest acquires fine)
+      Storage.releaseWriterLease(spark, other)
+      val r1 = Dedup.lshIngestBatch(Seq(1L -> a).toDF("doc_id", "text"),
+        "text", "doc_id", tag, numHashes = 8, bands = 4,
+        leaseOwner = "this-ingest")
+      assert(r1.survivors.count() == 1)
+      val r2 = Dedup.lshIngestBatch(Seq(2L -> a).toDF("doc_id", "text"),
+        "text", "doc_id", tag, numHashes = 8, bands = 4,
+        leaseOwner = "this-ingest")
+      assert(r2.survivors.count() == 0 && r2.crossBatchDups.count() == 1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tag")
+  }
+
   test("lshIngestBatch confirm=exact: shingle-set store, exact Jaccard decisions, append preserves layout") {
     val dirs = java.nio.file.Files.createTempDirectory("graft-exactconf")
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -679,6 +715,53 @@ class DedupSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet
       assert(kept == Set(1L, 3L), s"exact=$exact multiProbe=$probe")
     }
+  }
+
+  test("srpIngestBatch: the embedding ingest loop closes probe-confirm-accept-append across three batches") {
+    import graft.operators.Similarity
+    val dirs = java.nio.file.Files.createTempDirectory("graft-srp-ingest")
+    val tag = "srp_ingest_test_store"
+    val a = Array.tabulate(8)(i => 1.0 + i)
+    val b = Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -5.0)
+    val c = Array.tabulate(8)(i => if (i < 4) -3.0 else 4.0)
+    val dd = Array.tabulate(8)(i => math.sin(i + 1.0) * 3.0)
+    val mk = (rows: Seq[(Long, Array[Double])]) =>
+      rows.toDF("vec_id", "embedding")
+    Similarity.writeSrpStore(mk(Seq.empty), "vec_id", "embedding", tag,
+      s"$dirs/tbl", buckets = 4)
+    try {
+      // batch 1: in-batch dup (1,2) collapses; reps enter the corpus
+      val r1 = Similarity.srpIngestBatch(mk(Seq(1L -> a, 2L -> a, 3L -> b)),
+        "vec_id", "embedding", tag, minCos = 0.9)
+      assert(r1.survivors.select("vec_id").as[Long].collect().toSet
+        == Set(1L, 3L))
+      assert(r1.crossBatchDups.count() == 0)
+      // batch 2: 4 duplicates stored 1 (exact vector, cos = 1);
+      // 5 is novel
+      val r2 = Similarity.srpIngestBatch(mk(Seq(4L -> a, 5L -> c)),
+        "vec_id", "embedding", tag, minCos = 0.9)
+      assert(r2.survivors.select("vec_id").as[Long].collect().toSet
+        == Set(5L))
+      assert(r2.crossBatchDups.select("vec_id", "cand_id", "cos")
+        .as[(Long, Long, Double)].collect().toSet == Set((4L, 1L, 1.0)))
+      // batch 3: dup of batch-2's ACCEPTED survivor — the append leg
+      // works; 7 is novel
+      val r3 = Similarity.srpIngestBatch(mk(Seq(6L -> c, 7L -> dd)),
+        "vec_id", "embedding", tag, minCos = 0.9)
+      assert(r3.survivors.select("vec_id").as[Long].collect().toSet
+        == Set(7L))
+      assert(r3.crossBatchDups.select("vec_id", "cand_id")
+        .as[(Long, Long)].collect().toSet == Set(6L -> 5L))
+      // store holds exactly the accepted vectors' bucket rows
+      assert(spark.table(tag).select("vec_id").as[Long].collect().toSet
+        == Set(1L, 3L, 5L, 7L))
+      // recipe drift fails loudly (plane-count mismatch)
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.srpIngestBatch(mk(Seq(9L -> a)), "vec_id",
+          "embedding", tag, minCos = 0.9, planes = 4)
+      }
+      assert(ex.getMessage.contains("planes"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tag")
   }
 
   test("100TB path: shingle sets materialized to bucketed storage feed Jaccard") {

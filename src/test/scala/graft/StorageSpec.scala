@@ -251,6 +251,49 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("writer lease: mutual exclusion, loud holder-naming failure, TTL break, fenced release") {
+    val dir = Files.createTempDirectory("graft-lease")
+    val gen0 = (1L to 10L).map(i => (i % 4, i)).toDF("k", "v")
+    Storage.writeBucketed(gen0, "ls_t", s"$dir/t", Seq("k"), buckets = 2)
+    try {
+      val a = Storage.acquireWriterLease(spark, "ls_t", "jobA")
+      // a second writer fails LOUDLY, naming the holder — never a
+      // silent interleave of two non-transactional appends
+      val ex = intercept[IllegalStateException] {
+        Storage.acquireWriterLease(spark, "ls_t", "jobB")
+      }
+      assert(ex.getMessage.contains("jobA") && ex.getMessage.contains("ls_t"))
+      // release frees the table for the next writer
+      assert(Storage.releaseWriterLease(spark, a))
+      val b = Storage.acquireWriterLease(spark, "ls_t", "jobB")
+      // a crashed holder's lease is broken once its TTL passes...
+      Thread.sleep(20)
+      val c = Storage.acquireWriterLease(spark, "ls_t", "jobC", ttlMs = 5)
+      // ...and the dispossessed holder is FENCED: it cannot release the
+      // successor's lease, and renewing its own aborts loudly (the
+      // signal to abandon its in-flight append)
+      assert(!Storage.releaseWriterLease(spark, b))
+      val lost = intercept[IllegalStateException] {
+        Storage.renewWriterLease(spark, b)
+      }
+      assert(lost.getMessage.contains("lost") &&
+        lost.getMessage.contains("jobC"))
+      // the successor's lease renews and releases normally
+      Storage.renewWriterLease(spark, c)
+      assert(Storage.releaseWriterLease(spark, c))
+      // the bracket releases on failure too — no leaked lease
+      intercept[RuntimeException] {
+        Storage.withWriterLease(spark, "ls_t", "jobD") {
+          throw new RuntimeException("append blew up")
+        }
+      }
+      val d = Storage.acquireWriterLease(spark, "ls_t", "jobE")
+      assert(Storage.releaseWriterLease(spark, d))
+      // releasing an already-gone lease is a no-op, not an error
+      assert(!Storage.releaseWriterLease(spark, d))
+    } finally spark.sql("DROP TABLE IF EXISTS ls_t")
+  }
+
   test("compact: fragmented input becomes a bounded file count") {
     val frag = (1L to 1000L).toDF("id").repartition(37)
     val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"

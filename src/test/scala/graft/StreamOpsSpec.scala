@@ -470,6 +470,78 @@ class StreamOpsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS parity_ingest")
   }
 
+  test("ingest parity under exact and hybrid confirms: same survivors as lshIngestBatch; estimator store refuses loudly") {
+    // the confirm upgrade must hold across BOTH substrates: the
+    // streaming step now runs the same Dedup.confirmedDupPairs code as
+    // the batch loop, so survivors match per batch in every mode. The
+    // hybrid window 0.25 at k=8 puts cuts at (2,7): estimator-dup,
+    // estimator-keep, AND exact-kernel routes all exercised (the
+    // q_d_ingest4 oracle fixture's shape).
+    import graft.operators.Dedup
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val aNear = "alpha beta gamma delta epsilon zeta eta iota"
+    val c = "fresh unrelated content with novel words and phrasing"
+    // 9 is an EXACT copy of stored 1 (identical signature → every band
+    // collides, J = 1 confirms in every mode) — the deterministic
+    // did-the-screen-run anchor; 4 (one token changed, J = 5/7) rides
+    // along for the parity check, whatever band fate the hashes deal it
+    val batches = Seq(
+      Seq(1L -> a, 2L -> a,
+        3L -> "completely different vocabulary about other topics entirely",
+        6L -> "xy"),
+      Seq(4L -> aNear, 5L -> c, 9L -> a),
+      Seq(7L -> c, 8L -> "yet another novel set of words here"))
+    for (mode <- Seq("exact", "hybrid")) {
+      val dirs =
+        java.nio.file.Files.createTempDirectory(s"graft-parity-$mode")
+      val step = StreamOps.minhashLshDedupBatchStep(s"$dirs/store",
+        s"$dirs/out", "text", "doc_id", numHashes = 8, bands = 4,
+        minJaccard = 0.5, confirm = mode, hybridWindow = 0.25)
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        step(rows.toDF("doc_id", "text"), i.toLong) }
+      // streaming slices carry the shingle sets (the withShingleSets
+      // layout's streaming analogue)
+      assert(spark.read.parquet(s"$dirs/store").columns.contains("sset"))
+      val tag = s"parity_$mode"
+      Dedup.writeBandSignatureStore(Seq.empty[(Long, String)]
+          .toDF("doc_id", "text"), "text", "doc_id", tag, s"$dirs/tbl",
+        buckets = 4, numHashes = 8, bands = 4, withSignatures = true,
+        withShingleSets = true)
+      try {
+        batches.zipWithIndex.foreach { case (rows, i) =>
+          val bSurv = Dedup.lshIngestBatch(rows.toDF("doc_id", "text"),
+              "text", "doc_id", tag, numHashes = 8, bands = 4,
+              minJaccard = 0.5, confirm = mode, hybridWindow = 0.25)
+            .survivors.select("doc_id").as[Long].collect().toSet
+          val sSurv = spark.read.parquet(s"$dirs/out/batch_id=$i")
+            .select("doc_id").as[Long].collect().toSet
+          assert(bSurv == sSurv,
+            s"$mode batch $i diverged: batch=$bSurv stream=$sSurv")
+        }
+        // the cross-batch screen demonstrably ran: doc 7 — an exact
+        // copy of batch-2 survivor 5, with no in-batch near-dup to
+        // absorb it first — was dropped in every confirm mode
+        // (identical signature → every band collides, J = 1 confirms)
+        assert(!spark.read.parquet(s"$dirs/out/batch_id=2")
+          .select("doc_id").as[Long].collect().toSet.contains(7L))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tag")
+    }
+    // an estimator-written store cannot be silently downgraded: the
+    // exact/hybrid restart fails loudly instead of confirming without
+    // shingle sets
+    val dirs2 = java.nio.file.Files.createTempDirectory("graft-parity-est")
+    StreamOps.minhashLshDedupBatchStep(s"$dirs2/store", s"$dirs2/out",
+      "text", "doc_id", numHashes = 8, bands = 4)(
+      batches.head.toDF("doc_id", "text"), 0L)
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.minhashLshDedupBatchStep(s"$dirs2/store", s"$dirs2/out",
+        "text", "doc_id", numHashes = 8, bands = 4, confirm = "hybrid",
+        hybridWindow = 0.25)(
+        batches(1).toDF("doc_id", "text"), 1L)
+    }
+    assert(ex.getMessage.contains("shingle sets"))
+  }
+
   test("srpDedupBatchStep: embedding near-dups dropped across batches via the store") {
     implicit val sqlCtx = spark.sqlContext
     val dirs = java.nio.file.Files.createTempDirectory("graft-stream-embdedup")
