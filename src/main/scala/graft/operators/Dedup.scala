@@ -553,14 +553,26 @@ object Dedup {
       s"$table carries no shingle sets; confirm=$confirm requires a store " +
         "written with writeBandSignatureStore(withShingleSets = true)")
     requireLshParams(spark, table, numHashes, bands, shingleSize)
-    val internal = dedupByLshChecked(batch, textCol, idCol, numHashes,
-      bands, shingleSize, minJaccard, maxBucket).deduped
-    // eagerly pinned so the signature kernel runs ONCE per batch: both
-    // the probe join and the append leg below consume these rows
-    // (batch-sized × bands, never corpus-sized)
-    val bandedMh = bandRows(internal, textCol, idCol,
-      numHashes, bands, shingleSize, withMh = true, withSet = storeHasSet)
-      .localCheckpoint(true)
+    // ONE signature pass per batch, shared with the internal dedup:
+    // the core pins (doc_id, __sig, __ss) and the in-batch dedup,
+    // the probe's band rows AND the appended rows all derive from
+    // that pin — the pre-core shape ran the minhash kernel twice and
+    // an interpreted shingle-set HOF chain besides (three text scans
+    // per batch), plus an extra band-rows checkpoint that duplicated
+    // each doc's shingle set `bands` times on local disk.
+    val core = lshDedupCore(batch, textCol, idCol, numHashes, bands,
+      shingleSize, minJaccard, maxBucket)
+    val internal = batch.join(
+      core.drop.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    val bandedMh = core.sigs
+      .join(core.drop, Seq("doc_id"), "left_anti")
+      .select(Seq(col("doc_id"),
+        explode(bandStructs(col("__sig"), numHashes, bands)).as("bb"),
+        col("__sig").as("mh")) ++
+        (if (storeHasSet) Seq(col("__ss").as("sset")) else Seq.empty): _*)
+      .select(Seq(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"), col("mh")) ++
+        (if (storeHasSet) Seq(col("sset")) else Seq.empty): _*)
     // store-side bucket-size guard: a window on the bucketed scan —
     // no exchange, no second store scan (the incrementalLsh shape)
     val w = Window.partitionBy("band", "bucket")
@@ -592,6 +604,9 @@ object Dedup {
       bandedMh.join(survivors.select(col(idCol).as("doc_id")),
         Seq("doc_id")),
       table)
+    // every returned frame is checkpointed and the append has read
+    // its band rows — the signature pin is done
+    core.release()
     IngestResult(survivors, dups, droppedP)
     }
   }
@@ -1484,17 +1499,94 @@ object Dedup {
                         numHashes: Int = 16, bands: Int = 4,
                         shingleSize: Int = 3, minJaccard: Double = 0.8,
                         maxBucket: Int = 1000): DedupResult = {
-    val candidates = minhashLshCandidates(docs, textCol, idCol,
-      numHashes, bands, shingleSize, maxBucket)
-    val confirmed = ngramJaccard(candidates.pairs, docs, textCol, idCol,
-      shingleSize)
+    val core = lshDedupCore(docs, textCol, idCol, numHashes, bands,
+      shingleSize, minJaccard, maxBucket)
+    // the drop set is pinned (dupClusters checkpoints its output), so
+    // the signature cache can release NOW; a caller that later reads
+    // droppedBuckets recomputes its banding from the text — exactly
+    // what the pre-core lazy form cost
+    core.release()
+    DedupResult(
+      docs.join(core.drop.withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_anti"),
+      core.droppedBuckets)
+  }
+
+  /** One-pass LSH dedup core shared by [[dedupByLshChecked]] and
+    * [[lshIngestBatch]]. The pre-core shape ran the text kernels as
+    * SEPARATE scans — one minhash pass for banding, one interpreted
+    * `tokenHashes64`/xxhash64 HOF chain for the confirm's shingle
+    * sets, and (in the ingest loop) a third combined pass for the
+    * appended band rows. This computes BOTH compiled kernels
+    * (MinhashSignature + NgramHashes) in ONE scan, pins the
+    * `(doc_id, __sig, __ss)` frame (MEMORY_AND_DISK — k longs +
+    * |distinct shingles| longs per doc, smaller than the text it
+    * derives from), and derives banding, confirm, and (for the ingest
+    * loop) the append rows from the pin. The confirm's Jaccard now
+    * reads the compiled NgramHashes sets; intersection/union
+    * CARDINALITIES are hash-family-invariant (the same argument the
+    * q_d_ingest3 sset already relies on), so jaccard values and every
+    * downstream decision are unchanged — re-verified against the
+    * DuckDB oracle on q_d_pipeline / q_t_clean / q_d_ingest2/3/4.
+    *
+    * `drop` (non-representative duplicate ids) is safe to consume
+    * after [[LshCore.release]] — dupClusters eagerly checkpoints.
+    * `droppedBuckets` stays LAZY (the pre-core contract): consuming
+    * it after release recomputes from the text. */
+  private[graft] final case class LshCore(sigs: DataFrame, drop: DataFrame,
+                                          droppedBuckets: DataFrame) {
+    def release(): Unit = { sigs.unpersist(); () }
+  }
+
+  /** Band struct array over a bound signature column — the SAME
+    * bucket expression [[bandRows]] plans (hash60 over the band's
+    * `_`-joined minhash slots), factored so core-derived band rows
+    * are bitwise-identical to kernel-derived ones. */
+  private def bandStructs(sig: Column, numHashes: Int,
+                          bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash60(concat_ws("_",
+          (b * rows until (b + 1) * rows).map(i => sig.getItem(i)): _*))
+          .as("bucket"))
+    }: _*)
+  }
+
+  private[graft] def lshDedupCore(docs: DataFrame, textCol: String,
+                                  idCol: String, numHashes: Int, bands: Int,
+                                  shingleSize: Int, minJaccard: Double,
+                                  maxBucket: Int): LshCore = {
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
+    val sigs = docs
+      .filter(size(TextFns.tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).as("doc_id"),
+        TextFns.minhashSignatureNative(col(textCol), numHashes, shingleSize)
+          .as("__sig"),
+        sort_array(array_distinct(
+          TextFns.ngramHashesNative(col(textCol), shingleSize))).as("__ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"),
+        explode(bandStructs(col("__sig"), numHashes, bands)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val grouped = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+    val droppedBuckets = grouped.filter(size(col("ids")) > maxBucket)
+      .select(col("band"), col("bucket"), size(col("ids")).as("size"))
+    val pairs = grouped.filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(TextFns.pairs(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("band_matches"))
+    val confirmed = ngramJaccardOnSets(pairs,
+        sigs.select(col("doc_id").as("__id"), col("__ss").as("__set")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b")
-    val clusters = dupClusters(confirmed)
+    val clusters = dupClusters(confirmed) // EAGER: consumes pairs fully
     val drop = clusters.filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
-    DedupResult(docs.join(drop, Seq(idCol), "left_anti"),
-      candidates.droppedBuckets)
+      .select(col("id").as("doc_id"))
+    LshCore(sigs, drop, droppedBuckets)
   }
 
   /** Deduplicated-docs-only view of `dedupByLshChecked`. */
