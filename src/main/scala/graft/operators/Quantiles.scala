@@ -107,27 +107,49 @@ object Quantiles {
               }.distinct.sorted)
     }
 
-    // narrow each rank to its bucket, three refinements deep: after
-    // the level-3 pass the "prefix" is the full 64-bit image
-    // rank -> (prefix so far, count below prefix)
+    // narrow each rank to its bucket, up to three refinements deep —
+    // ADAPTIVELY (optimization round 16, guide §1.2 "remove passes"):
+    // once every surviving target bucket is small (the total rows
+    // under all located buckets ≤ `terminalRows`), ONE terminal pass
+    // histograms the FULL 64-bit image inside those buckets instead
+    // of walking the remaining 16-bit levels — the located "prefix"
+    // is then the exact value immediately. State stays bounded: the
+    // terminal histogram holds ≤ one entry per distinct value under
+    // the surviving buckets ≤ terminalRows (512K) — same KB-to-MB
+    // class as the 65536-bucket levels, at any corpus size. Typical
+    // pass counts: 2 at sf0.1 (was 4), 3 at sf10, ≤4 always (the
+    // worst case is the old fixed ladder, bit-for-bit). Parity is
+    // unchanged — the terminal locate walks the same cumulative
+    // counts the remaining levels would have walked, pinned by
+    // QuantilesSpec against `percentile`.
     var located: Map[(Int, Long), (Long, Long)] = locate(hist, ranks)
-    for (level <- 1 to 3) {
-      val shift = 48 - 16 * level
+    val terminalRows = 1L << 19
+    var shiftPrev = 48 // current prefix granularity (bits shifted out)
+    var done = false
+    while (!done && shiftPrev > 0) {
+      val byKey = hist.map(t => ((t._1, t._2), t._3)).toMap
+      val surviving = ranks.flatMap { case (i, rs) =>
+        rs.flatMap(r => located.get((i, r)).map(p => (i, p._1))) }.distinct
+      val rowsUnder = surviving.map(byKey.getOrElse(_, 0L)).sum
+      val shift = if (rowsUnder <= terminalRows) 0 else shiftPrev - 16
       val specs = names.zipWithIndex.flatMap { case (c, i) =>
         val prefixes = ranks.find(_._1 == i).get._2
           .flatMap(r => located.get((i, r))).map(_._1).distinct
         if (prefixes.isEmpty) None
         else {
           val u = uimg(col(c))
-          val inPrev = shiftrightunsigned(u, shift + 16)
+          val inPrev = shiftrightunsigned(u, shiftPrev)
             .isin(prefixes.map(java.lang.Long.valueOf): _*)
-          Some((i, when(inPrev, shiftrightunsigned(u, shift)), Some(())))
+          Some((i, when(inPrev,
+            if (shift == 0) u else shiftrightunsigned(u, shift)), Some(())))
         }
       }
       if (specs.nonEmpty) {
         hist = histogramPass(df, specs)
-        located = refine(hist, ranks, located)
+        located = refine(hist, ranks, located, deltaBits = shiftPrev - shift)
       }
+      done = specs.isEmpty || shift == 0
+      shiftPrev = shift
     }
 
     // assemble: located at level 3 maps each rank to its exact image
@@ -371,14 +393,16 @@ object Quantiles {
     }.toMap
   }
 
-  /** Refinement step: the new histogram's buckets are 16 bits finer;
-    * each rank re-locates within its previous bucket's sub-histogram,
-    * offset by the count below that bucket. */
+  /** Refinement step: the new histogram's buckets are `deltaBits`
+    * finer (16 for a ladder level, up to 48 for the adaptive terminal
+    * full-image pass); each rank re-locates within its previous
+    * bucket's sub-histogram, offset by the count below that bucket. */
   private def refine(hist: Seq[(Int, Long, Long)],
       ranks: Seq[(Int, Seq[Long])],
-      prev: Map[(Int, Long), (Long, Long)])
+      prev: Map[(Int, Long), (Long, Long)],
+      deltaBits: Int = 16)
       : Map[(Int, Long), (Long, Long)] = {
-    val byColPrefix = hist.groupBy(t => (t._1, t._2 >>> 16)).map {
+    val byColPrefix = hist.groupBy(t => (t._1, t._2 >>> deltaBits)).map {
       case (k, rs) => k -> rs.map(t => (t._2, t._3)).sortBy(_._1) }
     ranks.flatMap { case (i, rs) =>
       rs.map { r =>
