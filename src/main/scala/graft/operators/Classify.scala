@@ -43,10 +43,19 @@ object Classify {
     * an empty document identically). */
   def classifyBow(docs: DataFrame, textCol: String, idCol: String,
                   profile: DataFrame): DataFrame = {
-    val totals = profile.groupBy("label")
+    // PIN the profile and its per-class totals (optimization r16):
+    // totals feeds THREE legs (lp, oov, firstClass) and lp reads the
+    // profile besides — unpinned, the training token explode + agg
+    // re-ran once per leg (4 passes over the train corpus; QueryProf
+    // measured q_c_prf re-running the whole train at 4× through its
+    // metric legs). Both frames are metadata-sized by the scale-shape
+    // contract above (vocab × classes / classes rows), never corpus.
+    val prof = profile.localCheckpoint(true)
+    val totals = prof.groupBy("label")
       .agg(sum(col("cnt")).as("__n"), count(lit(1)).as("__v"))
+      .localCheckpoint(true)
     val denom = col("__n") + col("__v") + 1
-    val lp = profile.join(totals, Seq("label"))
+    val lp = prof.join(totals, Seq("label"))
       .select(col("label"), col("term"),
         round(log((col("cnt") + 1).cast("double") / denom) * 1e6)
           .cast("long").as("__lpm"))
@@ -91,10 +100,16 @@ object Classify {
     * Three count aggregations + a classes-sized join. */
   def prfByClass(preds: DataFrame, truth: DataFrame, idCol: String,
                  labelCol: String): DataFrame = {
+    // PIN the scored pairs (optimization r16): four metric legs below
+    // (classes ×2 via the union, tp, per-truth, per-pred counts) each
+    // re-ran the ENTIRE classifier pipeline unpinned — the train
+    // explode, the broadcast scoring join and the winner window, 4×.
+    // (truth, pred) is two small columns per test doc — bounded.
     val base = preds
       .join(truth.select(col(idCol), col(labelCol).as("__truth")),
         Seq(idCol))
       .select(col("__truth").as("truth"), col("pred"))
+      .localCheckpoint(true)
     val classes = base.select(col("truth").as("cls"))
       .union(base.select(col("pred").as("cls"))).distinct()
     val tp = base.filter(col("truth") === col("pred"))
