@@ -1332,20 +1332,28 @@ object Dedup {
     * Output: (doc_id, n_grams, n_novel, novelty). */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
                    n: Int): DataFrame = {
+    // n_novel(doc) = #{h : min doc containing h == doc} — computed by
+    // RE-AGGREGATING the (h → min doc) frame by that min doc, never
+    // joining it back onto the corpus-sized gram list (the pre-r16
+    // join-back shuffled every (doc, gram) row a SECOND time through
+    // the h-keyed join and then a third through the per-doc groupBy —
+    // the join leg was the whole 9.1 GB sf100 shuffle). n_grams is
+    // map-only: the distinct-gram count per row, no gram row shuffled
+    // for it. `greatest(size, 0)` normalizes both null-size
+    // conventions (null / legacy −1) to the old explode form's 0.
     val grams = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextFns.ngramHashesNative(col(textCol), n)))
         .as("h"))
-    val first = grams.groupBy("h").agg(min(col("doc_id")).as("__first"))
-    val per = grams.join(first, Seq("h"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-    df.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+    val novel = grams.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    df.select(col(idCol).as("doc_id"),
+        greatest(size(array_distinct(
+          TextFns.ngramHashesNative(col(textCol), n))), lit(0))
+          .cast("long").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        when(coalesce(col("n_grams"), lit(0L)) === 0, 0.0)
+        when(col("n_grams") === 0, 0.0)
           .otherwise(round(col("n_novel") / col("n_grams"), 6))
           .as("novelty"))
   }
